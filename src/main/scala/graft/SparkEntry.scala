@@ -1,13 +1,574 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.TimeseriesFrame
+import graft.dedup.Dedup
+import graft.ops._
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline operators), each with an
+  * ANSI-SQL oracle the driver runs in DuckDB on the same parquet tables.
+  *
+  * Determinism design (the driver hash-compares values across engines):
+  *  - all orderings are total: (ts, event_id) / doc_id / vec_id;
+  *  - `value` and all monetary columns are exact 2-decimal doubles, so any
+  *    summed quantity goes through integer cents (`round(x*100)`), which
+  *    doubles sum exactly in ANY aggregation order on BOTH engines — means
+  *    are then a single identical division chain;
+  *  - raw timestamps are exported as microsecond longs (`unix_micros` /
+  *    `epoch_us`), truncated period keys as epoch seconds;
+  *  - remaining float expressions use the same operation order on both
+  *    sides and are rounded at a precision far above the cross-engine
+  *    noise floor.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
+    // long; normalize to a microsecond TimestampType column (values are
+    // µs-aligned, so `div 1000` is lossless integer arithmetic).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** events as a TimeseriesFrame: time = ts, tie-break = event_id; adds an
+    * exact integer-cents view of `value` for order-independent sums. */
+  private def ev(s: SparkSession, dir: String): TimeseriesFrame =
+    TimeseriesFrame.fromColumn(
+      tbl(s, dir, "events").withColumn("value_cents", round(col("value") * 100)),
+      "ts", Seq("event_id"))
+
+  /** events with value nulled on a deterministic subset — interpolation
+    * fixture (the raw table has no missing values). */
+  private def evGappy(s: SparkSession, dir: String): TimeseriesFrame = {
+    val df = tbl(s, dir, "events")
+      .withColumn("value",
+        when(col("event_id") % 37 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+    TimeseriesFrame.fromColumn(df, "ts", Seq("event_id"))
+  }
+
+  private val tsOrder = "ORDER BY ts, event_id"
+  private val centsSql = "CAST(round(value*100) AS BIGINT)"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_sliding_basic")(spark, "/root/testdata/sf0.001")
+
+  // ==================================================================== //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 sliding-window aggregation (Moving Transform) ----------
+    "q01_sliding_basic" -> ((s, dir) => {
+      val t = ev(s, dir)
+      MovingTransform.slidingWindow(t,
+          Seq("value_cents" -> "sum", "value" -> "min",
+            "value" -> "max", "value" -> "defined"),
+          width = 7, keep = MovingTransform.KeepComplete)
+        .select(col("event_id"),
+          round(col("value_cents_sum") / 100.0 / 7, 6).as("value_mean"),
+          round(col("value_cents_sum") / 100.0, 6).as("value_sum"),
+          col("value_min"), col("value_max"), col("value_defined"))
+    }),
+    "q02_sliding_stats" -> ((s, dir) => {
+      val t0 = ev(s, dir)
+      val t = t0.copy(df = t0.df.withColumn("value_cents2",
+        col("value_cents") * col("value_cents")))
+      // population var/std via exact integer sums (bit-identical on both
+      // engines); the registry's own std/var are pinned by ScalaTest goldens
+      val out = MovingTransform.slidingWindow(t,
+          Seq("value" -> "median", "value_cents" -> "sum", "value_cents2" -> "sum",
+            "value" -> "span", "value" -> "nonzero", "value_cents" -> "cumsum"),
+          width = 5, keep = MovingTransform.KeepComplete)
+      val mu = col("value_cents_sum") / 5
+      val varCents = col("value_cents2_sum") / 5 - mu * mu
+      out.select(col("event_id"),
+          round(col("value_median"), 6).as("value_median"),
+          round(sqrt(varCents) / 100.0, 6).as("value_std"),
+          round(varCents / 10000.0, 6).as("value_var"),
+          col("value_span"),
+          col("value_nonzero"),
+          round(col("value_cents_cumsum") / 100.0, 6).as("value_cumsum"))
+    }),
+    "q03_sliding_ma" -> ((s, dir) => {
+      val t = ev(s, dir)
+      MovingTransform.slidingWindow(t,
+          Seq("value" -> "lin_ma", "value" -> "exp_ma", "value" -> "geometric",
+            "value" -> "harmonic", "value" -> "product"),
+          width = 4, keep = MovingTransform.KeepComplete)
+        .select(col("event_id"),
+          round(col("value_lin_ma"), 6).as("value_lin_ma"),
+          round(col("value_exp_ma"), 6).as("value_exp_ma"),
+          round(col("value_geometric"), 6).as("value_geometric"),
+          round(col("value_harmonic"), 6).as("value_harmonic"),
+          round(col("value_product"), 2).as("value_product"))
+    }),
+    // ---- §2.6 difference family --------------------------------------
+    "q04_difference" -> ((s, dir) => {
+      val t = ev(s, dir)
+      import Difference._
+      val d = Difference(t, Seq(
+        (Delta, "value"), (Delta2, "value"), (Quotient, "value"),
+        (PercentChange, "value")))
+      Difference(t.copy(df = d), Seq((Delta, "value")), shift = 3)
+        .select(col("event_id"), col("delta_value"), col("delta2_value"),
+          round(col("quot_value"), 6).as("quot_value"),
+          round(col("pct_value"), 6).as("pct_value"),
+          col("delta_value_3"))
+    }),
+    // ---- §2.4 sequential blocks --------------------------------------
+    "q05_seq_blocks" -> ((s, dir) => {
+      val t = ev(s, dir)
+      MovingTransform.sequentialBlocks(t,
+          Seq("value_cents" -> "sum", "value" -> "min",
+            "value" -> "max", "value" -> "defined"),
+          width = 50)
+        .select(col("block"),
+          round(col("value_cents_sum") / 100.0 / 50, 6).as("value_mean"),
+          round(col("value_cents_sum") / 100.0, 6).as("value_sum"),
+          col("value_min"), col("value_max"), col("value_defined"))
+    }),
+    // ---- §2.4 time-period aggregation (truncation + periodic) --------
+    "q06_period_day" -> ((s, dir) => {
+      val t = ev(s, dir)
+      MovingTransform.timePeriods(t, "days",
+          Seq("value_cents" -> "sum", "value" -> "min", "value" -> "max"))
+        .select(unix_seconds(col("days")).as("day_s"), col("instance_count"),
+          round(col("value_cents_sum") / 100.0 / col("instance_count"), 6)
+            .as("value_mean"),
+          col("value_min"), col("value_max"))
+    }),
+    "q07_period_hour_of_day" -> ((s, dir) => {
+      val t = ev(s, dir)
+      MovingTransform.timePeriods(t, "hour_of_day",
+          Seq("value_cents" -> "sum", "value" -> "median"))
+        .select(col("hour_of_day").cast("long").as("hour_of_day"),
+          col("instance_count"),
+          round(col("value_cents_sum") / 100.0 / col("instance_count"), 6)
+            .as("value_mean"),
+          round(col("value_median"), 6).as("value_median"))
+    }),
+    // ---- §2.5 spiralogram (2-D categorical aggregation) --------------
+    "q08_spiralogram" -> ((s, dir) => {
+      val t = ev(s, dir)
+      Spiralogram(t,
+          Spiralogram.PeriodComponent("day_of_week"),
+          Some(Spiralogram.PeriodComponent("hour_of_day")),
+          Some("value_cents" -> "sum"))
+        .select(col("angular").cast("long").as("angular"),
+          col("radial").cast("long").as("radial"), col("count"),
+          round(col("value_cents_sum") / 100.0 / col("count"), 6).as("value_mean"))
+    }),
+    "q09_spiralogram_binned" -> ((s, dir) => {
+      val t = ev(s, dir)
+      Spiralogram(t,
+          Spiralogram.Categorical("event_type"),
+          Some(Spiralogram.Binned("value", 0.0, 600.0, 6)),
+          Some("value" -> "max"))
+        .select(col("angular"), col("radial"), col("count"), col("value_max"))
+    }),
+    // ---- §2.2 time slice ---------------------------------------------
+    "q10_timeslice" -> ((s, dir) => {
+      val t = ev(s, dir)
+      // [2024-01-10, 2024-01-20) UTC
+      TimeSlice(t, 1704844800.0, 1705708800.0)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+    }),
+    // ---- §2.7 interpolation ------------------------------------------
+    "q11_interpolate" -> ((s, dir) => {
+      val t = evGappy(s, dir)
+      val lin = Interpolate.expr(t, "value", "linear")
+      val near = Interpolate.expr(t, "value", "nearest")
+      val wAll = t.window.rowsBetween(Long.MinValue, Long.MaxValue)
+      val cents = round(col("value") * 100)
+      val exactMean = sum(cents).over(wAll) / 100.0 / count(col("value")).over(wAll)
+      t.df.select(col("event_id"),
+        round(lin, 6).as("value_linear"),
+        near.as("value_nearest"),
+        round(coalesce(col("value"), exactMean), 6).as("value_meanfill"))
+    }),
+    // ---- text analysis ------------------------------------------------
+    "q12_text_stats" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextFunctions.typeTokenRatio(col("text")), 6).as("ttr"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        round(TextFunctions.stopwordRatio(col("text"), "en"), 6).as("en_stopword_ratio"))
+    }),
+    "q13_langid" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.stopwordHits(col("text"), "en").cast("long").as("en_hits"),
+        TextFunctions.stopwordHits(col("text"), "de").cast("long").as("de_hits"))
+    }),
+    "q14_fingerprint" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    }),
+    // ---- dedup ---------------------------------------------------------
+    "q15_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")),
+    "q16_dedup_normkey" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.groupBy(Dedup.normalizedKey(col("text"), 5).as("norm_key"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+    }),
+    "q17_jaccard_pairs" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"),
+        array_distinct(TextFunctions.tokensLower(col("text"))).as("toks_a"))
+      val b = d.select(col("doc_id").as("id_b"),
+        array_distinct(TextFunctions.tokensLower(col("text"))).as("toks_b"))
+      a.join(broadcast(b), col("id_b") === col("id_a") + 1)
+        .select(col("id_a"),
+          round(Dedup.jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
+    }),
+    "q18_minhash_lsh" -> ((s, dir) =>
+      // rows-only check: hash functions are engine-specific
+      Dedup.minhashCandidates(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 6, numHashes = 64, bands = 16)
+        .filter(col("est_jaccard") >= 0.8)),
+    "q19_simhash" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id"),
+        Dedup.simhash(TextFunctions.charShingles(col("text"), 3)).as("sig"))
+    }),
+    // ---- similarity search --------------------------------------------
+    "q20_cosine_pairs" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv")))
+      e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        .crossJoin(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosine(col("qv"), col("cv")), 4).as("sim"))
+        .filter(col("sim") >= 0.2)
+    }),
+    "q21_knn_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("sim"), 4).as("sim"))
+    }),
+    "q22_lsh_topk" -> ((s, dir) => {
+      // rows-only check: LSH buckets are engine-specific hashes
+      val e = tbl(s, dir, "embeddings")
+      Similarity.lshTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+    // ---- relational / scale demos ------------------------------------
+    "q23_lineitem_pricing" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      def cents(c: Column) = round(c * 100).cast("long")
+      li.filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("sum_disc_c4"),
+          count(lit(1)).as("n"))
+    }),
+    "q24_nation_revenue" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+    }),
+    "q25_sessionize" -> ((s, dir) => {
+      val t = ev(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+      val newSession = when(gap.isNull || gap > 1800L * 1000000L, 1L).otherwise(0L)
+      t.df.withColumn("session_id",
+          sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+    }),
+  )
+
+  // ==================================================================== //
+
+  private def winSql(frame: String) =
+    s"WINDOW w AS ($tsOrder ROWS BETWEEN $frame AND CURRENT ROW)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_sliding_basic" ->
+      s"""SELECT event_id,
+         | round(sum($centsSql) OVER w / 100.0 / 7, 6) AS value_mean,
+         | round(sum($centsSql) OVER w / 100.0, 6) AS value_sum,
+         | min(value) OVER w AS value_min,
+         | max(value) OVER w AS value_max,
+         | count(value) OVER w AS value_defined
+         |FROM events
+         |${winSql("6 PRECEDING")}
+         |QUALIFY row_number() OVER ($tsOrder) >= 7""".stripMargin,
+    "q02_sliding_stats" ->
+      s"""SELECT event_id,
+         | round(median(value) OVER w, 6) AS value_median,
+         | round(sqrt(sum($centsSql*$centsSql) OVER w / 5
+         |   - (sum($centsSql) OVER w / 5) * (sum($centsSql) OVER w / 5)) / 100.0, 6) AS value_std,
+         | round((sum($centsSql*$centsSql) OVER w / 5
+         |   - (sum($centsSql) OVER w / 5) * (sum($centsSql) OVER w / 5)) / 10000.0, 6) AS value_var,
+         | max(value) OVER w - min(value) OVER w AS value_span,
+         | count(CASE WHEN value != 0 THEN 1 END) OVER w AS value_nonzero,
+         | round(sum($centsSql) OVER ($tsOrder ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 6) AS value_cumsum
+         |FROM events
+         |${winSql("4 PRECEDING")}
+         |QUALIFY row_number() OVER ($tsOrder) >= 5""".stripMargin,
+    "q03_sliding_ma" -> {
+      // closed forms valid because events.value has no nulls
+      val w = 4
+      val alpha = 2.0 / (w + 1.0)
+      val expw = (0 until w).map(i => alpha * math.pow(1 - alpha, w - 1.0 - i))
+      val linw = (1 to w).map(_.toDouble)
+      val linLit = linw.mkString("[", ", ", "]")
+      val expLit = expw.mkString("[", ", ", "]")
+      s"""WITH t AS (
+         | SELECT event_id, value,
+         |  row_number() OVER ($tsOrder) AS rn,
+         |  list(value) OVER w AS vals,
+         |  count(CASE WHEN value = 0 THEN 1 END) OVER w AS zeros,
+         |  avg(ln(nullif(value, 0))) OVER w AS mean_ln,
+         |  sum(1.0/value) OVER w AS inv_sum,
+         |  product(value) OVER w AS prod
+         | FROM events
+         | ${winSql("3 PRECEDING")})
+         |SELECT event_id,
+         | round(list_inner_product(vals, $linLit) / ${linw.sum}, 6) AS value_lin_ma,
+         | round(list_inner_product(vals, $expLit) / ${expw.sum}, 6) AS value_exp_ma,
+         | round(CASE WHEN zeros > 0 THEN 0 ELSE exp(mean_ln) END, 6) AS value_geometric,
+         | round(CASE WHEN zeros > 0 THEN 0 ELSE $w / inv_sum END, 6) AS value_harmonic,
+         | round(prod, 2) AS value_product
+         |FROM t WHERE rn >= $w""".stripMargin
+    },
+    "q04_difference" ->
+      s"""SELECT event_id,
+         | value - lag(value, 1) OVER wo AS delta_value,
+         | value - 2*lag(value, 1) OVER wo + lag(value, 2) OVER wo AS delta2_value,
+         | round(value / nullif(lag(value, 1) OVER wo, 0), 6) AS quot_value,
+         | round((value / nullif(lag(value, 1) OVER wo, 0) - 1) * 100, 6) AS pct_value,
+         | value - lag(value, 3) OVER wo AS delta_value_3
+         |FROM events
+         |WINDOW wo AS ($tsOrder)""".stripMargin,
+    "q05_seq_blocks" ->
+      s"""WITH t AS (SELECT value,
+         |  CAST(floor((row_number() OVER ($tsOrder) - 1) / 50) AS BIGINT) AS block
+         | FROM events)
+         |SELECT block,
+         | round(sum($centsSql) / 100.0 / 50, 6) AS value_mean,
+         | round(sum($centsSql) / 100.0, 6) AS value_sum,
+         | min(value) AS value_min, max(value) AS value_max,
+         | count(value) AS value_defined
+         |FROM t GROUP BY block HAVING count(*) = 50""".stripMargin,
+    "q06_period_day" ->
+      s"""SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+         | count(*) AS instance_count,
+         | round(sum($centsSql) / 100.0 / count(*), 6) AS value_mean,
+         | min(value) AS value_min, max(value) AS value_max
+         |FROM events GROUP BY 1""".stripMargin,
+    "q07_period_hour_of_day" ->
+      s"""SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         | count(*) AS instance_count,
+         | round(sum($centsSql) / 100.0 / count(*), 6) AS value_mean,
+         | round(median(value), 6) AS value_median
+         |FROM events GROUP BY 1""".stripMargin,
+    "q08_spiralogram" ->
+      s"""SELECT CAST((dayofweek(ts) + 6) % 7 AS BIGINT) AS angular,
+         | CAST(hour(ts) AS BIGINT) AS radial,
+         | count(*) AS count,
+         | round(sum($centsSql) / 100.0 / count(*), 6) AS value_mean
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q09_spiralogram_binned" ->
+      """WITH t AS (SELECT event_type,
+        |  least(greatest(floor(value / 100.0), 0), 5) AS bi, value FROM events)
+        |SELECT event_type AS angular,
+        | CASE WHEN bi = 0 THEN '< ' || format('{:.4f}', 100.0)
+        |      WHEN bi = 5 THEN '≥ ' || format('{:.4f}', 500.0)
+        |      ELSE format('{:.4f}', bi*100.0) || ' - ' || format('{:.4f}', bi*100.0+100) END AS radial,
+        | count(*) AS count, max(value) AS value_max
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    "q10_timeslice" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events
+        |WHERE epoch(ts) >= 1704844800 AND epoch(ts) < 1705708800""".stripMargin,
+    "q11_interpolate" ->
+      s"""WITH s AS (
+         | SELECT event_id, ts, epoch(ts) AS tt,
+         |  CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS v
+         | FROM events),
+         |t AS (
+         | SELECT event_id, tt, v,
+         |  last_value(v IGNORE NULLS) OVER wp AS pv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN tt END IGNORE NULLS) OVER wp AS pt,
+         |  first_value(v IGNORE NULLS) OVER wn AS nv,
+         |  first_value(CASE WHEN v IS NOT NULL THEN tt END IGNORE NULLS) OVER wn AS nt,
+         |  sum(CAST(round(v*100) AS BIGINT)) OVER () / 100.0 / count(v) OVER () AS vmean
+         | FROM s
+         | WINDOW wp AS ($tsOrder ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |        wn AS ($tsOrder ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_id,
+         | round(coalesce(v, CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+         |   WHEN nt = pt THEN pv ELSE pv + (nv - pv) * (tt - pt) / (nt - pt) END), 6) AS value_linear,
+         | coalesce(v, CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+         |   WHEN tt - pt <= nt - tt THEN pv ELSE nv END) AS value_nearest,
+         | round(coalesce(v, vmean), 6) AS value_meanfill
+         |FROM t""".stripMargin,
+    "q12_text_stats" -> textStatsSql,
+    "q13_langid" -> langIdSql,
+    "q14_fingerprint" ->
+      """SELECT doc_id,
+        | CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
+        |   list_transform(list_filter(string_split(text, ''), c -> c != ''),
+        |     c -> CAST(ascii(c) AS BIGINT)),
+        |   (a, c) -> (a * 31 + c) % 1000000007) END AS fp
+        |FROM documents""".stripMargin,
+    "q15_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+        | count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q16_dedup_normkey" ->
+      """WITH t AS (SELECT doc_id,
+        |  array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x != '')[1:5], ' ') AS norm_key
+        | FROM documents)
+        |SELECT norm_key, min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM t GROUP BY 1""".stripMargin,
+    "q17_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x != '')) AS toks
+        | FROM documents)
+        |SELECT a.doc_id AS id_a,
+        | round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0
+        |   ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) END, 6) AS jaccard
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q20_cosine_pairs" -> cosinePairsSql,
+    "q21_knn_topk" -> knnTopkSql,
+    "q23_lineitem_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_c4,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2""".stripMargin,
+    "q24_nation_revenue" ->
+      """SELECT n_name,
+        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q25_sessionize" ->
+      """WITH t AS (
+        | SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER wo IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER wo > 1800000000
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |u AS (SELECT user_id, tus,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM t)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(tus) AS start_us, max(tus) AS end_us
+        |FROM u GROUP BY 1, 2""".stripMargin,
+  )
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private def textStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, text,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks,
+       |  list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |    x -> x != '')) AS dtoks
+       | FROM documents)
+       |SELECT doc_id,
+       | CAST(length(text) AS BIGINT) AS n_chars_calc,
+       | CAST(len(toks) AS BIGINT) AS n_tokens,
+       | round(CASE WHEN len(toks) = 0 THEN 0
+       |   ELSE len(dtoks)::DOUBLE / len(toks) END, 6) AS ttr,
+       | round(
+       |  (CASE WHEN len(toks) = 0 THEN 0
+       |    WHEN length(text)::DOUBLE / len(toks) BETWEEN 3.0 AND 10.0 THEN 1.0
+       |    ELSE 0.0 END) * 0.4
+       |  + (CASE WHEN length(text) = 0 THEN 0
+       |     ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+       |          / length(text) END) * 0.3
+       |  + (CASE WHEN len(toks) = 0 THEN 0
+       |     ELSE len(dtoks)::DOUBLE / len(toks) END) * 0.3, 6) AS quality,
+       | round(CASE WHEN len(dtoks) = 0 THEN 0
+       |   ELSE len(list_intersect(dtoks, ${sqlList(TextFunctions.stopwords("en"))}))::DOUBLE
+       |        / len(dtoks) END, 6) AS en_stopword_ratio
+       |FROM t""".stripMargin
+
+  private def langIdSql: String = {
+    val sw = TextFunctions.stopwords
+    s"""WITH t AS (SELECT doc_id,
+       |  list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |    x -> x != '')) AS dtoks
+       | FROM documents),
+       |s AS (SELECT doc_id,
+       |  len(list_intersect(dtoks, ${sqlList(sw("de"))})) AS de_n,
+       |  len(list_intersect(dtoks, ${sqlList(sw("en"))})) AS en_n,
+       |  len(list_intersect(dtoks, ${sqlList(sw("es"))})) AS es_n,
+       |  len(list_intersect(dtoks, ${sqlList(sw("fr"))})) AS fr_n
+       | FROM t)
+       |SELECT doc_id,
+       | CASE WHEN greatest(de_n, en_n, es_n, fr_n) = 0 THEN 'und'
+       |  WHEN de_n >= en_n AND de_n >= es_n AND de_n >= fr_n THEN 'de'
+       |  WHEN en_n >= es_n AND en_n >= fr_n THEN 'en'
+       |  WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END AS lang_pred,
+       | CAST(en_n AS BIGINT) AS en_hits, CAST(de_n AS BIGINT) AS de_hits
+       |FROM s""".stripMargin
+  }
+
+  private def cosinePairsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      | round(list_inner_product(q.v, c.v)
+      |  / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 4) AS sim
+      |FROM e q, e c
+      |WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+      |  AND round(list_inner_product(q.v, c.v)
+      |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 4) >= 0.2""".stripMargin
+
+  private def knnTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_inner_product(q.v, c.v)
+      |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS sim
+      | FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+      |SELECT query_id,
+      | CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+      | neighbor_id, round(sim, 4) AS sim
+      |FROM s
+      |QUALIFY rank <= 5""".stripMargin
 }

@@ -1,0 +1,189 @@
+package graft.agg
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+
+/** The 18-aggregation registry — Spark re-expression of the reference's
+  * `AggOptions` (`orangecontrib/timeseries/aggregate.py:125-183`). Every
+  * aggregation is NaN-skipping (NaN ≡ SQL null here; inputs are normalized
+  * via [[nanToNull]]) with the reference's edge rules, pinned by the goldens
+  * in `orangecontrib/timeseries/test_aggregate.py:259-305`:
+  *
+  *  - sum of an all-null window → 0 (np.nancumsum), product → 1 (np.nanprod)
+  *  - std/var are population (ddof=0)
+  *  - weighted MAs renormalize weights over non-null slots; all-null → null
+  *    (`aggregate.py:50-70`)
+  *  - harmonic/geometric: any null or negative in the window → null; any
+  *    zero → 0 (scipy hmean ValueError fallback / gmean log-domain)
+  *  - mode omits nulls, all-null → null, ties pick the smallest value
+  *    (scipy.stats.mode)
+  *
+  * All builders return plain `Column` expressions (codegen-friendly window /
+  * hash aggregates); the only non-expression pieces are bounded
+  * `collect_list` buffers for order-sensitive aggs (weighted MAs, mode,
+  * exact product) whose size is capped by the window width — the reference
+  * GUI caps width at 1000 (`owmovingtransform.py:168`), so buffers are
+  * small and executor-local regardless of table size.
+  */
+object AggRegistry {
+
+  /** Aggregation keys in reference registry order. */
+  val keys: Seq[String] = Seq(
+    "mean", "sum", "product", "min", "max", "span", "median", "mode",
+    "std", "var", "lin_ma", "exp_ma", "harmonic", "geometric",
+    "nonzero", "defined", "cumsum", "cumprod")
+
+  /** Aggs with a whole-block form (usable in groupBy); the sliding-only
+    * ones (weighted MAs, cumulatives) are excluded exactly as the reference
+    * flags them inapplicable for time-period aggregation
+    * (`owmovingtransform.py:520-522,564-571`). */
+  val blockKeys: Seq[String] = keys.filterNot(
+    Set("lin_ma", "exp_ma", "cumsum", "cumprod"))
+
+  /** Count-style aggs whose output is integral (`count_aggregate` flag,
+    * `owmovingtransform.py:560-562`). */
+  val countKeys: Set[String] = Set("nonzero", "defined")
+
+  /** NaN ≡ missing: normalize float NaN to SQL null once at the boundary. */
+  def nanToNull(c: Column): Column = {
+    val d = c.cast("double")
+    when(isnan(d), lit(null).cast("double")).otherwise(d)
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def safeDiv(num: Column, den: Column): Column =
+    when(den === 0.0, lit(null).cast("double")).otherwise(num / den)
+
+  /** Exact product of the non-null values in a bounded buffer. */
+  private def productOf(arr: Column): Column =
+    aggregate(arr, lit(1.0), (acc, x) => acc * x)
+
+  /** Weighted mean with per-row weight renormalization over non-null slots
+    * (`aggregate.py:50-70`): collect the window as null-preserving struct
+    * slots, weight positionally, divide by the weight mass of the defined
+    * slots. All-null → null. */
+  private def weightedMA(v: Column, w: WindowSpec, width: Int)(
+      weightAt: Column => Column): Column = {
+    val slots = collect_list(struct(v.as("v"))).over(w) // keeps null slots
+    val num = aggregate(
+      zip_with(slots, sequence(lit(0), lit(width - 1)),
+        (s, i) => when(s("v").isNotNull, s("v") * weightAt(i)).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x)
+    val den = aggregate(
+      zip_with(slots, sequence(lit(0), lit(width - 1)),
+        (s, i) => when(s("v").isNotNull, weightAt(i)).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x)
+    safeDiv(num, den)
+  }
+
+  /** scipy.stats.mode semantics: most frequent non-null value, ties →
+    * smallest value. O(k²) over the distinct values of a bounded buffer. */
+  private def modeOf(arr: Column): Column = {
+    val distinct = array_distinct(arr)
+    val counted = transform(distinct, v =>
+      struct(size(filter(arr, x => x === v)).as("n"), v.as("v")))
+    // max by (count, -value): encode as (n, -v) lexicographic max
+    val best = array_max(transform(counted, s =>
+      struct(s("n").as("n"), (-s("v")).as("negv"))))
+    when(size(arr) === 0, lit(null).cast("double")).otherwise(-best("negv"))
+  }
+
+  // ------------------------------------------------------------- windowed
+
+  /** Sliding aggregation of `x` over the trailing `width`-row frame of
+    * window `base` (un-framed, ordered). The caller gates leading
+    * incomplete windows (rows `rn < width`) per keep-mode. */
+  def windowed(key: String, x: Column, base: WindowSpec, width: Int): Column = {
+    val v = nanToNull(x)
+    val w = base.rowsBetween(-(width - 1L), 0L)
+    val run = base.rowsBetween(Long.MinValue, 0L)
+    def defined = count(v).over(w).cast("double")
+    def negs = count(when(v < 0.0, 1)).over(w)
+    def zeros = count(when(v === 0.0, 1)).over(w)
+    key match {
+      case "mean"    => avg(v).over(w)
+      case "sum"     => coalesce(sum(v).over(w), lit(0.0))
+      case "product" => productOf(transform(
+        filter(collect_list(struct(v.as("v"))).over(w), s => s("v").isNotNull),
+        s => s("v")))
+      case "min"     => min(v).over(w)
+      case "max"     => max(v).over(w)
+      case "span"    => max(v).over(w) - min(v).over(w)
+      case "median"  => percentile(v, lit(0.5)).over(w)
+      case "mode"    => modeOf(transform(
+        filter(collect_list(struct(v.as("v"))).over(w), s => s("v").isNotNull),
+        s => s("v")))
+      case "std"     => stddev_pop(v).over(w)
+      case "var"     => var_pop(v).over(w)
+      case "lin_ma"  => weightedMA(v, w, width)(i => (i + 1).cast("double"))
+      case "exp_ma"  =>
+        val alpha = 2.0 / (width + 1.0)
+        // oldest slot i=0 gets alpha*(1-alpha)^(width-1-i)
+        weightedMA(v, w, width)(i =>
+          lit(alpha) * pow(lit(1.0 - alpha), lit(width - 1) - i))
+      case "harmonic" =>
+        when(defined < lit(width.toDouble) || negs > 0, lit(null).cast("double"))
+          .when(zeros > 0, 0.0)
+          .otherwise(lit(width.toDouble) / sum(lit(1.0) / v).over(w))
+      case "geometric" =>
+        when(defined < lit(width.toDouble) || negs > 0, lit(null).cast("double"))
+          .when(zeros > 0, 0.0)
+          .otherwise(exp(avg(log(v)).over(w)))
+      case "nonzero" => count(when(v =!= 0.0, 1)).over(w)
+      case "defined" => count(v).over(w)
+      case "cumsum"  => coalesce(sum(v).over(run), lit(0.0))
+      case "cumprod" => runningProduct(v, run)
+      case k => throw new IllegalArgumentException(s"unknown agg: $k")
+    }
+  }
+
+  /** Running product over an unbounded-preceding frame, O(n): zero short-
+    * circuit + sign parity + exp/ln magnitude. Exact for the zero case;
+    * magnitude carries ~1 ulp of exp/ln error (documented; the windowed
+    * `product` agg is exact via its bounded buffer). */
+  private def runningProduct(v: Column, run: WindowSpec): Column = {
+    val zeros = count(when(v === 0.0, 1)).over(run)
+    val negs = count(when(v < 0.0, 1)).over(run)
+    val mag = exp(coalesce(sum(log(abs(nullif(v, lit(0.0))))).over(run), lit(0.0)))
+    when(zeros > 0, 0.0)
+      .otherwise(when(negs % 2 === 0, mag).otherwise(-mag))
+  }
+
+  // ---------------------------------------------------------------- block
+
+  /** Whole-block aggregation of `x` for use inside `groupBy(...).agg(...)`
+    * — the reference's `block_transform` path (`aggregate.py:128`,
+    * time-period aggregation `owmovingtransform.py:500-534`). */
+  def block(key: String, x: Column): Column = {
+    val v = nanToNull(x)
+    val n = count(lit(1)).cast("double")
+    def defined = count(v).cast("double")
+    def negs = count(when(v < 0.0, 1))
+    def zeros = count(when(v === 0.0, 1))
+    key match {
+      case "mean"    => avg(v)
+      case "sum"     => coalesce(sum(v), lit(0.0))
+      case "product" => productOf(filter(collect_list(v), x => x.isNotNull))
+      case "min"     => min(v)
+      case "max"     => max(v)
+      case "span"    => max(v) - min(v)
+      case "median"  => percentile(v, lit(0.5))
+      case "mode"    => modeOf(filter(collect_list(v), x => x.isNotNull))
+      case "std"     => stddev_pop(v)
+      case "var"     => var_pop(v)
+      case "harmonic" =>
+        when(defined < n || negs > 0, lit(null).cast("double"))
+          .when(zeros > 0, 0.0)
+          .otherwise(safeDiv(n, sum(lit(1.0) / v)))
+      case "geometric" =>
+        when(defined < n || negs > 0, lit(null).cast("double"))
+          .when(zeros > 0, 0.0)
+          .otherwise(exp(avg(log(v))))
+      case "nonzero" => count(when(v =!= 0.0, 1))
+      case "defined" => count(v)
+      case k => throw new IllegalArgumentException(s"no block form for agg: $k")
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.dedup
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Designed for the 100 TB
+  * regime:
+  *
+  *  - exact dedup is a hash aggregate on a digest — map-side partials, one
+  *    shuffle of (digest, id) pairs only, never the document bodies;
+  *  - MinHash/LSH shuffles only (band-signature, id) pairs; candidate pairs
+  *    are generated per bucket, so the quadratic step is confined to
+  *    bucket-local data (the classic shingle → minhash → band → bucket-join
+  *    pipeline);
+  *  - all hashing is `xxhash64`/`hash` (Spark-native, codegen'd) — no UDFs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by content digest. Output: one row per
+    * distinct content with the canonical (minimum) id and the duplicate
+    * count. Never shuffles the text itself at scale — group on the digest,
+    * carry only ids. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("digest"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Normalized-key dedup: digest of the first `nTokens` lowercased tokens —
+    * catches near-boilerplate duplicates that differ only in a suffix. */
+  def normalizedKey(textCol: Column, nTokens: Int): Column =
+    concat_ws(" ", slice(TextFunctions.tokensLower(textCol), 1, nTokens))
+
+  /** MinHash signature: `numHashes` permutation-approximating hash slots
+    * over the document's shingle set. Each slot h_i = min over shingles of
+    * xxhash64(shingle, seed=i). Pure expressions, evaluated in the scan
+    * stage. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`
+    * slots, each band hashed to one bucket key. Docs sharing any band key
+    * are candidate near-duplicates. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws("_",
+        lit(b), concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))))
+
+  /** MinHash+LSH candidate pairs: explode band keys, self-join per bucket.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b; `est_jaccard` is
+    * the signature agreement fraction. The bucket join shuffles only
+    * (bucket, id, signature) — documents never move. */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(TextFunctions.charShingles(col(textCol), shingleSize),
+        numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
+    val a = banded.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash: `bits`-bit signature where bit k is the sign of the sum over
+    * features of ±1 votes (bit k of each feature's hash). Near-duplicates
+    * are signatures within a small Hamming distance. */
+  def simhash(features: Column, bits: Int = 64): Column = {
+    val hashes = transform(features, f => xxhash64(f))
+    val bitCols: Seq[Column] = (0 until bits).map { k =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      shiftleft(when(vote > 0, 1L).otherwise(0L), k)
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0.0, 0.0).otherwise(inter / union)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
+    * random-hyperplane LSH to avoid the full cross join; see
+    * [[graft.similarity.Similarity]] for the primitives. */
+  def keepFirstPerGroup(df: DataFrame, groupCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.agg.AggRegistry.nanToNull
+import graft.core.TimeseriesFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Missing-value interpolation against the time axis —
+  * `interpolate_timeseries` (`orangecontrib/timeseries/functions.py:249-345`).
+  *
+  * Distributed gap-fill: for every null row, the previous/next known
+  * (value, time) pair comes from `last(..., ignoreNulls)` /
+  * `first(..., ignoreNulls)` over mirrored unbounded frames — two window
+  * passes over the same sort order, no self-join. Out-of-range rows clamp
+  * to the first/last known value (`functions.py:334-342`); `mean` fills
+  * with the whole-series NaN-mean (`:329-331`); `nearest` picks the closer
+  * neighbor in time, ties → the previous one (scipy interp1d 'nearest'
+  * rounds half down). Columns with fewer than 2 known values are left
+  * untouched (`:323-327`).
+  *
+  * Cubic spline interpolation needs the global tridiagonal solve; it is
+  * deliberately driver-side per series (documented size bound) and lives in
+  * [[graft.models]]' Breeze layer — not here.
+  */
+object Interpolate {
+
+  /** One interpolated column expression. `method`: linear | nearest | mean. */
+  def expr(tsf: TimeseriesFrame, c: String, method: String): Column = {
+    val t = col(tsf.timeCol.getOrElse(
+      throw new IllegalArgumentException("interpolation needs a time column")))
+      .cast("double")
+    val x = nanToNull(col(c))
+    val wAll = tsf.window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val wPrev = tsf.window.rowsBetween(Long.MinValue, 0L)
+    val wNext = tsf.window.rowsBetween(0L, Long.MaxValue)
+
+    val knownCount = count(x).over(wAll)
+    val prevV = last(x, ignoreNulls = true).over(wPrev)
+    val prevT = last(when(x.isNotNull, t), ignoreNulls = true).over(wPrev)
+    val nextV = first(x, ignoreNulls = true).over(wNext)
+    val nextT = first(when(x.isNotNull, t), ignoreNulls = true).over(wNext)
+
+    val filled = method match {
+      case "linear" =>
+        when(prevV.isNull, nextV)     // before first known → clamp
+          .when(nextV.isNull, prevV)  // after last known → clamp
+          .when(nextT === prevT, prevV)
+          .otherwise(prevV + (nextV - prevV) * (t - prevT) / (nextT - prevT))
+      case "nearest" =>
+        when(prevV.isNull, nextV)
+          .when(nextV.isNull, prevV)
+          .when(t - prevT <= nextT - t, prevV) // tie → previous
+          .otherwise(nextV)
+      case "mean" => avg(x).over(wAll)
+      case m => throw new IllegalArgumentException(s"unknown method: $m")
+    }
+    when(knownCount < 2, x).otherwise(coalesce(x, filled))
+  }
+
+  /** Interpolate the given columns in place. */
+  def apply(tsf: TimeseriesFrame, cols: Seq[String], method: String = "linear"): DataFrame =
+    cols.foldLeft(tsf.df) { (d, c) =>
+      d.withColumn(c, expr(tsf.copy(df = d), c, method))
+    }
+}

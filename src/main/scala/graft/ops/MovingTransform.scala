@@ -1,0 +1,135 @@
+package graft.ops
+
+import graft.agg.AggRegistry
+import graft.core.TimeseriesFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The three aggregation shells of the reference's Moving Transform widget
+  * (`orangecontrib/timeseries/widgets/owmovingtransform.py`), re-expressed
+  * as declarative window / groupBy plans.
+  */
+object MovingTransform {
+
+  sealed trait KeepMode
+  /** aggregates only, rows `width..n` (`owmovingtransform.py:120-133`) */
+  case object Discard extends KeepMode
+  /** original columns + aggregates, rows `width..n` (row-slice `[w-1:]`) */
+  case object KeepComplete extends KeepMode
+  /** all original rows; incomplete leading windows → null, cumulatives use
+    * the full prefix (`owmovingtransform.py:403-418`) */
+  case object KeepAll extends KeepMode
+
+  /** Sliding-window aggregation, shift fixed to 1
+    * (`_compute_sliding_window`, `owmovingtransform.py:380-444`).
+    *
+    * Output column per (column, agg) named `"<col>_<agg>"`. The plan is a
+    * single `WindowExec` over the series order — every agg shares one
+    * window definition, so Catalyst evaluates them in one pass.
+    */
+  def slidingWindow(
+      tsf: TimeseriesFrame,
+      specs: Seq[(String, String)], // (column, aggKey)
+      width: Int,
+      keep: KeepMode = KeepAll): DataFrame = {
+    require(width >= 1, "width must be >= 1")
+    val rn = row_number().over(tsf.window)
+    val cumulative = Set("cumsum", "cumprod")
+    val aggCols = specs.map { case (c, aggKey) =>
+      val raw = AggRegistry.windowed(aggKey, col(c), tsf.window, width)
+      // Gate incomplete leading windows — except cumulatives in KeepAll,
+      // which the reference computes over the full prefix (`:413-414`).
+      val gated =
+        if (cumulative(aggKey) && keep == KeepAll) raw
+        else when(rn >= width, raw)
+      gated.as(s"${c}_$aggKey")
+    }
+    val base = tsf.df.withColumn("__rn", rn)
+    keep match {
+      case KeepAll =>
+        base.select(tsf.df.columns.map(col).toSeq ++ aggCols: _*)
+      case KeepComplete =>
+        base.select((tsf.df.columns.map(col).toSeq :+ col("__rn")) ++ aggCols: _*)
+          .filter(col("__rn") >= width).drop("__rn")
+      case Discard =>
+        val keyCols = (tsf.timeCol.toSeq ++ tsf.tieBreak ++ tsf.seriesKeys).map(col)
+        base.select((keyCols :+ col("__rn")) ++ aggCols: _*)
+          .filter(col("__rn") >= width).drop("__rn")
+    }
+  }
+
+  /** Tumbling count-based blocks (`_compute_sequential_blocks`,
+    * `owmovingtransform.py:446-498`): rows are grouped into consecutive
+    * blocks of `width` in series order; the trailing partial block is
+    * dropped; output one row per block with a `block` index plus
+    * `block(agg)` columns.
+    *
+    * Scale note: the only order-dependent step is the `row_number`; the
+    * aggregation itself is a hash aggregate with map-side partial
+    * aggregation — no extra shuffle beyond the block-id exchange.
+    */
+  def sequentialBlocks(
+      tsf: TimeseriesFrame,
+      specs: Seq[(String, String)],
+      width: Int): DataFrame = {
+    require(width >= 1, "width must be >= 1")
+    val rn = row_number().over(tsf.window)
+    // materialize the block id first — a window expression can't be a
+    // grouping expression directly
+    val withBlock = tsf.df.withColumn("block", floor((rn - 1) / width))
+    val keys = (tsf.seriesKeys :+ "block").map(col)
+    val aggs = specs.map { case (c, aggKey) =>
+      AggRegistry.block(aggKey, col(c)).as(s"${c}_$aggKey")
+    }
+    val counts = count(lit(1)).as("__n")
+    withBlock
+      .groupBy(keys: _*)
+      .agg(counts, aggs: _*)
+      .filter(col("__n") === width) // trailing partial block dropped
+      .drop("__n")
+  }
+
+  /** Calendar period keys — the reference's `PeriodOptions` registry
+    * (`aggregate.py:203-223`). Truncations keep a time-typed key
+    * (`date_trunc`); periodic components yield small integers with the
+    * reference's conventions (ISO week, Monday=0 weekday). */
+  def periodKey(period: String, t: Column): Column = period match {
+    case "years"   => date_trunc("year", t)
+    case "months"  => date_trunc("month", t)
+    case "days"    => date_trunc("day", t)
+    case "hours"   => date_trunc("hour", t)
+    case "minutes" => date_trunc("minute", t)
+    case "seconds" => date_trunc("second", t)
+    case "month_of_year" => month(t)
+    case "week_of_year"  => weekofyear(t) // ISO week, matches isocalendar()
+    case "day_of_year"   => dayofyear(t)
+    case "day_of_month"  => dayofmonth(t)
+    case "day_of_week"   => (dayofweek(t) + 5) % 7 // Monday=0 like weekday()
+    case "hour_of_day"   => hour(t)
+    case p => throw new IllegalArgumentException(s"unknown period: $p")
+  }
+
+  /** Time-period aggregation (`_compute_period_aggregation`,
+    * `owmovingtransform.py:500-534` + `time_blocks` `aggregate.py:226-258`):
+    * one output row per non-empty period group, ordered by key, with an
+    * "Instance count" column then one column per (var, agg). Sliding-only
+    * aggs (weighted MAs, cumulatives) are rejected, as in the reference.
+    */
+  def timePeriods(
+      tsf: TimeseriesFrame,
+      period: String,
+      specs: Seq[(String, String)]): DataFrame = {
+    specs.foreach { case (_, a) =>
+      require(AggRegistry.blockKeys.contains(a), s"agg '$a' has no block form")
+    }
+    val t = col(tsf.timeCol.getOrElse(
+      throw new IllegalArgumentException("time-period aggregation needs a time column")))
+    val key = periodKey(period, t).as(period)
+    val aggs = specs.map { case (c, aggKey) =>
+      AggRegistry.block(aggKey, col(c)).as(s"${c}_$aggKey")
+    }
+    tsf.df
+      .groupBy((tsf.seriesKeys.map(col) :+ key): _*)
+      .agg(count(lit(1)).as("instance_count"), aggs: _*)
+  }
+}

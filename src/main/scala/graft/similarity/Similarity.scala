@@ -1,0 +1,97 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor primitives over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the correctness baseline,
+  * and random-hyperplane LSH bucketing as the scale path.
+  *
+  * Scale design: the query side is always broadcast (queries ≪ corpus);
+  * the corpus is scanned once, similarity is computed by codegen'd
+  * higher-order functions (`zip_with` + `aggregate` — a fused dot product,
+  * no UDF), and per-query top-k is a bounded window. With LSH, the corpus
+  * is exploded into (bucket, id) rows and the join keys on bucket, so each
+  * query probes only its own buckets — the cross product never happens.
+  */
+object Similarity {
+
+  /** Dot product of two double-array columns (sequential fold, so results
+    * are reproducible bit-for-bit across engines). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Brute-force cosine top-k: every query against every corpus row, ranked
+    * per query. Correctness baseline — O(|Q|·|C|) with |Q| broadcast. */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryId).as("query_id"), col(queryVec).cast("array<double>").as("qv")))
+    val c = corpus.select(
+      col(corpusId).as("neighbor_id"), col(corpusVec).cast("array<double>").as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: a reproducible
+    * stand-in for a gaussian projection — hash (table, plane, dim) to a
+    * value in [-1, 1). Portable across engines and runs. */
+  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(table.toLong * 7368787L + plane * 1000003L) + dim),
+      lit(2000003L)).cast("double") / 1000001.5) - 1.0
+
+  /** Sign bits of `numPlanes` random-hyperplane projections packed into one
+    * long bucket key. Cosine-similar vectors collide with high
+    * probability. */
+  def lshBucket(vec: Column, numPlanes: Int, table: Int = 0): Column = {
+    val bits: Seq[Column] = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(table, p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      shiftleft(when(proj >= 0, 1L).otherwise(0L), p)
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH-bucketed ANN: multi-probe via `tables` independent bucket keys;
+    * candidates are corpus rows sharing any bucket with the query, then
+    * exact-rescored and top-k'd. Recall < 1 by construction; the bucket
+    * join replaces the cross product. */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numPlanes: Int = 12, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String, idOut: String, vecOut: String) = {
+      val v = col(vec).cast("array<double>")
+      val keys = array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(v, numPlanes, t).as("b"))): _*)
+      df.select(col(id).as(idOut), v.as(vecOut), explode(keys).as("bucket"))
+    }
+    val c = bucketed(corpus, corpusId, corpusVec, "neighbor_id", "cv")
+    val q = broadcast(bucketed(queries, queryId, queryVec, "query_id", "qv"))
+    val cand = c.join(q, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(first(col("sim")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, token counting, document
+  * fingerprinting. All are pure `Column` expressions (codegen'd builtins +
+  * higher-order functions) — no UDFs, no shuffles; they run entirely inside
+  * the scan stage at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty slots dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Lowercased whitespace tokens. */
+  def tokensLower(text: Column): Column = tokens(lower(text))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + punctuation runs + digit runs
+    * counted separately (a cheap, deterministic stand-in for a tokenizer's
+    * token count; ~chars/4 for English). */
+  def subwordCountEstimate(text: Column): Column =
+    size(filter(split(text, "(?=[\\p{Punct}])|\\s+|(?<=[\\p{Punct}])"), t => t =!= ""))
+
+  /** Type-token ratio (lexical diversity). */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = tokensLower(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Character n-gram shingles (distinct, lowercased). */
+  def charShingles(text: Column, n: Int): Column = {
+    val s = lower(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+        i => s.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles (distinct, lowercased), space-joined. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokensLower(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Small function-word lists per language for the n-gram/stopword
+    * language-ID heuristic. Public knowledge (most-frequent function
+    * words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"))
+
+  /** Stopword hit-count for one language. */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(array_intersect(array_distinct(tokensLower(text)),
+      array(stopwords(lang).map(lit): _*)))
+
+  /** Stopword-fraction of the (distinct) tokens for one language. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val distinctToks = array_distinct(tokensLower(text))
+    when(size(distinctToks) === 0, 0.0)
+      .otherwise(stopwordHits(text, lang).cast("double") / size(distinctToks))
+  }
+
+  /** Language ID: argmax of per-language stopword hits; deterministic
+    * tie-break by language code order; no hits at all → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordHits(text, l).as("n"), lit(l).as("l")))
+    // max by (hits, reverse-code): later alphabetical codes must lose ties →
+    // compare (n, negated code) is awkward; instead fold left keeping strictly
+    // greater, so the first (alphabetically smallest) language wins ties.
+    val best = scored.reduceLeft { (a, b) =>
+      when(b("n") > a("n"), b).otherwise(a)
+    }
+    when(best("n") === 0, "und").otherwise(best("l"))
+  }
+
+  /** Quality score in [0,1]: blends mean word length sanity, alphabetic
+    * character ratio, and lexical diversity — the shape of the reference
+    * heuristics used in public data-pipeline literature (length/punct/
+    * stopword ratios). Deterministic, SQL-expressible. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nToks = tokenCount(text).cast("double")
+    val meanWordLen = when(nToks === 0, 0.0).otherwise(nChars / nToks)
+    val wordLenScore =
+      when(meanWordLen >= 3.0 && meanWordLen <= 10.0, 1.0).otherwise(0.0)
+    val alphaRatio = when(nChars === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / nChars)
+    val ttr = typeTokenRatio(text)
+    round((wordLenScore * 0.4 + alphaRatio * 0.3 + ttr * 0.3), 6)
+  }
+
+  /** Polynomial rolling-hash document fingerprint over character codes:
+    * `h = (h*31 + code) mod 1e9+7`. Stable across engines (pure integer
+    * arithmetic), usable as a cheap content id for dedup joins. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(filter(split(text, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
+}

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the testdata parquet, compare (schema-insensitively: columns
+sorted by name, rows sorted, values stringified with float rounding) against
+the Spark parquet dumps produced by graft.Verify."""
+import sys, json, glob, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem',
+          'events','documents','embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return 'NaN'
+        return f'{v:.9g}'
+    return str(v)
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+fails = 0
+for name in sorted(oracle):
+    try:
+        o = con.execute(oracle[name])
+        ocols = [d[0] for d in o.description]
+        orows = o.fetchall()
+        s = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        scols = [d[0] for d in s.description]
+        srows = s.fetchall()
+        oc, orw = canon(ocols, orows)
+        sc, srw = canon(scols, srows)
+        if oc != sc:
+            print(f'FAIL {name}: schema oracle={oc} spark={sc}'); fails += 1
+        elif len(orw) != len(srw):
+            print(f'FAIL {name}: rows oracle={len(orw)} spark={len(srw)}'); fails += 1
+        elif orw != srw:
+            diff = [(a, b) for a, b in zip(orw, srw) if a != b][:3]
+            print(f'FAIL {name}: values differ, first diffs: {diff}'); fails += 1
+        else:
+            print(f'OK   {name} ({len(srw)} rows)')
+    except Exception as e:
+        print(f'ERR  {name}: {e}'); fails += 1
+# rows-only queries (no oracle)
+for d in sorted(glob.glob(f'{outdir}/q*')):
+    name = d.split('/')[-1]
+    if name not in oracle:
+        n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+        print(f'ROWS {name}: {n} rows (no oracle)')
+sys.exit(1 if fails else 0)
