@@ -126,7 +126,7 @@ object AggRegistry {
       case "harmonic" =>
         when(defined < lit(width.toDouble) || negs > 0, lit(null).cast("double"))
           .when(zeros > 0, 0.0)
-          .otherwise(lit(width.toDouble) / sum(lit(1.0) / v).over(w))
+          .otherwise(lit(width.toDouble) / sum(lit(1.0) / nullif(v, lit(0.0))).over(w))
       case "geometric" =>
         when(defined < lit(width.toDouble) || negs > 0, lit(null).cast("double"))
           .when(zeros > 0, 0.0)
@@ -176,7 +176,7 @@ object AggRegistry {
       case "harmonic" =>
         when(defined < n || negs > 0, lit(null).cast("double"))
           .when(zeros > 0, 0.0)
-          .otherwise(safeDiv(n, sum(lit(1.0) / v)))
+          .otherwise(safeDiv(n, sum(lit(1.0) / nullif(v, lit(0.0)))))
       case "geometric" =>
         when(defined < n || negs > 0, lit(null).cast("double"))
           .when(zeros > 0, 0.0)

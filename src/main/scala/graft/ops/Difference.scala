@@ -42,9 +42,12 @@ object Difference {
       assumeZeroBefore: Boolean = false): Column = {
     val w = tsf.window
     val x = nanToNull(col(c))
+    // assume-zero only applies in the forward direction — the reference
+    // ignores it when the series is reversed (test_owdifference.py:103-112)
+    val zeroPad = assumeZeroBefore && !invertDirection
     def shifted(s: Int): Column = {
       val moved = if (invertDirection) lead(x, s).over(w) else lag(x, s).over(w)
-      if (assumeZeroBefore) coalesce(moved, lit(0.0)) else moved
+      if (zeroPad) coalesce(moved, lit(0.0)) else moved
     }
     op match {
       case Delta  => x - shifted(shift)

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.TimeseriesFrame
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Interpolation semantics per `functions.py:249-345`: linear against the
+  * time axis, out-of-range clamp to first/last known value (`:334-342`),
+  * mean fill (`:329-331`), <2 known values untouched (`:323-327`),
+  * 'nearest' ties round down (prev). */
+class InterpolateSpec extends SparkSpec {
+
+  private def fixture(ts: Seq[Double], xs: Seq[Option[Double]]): TimeseriesFrame = {
+    val rows = ts.zip(xs).map { case (t, v) => Row(t, v.map(Double.box).orNull) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("t", DoubleType), StructField("x", DoubleType))))
+    TimeseriesFrame(df, Some("t"))
+  }
+
+  test("linear with clamping at both ends") {
+    val t = fixture(Seq(0, 1, 2, 3, 4, 5),
+      Seq(None, None, Some(3.0), None, Some(5.0), None))
+    val out = Interpolate(t, Seq("x"), "linear")
+    assertSeqAlmost(col1(out, "x", "t"), d(3, 3, 3, 4, 5, 5))
+  }
+
+  test("linear respects non-uniform time spacing") {
+    val t = fixture(Seq(0, 1, 10), Seq(Some(0.0), None, Some(100.0)))
+    val out = Interpolate(t, Seq("x"), "linear")
+    assertSeqAlmost(col1(out, "x", "t"), d(0, 10, 100))
+  }
+
+  test("nearest picks closer neighbor, tie → previous") {
+    val t = fixture(Seq(0, 1, 2, 3, 4),
+      Seq(Some(1.0), None, None, None, Some(9.0)))
+    val out = Interpolate(t, Seq("x"), "nearest")
+    // t=1: d(prev)=1 < d(next)=3 → 1; t=2: tie → prev; t=3: next closer → 9
+    assertSeqAlmost(col1(out, "x", "t"), d(1, 1, 1, 9, 9))
+  }
+
+  test("mean fills with whole-series NaN-mean") {
+    val t = fixture(Seq(0, 1, 2, 3), Seq(Some(2.0), None, Some(6.0), None))
+    val out = Interpolate(t, Seq("x"), "mean")
+    assertSeqAlmost(col1(out, "x", "t"), d(2, 4, 6, 4))
+  }
+
+  test("columns with fewer than 2 known values untouched") {
+    val t = fixture(Seq(0, 1, 2), Seq(None, Some(7.0), None))
+    val out = Interpolate(t, Seq("x"), "linear")
+    assertSeqAlmost(col1(out, "x", "t"), Seq(None, Some(7.0), None))
+  }
+}
