@@ -1,0 +1,108 @@
+package graft.spectral
+
+import graft.core.TimeseriesFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Autocorrelation analytics — the Spark re-expression of the reference's
+  * `autocorrelation` / `partial_autocorrelation`
+  * (`orangecontrib/timeseries/functions.py:192-246`).
+  *
+  * ACF uses the statsmodels default estimator: demean by the full-series
+  * mean, denominator `n·var` (biased / denominator-n). The distributed plan
+  * is ONE window pass producing all K lag columns over the series order
+  * (a single sort/exchange), then ONE hash aggregate of the K product sums
+  * (map-side partials) — no self-join, no K passes. K is the number of
+  * *requested* lags (the reference GUI plots a bounded correlogram), so the
+  * lag-column width stays modest even when the table is huge.
+  */
+object Correlation {
+
+  /** ACF values for lags 0..maxLag as a local array (the ACF vector itself
+    * is tiny — K+1 doubles — regardless of table size). */
+  def acfVector(tsf: TimeseriesFrame, xCol: String, maxLag: Int): Array[Double] = {
+    val df = tsf.df
+    val x = col(xCol).cast("double")
+    val mu = df.agg(avg(x)).head().getDouble(0)
+    val xc = x - mu
+    val w = tsf.window
+    val lagCols = (1 to maxLag).map(k => (xc * (lag(xc, k).over(w))).as(s"p$k"))
+    val sums =
+      df.select((xc * xc).as("p0") +: lagCols: _*)
+        .agg(sum(col("p0")).as("s0"),
+          (1 to maxLag).map(k => sum(col(s"p$k")).as(s"s$k")): _*)
+        .head()
+    val denom = sums.getDouble(0)
+    Array(1.0) ++ (1 to maxLag).map { k =>
+      val v = sums.get(k)
+      if (v == null) Double.NaN else v.asInstanceOf[Double] / denom
+    }
+  }
+
+  /** Local maxima of |values| with `order`-neighborhood strict dominance —
+    * scipy `argrelextrema(np.greater, order)` with clipped borders
+    * (`_significant_acf`, `functions.py:177-189`). Returns (index, value). */
+  def significantPeaks(values: Array[Double], order: Int,
+      abs: Boolean = true): Seq[(Int, Double)] = {
+    val mag = if (abs) values.map(math.abs) else values
+    (0 until values.length).flatMap { i =>
+      val lo = math.max(0, i - order)
+      val hi = math.min(values.length - 1, i + order)
+      val isPeak = (lo to hi).forall(j => j == i || mag(i) > mag(j)) &&
+        (lo until i).nonEmpty && (i until hi).nonEmpty // borders can't peak (clip)
+      if (isPeak) Some(i -> values(i)) else None
+    }
+  }
+
+  /** ACF peaks as a DataFrame (lag, acf) — reference default
+    * `nlags = 0.9·n`, |acf| local maxima with order=3. */
+  def acf(spark: SparkSession, tsf: TimeseriesFrame, xCol: String,
+      maxLag: Option[Int] = None): DataFrame = {
+    val n = tsf.df.count()
+    val k = maxLag.getOrElse((0.9 * n).toInt)
+    val vec = acfVector(tsf, xCol, k)
+    val peaks = significantPeaks(vec, order = 3)
+      .filter(_._1 > 0)
+      .map { case (i, v) => Row(i.toLong, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(peaks.toSeq, 1),
+      StructType(Seq(StructField("lag", LongType), StructField("acf", DoubleType))))
+  }
+
+  /** Levinson–Durbin recursion over the biased ACF — statsmodels
+    * `pacf(method='ldb')` (`functions.py:221-246`). Driver-side on the tiny
+    * ACF vector; the data-sized work happened in [[acfVector]]. */
+  def pacfVector(acfVec: Array[Double]): Array[Double] = {
+    val nlags = acfVec.length - 1
+    val pacf = Array.fill(nlags + 1)(0.0)
+    pacf(0) = 1.0
+    var prevPhi = Array.empty[Double]
+    var prevE = acfVec(0) // = 1
+    for (k <- 1 to nlags) {
+      val num = acfVec(k) - (1 until k).map(j => prevPhi(j - 1) * acfVec(k - j)).sum
+      val phiKK = num / prevE
+      val phi = Array.tabulate(k) { idx =>
+        if (idx == k - 1) phiKK
+        else prevPhi(idx) - phiKK * prevPhi(k - 2 - idx)
+      }
+      prevE = prevE * (1 - phiKK * phiKK)
+      prevPhi = phi
+      pacf(k) = phiKK
+    }
+    pacf
+  }
+
+  /** PACF peaks (lag, pacf); reference default
+    * `nlags = min(n//2 - 1, n - 1)`. */
+  def pacf(spark: SparkSession, tsf: TimeseriesFrame, xCol: String,
+      maxLag: Option[Int] = None): DataFrame = {
+    val n = tsf.df.count()
+    val k = maxLag.getOrElse(math.min(n.toInt / 2 - 1, n.toInt - 1))
+    val vec = pacfVector(acfVector(tsf, xCol, k))
+    val peaks = significantPeaks(vec, order = 3)
+      .filter(_._1 > 0)
+      .map { case (i, v) => Row(i.toLong, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(peaks.toSeq, 1),
+      StructType(Seq(StructField("lag", LongType), StructField("pacf", DoubleType))))
+  }
+}

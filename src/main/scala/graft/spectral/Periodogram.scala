@@ -1,0 +1,162 @@
+package graft.spectral
+
+import graft.core.TimeseriesFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spectral density — the Spark re-expression of the reference's
+  * `periodogram` / `periodogram_nonequispaced`
+  * (`orangecontrib/timeseries/functions.py:76-174`).
+  *
+  * The equispaced path is a distributed DFT: the (tiny) frequency grid is
+  * cross-joined against the series and each frequency's `Σ x·cos / Σ x·sin`
+  * is one hash-aggregate group — embarrassingly parallel in both rows and
+  * frequencies, no FFT needed because the reference only consumes the
+  * one-sided density for peak-picking. Lomb–Scargle uses the same shape
+  * with the 5-sum tau-shift identity, so it is a single pass as well.
+  */
+object Periodogram {
+
+  /** Detrend per `_detrend` (`functions.py:52-60`): 'diff' (default),
+    * 'constant', 'linear' (vs the positional index, as statsmodels does). */
+  def detrended(tsf: TimeseriesFrame, xCol: String, method: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    method match {
+      case "diff" =>
+        val w = tsf.window
+        tsf.df.select((x - lag(x, 1).over(w)).as("xd"),
+          (row_number().over(w) - 2).cast("double").as("i"))
+          .filter(col("xd").isNotNull)
+      case "constant" =>
+        val w = tsf.window
+        val mu = tsf.df.agg(avg(x)).head().getDouble(0)
+        tsf.df.select((x - mu).as("xd"),
+          (row_number().over(w) - 1).cast("double").as("i"))
+      case "linear" =>
+        val w = tsf.window
+        val idx = tsf.df.select(x.as("x"),
+          (row_number().over(w) - 1).cast("double").as("i"))
+        val fit = idx.agg(regr_slope(col("x"), col("i")).as("k"),
+          regr_intercept(col("x"), col("i")).as("c")).head()
+        val (k, c) = (fit.getDouble(0), fit.getDouble(1))
+        idx.select((col("x") - (col("i") * k + c)).as("xd"), col("i"))
+      case m => throw new IllegalArgumentException(s"unknown detrend: $m")
+    }
+  }
+
+  /** Min-max scale + `order`-neighborhood local maxima over the period axis
+    * (`_significant_periods`, `functions.py:63-73`) — all window
+    * expressions over the (small) spectrum frame. */
+  private def scaleAndPeaks(spec: DataFrame, order: Int): DataFrame = {
+    val wAll = Window.orderBy(col("period")).rowsBetween(Long.MinValue, Long.MaxValue)
+    val scaled = spec.withColumn("pgram",
+      (col("power") - min(col("power")).over(wAll)) /
+        (max(col("power")).over(wAll) - min(col("power")).over(wAll)))
+    val wOrd = Window.orderBy(col("period"))
+    val neighbors = (1 to order).flatMap(k =>
+      Seq(lag(col("pgram"), k).over(wOrd), lead(col("pgram"), k).over(wOrd)))
+    val isPeak = neighbors.map(nb => nb.isNull || col("pgram") > nb).reduce(_ && _) &&
+      lag(col("pgram"), 1).over(wOrd).isNotNull &&
+      lead(col("pgram"), 1).over(wOrd).isNotNull
+    scaled.withColumn("__peak", isPeak)
+      .filter(col("__peak")).select(col("period"), col("pgram"))
+  }
+
+  /** Equispaced periodogram (scipy.signal.periodogram semantics: one-sided
+    * density, fs=1, boxcar): returns (period, pgram) rows — scaled to [0,1]
+    * with only `order=5` local maxima kept, periods ascending. */
+  def periodogram(tsf: TimeseriesFrame, xCol: String,
+      detrend: String = "diff"): DataFrame = {
+    val spark = tsf.df.sparkSession
+    val xd = detrended(tsf, xCol, detrend).select(col("xd"), col("i"))
+    val m = xd.count().toInt
+    val half = m / 2
+    // HACK preserved from the reference: drop the first len//1000 bins
+    val skip = m / 1000
+    // k=0 (period = ∞) is a border bin the reference's peak-picker can
+    // never select; excluded here (ANSI division) — documented deviation:
+    // the min-max scale omits the DC bin.
+    val freqs = spark.range(math.max(skip, 1), half + 1)
+      .select(col("id").cast("int").as("k"))
+    val joined = xd.crossJoin(freqs)
+    val theta = lit(2.0 * math.Pi) * col("k") * col("i") / m
+    // one-sided density doubling: all bins except DC and (even-m) Nyquist
+    val noDouble =
+      if (m % 2 == 0) col("k") === 0 || col("k") === half else col("k") === 0
+    val spec = joined
+      .groupBy(col("k"))
+      .agg(sum(col("xd") * cos(theta)).as("re"), sum(col("xd") * sin(theta)).as("im"))
+      .select(col("k"),
+        ((col("re") * col("re") + col("im") * col("im")) / m *
+          when(noDouble, 1.0).otherwise(2.0)).as("power"))
+      .select((lit(m.toDouble) / col("k").cast("double")).as("period"), col("power"))
+    scaleAndPeaks(spec, order = 5)
+  }
+
+  /** Lomb–Scargle for non-equispaced series (`functions.py:109-174`):
+    * frequency grid from the 5th/80th percentiles of Δt (`:154-162`),
+    * classic tau-shifted power via the 5-sum identity, normalized by
+    * `2/(n·var(x))` (`:168-171`), same scale-and-peaks output. */
+  def lombScargle(tsf: TimeseriesFrame, xCol: String,
+      nPeriods: Int = 1000, detrend: String = "linear"): DataFrame = {
+    val spark = tsf.df.sparkSession
+    val tCol = tsf.timeCol.getOrElse(
+      throw new IllegalArgumentException("Lomb-Scargle needs a time column"))
+    val base0 = tsf.df.select(col(tCol).cast("double").as("t"),
+      col(xCol).cast("double").as("x"))
+    val tsfT = TimeseriesFrame(base0, Some("t"))
+    // detrend inline, carrying t ('diff' drops the first time point,
+    // `functions.py:152-153`; 'linear'/'constant' detrend vs the index)
+    val wOrd = Window.orderBy(col("t"))
+    val series: DataFrame = detrend match {
+      case "diff" =>
+        base0.select(col("t"), (col("x") - lag(col("x"), 1).over(wOrd)).as("x"))
+          .filter(col("x").isNotNull)
+      case "constant" =>
+        val mu = base0.agg(avg(col("x"))).head().getDouble(0)
+        base0.select(col("t"), (col("x") - mu).as("x"))
+      case "linear" =>
+        val idx = base0.select(col("t"), col("x"),
+          (row_number().over(wOrd) - 1).cast("double").as("i"))
+        val fit = idx.agg(regr_slope(col("x"), col("i")).as("k"),
+          regr_intercept(col("x"), col("i")).as("c")).head()
+        idx.select(col("t"),
+          (col("x") - (col("i") * fit.getDouble(0) + fit.getDouble(1))).as("x"))
+      case m => throw new IllegalArgumentException(s"unknown detrend: $m")
+    }
+
+    val stats = series.agg(
+      count(lit(1)).as("n"), var_pop(col("x")).as("v")).head()
+    val n = stats.getLong(0)
+    val variance = stats.getDouble(1)
+
+    val dts = base0.select((col("t") -
+      lag(col("t"), 1).over(Window.orderBy(col("t")))).as("dt"))
+      .filter(col("dt").isNotNull)
+    val pct = dts.agg(percentile(col("dt"), lit(0.05)).as("p5"),
+      percentile(col("dt"), lit(0.80)).as("p80")).head()
+    val periodLow = pct.getDouble(0)
+    val periodHigh = math.max(200 * periodLow, pct.getDouble(1))
+    val periods = (0 until nPeriods).map(j =>
+      periodHigh + (periodLow - periodHigh) * j / (nPeriods - 1.0))
+    val grid = spark.createDataFrame(
+      periods.map(p => Tuple1(2.0 * math.Pi / p))).toDF("omega")
+
+    val j = series.crossJoin(grid)
+    val (ct, st) = (cos(col("omega") * col("t")), sin(col("omega") * col("t")))
+    val sums = j.groupBy(col("omega")).agg(
+      sum(col("x") * ct).as("xc"), sum(col("x") * st).as("xs"),
+      sum(ct * ct).as("cc"), sum(st * st).as("ss"), sum(st * ct).as("cs"))
+    val tau2 = atan2(lit(2.0) * col("cs"), col("cc") - col("ss"))
+    val (cT, sT) = (cos(tau2 / 2), sin(tau2 / 2))
+    val xcTau = cT * col("xc") + sT * col("xs")
+    val xsTau = cT * col("xs") - sT * col("xc")
+    val ccTau = cT * cT * col("cc") + lit(2.0) * cT * sT * col("cs") + sT * sT * col("ss")
+    val ssTau = sT * sT * col("cc") - lit(2.0) * cT * sT * col("cs") + cT * cT * col("ss")
+    val power = (xcTau * xcTau / ccTau + xsTau * xsTau / ssTau) / 2.0
+    val spec = sums.select((lit(2.0 * math.Pi) / col("omega")).as("period"),
+      (power * (2.0 / (n * variance))).as("power"))
+    scaleAndPeaks(spec, order = 5)
+  }
+}
