@@ -1,0 +1,188 @@
+package graft.models
+
+import breeze.linalg.{DenseMatrix, DenseVector, diag, inv}
+
+/** Vector autoregression — the Spark-side counterpart of the reference's
+  * statsmodels VAR wrapper (`orangecontrib/timeseries/models.py:331-402`):
+  * multivariate OLS on lagged values with trend 'c'|'ct'|'ctt'|'n',
+  * default `maxlags = 12·(n/10)^0.5`, information-criterion order
+  * selection incl. the reference's 'magic' (mean of the four criteria's
+  * argmins, `models.py:387-391`), forecasts by recursion, and CI
+  * `forecast ± z·sqrt(diag(mse(h)))` (`models.py:393-402`).
+  *
+  * Driver-side math (OLS on a collected series); Spark parallelizes
+  * across (model × fold) fits in the evaluation loop.
+  */
+final class Var(
+    val maxlags: Option[Int] = None,
+    val ic: Option[String] = None,
+    val trend: String = "c") {
+
+  var k: Int = 0              // fitted lag order
+  var nVars: Int = 0
+  private var coefs: Array[DenseMatrix[Double]] = Array.empty // A_1..A_k
+  private var trendCoefs: DenseMatrix[Double] = null // per-eq trend terms
+  private var sigmaU: DenseMatrix[Double] = null
+  private var data: Array[Array[Double]] = Array.empty // row-major [t][var]
+  var aic: Double = Double.NaN
+  var bic: Double = Double.NaN
+
+  private def nTrend: Int = trend match {
+    case "n" | "nc" => 0
+    case "c" => 1
+    case "ct" => 2
+    case "ctt" => 3
+    case t => throw new IllegalArgumentException(s"unknown trend: $t")
+  }
+
+  def fit(rows: Array[Array[Double]]): Var = {
+    data = rows
+    nVars = rows.head.length
+    val n = rows.length
+    val maxL = maxlags.getOrElse((12 * math.pow(n / 10.0, 0.5)).toInt)
+    k = ic match {
+      case Some("magic") =>
+        val sels = Seq("aic", "bic", "hqic", "fpe").map(c => selectOrder(maxL, c))
+        sels.sum / sels.length
+      case Some(c) => selectOrder(maxL, c)
+      case None => maxL
+    }
+    olsFit(k)
+    this
+  }
+
+  /** statsmodels select_order: argmin of the criterion over lags 0..maxL
+    * (all fitted on the same maxL-truncated sample). */
+  private def selectOrder(maxL: Int, crit: String): Int =
+    (0 to maxL).map(l => l -> icValue(l, maxL, crit)).minBy(_._2)._1
+
+  private def icValue(lags: Int, sameSample: Int, crit: String): Double = {
+    val (sigma, nobs) = olsSigma(lags, sameSample)
+    val detOm = breeze.linalg.det(sigma)
+    val kTot = nVars * (nVars * lags + nTrend)
+    val ldet = if (detOm <= 0) Double.PositiveInfinity else math.log(detOm)
+    crit match {
+      case "aic" => ldet + 2.0 * kTot / nobs
+      case "bic" => ldet + math.log(nobs.toDouble) * kTot / nobs
+      case "hqic" => ldet + 2.0 * math.log(math.log(nobs.toDouble)) * kTot / nobs
+      case "fpe" =>
+        val m = nVars * lags + nTrend
+        detOm * math.pow((nobs + m).toDouble / (nobs - m), nVars)
+      case c => throw new IllegalArgumentException(s"unknown ic: $c")
+    }
+  }
+
+  private def designMatrix(lags: Int, startAt: Int): (DenseMatrix[Double], DenseMatrix[Double]) = {
+    val n = data.length
+    val rowsN = n - startAt
+    val p = nVars * lags + nTrend
+    val X = DenseMatrix.zeros[Double](rowsN, p)
+    val Y = DenseMatrix.zeros[Double](rowsN, nVars)
+    for (t <- startAt until n) {
+      val r = t - startAt
+      var c = 0
+      // statsmodels trend ordering: [const, t, t²] prepended
+      if (nTrend >= 1) { X(r, c) = 1.0; c += 1 }
+      if (nTrend >= 2) { X(r, c) = (r + 1).toDouble; c += 1 }
+      if (nTrend >= 3) { X(r, c) = (r + 1).toDouble * (r + 1); c += 1 }
+      for (l <- 1 to lags; v <- 0 until nVars) {
+        X(r, c) = data(t - l)(v); c += 1
+      }
+      for (v <- 0 until nVars) Y(r, v) = data(t)(v)
+    }
+    (X, Y)
+  }
+
+  private def olsSigma(lags: Int, sameSample: Int): (DenseMatrix[Double], Int) = {
+    val (x, y) = designMatrix(lags, sameSample)
+    val beta = x \ y
+    val resid = y - x * beta
+    val nobs = x.rows
+    // statsmodels ic uses the ML (denominator-n) covariance
+    ((resid.t * resid) / nobs.toDouble, nobs)
+  }
+
+  private def olsFit(lags: Int): Unit = {
+    val (x, y) = designMatrix(lags, lags)
+    val beta = x \ y // p × nVars
+    val resid = y - x * beta
+    val nobs = x.rows
+    val dfResid = nobs - (nVars * lags + nTrend)
+    sigmaU = (resid.t * resid) / dfResid.toDouble
+    trendCoefs = beta(0 until nTrend, ::).copy
+    coefs = (0 until lags).map { l =>
+      // A_l rows: per-equation coefficients of lag l
+      val m = DenseMatrix.zeros[Double](nVars, nVars)
+      for (eq <- 0 until nVars; v <- 0 until nVars)
+        m(eq, v) = beta(nTrend + l * nVars + v, eq)
+      m
+    }.toArray
+    val kTot = nVars * (nVars * lags + nTrend)
+    val sigmaMl = (resid.t * resid) / nobs.toDouble
+    val ldet = math.log(breeze.linalg.det(sigmaMl))
+    aic = ldet + 2.0 * kTot / nobs
+    bic = ldet + math.log(nobs.toDouble) * kTot / nobs
+  }
+
+  /** Forecast recursion from the last k observations
+    * (statsmodels `VARResults.forecast`). */
+  def forecast(steps: Int): Array[Array[Double]] = {
+    val hist = data.takeRight(k).map(r => DenseVector(r)).toBuffer
+    val nobsFit = data.length - k
+    (0 until steps).map { h =>
+      val out = DenseVector.zeros[Double](nVars)
+      var c = 0
+      if (nTrend >= 1) { out += trendCoefs(c, ::).t; c += 1 }
+      if (nTrend >= 2) { out += trendCoefs(c, ::).t * (nobsFit + h + 1).toDouble; c += 1 }
+      if (nTrend >= 3) {
+        out += trendCoefs(c, ::).t * math.pow(nobsFit + h + 1.0, 2); c += 1
+      }
+      for (l <- 1 to k) out += coefs(l - 1) * hist(hist.length - l)
+      hist.append(out)
+      out.toArray
+    }.toArray
+  }
+
+  /** MA representation Φ_i and forecast mse(h) = Σ_{i<h} Φ_i Σ_u Φ_i'. */
+  def mseDiag(steps: Int): Array[Array[Double]] = {
+    val phis = Array.fill(steps)(DenseMatrix.zeros[Double](nVars, nVars))
+    phis(0) = DenseMatrix.eye[Double](nVars)
+    for (i <- 1 until steps) {
+      for (j <- 1 to math.min(i, k))
+        phis(i) += phis(i - j) * coefs(j - 1)
+    }
+    val acc = DenseMatrix.zeros[Double](nVars, nVars)
+    (0 until steps).map { i =>
+      acc += phis(i) * sigmaU * phis(i).t
+      diag(acc).toArray.clone()
+    }.toArray
+  }
+
+  /** (forecast, lo, hi) per step per variable (`models.py:393-402`). */
+  def predict(steps: Int, alpha: Double = 0.05)
+      : (Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]) = {
+    val fc = forecast(steps)
+    val mse = mseDiag(steps)
+    val z = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+      .inverseCumulativeProbability(1 - alpha / 2)
+    val lo = fc.zip(mse).map { case (f, m) =>
+      f.zip(m).map { case (v, s) => v - z * math.sqrt(math.abs(s)) } }
+    val hi = fc.zip(mse).map { case (f, m) =>
+      f.zip(m).map { case (v, s) => v + z * math.sqrt(math.abs(s)) } }
+    (fc, lo, hi)
+  }
+
+  /** In-sample fitted values (rows k..n-1). */
+  def fittedValues(): Array[Array[Double]] = {
+    val n = data.length
+    (k until n).map { t =>
+      val out = DenseVector.zeros[Double](nVars)
+      var c = 0
+      if (nTrend >= 1) { out += trendCoefs(c, ::).t; c += 1 }
+      if (nTrend >= 2) { out += trendCoefs(c, ::).t * (t - k + 1).toDouble; c += 1 }
+      if (nTrend >= 3) { out += trendCoefs(c, ::).t * math.pow(t - k + 1.0, 2); c += 1 }
+      for (l <- 1 to k) out += coefs(l - 1) * DenseVector(data(t - l))
+      out.toArray
+    }.toArray
+  }
+}

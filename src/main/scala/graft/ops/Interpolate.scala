@@ -26,9 +26,12 @@ object Interpolate {
 
   /** One interpolated column expression. `method`: linear | nearest | mean. */
   def expr(tsf: TimeseriesFrame, c: String, method: String): Column = {
-    val t = col(tsf.timeCol.getOrElse(
-      throw new IllegalArgumentException("interpolation needs a time column")))
-      .cast("double")
+    // no time column → positional index abscissa, like the reference's
+    // implicit `np.arange(len(self))` axis (`timeseries.py:241-247`)
+    val t = tsf.timeCol match {
+      case Some(tc) => col(tc).cast("double")
+      case None => row_number().over(tsf.window).cast("double")
+    }
     val x = nanToNull(col(c))
     val wAll = tsf.window.rowsBetween(Long.MinValue, Long.MaxValue)
     val wPrev = tsf.window.rowsBetween(Long.MinValue, 0L)
