@@ -3,7 +3,9 @@ package graft
 import graft.core.TimeseriesFrame
 import graft.dedup.Dedup
 import graft.ops._
+import graft.models.{Arima, Granger, ModelEvaluation, Var}
 import graft.similarity.Similarity
+import graft.spectral.{Correlation, Periodogram}
 import graft.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -53,6 +55,17 @@ object SparkEntry {
         when(col("event_id") % 37 === 0, lit(null).cast("double"))
           .otherwise(col("value")))
     TimeseriesFrame.fromColumn(df, "ts", Seq("event_id"))
+  }
+
+  /** Daily aggregate series (deterministic exact-cents means): one row per
+    * day with (d, v = daily mean value, c = daily event count). */
+  private def daily(s: SparkSession, dir: String): TimeseriesFrame = {
+    val t = ev(s, dir)
+    val df = MovingTransform.timePeriods(t, "days", Seq("value_cents" -> "sum"))
+      .select(col("days").as("d"),
+        (col("value_cents_sum") / 100.0 / col("instance_count")).as("v"),
+        col("instance_count").cast("double").as("c"))
+    TimeseriesFrame(df, Some("d"))
   }
 
   private val tsOrder = "ORDER BY ts, event_id"
@@ -237,8 +250,8 @@ object SparkEntry {
     "q18_minhash_lsh" -> ((s, dir) =>
       // rows-only check: hash functions are engine-specific
       Dedup.minhashCandidates(tbl(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 6, numHashes = 64, bands = 16)
-        .filter(col("est_jaccard") >= 0.8)),
+        shingles = TextFunctions.wordShingles(_, 3), numHashes = 64, bands = 8)
+        .filter(col("est_jaccard") >= 0.5)),
     "q19_simhash" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       d.select(col("doc_id"),
@@ -270,6 +283,68 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Similarity.lshTopK(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+    // ---- §2.8 spectral / correlation ----------------------------------
+    "q26_acf" -> ((s, dir) => {
+      val t = ev(s, dir)
+      val vec = Correlation.acfVector(t, "value", maxLag = 48)
+      s.createDataFrame((1 to 48).map(l =>
+        (l.toLong, BigDecimal(vec(l)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))).toDF("lag", "acf")
+    }),
+    "q27_pacf" -> ((s, dir) => {
+      // rows-only: Levinson-Durbin recursion has no SQL oracle
+      val t = ev(s, dir)
+      val vec = Correlation.pacfVector(Correlation.acfVector(t, "value", 48))
+      s.createDataFrame((1 to 48).map(l => (l.toLong, vec(l)))).toDF("lag", "pacf")
+    }),
+    "q28_periodogram" -> ((s, dir) => {
+      val d = daily(s, dir)
+      Periodogram.spectrum(d, "v", detrend = "diff")
+        .select(round(col("period"), 6).as("period"),
+          round(col("power"), 6).as("power"))
+    }),
+    "q29_seasonal" -> ((s, dir) => {
+      val d = daily(s, dir)
+      SeasonalDecompose(d, Seq("v"), period = 7, model = "additive")
+        .select(unix_seconds(col("d")).as("day_s"),
+          round(col("v_adjusted"), 6).as("v_adjusted"),
+          round(col("v_seasonal"), 6).as("v_seasonal"),
+          round(col("v_trend"), 6).as("v_trend"),
+          round(col("v_residual"), 6).as("v_residual"))
+    }),
+    "q30_lomb_scargle" -> ((s, dir) => {
+      // rows-only: scipy-convention Lomb-Scargle peaks
+      val t = ev(s, dir)
+      val withT = t.copy(df = t.df.withColumn("tsec", col("ts").cast("double")),
+        timeCol = Some("tsec"))
+      Periodogram.lombScargle(withT, "value", nPeriods = 200, detrend = "linear")
+    }),
+    // ---- §2.9 forecast models (rows-only: no SQL oracle exists) -------
+    "q31_arima_forecast" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val y = ModelEvaluation.collectSeries(d, Seq("v")).map(_.head)
+      val (fo, lo, hi) = new Arima(2, 1, 0).fit(y).predict(7)
+      s.createDataFrame((0 until 7).map(i =>
+        (i + 1L, fo(i), lo(i), hi(i)))).toDF("step", "forecast", "ci_low", "ci_high")
+    }),
+    "q32_var_forecast" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val m = ModelEvaluation.collectSeries(d, Seq("v", "c"))
+      val (fo, lo, hi) = new Var(Some(2)).fit(m).predict(7)
+      s.createDataFrame((0 until 7).map(i =>
+        (i + 1L, fo(i)(0), lo(i)(0), hi(i)(0), fo(i)(1), lo(i)(1), hi(i)(1))))
+        .toDF("step", "v_forecast", "v_lo", "v_hi", "c_forecast", "c_lo", "c_hi")
+    }),
+    "q33_model_eval" -> ((s, dir) => {
+      val d = daily(s, dir)
+      ModelEvaluation.evaluate(s, d, Seq("v"),
+        Seq(ModelEvaluation.ArimaSpec2(1, 1, 0), ModelEvaluation.VarSpec(1)),
+        nFolds = 3, forecastSteps = 3)
+    }),
+    "q34_granger" -> ((s, dir) => {
+      val d = daily(s, dir)
+      Granger.causality(s, d, Seq("v", "c"), maxLag = 5, alpha = 0.5)
     }),
     // ---- relational / scale demos ------------------------------------
     "q23_lineitem_pricing" -> ((s, dir) => {
@@ -467,6 +542,18 @@ object SparkEntry {
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q20_cosine_pairs" -> cosinePairsSql,
     "q21_knn_topk" -> knnTopkSql,
+    "q26_acf" ->
+      s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
+         |mu AS (SELECT avg(value) AS mu FROM s),
+         |c AS (SELECT rn, value - (SELECT mu FROM mu) AS xc FROM s),
+         |den AS (SELECT sum(xc*xc) AS s0 FROM c)
+         |SELECT lg.lag AS lag, round(sum(a.xc*b.xc) / (SELECT s0 FROM den), 6) AS acf
+         |FROM range(1, 49) lg(lag)
+         |JOIN c a ON a.rn > lg.lag
+         |JOIN c b ON b.rn = a.rn - lg.lag
+         |GROUP BY 1""".stripMargin,
+    "q28_periodogram" -> periodogramSql,
+    "q29_seasonal" -> seasonalSql,
     "q23_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -503,6 +590,71 @@ object SparkEntry {
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private val dailySql: String =
+    """SELECT date_trunc('day', ts) AS d,
+      | sum(CAST(round(value*100) AS BIGINT))/100.0/count(*) AS v,
+      | CAST(count(*) AS DOUBLE) AS c
+      |FROM events GROUP BY 1""".stripMargin
+
+  private def periodogramSql: String =
+    s"""WITH daily AS ($dailySql),
+       |idx AS (SELECT v, row_number() OVER (ORDER BY d) - 1 AS rn FROM daily),
+       |xd AS (SELECT v - lag(v) OVER (ORDER BY rn) AS x,
+       |        row_number() OVER (ORDER BY rn) - 2 AS i
+       |       FROM idx QUALIFY x IS NOT NULL),
+       |params AS (SELECT count(*) AS m, count(*) // 2 AS half FROM xd),
+       |spec AS (
+       | SELECT k.k,
+       |  sum(x * cos(2*pi() * k.k * i / (SELECT m FROM params))) AS re,
+       |  sum(x * sin(2*pi() * k.k * i / (SELECT m FROM params))) AS im
+       | FROM xd, (SELECT row_number() OVER () AS k FROM xd
+       |        QUALIFY k <= (SELECT half FROM params)) k
+       | GROUP BY 1)
+       |SELECT round((SELECT m FROM params) / CAST(k AS DOUBLE), 6) AS period,
+       | round((re*re + im*im) / (SELECT m FROM params)
+       |   * (CASE WHEN k = (SELECT half FROM params)
+       |            AND (SELECT m FROM params) % 2 = 0 THEN 1.0 ELSE 2.0 END), 6)
+       |   AS power
+       |FROM spec""".stripMargin
+
+  private def seasonalSql: String =
+    s"""WITH daily AS ($dailySql),
+       |idx AS (SELECT d, v, row_number() OVER (ORDER BY d) - 1 AS rn FROM daily),
+       |params AS (SELECT count(*) AS n, 3 AS first, count(*) - 4 AS last,
+       |  least(3 + 3, count(*) - 4) AS firstEnd,
+       |  greatest(3, count(*) - 4 - 3) AS lastStart FROM idx),
+       |tr AS (SELECT idx.*, CASE WHEN rn >= (SELECT first FROM params)
+       |         AND rn <= (SELECT last FROM params)
+       |        THEN avg(v) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+       |        END AS trend0 FROM idx),
+       |fit AS (SELECT
+       |  regr_slope(CASE WHEN rn >= (SELECT first FROM params) AND rn < (SELECT firstEnd FROM params) THEN trend0 END,
+       |             CASE WHEN rn >= (SELECT first FROM params) AND rn < (SELECT firstEnd FROM params) THEN rn END) AS k1,
+       |  regr_intercept(CASE WHEN rn >= (SELECT first FROM params) AND rn < (SELECT firstEnd FROM params) THEN trend0 END,
+       |                 CASE WHEN rn >= (SELECT first FROM params) AND rn < (SELECT firstEnd FROM params) THEN rn END) AS c1,
+       |  regr_slope(CASE WHEN rn >= (SELECT lastStart FROM params) AND rn < (SELECT last FROM params) THEN trend0 END,
+       |             CASE WHEN rn >= (SELECT lastStart FROM params) AND rn < (SELECT last FROM params) THEN rn END) AS k2,
+       |  regr_intercept(CASE WHEN rn >= (SELECT lastStart FROM params) AND rn < (SELECT last FROM params) THEN trend0 END,
+       |                 CASE WHEN rn >= (SELECT lastStart FROM params) AND rn < (SELECT last FROM params) THEN rn END) AS c2
+       | FROM tr),
+       |ph AS (SELECT rn % 7 AS phase, avg(v - trend0) AS pavg FROM tr GROUP BY 1),
+       |g AS (SELECT avg(pavg) AS grand FROM ph)
+       |SELECT CAST(epoch(tr.d) AS BIGINT) AS day_s,
+       | round(tr.v - (ph.pavg - (SELECT grand FROM g)), 6) AS v_adjusted,
+       | round(ph.pavg - (SELECT grand FROM g), 6) AS v_seasonal,
+       | round(CASE WHEN tr.rn < (SELECT first FROM params)
+       |         THEN tr.rn * (SELECT k1 FROM fit) + (SELECT c1 FROM fit)
+       |        WHEN tr.rn > (SELECT last FROM params)
+       |         THEN tr.rn * (SELECT k2 FROM fit) + (SELECT c2 FROM fit)
+       |        ELSE tr.trend0 END, 6) AS v_trend,
+       | round(tr.v - (ph.pavg - (SELECT grand FROM g))
+       |   - (CASE WHEN tr.rn < (SELECT first FROM params)
+       |         THEN tr.rn * (SELECT k1 FROM fit) + (SELECT c1 FROM fit)
+       |        WHEN tr.rn > (SELECT last FROM params)
+       |         THEN tr.rn * (SELECT k2 FROM fit) + (SELECT c2 FROM fit)
+       |        ELSE tr.trend0 END), 6) AS v_residual
+       |FROM tr JOIN ph ON tr.rn % 7 = ph.phase""".stripMargin
 
   private def textStatsSql: String =
     s"""WITH t AS (SELECT doc_id, text,

@@ -37,8 +37,16 @@ object Dedup {
     * xxhash64(shingle, seed=i). Pure expressions, evaluated in the scan
     * stage. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    // single fold over the shingles: the shingle subtree is evaluated ONCE
+    // per row. The dual formulation — per-slot `array_min(transform(...))`
+    // — embeds the shingle expression inside the slot lambda, and Spark's
+    // higher-order functions re-evaluate lambda subtrees per element
+    // (CollapseProject re-inlines any pre-projection), which made the
+    // tokenizer pipeline run `numHashes` times per row: ~70× slower.
+    aggregate(shingles,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m, xxhash64(s, i))))
 
   /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`
     * slots, each band hashed to one bucket key. Docs sharing any band key
@@ -56,37 +64,53 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 3,
+      shingles: Column => Column = TextFunctions.wordShingles(_, 3),
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(TextFunctions.charShingles(col(textCol), shingleSize),
-        numHashes).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    // materialize the shingle array once per row — inlining it into the
+    // signature expression would re-evaluate the whole tokenize/distinct
+    // pipeline for every one of the `numHashes` slots
+    // persist: the signature frame is consumed three times (banding + both
+    // sides of the pair-scoring join); without it the scan+hash pipeline
+    // runs three times
+    val sigs = df
+      .select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
-    val a = banded.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bucket"))
+    val a = banded.select(col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("bucket"), col("id").as("id_b"))
+    // dedupe pairs BEFORE scoring: docs sharing many bands would otherwise
+    // be scored once per shared band (the quadratic-ish step must touch
+    // each candidate pair exactly once)
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
+          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
   }
 
   /** SimHash: `bits`-bit signature where bit k is the sign of the sum over
     * features of ±1 votes (bit k of each feature's hash). Near-duplicates
     * are signatures within a small Hamming distance. */
   def simhash(features: Column, bits: Int = 64): Column = {
-    val hashes = transform(features, f => xxhash64(f))
-    val bitCols: Seq[Column] = (0 until bits).map { k =>
-      val vote = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      shiftleft(when(vote > 0, 1L).otherwise(0L), k)
-    }
-    bitCols.reduce(_ bitwiseOR _)
+    // same single-fold shape as [[minhashSignature]]: features and the
+    // hash array are each evaluated once per row, not once per bit
+    val masks = array((0 until bits).map(k => lit(1L << k)): _*)
+    val votes = aggregate(
+      transform(features, f => xxhash64(f)),
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, masks,
+        (v, m) => v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0L, m).otherwise(0L)),
+      lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -67,6 +67,13 @@ object Periodogram {
     * density, fs=1, boxcar): returns (period, pgram) rows — scaled to [0,1]
     * with only `order=5` local maxima kept, periods ascending. */
   def periodogram(tsf: TimeseriesFrame, xCol: String,
+      detrend: String = "diff"): DataFrame =
+    scaleAndPeaks(spectrum(tsf, xCol, detrend), order = 5)
+
+  /** The full (unscaled) one-sided spectrum (period, power) — exposed for
+    * differential testing; [[periodogram]] adds the reference's scaling and
+    * peak extraction. */
+  def spectrum(tsf: TimeseriesFrame, xCol: String,
       detrend: String = "diff"): DataFrame = {
     val spark = tsf.df.sparkSession
     val xd = detrended(tsf, xCol, detrend).select(col("xd"), col("i"))
@@ -91,7 +98,7 @@ object Periodogram {
         ((col("re") * col("re") + col("im") * col("im")) / m *
           when(noDouble, 1.0).otherwise(2.0)).as("power"))
       .select((lit(m.toDouble) / col("k").cast("double")).as("period"), col("power"))
-    scaleAndPeaks(spec, order = 5)
+    spec
   }
 
   /** Lomb–Scargle for non-equispaced series (`functions.py:109-174`):

@@ -41,12 +41,21 @@ object TextFunctions {
         i => s.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles (distinct, lowercased), space-joined. */
+  /** Word n-gram shingles (distinct, lowercased), space-joined.
+    *
+    * Built by zipping the token array against its own n−1 shifted slices —
+    * NOT by indexing `toks` inside a per-position lambda, which would
+    * re-evaluate the tokenizer subtree once per shingle (higher-order
+    * function lambdas re-evaluate captured subtrees per element). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokensLower(text)
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val joined = (2 to n).foldLeft(toks) { (acc, i) =>
+      zip_with(acc, slice(toks, lit(i), greatest(size(toks) - (i - 1), lit(1))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    // trailing n−1 slots zip against missing elements → null; drop them
+    array_distinct(filter(joined,
+      sh => sh.isNotNull && size(split(sh, " ")) === n))
   }
 
   /** Small function-word lists per language for the n-gram/stopword
