@@ -4,6 +4,7 @@ import graft.core.TimeseriesFrame
 import graft.dedup.Dedup
 import graft.ops._
 import graft.models.{Arima, Granger, ModelEvaluation, Var}
+import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.spectral.{Correlation, Periodogram}
 import graft.text.TextFunctions
@@ -346,6 +347,43 @@ object SparkEntry {
       val d = daily(s, dir)
       Granger.causality(s, d, Seq("v", "c"), maxLag = 5, alpha = 0.5)
     }),
+    // ---- multimodal / ingest / multi-series / selection ---------------
+    "q35_multimodal_decode" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeImages(d, "doc_id", "payload").toDF()
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          round(element_at(col("histogram"), 7), 6).as("hist6"))
+    }),
+    "q36_sequence_calendar" -> ((s, dir) => {
+      // implied-sequence synthesis with month-end clamping (leap year):
+      // start 2020-01-31, monthly steps over customers in key order
+      val c = tbl(s, dir, "customer")
+      TimeseriesFrame.fromSequence(c, Seq("c_custkey"),
+          startEpochSec = 1580428800.0, stepCount = 1, unit = "month").df
+        .select(col("c_custkey"), unix_seconds(col("t")).as("t_s"))
+    }),
+    "q37_multiseries_sliding" -> ((s, dir) => {
+      // the scale path: one independent window per user_id partition
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      MovingTransform.slidingWindow(t,
+          Seq("value_cents" -> "sum", "value" -> "max"),
+          width = 5, keep = MovingTransform.KeepComplete)
+        .select(col("event_id"), col("user_id"),
+          round(col("value_cents_sum") / 100.0 / 5, 6).as("value_mean"),
+          col("value_max"))
+    }),
+    "q38_spiral_select" -> ((s, dir) => {
+      val t = ev(s, dir)
+      val selected = s.createDataFrame(
+        Seq((5, 0), (5, 1), (5, 2), (5, 3))).toDF("angular", "radial")
+      Spiralogram.selectRows(t,
+          Spiralogram.PeriodComponent("day_of_week"),
+          Some(Spiralogram.PeriodComponent("hour_of_day")), selected)
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
     // ---- relational / scale demos ------------------------------------
     "q23_lineitem_pricing" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
@@ -554,6 +592,35 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     "q28_periodogram" -> periodogramSql,
     "q29_seasonal" -> seasonalSql,
+    "q35_multimodal_decode" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_transform(list_filter(string_split(text, ''), c -> c != ''),
+        |    c -> CAST(ascii(c) AS BIGINT)) AS codes
+        | FROM documents),
+        |h AS (SELECT doc_id, codes,
+        |  list_reduce(list_prepend(CAST(17 AS BIGINT), codes),
+        |    (a, b) -> (31 * a + b) % 2147483647) AS hh
+        | FROM t)
+        |SELECT doc_id AS id, 16 + hh % 625 AS width,
+        | 16 + (hh // 625) % 465 AS height, CAST(3 AS BIGINT) AS channels,
+        | round(len(list_filter(codes, c -> c // 16 = 6))::DOUBLE
+        |   / greatest(len(codes), 1), 6) AS hist6
+        |FROM h""".stripMargin,
+    "q36_sequence_calendar" ->
+      """SELECT c_custkey,
+        | CAST(epoch(TIMESTAMP '2020-01-31 00:00:00'
+        |   + to_months((row_number() OVER (ORDER BY c_custkey) - 1)::INT)) AS BIGINT) AS t_s
+        |FROM customer""".stripMargin,
+    "q37_multiseries_sliding" ->
+      s"""SELECT event_id, user_id,
+         | round(sum($centsSql) OVER w / 100.0 / 5, 6) AS value_mean,
+         | max(value) OVER w AS value_max
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id $tsOrder ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |QUALIFY row_number() OVER (PARTITION BY user_id $tsOrder) >= 5""".stripMargin,
+    "q38_spiral_select" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE (dayofweek(ts) + 6) % 7 = 5 AND hour(ts) <= 3""".stripMargin,
     "q23_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

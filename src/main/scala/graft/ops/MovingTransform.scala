@@ -68,25 +68,49 @@ object MovingTransform {
     * aggregation itself is a hash aggregate with map-side partial
     * aggregation — no extra shuffle beyond the block-id exchange.
     */
+  sealed trait BlockRef
+  case object NoRef extends BlockRef
+  case object KeepFirst extends BlockRef
+  case object KeepMiddle extends BlockRef
+  case object KeepLast extends BlockRef
+
   def sequentialBlocks(
       tsf: TimeseriesFrame,
       specs: Seq[(String, String)],
-      width: Int): DataFrame = {
+      width: Int,
+      ref: BlockRef = NoRef): DataFrame = {
     require(width >= 1, "width must be >= 1")
     val rn = row_number().over(tsf.window)
     // materialize the block id first — a window expression can't be a
     // grouping expression directly
-    val withBlock = tsf.df.withColumn("block", floor((rn - 1) / width))
+    val withBlock = tsf.df
+      .withColumn("block", floor((rn - 1) / width))
+      .withColumn("__rib", ((rn - 1) % width) + 1) // 1-based row-in-block
     val keys = (tsf.seriesKeys :+ "block").map(col)
     val aggs = specs.map { case (c, aggKey) =>
       AggRegistry.block(aggKey, col(c)).as(s"${c}_$aggKey")
     }
     val counts = count(lit(1)).as("__n")
-    withBlock
+    val agged = withBlock
       .groupBy(keys: _*)
       .agg(counts, aggs: _*)
       .filter(col("__n") === width) // trailing partial block dropped
       .drop("__n")
+    ref match {
+      case NoRef => agged
+      case _ =>
+        // per-block reference instance (Keep{First,Middle,Last} strided
+        // slices, `owmovingtransform.py:474-478`): middle = width//2 + 1
+        val target = ref match {
+          case KeepFirst => 1
+          case KeepMiddle => width / 2 + 1
+          case KeepLast => width
+          case NoRef => 1
+        }
+        val refRows = withBlock.filter(col("__rib") === target).drop("__rib")
+        val joinKeys = tsf.seriesKeys :+ "block"
+        refRows.join(agged, joinKeys)
+    }
   }
 
   /** Calendar period keys — the reference's `PeriodOptions` registry

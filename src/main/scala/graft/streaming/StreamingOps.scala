@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming analogues of the batch operators (SURVEY §2.11:
+  * the reference is batch-only; these are the natural streaming modes of
+  * its aggregation shells — Time Slice playback ≈ a sliding event-time
+  * window, time-period aggregation ≈ a tumbling window, sessionization ≈
+  * `session_window`). Each takes a streaming DataFrame (`readStream`) and
+  * returns a transformed streaming DataFrame for `writeStream`; the same
+  * plans also run in batch mode (Spark's unified semantics), which is how
+  * they are tested.
+  */
+object StreamingOps {
+
+  /** Sliding event-time window aggregation with late-data watermark —
+    * the streaming Time Slice playback (`owtimeslice.py:343-378`). */
+  def slidingWindowAgg(
+      stream: DataFrame,
+      timeCol: String,
+      valueCol: String,
+      windowDuration: String,
+      slideDuration: String,
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowDuration, slideDuration))
+      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("mean"),
+        min(col(valueCol)).as("min"), max(col(valueCol)).as("max"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n"), col("mean"), col("min"), col("max"))
+
+  /** Tumbling calendar-period aggregation — streaming time-period
+    * aggregation (`owmovingtransform.py:500-534`). */
+  def tumblingPeriodAgg(
+      stream: DataFrame,
+      timeCol: String,
+      valueCol: String,
+      period: String,
+      watermark: String = "1 hour"): DataFrame =
+    slidingWindowAgg(stream, timeCol, valueCol, period, period, watermark)
+
+  /** Event-time session windows per key with an inactivity gap —
+    * the streaming form of the batch sessionize query. */
+  def sessionAgg(
+      stream: DataFrame,
+      timeCol: String,
+      keyCol: String,
+      gap: String,
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(timeCol, watermark)
+      .groupBy(col(keyCol), session_window(col(timeCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+}

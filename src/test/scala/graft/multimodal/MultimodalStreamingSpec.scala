@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class MultimodalStreamingSpec extends SparkSpec {
+
+  test("decodeImages: deterministic stub features, schema and batch shape") {
+    val df = spark.range(0, 100).select(col("id"),
+      col("id").cast("string").cast("binary").as("payload"))
+    val out = Multimodal.decodeImages(df, "id", "payload")
+    val rows = out.collect().sortBy(_.id)
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.width >= 16 && r.height >= 16 && r.channels == 3)
+      assert(r.histogram.length == 16)
+      assert(math.abs(r.histogram.sum - 1.0) < 1e-9)
+    }
+    // determinism: same payload → same features
+    val again = Multimodal.decodeImages(df, "id", "payload").collect().sortBy(_.id)
+    assert(rows.zip(again).forall { case (a, b) =>
+      a.width == b.width && a.histogram.sameElements(b.histogram) })
+  }
+
+  test("sampleFrames: strided chunking, partition-local explode") {
+    val payload = Array.tabulate[Byte](2048)(i => (i % 251).toByte)
+    val df = spark.createDataFrame(Seq((1L, payload))).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(df, "id", "payload",
+      frameBytes = 256, stride = 2).collect()
+    // 2048/256 = 8 frames, stride 2 → frames 0,2,4,6
+    assert(frames.map(_.frameIndex).sorted.toSeq == Seq(0, 2, 4, 6))
+    assert(frames.forall(_.features.length == 16))
+  }
+
+  test("streaming sliding window over MemoryStream matches batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val events = (0 until 120).map(i =>
+      (new Timestamp(1704067200000L + i * 60000L), i.toDouble))
+    mem.addData(events: _*)
+    val streamDf = mem.toDF().toDF("ts", "value")
+    val out = StreamingOps.slidingWindowAgg(streamDf, "ts", "value",
+      windowDuration = "30 minutes", slideDuration = "30 minutes")
+    val query = out.writeStream.format("memory")
+      .queryName("sw_test").outputMode("complete").start()
+    query.processAllAvailable()
+    val got = spark.sql("select * from sw_test order by window_start").collect()
+    query.stop()
+    // 120 minutes of data → 4 tumbling 30-min windows of 30 events each
+    assert(got.length == 4, got.mkString(";"))
+    assert(got.forall(_.getLong(2) == 30))
+    // first window mean = mean(0..29) = 14.5
+    assert(math.abs(got.head.getDouble(3) - 14.5) < 1e-9)
+  }
+
+  test("streaming session windows split on inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val base = 1704067200000L
+    // user 1: two bursts separated by 2 hours
+    val data = (0 until 5).map(i => (new Timestamp(base + i * 60000L), 1L)) ++
+      (0 until 3).map(i => (new Timestamp(base + 7200000L + i * 60000L), 1L))
+    mem.addData(data: _*)
+    val out = StreamingOps.sessionAgg(mem.toDF().toDF("ts", "user_id"),
+      "ts", "user_id", gap = "30 minutes")
+    val query = out.writeStream.format("memory")
+      .queryName("sess_test").outputMode("complete").start()
+    query.processAllAvailable()
+    val got = spark.sql("select * from sess_test order by session_start").collect()
+    query.stop()
+    assert(got.length == 2, got.mkString(";"))
+    assert(got.map(_.getLong(3)).toSeq == Seq(5L, 3L))
+  }
+}
