@@ -37,7 +37,11 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // keep the raw nanos column: range predicates on it are sargable
+      // (pushed to parquet row-group stats), while predicates on the
+      // converted timestamp expression are not — see TimeSlice
+      df.withColumnRenamed("ts", "ts_ns_raw")
+        .withColumn("ts", timestamp_micros(expr("ts_ns_raw div 1000")))
     else df
   }
 

@@ -3,6 +3,7 @@ package graft.agg
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
+import graft.functions.NanProduct.nanProduct
 
 /** The 18-aggregation registry — Spark re-expression of the reference's
   * `AggOptions` (`orangecontrib/timeseries/aggregate.py:125-183`). Every
@@ -56,10 +57,6 @@ object AggRegistry {
   private def safeDiv(num: Column, den: Column): Column =
     when(den === 0.0, lit(null).cast("double")).otherwise(num / den)
 
-  /** Exact product of the non-null values in a bounded buffer. */
-  private def productOf(arr: Column): Column =
-    aggregate(arr, lit(1.0), (acc, x) => acc * x)
-
   /** Weighted mean with per-row weight renormalization over non-null slots
     * (`aggregate.py:50-70`): collect the window as null-preserving struct
     * slots, weight positionally, divide by the weight mass of the defined
@@ -105,9 +102,7 @@ object AggRegistry {
     key match {
       case "mean"    => avg(v).over(w)
       case "sum"     => coalesce(sum(v).over(w), lit(0.0))
-      case "product" => productOf(transform(
-        filter(collect_list(struct(v.as("v"))).over(w), s => s("v").isNotNull),
-        s => s("v")))
+      case "product" => nanProduct(v).over(w)
       case "min"     => min(v).over(w)
       case "max"     => max(v).over(w)
       case "span"    => max(v).over(w) - min(v).over(w)
@@ -134,21 +129,9 @@ object AggRegistry {
       case "nonzero" => count(when(v =!= 0.0, 1)).over(w)
       case "defined" => count(v).over(w)
       case "cumsum"  => coalesce(sum(v).over(run), lit(0.0))
-      case "cumprod" => runningProduct(v, run)
+      case "cumprod" => nanProduct(v).over(run)
       case k => throw new IllegalArgumentException(s"unknown agg: $k")
     }
-  }
-
-  /** Running product over an unbounded-preceding frame, O(n): zero short-
-    * circuit + sign parity + exp/ln magnitude. Exact for the zero case;
-    * magnitude carries ~1 ulp of exp/ln error (documented; the windowed
-    * `product` agg is exact via its bounded buffer). */
-  private def runningProduct(v: Column, run: WindowSpec): Column = {
-    val zeros = count(when(v === 0.0, 1)).over(run)
-    val negs = count(when(v < 0.0, 1)).over(run)
-    val mag = exp(coalesce(sum(log(abs(nullif(v, lit(0.0))))).over(run), lit(0.0)))
-    when(zeros > 0, 0.0)
-      .otherwise(when(negs % 2 === 0, mag).otherwise(-mag))
   }
 
   // ---------------------------------------------------------------- block
@@ -165,7 +148,7 @@ object AggRegistry {
     key match {
       case "mean"    => avg(v)
       case "sum"     => coalesce(sum(v), lit(0.0))
-      case "product" => productOf(filter(collect_list(v), x => x.isNotNull))
+      case "product" => nanProduct(v)
       case "min"     => min(v)
       case "max"     => max(v)
       case "span"    => max(v) - min(v)

@@ -11,11 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object TimeSlice {
 
-  def apply(tsf: TimeseriesFrame, loEpochSec: Double, hiEpochSec: Double): DataFrame = {
+  def apply(tsf: TimeseriesFrame, loEpochSec: Double, hiEpochSec: Double,
+      rawNanosCol: String = "ts_ns_raw"): DataFrame = {
     val t = col(tsf.timeCol.getOrElse(
       throw new IllegalArgumentException("time slice needs a time column")))
     val tt = t.cast("double")
-    tsf.df.filter(tt >= loEpochSec && tt < hiEpochSec)
+    val base = tsf.df.filter(tt >= loEpochSec && tt < hiEpochSec)
+    // When the frame still carries the raw integer time column (e.g. the
+    // nanos the timestamp was decoded from), add the equivalent range
+    // predicate on it: a plain long comparison IS pushed to the parquet
+    // scan (row-group pruning), whereas the converted-timestamp predicate
+    // above is an expression of the column and is not.
+    if (tsf.df.columns.contains(rawNanosCol)) {
+      val lo = math.ceil(loEpochSec * 1e9).toLong
+      val hi = math.ceil(hiEpochSec * 1e9).toLong
+      base.filter(col(rawNanosCol) >= lo && col(rawNanosCol) < hi)
+    } else base
   }
 
   /** Successive playback windows (`owtimeslice.py:343-378`): the driver
