@@ -184,6 +184,17 @@ final class Arima(val p: Int, val d: Int, val q: Int) {
     val f = fittedValues()
     yRaw.zip(f).map { case (a, b) => a - b }
   }
+
+  /** In-sample error summary (`_BaseModel.errors`, `models.py:192-208`). */
+  def errors(): Map[String, Double] = {
+    val pred = fittedValues()
+    Map(
+      "r2" -> Metrics.r2(yRaw, pred),
+      "mae" -> Metrics.mae(yRaw, pred),
+      "rmse" -> Metrics.rmse(yRaw, pred),
+      "mape" -> Metrics.mape(yRaw, pred),
+      "pocid" -> Metrics.pocid(yRaw, pred))
+  }
 }
 
 object Arima {

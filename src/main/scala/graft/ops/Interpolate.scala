@@ -60,9 +60,39 @@ object Interpolate {
     when(knownCount < 2, x).otherwise(coalesce(x, filled))
   }
 
-  /** Interpolate the given columns in place. */
+  /** Interpolate the given columns in place ('linear'|'nearest'|'mean'|
+    * 'cubic' — cubic delegates to the driver-side spline solve). */
   def apply(tsf: TimeseriesFrame, cols: Seq[String], method: String = "linear"): DataFrame =
     cols.foldLeft(tsf.df) { (d, c) =>
-      d.withColumn(c, expr(tsf.copy(df = d), c, method))
+      if (method == "cubic") CubicSpline.interpolate(tsf.copy(df = d), c)
+      else d.withColumn(c, expr(tsf.copy(df = d), c, method))
+    }
+
+  /** Discrete (categorical) columns: NaN → global mode
+    * (`functions.py:281-298`: `np.argmax(np.bincount)` — smallest most-
+    * frequent value wins ties), or nearest-in-time when method='nearest'. */
+  def discrete(tsf: TimeseriesFrame, c: String, method: String = "mode"): DataFrame =
+    method match {
+      case "mode" =>
+        val modeRow = tsf.df.filter(col(c).isNotNull)
+          .groupBy(col(c)).count()
+          .orderBy(col("count").desc, col(c))
+          .limit(1).collect()
+        val m = if (modeRow.isEmpty) null else modeRow.head.get(0)
+        tsf.df.withColumn(c, coalesce(col(c), lit(m)))
+      case "nearest" =>
+        val t = tsf.timeCol.map(col(_).cast("double")).getOrElse(
+          row_number().over(tsf.window).cast("double"))
+        val wPrev = tsf.window.rowsBetween(Long.MinValue, 0L)
+        val wNext = tsf.window.rowsBetween(0L, Long.MaxValue)
+        val x = col(c)
+        val prevV = last(x, ignoreNulls = true).over(wPrev)
+        val prevT = last(when(x.isNotNull, t), ignoreNulls = true).over(wPrev)
+        val nextV = first(x, ignoreNulls = true).over(wNext)
+        val nextT = first(when(x.isNotNull, t), ignoreNulls = true).over(wNext)
+        val filled = when(prevV.isNull, nextV).when(nextV.isNull, prevV)
+          .when(t - prevT <= nextT - t, prevV).otherwise(nextV)
+        tsf.df.withColumn(c, coalesce(x, filled))
+      case m => throw new IllegalArgumentException(s"unknown discrete method: $m")
     }
 }

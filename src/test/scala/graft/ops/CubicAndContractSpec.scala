@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.TimeseriesFrame
+import graft.models.ForecastTable
+import org.apache.spark.sql.functions._
+
+class CubicAndContractSpec extends SparkSpec {
+
+  test("cubic spline reproduces a cubic polynomial exactly at gap points") {
+    // y = t^3 - 2t^2 + 3 sampled at integers; a cubic spline through exact
+    // cubic data interpolates interior gaps exactly (not-a-knot property)
+    def f(t: Double) = t * t * t - 2 * t * t + 3
+    val ts = (0 to 10).map(_.toDouble)
+    val xs = ts.map(t => if (t == 4.0 || t == 7.0) None else Some(f(t)))
+    val df = spark.createDataFrame(ts.zip(xs).map { case (t, v) =>
+      (t, v.map(Double.box).orNull.asInstanceOf[java.lang.Double])
+    }).toDF("t", "x")
+    val out = Interpolate(TimeseriesFrame(df, Some("t")), Seq("x"), "cubic")
+    val got = col1(out, "x", "t")
+    ts.zip(got).foreach { case (t, v) =>
+      assert(v.isDefined && math.abs(v.get - f(t)) < 1e-6,
+        s"at $t: ${v} vs ${f(t)}")
+    }
+  }
+
+  test("discrete mode fill: most frequent value, smallest wins ties") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "b"), (2L, null), (3L, "a"), (4L, "b"), (5L, null), (6L, "a")))
+      .toDF("i", "d")
+    val out = Interpolate.discrete(TimeseriesFrame(df, None, Seq("i")), "d", "mode")
+    val vals = out.orderBy("i").select("d").collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("b", "a", "a", "b", "a", "a")) // tie a/b → a
+  }
+
+  test("forecast table contract: column naming + CI metadata (models.py:210-228)") {
+    val t = ForecastTable.asTable(spark, "Air passengers",
+      Array(1.0, 2.0), Array(0.5, 1.5), Array(1.5, 2.5))
+    assert(t.columns.toSeq == Seq("step", "Air passengers (forecast)",
+      "Air passengers (95%CI low)", "Air passengers (95%CI high)"))
+    val meanField = t.schema("Air passengers (forecast)")
+    assert(meanField.metadata.getLong("ci_percent") == 95)
+    assert(meanField.metadata.getStringArray("ci_attrs").toSeq ==
+      Seq("Air passengers (95%CI low)", "Air passengers (95%CI high)"))
+  }
+
+  test("nan_product registered for SQL via GraftExtensions") {
+    // register on the live session the same way the extension does
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nan_product",
+      exprs => graft.functions.NanProduct(exprs.head), "scala_udf")
+    val got = spark.sql(
+      "SELECT nan_product(x) FROM VALUES (2.0), (CAST(NULL AS DOUBLE)), (3.0) t(x)")
+      .head().getDouble(0)
+    assert(got == 6.0)
+  }
+}
