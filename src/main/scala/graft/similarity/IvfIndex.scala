@@ -1,0 +1,76 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path for embedding search: k-means the corpus into `nlist`
+  * centroid cells, store each vector under its cell, and at query time
+  * probe only the `nprobe` nearest cells before exact rescoring.
+  *
+  * Scale shape: building is one ML k-means job (seeded → deterministic);
+  * the index is just an extra `cell` column on the corpus (pruned joins,
+  * no data movement); search shuffles only the probed cells' candidates.
+  * Compared to the hyperplane-LSH variant ([[Similarity.lshTopK]]), IVF
+  * adapts to the data distribution — recall/cost is tuned by
+  * `nlist`/`nprobe` instead of planes/tables.
+  */
+object IvfIndex {
+
+  final case class Index(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  /** Assign every corpus vector to its nearest of `nlist` centroids. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L): Index = {
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs).select(col("id"), col("v"), col("cell"))
+    Index(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Top-k cosine search probing the `nprobe` nearest cells per query. */
+  def search(index: Index, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = index.centroids
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("qv"))
+
+    // nearest-nprobe cells per query: tiny cross join against the
+    // broadcast centroid table, ranked by euclidean distance
+    val centRows = cents.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }
+    val centDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val dist = aggregate(
+      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("qv"), col("cell"), dist.as("dist"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    // candidates = corpus rows in the probed cells; exact cosine rescoring
+    val cand = probes.join(index.assigned, "cell")
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        Similarity.cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

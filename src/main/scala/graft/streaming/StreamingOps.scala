@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming analogues of the batch operators (SURVEY §2.11:
   * the reference is batch-only; these are the natural streaming modes of
@@ -57,4 +58,38 @@ object StreamingOps {
       .select(col(keyCol),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Per-key incremental running statistics via arbitrary stateful
+    * processing (`flatMapGroupsWithState` — the brief's custom-state
+    * primitive): Welford count/mean/variance folded across micro-batches.
+    * Emits one updated row per key per batch; the state is O(1) per key
+    * regardless of stream length. */
+  final case class RunningState(n: Long, mean: Double, m2: Double)
+  final case class RunningStats(key: Long, n: Long, mean: Double, variance: Double)
+
+  def statefulRunningStats(
+      stream: DataFrame,
+      keyCol: String,
+      valueCol: String): Dataset[RunningStats] = {
+    val typed = stream.select(
+      col(keyCol).cast("long").as("key"), col(valueCol).cast("double").as("v"))
+      .as(Encoders.product[(Long, Double)])
+    typed
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[RunningState]) => {
+          var st = state.getOption.getOrElse(RunningState(0L, 0.0, 0.0))
+          rows.foreach { case (_, v) =>
+            val n1 = st.n + 1
+            val delta = v - st.mean
+            val mean1 = st.mean + delta / n1
+            st = RunningState(n1, mean1, st.m2 + delta * (v - mean1))
+          }
+          state.update(st)
+          Iterator.single(RunningStats(key, st.n, st.mean,
+            if (st.n == 0) Double.NaN else st.m2 / st.n))
+        })(Encoders.product[RunningState], Encoders.product[RunningStats])
+  }
 }

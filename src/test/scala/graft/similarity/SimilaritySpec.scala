@@ -1,0 +1,57 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("IVF search recall vs brute force on testdata embeddings") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embeddings, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val idx = IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+    val approx = IvfIndex.search(idx, queries, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low (|exact|=${exact.size})")
+    // full probe must equal brute force exactly
+    val full = IvfIndex.search(idx, queries, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+  }
+
+  test("stateful running stats fold across micro-batches (flatMapGroupsWithState)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val out = StreamingOps.statefulRunningStats(
+      mem.toDF().toDF("k", "v"), "k", "v")
+    val query = out.writeStream.format("memory")
+      .queryName("rs_test").outputMode("update").start()
+    mem.addData((1L, 2.0), (1L, 4.0), (2L, 10.0))
+    query.processAllAvailable()
+    mem.addData((1L, 6.0)) // second batch: state must carry over
+    query.processAllAvailable()
+    val rows = spark.sql(
+      "select key, n, mean, variance from rs_test where key = 1 order by n")
+      .collect()
+    query.stop()
+    // after batch 1: n=2 mean=3; after batch 2: n=3 mean=4 var=8/3
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+    assert(math.abs(rows.last.getDouble(2) - 4.0) < 1e-9)
+    assert(math.abs(rows.last.getDouble(3) - 8.0 / 3) < 1e-9)
+  }
+}
