@@ -40,6 +40,35 @@ object Correlation {
     }
   }
 
+  /** Horizontally-scalable ACF: instead of K lag columns over a
+    * single-partition global window, index rows with a parallel sort +
+    * `zipWithIndex` (per-partition offsets, no global sort bottleneck),
+    * explode each row into its K lag contributions, and hash-join on the
+    * target index — every stage is partition-parallel, so this is the
+    * 100 TB path. Numerically identical to [[acfVector]] up to summation
+    * order. */
+  def acfVectorDistributed(tsf: TimeseriesFrame, xCol: String, maxLag: Int): Array[Double] = {
+    val spark = tsf.df.sparkSession
+    import org.apache.spark.sql.types._
+    val mu = tsf.df.agg(avg(col(xCol).cast("double"))).head().getDouble(0)
+    val indexedRdd = tsf.df
+      .orderBy(tsf.orderCols: _*)                 // range-partitioned parallel sort
+      .select(col(xCol).cast("double"))
+      .rdd.zipWithIndex                            // per-partition offset indexing
+      .map { case (r, i) => Row(i, r.getDouble(0) - mu) }
+    val idx = spark.createDataFrame(indexedRdd, StructType(Seq(
+      StructField("i", LongType), StructField("xc", DoubleType))))
+    val contrib = idx
+      .select(col("i").as("i0"), col("xc").as("xb"),
+        explode(sequence(lit(1), lit(maxLag))).as("k"))
+      .select(col("xb"), col("k"), (col("i0") + col("k")).as("i"))
+    val sums = idx.join(contrib, "i")
+      .groupBy(col("k")).agg(sum(col("xc") * col("xb")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val denom = idx.agg(sum(col("xc") * col("xc"))).head().getDouble(0)
+    Array(1.0) ++ (1 to maxLag).map(k => sums.getOrElse(k, 0.0) / denom)
+  }
+
   /** Local maxima of |values| with `order`-neighborhood strict dominance —
     * scipy `argrelextrema(np.greater, order)` with clipped borders
     * (`_significant_acf`, `functions.py:177-189`). Returns (index, value). */

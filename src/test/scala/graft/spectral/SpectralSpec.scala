@@ -30,6 +30,14 @@ class SpectralSpec extends SparkSpec {
     assert(peaks.forall(_.getDouble(1) > 0))
   }
 
+  test("distributed ACF formulation matches the window formulation") {
+    val a = Correlation.acfVector(air, "Air passengers", 30)
+    val b = Correlation.acfVectorDistributed(air, "Air passengers", 30)
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(math.abs(x - y) < 1e-10, s"lag $i: $x vs $y")
+    }
+  }
+
   test("PACF peaks at lags 9/13/25 (test_correlation.py:17-19)") {
     val peaks = Correlation.pacf(spark, air, "Air passengers")
       .orderBy("lag").limit(3).collect()
