@@ -38,6 +38,27 @@ class MovingTransformSpec extends SparkSpec {
     assertSeqAlmost(refCol(MovingTransform.KeepLast), d(4.0, 3.5))
   }
 
+  test("KeepAll: leading incomplete windows null; cumulatives full-prefix (:347-384)") {
+    val out = MovingTransform.slidingWindow(fixture,
+      Seq("c1" -> "min", "c1" -> "max", "c1" -> "cumsum"), 3,
+      MovingTransform.KeepAll)
+    assertSeqAlmost(col1(out, "c1_min"),
+      Seq(None, None, Some(1.0), Some(2.5), Some(2.75), Some(2.75)))
+    assertSeqAlmost(col1(out, "c1_max"),
+      Seq(None, None, Some(4.0), Some(4.0), Some(4.0), Some(3.5)))
+    // cumulative uses the FULL prefix in KeepAll (owmovingtransform.py:413-414)
+    assertSeqAlmost(col1(out, "c1_cumsum"),
+      d(1.0, 3.5, 7.5, 10.25, 13.25, 16.75))
+  }
+
+  test("Discard keeps only order keys + aggregates (:317-327)") {
+    val out = MovingTransform.slidingWindow(fixture,
+      Seq("c1" -> "min", "c1" -> "max"), 3, MovingTransform.Discard)
+    assert(out.columns.toSet == Set("i", "c1_min", "c1_max"))
+    assertSeqAlmost(col1(out, "c1_min"), d(1, 2.5, 2.75, 2.75))
+    assertSeqAlmost(col1(out, "c1_max"), d(4, 4, 4, 3.5))
+  }
+
   private val periodColumn = Seq(Some(3.0), Some(4.0), Some(5.0), Some(6.0),
     Some(1.0), Some(2.0), None, Some(13.0), Some(15.0), None)
 
