@@ -630,16 +630,16 @@ object SparkEntry {
     "q23_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-        | sum(CAST(round(l_extendedprice*100) AS BIGINT)
-        |     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_c4,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
         | count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1998-09-01'
         |GROUP BY 1, 2""".stripMargin,
     "q24_nation_revenue" ->
       """SELECT n_name,
-        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -653,8 +653,8 @@ object SparkEntry {
         | FROM events
         | WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |u AS (SELECT user_id, tus,
-        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM t)
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(tus) AS start_us, max(tus) AS end_us

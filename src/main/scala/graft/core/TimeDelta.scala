@@ -8,32 +8,42 @@ import org.apache.spark.sql.functions._
   * the reference's `TimeDelta` (`orangecontrib/timeseries/timeseries.py:17-91`):
   * unique sorted deltas with zero-delta removal (`:37-43`), calendar
   * recognition ({2419200, 2505600, 2592000, 2678400}s → 1 month,
-  * {31536000, 31622400}s → 1 year, `:18-24,50-57`), `is_equispaced` +
-  * scalar `time_interval` when a single delta survives (`:45-47`), and the
-  * gcd of numeric deltas (mixed numeric/calendar → gcd of numerics and one
-  * day, `:62-72`).
+  * {31536000, 31622400}s → 1 year, `:50-57`).
   *
-  * `deltas` holds each distinct step either as Left(seconds) or
-  * Right((count, unit)) for recognized calendar steps.
+  * Field semantics follow the reference's order of operations exactly:
+  *  - `isEquispaced` / `timeInterval` are decided on the RAW numeric deltas
+  *    BEFORE calendar classification (`:44-47`) — a monthly series with
+  *    mixed month lengths is NOT equispaced, and an all-30-day monthly
+  *    series is equispaced with a *numeric* `timeInterval` of 2592000;
+  *  - `deltas` holds each distinct step either as Left(seconds) or
+  *    Right((count, unit)), first-occurrence deduplicated (`:49-57`);
+  *  - `min` is the first (smallest-raw) classified delta (`:59`);
+  *  - `gcd` (`:61-72`): all numeric → gcd of integer seconds; all calendar
+  *    tuples → `min`; mixed → gcd of the numerics and one day (86400).
   */
 final case class TimeDelta(
     deltas: Seq[Either[Double, (Int, String)]],
     isEquispaced: Boolean,
-    timeInterval: Option[Either[Double, (Int, String)]],
-    gcd: Option[Double]) {
+    timeInterval: Option[Double],
+    min: Option[Either[Double, (Int, String)]],
+    gcd: Option[Either[Double, (Int, String)]]) {
 
-  /** Scalar seconds of the single step, when equispaced and numeric. */
-  def intervalSeconds: Option[Double] = timeInterval.flatMap {
+  /** Scalar seconds of the single raw step, when equispaced. */
+  def intervalSeconds: Option[Double] = timeInterval
+
+  /** Numeric gcd seconds, when the gcd is numeric. */
+  def gcdSeconds: Option[Double] = gcd.flatMap {
     case Left(s) => Some(s)
     case Right(_) => None
   }
 }
 
 object TimeDelta {
-  val empty: TimeDelta = TimeDelta(Nil, isEquispaced = false, None, None)
+  val empty: TimeDelta = TimeDelta(Nil, isEquispaced = false, None, None, None)
 
   private val MonthSeconds = Set(2419200.0, 2505600.0, 2592000.0, 2678400.0)
   private val YearSeconds = Set(31536000.0, 31622400.0)
+  private val DaySeconds = 86400.0
 
   private def gcdLong(a: Long, b: Long): Long = if (b == 0) a else gcdLong(b, a % b)
 
@@ -54,22 +64,28 @@ object TimeDelta {
     fromRawDeltas(raw.toIndexedSeq)
   }
 
+  /** `raw` = distinct nonzero deltas, ascending (as `np.unique` yields). */
   def fromRawDeltas(raw: Seq[Double]): TimeDelta = {
-    if (raw.isEmpty) return empty
-    val classified: Seq[Either[Double, (Int, String)]] = raw.map {
+    val rawDistinct = raw.distinct.sorted
+    if (rawDistinct.isEmpty) return empty
+    // equispaced / time_interval use the pre-classification delta count
+    // (`timeseries.py:44-47`)
+    val equispaced = rawDistinct.size == 1
+    val timeInterval = if (equispaced) Some(rawDistinct.head) else None
+    val classified: Seq[Either[Double, (Int, String)]] = rawDistinct.map {
       case s if MonthSeconds(s) => Right((1, "month"))
       case s if YearSeconds(s)  => Right((1, "year"))
       case s                    => Left(s)
     }.distinct
-    val equispaced = classified.size == 1
+    val minDelta = classified.headOption
     val numeric = classified.collect { case Left(s) => s }
     val hasCalendar = classified.exists(_.isRight)
-    // gcd over numeric deltas (+ one day when calendar steps are mixed in),
-    // computed on integer seconds like the reference.
-    val gcdInput = numeric ++ (if (hasCalendar && numeric.nonEmpty) Seq(86400.0) else Nil)
-    val gcd =
-      if (gcdInput.isEmpty) None
-      else Some(gcdInput.map(d => math.max(1L, math.round(d))).reduce(gcdLong).toDouble)
-    TimeDelta(classified, equispaced, if (equispaced) classified.headOption else None, gcd)
+    def numGcd(xs: Seq[Double]): Double =
+      xs.map(d => math.max(1L, math.round(d))).reduce(gcdLong).toDouble
+    val gcd: Option[Either[Double, (Int, String)]] =
+      if (!hasCalendar) Some(Left(numGcd(numeric)))
+      else if (numeric.isEmpty) minDelta // all-calendar → min (`timeseries.py:66-68`)
+      else Some(Left(numGcd(numeric :+ DaySeconds)))
+    TimeDelta(classified, equispaced, timeInterval, minDelta, gcd)
   }
 }

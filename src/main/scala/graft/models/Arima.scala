@@ -37,6 +37,9 @@ final class Arima(val p: Int, val d: Int, val q: Int) {
   def fittedPhi: Array[Double] = phi
   def fittedTheta: Array[Double] = theta
   def fittedSigma2: Double = sigma2
+  def fittedMu: Double = mu
+  /** The (differenced, mean-centered) series the filter ran on. */
+  def centeredSeries: Array[Double] = if (d == 0) w.map(_ - mu) else w
   def aic: Double = -2 * logLik + 2 * nParams
   def bic: Double = -2 * logLik + math.log(w.length) * nParams
 
@@ -135,23 +138,7 @@ final class Arima(val p: Int, val d: Int, val q: Int) {
 
     val se: Array[Double] =
       if (d <= 1) Arima.forecastSe(centered, phi, theta, sigma2, steps, d)
-      else {
-        // d ≥ 2 falls back to the ψ-weight approximation (documented)
-        var psi = Arima.psiWeights(phi, theta, steps)
-        for (_ <- 1 to d) {
-          val c = new Array[Double](steps)
-          var acc = 0.0
-          for (i <- 0 until steps) { acc += psi(i); c(i) = acc }
-          psi = c
-        }
-        val out = new Array[Double](steps)
-        var cum = 0.0
-        for (h <- 0 until steps) {
-          cum += psi(h) * psi(h)
-          out(h) = math.sqrt(sigma2 * cum)
-        }
-        out
-      }
+      else Arima.integratedPsiSe(phi, theta, sigma2, steps, d)
     val z = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
       .inverseCumulativeProbability(1 - alpha / 2)
     (level, level.zip(se).map { case (f, s) => f - z * s },
@@ -215,9 +202,23 @@ object Arima {
     phi(k - 1)
   }
 
-  /** statsmodels `_ma_transparams` is the same transform with sign
-    * conventions giving invertibility. */
-  def transformMa(raw: Array[Double]): Array[Double] = transformAr(raw)
+  /** statsmodels `_ma_transparams`: the Monahan recursion with `+=` in the
+    * inner update — with the 1+θ₁L+…+θ_qL^q convention of the Harvey state
+    * space, that (not the AR `-=` form) maps onto the invertible MA region;
+    * for q ≥ 2 the AR-form image misses e.g. all root-flipped equivalents
+    * of θ = (1.1, 0.3). */
+  def transformMa(raw: Array[Double]): Array[Double] = {
+    val k = raw.length
+    if (k == 0) return raw
+    val pacf = raw.map(x => x / math.sqrt(1 + x * x))
+    val th = Array.ofDim[Double](k, k)
+    for (j <- 0 until k) {
+      th(j)(j) = pacf(j)
+      for (i <- 0 until j)
+        th(j)(i) = th(j - 1)(i) + pacf(j) * th(j - 1)(j - 1 - i)
+    }
+    th(k - 1)
+  }
 
   /** ARMA ψ weights: ψ_0=1, ψ_j = θ_j + Σ_i φ_i ψ_{j-i}. Returns ψ_0..ψ_{n-1}. */
   def psiWeights(phi: Array[Double], theta: Array[Double], n: Int): Array[Double] = {
@@ -230,6 +231,26 @@ object Arima {
       psi(j) = v
     }
     psi
+  }
+
+  /** ψ-weight forecast SE cumulated through d integrations — the d ≥ 2
+    * approximation (the Kalman accumulator state handles d ≤ 1 exactly). */
+  def integratedPsiSe(phi: Array[Double], theta: Array[Double],
+      sigma2: Double, steps: Int, d: Int): Array[Double] = {
+    var psi = psiWeights(phi, theta, steps)
+    for (_ <- 1 to d) {
+      val c = new Array[Double](steps)
+      var acc = 0.0
+      for (i <- 0 until steps) { acc += psi(i); c(i) = acc }
+      psi = c
+    }
+    val out = new Array[Double](steps)
+    var cum = 0.0
+    for (h <- 0 until steps) {
+      cum += psi(h) * psi(h)
+      out(h) = math.sqrt(sigma2 * cum)
+    }
+    out
   }
 
   /** Kalman filter over the Harvey ARMA state space; returns

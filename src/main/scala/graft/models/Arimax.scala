@@ -92,10 +92,26 @@ final class Arimax(val p: Int, val d: Int, val q: Int) {
       var acc = lastVals.last
       level = level.map { v => acc += v; acc }
     }
-    val halfWidth = uF.zip(uHi).map { case (f, h) => h - f }
-    // CI width comes from the ARMA error process (β treated as known)
-    val adjLo = level.zip(halfWidth).map { case (l, w) => l - w }
-    val adjHi = level.zip(halfWidth).map { case (l, w) => l + w }
+    // CI width comes from the ARMA error process (β treated as known).
+    // For d ≥ 1 the forecast-error variance must accumulate through the
+    // integration — run the Kalman SE recursion with the d-fold level
+    // accumulator (same machinery as Arima.predict) instead of reusing the
+    // d=0 half-width on the integrated level.
+    val se: Array[Double] =
+      if (d == 0) {
+        val z0 = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+          .inverseCumulativeProbability(1 - alpha / 2)
+        uF.zip(uHi).map { case (f, h) => (h - f) / z0 }
+      } else if (d == 1)
+        Arima.forecastSe(arima.centeredSeries, arima.fittedPhi,
+          arima.fittedTheta, arima.fittedSigma2, steps, d)
+      else
+        Arima.integratedPsiSe(arima.fittedPhi, arima.fittedTheta,
+          arima.fittedSigma2, steps, d)
+    val z = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+      .inverseCumulativeProbability(1 - alpha / 2)
+    val adjLo = level.zip(se).map { case (l, s) => l - z * s }
+    val adjHi = level.zip(se).map { case (l, s) => l + z * s }
     (level, adjLo, adjHi)
   }
 }

@@ -25,11 +25,12 @@ object Difference {
   case object Quotient extends Op { val key = "quot" }     // x[i] / x[i-s]
   case object PercentChange extends Op { val key = "pct" } // (quot - 1) * 100
 
+  /** The reference appends the `:shift` postfix to EVERY op's output name
+    * when shift ≠ 1, including Diff2 (`owdifference.py:158,193`) — even
+    * though Diff2 itself always differences at lag 1. */
   def columnName(op: Op, c: String, shift: Int): String = {
     val base = s"${op.key}_$c"
-    if (shift != 1 && (op == Delta || op == Quotient || op == PercentChange))
-      s"${base}_$shift"
-    else base
+    if (shift != 1) s"${base}_$shift" else base
   }
 
   /** The derived column for one op over one source column. */

@@ -3,6 +3,7 @@ package graft.ops
 import graft.agg.AggRegistry.nanToNull
 import graft.core.TimeseriesFrame
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classical seasonal decomposition — the Spark re-expression of the
@@ -40,8 +41,10 @@ object SeasonalDecompose {
   private def decomposeOne(tsf: TimeseriesFrame, c: String, p: Int,
       comp: (Column, Column) => Column): DataFrame = {
     val w = tsf.window
+    val keys = tsf.seriesKeys
+    val keyCols = keys.map(col)
     val x = nanToNull(col(c))
-    val rn = row_number().over(w) - 1 // 0-based position
+    val rn = row_number().over(w) - 1 // 0-based position within the series
     val even = p % 2 == 0
     val h = p / 2
 
@@ -54,47 +57,53 @@ object SeasonalDecompose {
       } else {
         avg(x).over(w.rowsBetween(-h, h))
       }
-    val n = tsf.df.count()
-    val first = h.toLong                 // first defined trend position
-    val last = n - 1 - h                 // last defined trend position
+    // per-series length/edge positions as columns — no driver-side count(),
+    // correct under seriesKeys partitioning
+    val wholePart = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val base = tsf.df
       .withColumn("__rn", rn.cast("long"))
+      .withColumn("__n", count(lit(1)).over(wholePart))
       .withColumn("__trend0",
-        when(col("__rn") >= first && col("__rn") <= last, trendRaw))
+        when(col("__rn") >= h && col("__rn") <= col("__n") - 1 - h, trendRaw))
 
-    // --- edge extrapolation over ≤3 defined points (functions.py:377-394)
-    val firstEnd = math.min(first + 3, last)
-    val lastStart = math.max(first, last - 3)
-    val fits = base.agg(
-      regr_slope(when(col("__rn") >= first && col("__rn") < firstEnd, col("__trend0")),
-        when(col("__rn") >= first && col("__rn") < firstEnd, col("__rn"))).as("k1"),
-      regr_intercept(when(col("__rn") >= first && col("__rn") < firstEnd, col("__trend0")),
-        when(col("__rn") >= first && col("__rn") < firstEnd, col("__rn"))).as("c1"),
-      regr_slope(when(col("__rn") >= lastStart && col("__rn") < last, col("__trend0")),
-        when(col("__rn") >= lastStart && col("__rn") < last, col("__rn"))).as("k2"),
-      regr_intercept(when(col("__rn") >= lastStart && col("__rn") < last, col("__trend0")),
-        when(col("__rn") >= lastStart && col("__rn") < last, col("__rn"))).as("k2c"))
-      .head()
-    val (k1, c1, k2, c2) =
-      (fits.getDouble(0), fits.getDouble(1), fits.getDouble(2), fits.getDouble(3))
+    // --- edge extrapolation over ≤3 defined points (functions.py:377-394),
+    // fitted per series with regr_slope/regr_intercept; the per-window mean
+    // backs a flat-line fallback when <2 points leave the regression null
+    val lastPos = col("__n") - 1 - h
+    val firstEnd = least(lit(h.toLong) + 3, lastPos)
+    val lastStart = greatest(lit(h.toLong), lastPos - 3)
+    val c1cond = col("__rn") >= h && col("__rn") < firstEnd
+    val c2cond = col("__rn") >= lastStart && col("__rn") < lastPos
+    val fits = base.groupBy(keyCols: _*).agg(
+      regr_slope(when(c1cond, col("__trend0")), when(c1cond, col("__rn"))).as("__k1"),
+      regr_intercept(when(c1cond, col("__trend0")), when(c1cond, col("__rn"))).as("__c1"),
+      avg(when(c1cond, col("__trend0"))).as("__m1"),
+      regr_slope(when(c2cond, col("__trend0")), when(c2cond, col("__rn"))).as("__k2"),
+      regr_intercept(when(c2cond, col("__trend0")), when(c2cond, col("__rn"))).as("__c2"),
+      avg(when(c2cond, col("__trend0"))).as("__m2"))
+    val withFits =
+      if (keys.isEmpty) base.crossJoin(broadcast(fits))
+      else base.join(fits, keys) // one tiny row per series; AQE broadcasts
     val trend =
-      when(col("__rn") < first, col("__rn") * k1 + c1)
-        .when(col("__rn") > last, col("__rn") * k2 + c2)
+      when(col("__rn") < h,
+        col("__rn") * coalesce(col("__k1"), lit(0.0)) + coalesce(col("__c1"), col("__m1")))
+        .when(col("__rn") > lastPos,
+          col("__rn") * coalesce(col("__k2"), lit(0.0)) + coalesce(col("__c2"), col("__m2")))
         .otherwise(col("__trend0"))
 
     // --- seasonal: per-phase mean of detrended, re-centered --------------
-    val withDetr = base
+    val withDetr = withFits
       .withColumn("__phase", col("__rn") % p)
       .withColumn("__detr", comp(x, col("__trend0")))
-    val phaseAvg = withDetr.groupBy(col("__phase"))
+    val grandW =
+      if (keys.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keyCols: _*)
+    val phaseAvg = withDetr.groupBy((keyCols :+ col("__phase")): _*)
       .agg(avg(col("__detr")).as("__pavg"))
-    val grand = phaseAvg.agg(avg(col("__pavg"))).head().getDouble(0)
-    val seasonalCol =
-      if (grand.isNaN) lit(Double.NaN)
-      else comp(col("__pavg"), lit(grand))
+      .withColumn("__grand", avg(col("__pavg")).over(grandW))
     val withSeason = withDetr
-      .join(broadcast(phaseAvg), "__phase")
-      .withColumn(s"${c}_seasonal", seasonalCol)
+      .join(broadcast(phaseAvg), keys :+ "__phase")
+      .withColumn(s"${c}_seasonal", comp(col("__pavg"), col("__grand")))
 
     val adjusted = comp(x, col(s"${c}_seasonal"))
     val origNull = col(c).isNull || isnan(col(c).cast("double"))
@@ -103,6 +112,7 @@ object SeasonalDecompose {
       .withColumn(s"${c}_trend", when(origNull, lit(null)).otherwise(trend))
       .withColumn(s"${c}_residual",
         when(origNull, lit(null)).otherwise(comp(adjusted, trend)))
-      .drop("__rn", "__trend0", "__phase", "__detr", "__pavg")
+      .drop("__rn", "__n", "__trend0", "__phase", "__detr", "__pavg", "__grand",
+        "__k1", "__c1", "__m1", "__k2", "__c2", "__m2")
   }
 }

@@ -9,8 +9,8 @@ class TimeDeltaSpec extends SparkSpec {
   test("uniform numeric delta → equispaced seconds") {
     val td = TimeDelta.fromRawDeltas(Seq(10.0))
     assert(td.isEquispaced)
-    assert(td.timeInterval.contains(Left(10.0)))
-    assert(td.gcd.contains(10.0))
+    assert(td.timeInterval.contains(10.0))
+    assert(td.gcd.contains(Left(10.0)))
   }
 
   test("daily spacing") {
@@ -18,34 +18,49 @@ class TimeDeltaSpec extends SparkSpec {
     assert(td.isEquispaced && td.intervalSeconds.contains(86400.0))
   }
 
-  test("monthly spacing: 28..31-day deltas classify to one (1, month)") {
+  test("monthly mixed-length deltas: classified to one (1, month) but NOT equispaced") {
+    // reference `timeseries.py:44-47`: is_equispaced uses the RAW delta
+    // count, so 28/30/31-day months are not equispaced
     val td = TimeDelta.fromRawDeltas(Seq(2419200.0, 2592000.0, 2678400.0))
+    assert(!td.isEquispaced)
+    assert(td.timeInterval.isEmpty)
+    assert(td.deltas == Seq(Right((1, "month"))))
+    assert(td.min.contains(Right((1, "month"))))
+    // all-calendar gcd = min tuple (`timeseries.py:66-68`)
+    assert(td.gcd.contains(Right((1, "month"))))
+  }
+
+  test("uniform 30-day months: equispaced with a NUMERIC time_interval") {
+    val td = TimeDelta.fromRawDeltas(Seq(2592000.0))
     assert(td.isEquispaced)
-    assert(td.timeInterval.contains(Right((1, "month"))))
+    assert(td.timeInterval.contains(2592000.0))
+    assert(td.deltas == Seq(Right((1, "month"))))
   }
 
   test("yearly spacing: 365/366-day deltas classify to one (1, year)") {
     val td = TimeDelta.fromRawDeltas(Seq(31536000.0, 31622400.0))
-    assert(td.isEquispaced)
-    assert(td.timeInterval.contains(Right((1, "year"))))
+    assert(!td.isEquispaced)
+    assert(td.min.contains(Right((1, "year"))))
+    assert(td.gcd.contains(Right((1, "year"))))
   }
 
   test("mixed numeric deltas → not equispaced, gcd") {
     val td = TimeDelta.fromRawDeltas(Seq(10.0, 25.0))
     assert(!td.isEquispaced)
     assert(td.timeInterval.isEmpty)
-    assert(td.gcd.contains(5.0))
+    assert(td.gcd.contains(Left(5.0)))
+    assert(td.min.contains(Left(10.0)))
   }
 
   test("mixed numeric and calendar → gcd of numerics and one day") {
     val td = TimeDelta.fromRawDeltas(Seq(43200.0, 2592000.0))
     assert(!td.isEquispaced)
-    assert(td.gcd.contains(43200.0)) // gcd(43200, 86400)
+    assert(td.gcd.contains(Left(43200.0))) // gcd(43200, 86400)
   }
 
   test("empty → no delta (single-point series)") {
     val td = TimeDelta.fromRawDeltas(Nil)
-    assert(!td.isEquispaced && td.timeInterval.isEmpty && td.gcd.isEmpty)
+    assert(!td.isEquispaced && td.timeInterval.isEmpty && td.gcd.isEmpty && td.min.isEmpty)
   }
 
   test("inference over a DataFrame (duplicates and unsorted input legal)") {

@@ -45,4 +45,35 @@ class ArimaSpec extends SparkSpec {
     val (fo, cl, ch) = m.predict(10)
     (0 until 10).foreach { i => assert(fo(i) > cl(i) && fo(i) < ch(i)) }
   }
+
+  test("MA transform image covers the invertible region (q=2 MLE reachability)") {
+    // θ = (1.1, 0.3): invertible (roots of 1+1.1z+0.3z² are -5/3, -2) but
+    // OUTSIDE the image of the AR-form Monahan recursion — the `+=` MA form
+    // must reach it. Fit on a long simulated MA(2); MLE should land near
+    // the truth, which was impossible before the transformMa fix.
+    val rnd = new scala.util.Random(42)
+    val n = 4000
+    val e = Array.fill(n + 2)(rnd.nextGaussian())
+    val y = Array.tabulate(n)(i => e(i + 2) + 1.1 * e(i + 1) + 0.3 * e(i))
+    val m = new Arima(0, 0, 2).fit(y)
+    val th = m.fittedTheta
+    assert(math.abs(th(0) - 1.1) < 0.1, s"theta=${th.toSeq}")
+    assert(math.abs(th(1) - 0.3) < 0.1, s"theta=${th.toSeq}")
+  }
+
+  test("transformMa maps into the invertible region (roots outside unit circle)") {
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Array.fill(3)(rnd.nextGaussian() * 3)
+      val th = Arima.transformMa(raw)
+      // roots of 1 + θ1 z + θ2 z² + θ3 z³ must satisfy |z| > 1 ⇔ the
+      // reversed polynomial θ3 + θ2 z + θ1 z² + z³ has roots inside
+      val coeffs = Array(1.0) ++ th // 1 + θ1 z + ...
+      val lc = new org.apache.commons.math3.analysis.solvers.LaguerreSolver()
+      val roots = lc.solveAllComplex(coeffs, 0.0)
+      roots.foreach { r =>
+        assert(r.abs > 1.0 - 1e-9, s"root ${r.abs} inside unit circle for θ=${th.toSeq}")
+      }
+    }
+  }
 }

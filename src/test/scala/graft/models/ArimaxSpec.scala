@@ -40,4 +40,22 @@ class ArimaxSpec extends SparkSpec {
       assert(math.abs(fo(h) - expected) < 1.0, s"h=$h: ${fo(h)} vs $expected")
     }
   }
+
+  test("d=1 CI half-width accumulates through integration (grows ≥ √h)") {
+    val rnd = new scala.util.Random(11)
+    val n = 300
+    val x = Array.tabulate(n)(i => i * 0.2)
+    val y = new Array[Double](n)
+    y(0) = 1.0
+    for (i <- 1 until n) y(i) = y(i - 1) + 0.3 + 0.5 * rnd.nextGaussian()
+    val m = new Arimax(1, 1, 0).fit(y, x.map(Array(_)))
+    val futureX = Array.tabulate(8)(h => Array(x.last + 0.2 * (h + 1)))
+    val (fo, lo, hi) = m.predict(futureX)
+    val hw = (0 until 8).map(h => (hi(h) - lo(h)) / 2)
+    // an integrated (random-walk-like) process has Var(h) ≈ h·σ²; the d=0
+    // ARMA half-width would flatten to a constant instead
+    assert(hw(7) > hw(0) * 2.0, s"halfWidths=$hw")
+    (1 until 8).foreach(h => assert(hw(h) >= hw(h - 1) - 1e-9, s"non-monotone at $h: $hw"))
+    (0 until 8).foreach(h => assert(fo(h) > lo(h) && fo(h) < hi(h)))
+  }
 }

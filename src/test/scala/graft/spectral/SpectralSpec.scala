@@ -20,7 +20,11 @@ class SpectralSpec extends SparkSpec {
     assert(air.df.count() == 144)
     assert(air.timeCol.contains("Month"))
     val td = air.timeDelta
-    assert(td.isEquispaced && td.timeInterval.contains(Right((1, "month"))))
+    // mixed month lengths → not equispaced on raw deltas (`timeseries.py:44-47`),
+    // but classified to a single calendar step with gcd = min = (1, month)
+    assert(!td.isEquispaced)
+    assert(td.deltas == Seq(Right((1, "month"))))
+    assert(td.gcd.contains(Right((1, "month"))))
   }
 
   test("ACF peaks at lags 12/24/36/48, positive (test_correlation.py:12-15)") {

@@ -28,12 +28,14 @@ def canon(cols, rows):
 fails = 0
 for name in sorted(oracle):
     try:
-        o = con.execute(oracle[name])
-        ocols = [d[0] for d in o.description]
-        orows = o.fetchall()
-        s = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        scols = [d[0] for d in s.description]
-        srows = s.fetchall()
+        # fetch via pandas (as the driver does): DuckDB HUGEINT becomes
+        # float64 here, so int-vs-float type drift is caught locally
+        odf = con.execute(oracle[name]).df()
+        ocols = list(odf.columns)
+        orows = [tuple(r) for r in odf.itertuples(index=False)]
+        sdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        scols = list(sdf.columns)
+        srows = [tuple(r) for r in sdf.itertuples(index=False)]
         oc, orw = canon(ocols, orows)
         sc, srw = canon(scols, srows)
         if oc != sc:
