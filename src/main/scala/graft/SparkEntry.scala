@@ -253,16 +253,21 @@ object SparkEntry {
           round(Dedup.jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
     }),
     "q18_minhash_lsh" -> ((s, dir) =>
-      // rows-only check: hash functions are engine-specific
+      // deterministic affine minhash over polynomial shingle hashes —
+      // reproduced exactly by the DuckDB oracle (same integer arithmetic)
       Dedup.minhashCandidates(tbl(s, dir, "documents"), "doc_id", "text",
-        shingles = TextFunctions.wordShingles(_, 3), numHashes = 64, bands = 8)
+        shingleHashesOf = TextFunctions.shingleHashes(_, 3),
+        numHashes = 64, bands = 8)
         .filter(col("est_jaccard") >= 0.5)),
     "q19_simhash" -> ((s, dir) => {
       // word-bigram features (the standard simhash feature set; ~7x fewer
-      // features than char shingles at equal near-dup sensitivity)
+      // features than char shingles at equal near-dup sensitivity);
+      // deterministic polynomial feature hashes widened to 62 bits
       val d = tbl(s, dir, "documents")
       d.select(col("doc_id"),
-        Dedup.simhash(TextFunctions.wordShingles(col("text"), 2)).as("sig"))
+        Dedup.simhashFromHashes(
+          transform(TextFunctions.shingleHashes(col("text"), 2),
+            Dedup.widenHash62(_))).as("sig"))
     }),
     // ---- similarity search --------------------------------------------
     "q20_cosine_pairs" -> ((s, dir) => {
@@ -286,10 +291,13 @@ object SparkEntry {
           col("neighbor_id"), round(col("sim"), 4).as("sim"))
     }),
     "q22_lsh_topk" -> ((s, dir) => {
-      // rows-only check: LSH buckets are engine-specific hashes
+      // LCG-derived hyperplanes → the bucketing is pure integer arithmetic
+      // the DuckDB oracle replays exactly
       val e = tbl(s, dir, "embeddings")
       Similarity.lshTopK(e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("sim"), 4).as("sim"))
     }),
     // ---- §2.8 spectral / correlation ----------------------------------
     "q26_acf" -> ((s, dir) => {
@@ -300,10 +308,12 @@ object SparkEntry {
           .toDouble))).toDF("lag", "acf")
     }),
     "q27_pacf" -> ((s, dir) => {
-      // rows-only: Levinson-Durbin recursion has no SQL oracle
+      // Levinson-Durbin over the ACF — mirrored by a recursive-CTE oracle
       val t = ev(s, dir)
       val vec = Correlation.pacfVector(Correlation.acfVector(t, "value", 48))
-      s.createDataFrame((1 to 48).map(l => (l.toLong, vec(l)))).toDF("lag", "pacf")
+      s.createDataFrame((1 to 48).map(l =>
+        (l.toLong, BigDecimal(vec(l)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))).toDF("lag", "pacf")
     }),
     "q28_periodogram" -> ((s, dir) => {
       val d = daily(s, dir)
@@ -321,11 +331,14 @@ object SparkEntry {
           round(col("v_residual"), 6).as("v_residual"))
     }),
     "q30_lomb_scargle" -> ((s, dir) => {
-      // rows-only: scipy-convention Lomb-Scargle peaks
+      // scipy-convention Lomb-Scargle peaks; the 5-sum tau identity is
+      // plain trig-sum SQL, so the oracle replays it
       val t = ev(s, dir)
       val withT = t.copy(df = t.df.withColumn("tsec", col("ts").cast("double")),
         timeCol = Some("tsec"))
       Periodogram.lombScargle(withT, "value", nPeriods = 200, detrend = "linear")
+        .select(round(col("period"), 6).as("period"),
+          round(col("pgram"), 6).as("pgram"))
     }),
     // ---- §2.9 forecast models (rows-only: no SQL oracle exists) -------
     "q31_arima_forecast" -> ((s, dir) => {
@@ -584,8 +597,13 @@ object SparkEntry {
         |   ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
         |        / len(list_distinct(list_concat(a.toks, b.toks))) END, 6) AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q18_minhash_lsh" -> minhashSql,
+    "q19_simhash" -> simhashSql,
     "q20_cosine_pairs" -> cosinePairsSql,
     "q21_knn_topk" -> knnTopkSql,
+    "q22_lsh_topk" -> lshTopkSql,
+    "q27_pacf" -> pacfSql,
+    "q30_lomb_scargle" -> lombScargleSql,
     "q26_acf" ->
       s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
          |mu AS (SELECT avg(value) AS mu FROM s),
@@ -774,6 +792,154 @@ object SparkEntry {
        | CAST(en_n AS BIGINT) AS en_hits, CAST(de_n AS BIGINT) AS de_hits
        |FROM s""".stripMargin
   }
+
+  /** Per-doc token polynomial hashes — the shared base of the minhash and
+    * simhash oracles (mirrors `TextFunctions.polyHash` over
+    * `tokensLower`). */
+  private val tokHashSql: String =
+    """SELECT doc_id,
+      | list_transform(
+      |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''),
+      |  t -> list_reduce(
+      |   list_transform(list_filter(string_split(t, ''), c -> c != ''),
+      |    c -> CAST(ascii(c) AS BIGINT)),
+      |   (a, c) -> (a * 31 + c) % 1000000007)) AS th
+      |FROM documents""".stripMargin
+
+  private def minhashSql: String = {
+    val paramRows = Dedup.minhashParams(64).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    s"""WITH th AS ($tokHashSql),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(th) >= 3 THEN list_distinct(list_transform(range(1, len(th) - 1),
+       |    i -> (((th[i]*1000003 + th[i+1]) % 1000000007) * 1000003 + th[i+2]) % 1000000007))
+       |   ELSE [] END AS sh
+       | FROM th),
+       |params(j, a, b) AS (VALUES $paramRows),
+       |slots AS (SELECT doc_id, p.j,
+       |  CASE WHEN len(sh) = 0 THEN 2147483647
+       |   ELSE list_min(list_transform(sh, h -> (p.a * h + p.b) % 2147483647)) END AS slot
+       | FROM sh CROSS JOIN params p),
+       |sigs AS (SELECT doc_id, list(slot ORDER BY j) AS sig FROM slots GROUP BY doc_id),
+       |bnd AS (SELECT doc_id, b.b,
+       |  list_reduce(list_prepend(CAST(b.b AS BIGINT), list_slice(sig, b.b*8 + 1, b.b*8 + 8)),
+       |    (acc, s) -> (acc * 31 + s) % 2147483647) AS bkey
+       | FROM sigs CROSS JOIN range(0, 8) b(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       | FROM bnd x JOIN bnd y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |scored AS (SELECT c.id_a, c.id_b,
+       |  list_sum(list_transform(range(1, 65),
+       |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 64 AS est_jaccard
+       | FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b)
+       |SELECT * FROM scored WHERE est_jaccard >= 0.5""".stripMargin
+  }
+
+  private def simhashSql: String =
+    s"""WITH th AS ($tokHashSql),
+       |bh AS (SELECT doc_id,
+       |  CASE WHEN len(th) >= 2 THEN list_distinct(list_transform(range(1, len(th)),
+       |    i -> (th[i]*1000003 + th[i+1]) % 1000000007)) ELSE [] END AS bh
+       | FROM th),
+       |f AS (SELECT doc_id, unnest(bh) AS h FROM bh),
+       |w AS (SELECT doc_id, ((h * 48271) % 2147483647) * 2147483648 + h AS h FROM f),
+       |votes AS (SELECT doc_id, k.k,
+       |  sum(CASE WHEN (h >> k.k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       | FROM w CROSS JOIN range(0, 64) k(k) GROUP BY doc_id, k.k),
+       |sigs AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS sig
+       | FROM votes GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+       |FROM documents d LEFT JOIN sigs s USING (doc_id)""".stripMargin
+
+  private def lshTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |buck AS (SELECT e.vec_id, t.t,
+      |  CAST(sum(CASE WHEN list_inner_product(e.v,
+      |    list_transform(range(0, CAST(len(e.v) AS BIGINT)),
+      |      i -> ((1103515245 * ((t.t*7368787 + p.p*1000003 + i) % 2147483647) + 12345)
+      |            % 2147483648)::DOUBLE / 1073741824.0 - 1.0)) >= 0
+      |    THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT) AS b
+      | FROM e CROSS JOIN range(0, 4) t(t) CROSS JOIN range(0, 12) p(p)
+      | GROUP BY e.vec_id, t.t),
+      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      | FROM buck q JOIN buck c ON q.t = c.t AND q.b = c.b
+      | WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+      |scored AS (SELECT cand.query_id, cand.neighbor_id,
+      |  list_inner_product(qe.v, ce.v)
+      |   / (sqrt(list_inner_product(qe.v, qe.v)) * sqrt(list_inner_product(ce.v, ce.v))) AS sim
+      | FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+      |  JOIN e ce ON ce.vec_id = cand.neighbor_id)
+      |SELECT query_id,
+      | CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+      | neighbor_id, round(sim, 4) AS sim
+      |FROM scored QUALIFY rank <= 5""".stripMargin
+
+  private def pacfSql: String = {
+    // kk = φ_{k+1,k+1} of the Levinson-Durbin step, spliced verbatim where
+    // the recursion needs it (DuckDB recursive CTEs have no LATERAL alias)
+    val kk = "((r[k+2] - list_sum(list_transform(range(1, k + 1), " +
+      "j2 -> phi[j2]*r[k+2-j2]))) / e)"
+    s"""WITH RECURSIVE s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
+       |mu AS (SELECT avg(value) AS mu FROM s),
+       |c AS (SELECT rn, value - (SELECT mu FROM mu) AS xc FROM s),
+       |den AS (SELECT sum(xc*xc) AS s0 FROM c),
+       |acfv AS (SELECT list_prepend(1.0, list(a ORDER BY lag)) AS r FROM (
+       | SELECT lg.lag AS lag, sum(a.xc*b.xc) / (SELECT s0 FROM den) AS a
+       | FROM range(1, 49) lg(lag)
+       | JOIN c a ON a.rn > lg.lag
+       | JOIN c b ON b.rn = a.rn - lg.lag
+       | GROUP BY 1)),
+       |ld AS (
+       | SELECT 1 AS k, [r[2]] AS phi, 1.0 - r[2]*r[2] AS e, r[2] AS pacf FROM acfv
+       | UNION ALL
+       | SELECT k + 1,
+       |  list_append(list_transform(range(1, k + 1),
+       |    j -> phi[j] - $kk * phi[k + 1 - j]), $kk),
+       |  e * (1.0 - $kk * $kk),
+       |  $kk
+       | FROM ld, acfv WHERE k < 48)
+       |SELECT CAST(k AS BIGINT) AS lag, round(pacf, 6) AS pacf FROM ld""".stripMargin
+  }
+
+  private def lombScargleSql: String =
+    """WITH base AS (SELECT epoch_us(ts)/1000000.0 AS t, value AS x FROM events),
+      |ser0 AS (SELECT t, x, CAST(row_number() OVER (ORDER BY t) - 1 AS DOUBLE) AS i FROM base),
+      |fit AS (SELECT regr_slope(x, i) AS k, regr_intercept(x, i) AS c FROM ser0),
+      |ser AS (SELECT t, x - (i * (SELECT k FROM fit) + (SELECT c FROM fit)) AS x FROM ser0),
+      |st AS (SELECT count(*) AS n, var_pop(x) AS v FROM ser),
+      |dts AS (SELECT t - lag(t) OVER (ORDER BY t) AS dt FROM base QUALIFY dt IS NOT NULL),
+      |pct AS (SELECT quantile_cont(dt, 0.05) AS p5,
+      |  greatest(200*quantile_cont(dt, 0.05), quantile_cont(dt, 0.80)) AS ph FROM dts),
+      |grid AS (SELECT 2*pi() / ((SELECT ph FROM pct)
+      |   + ((SELECT p5 FROM pct) - (SELECT ph FROM pct)) * g.j / 199.0) AS omega
+      | FROM range(0, 200) g(j)),
+      |sums AS (SELECT omega,
+      |  sum(x * cos(omega*t)) AS xc, sum(x * sin(omega*t)) AS xs,
+      |  sum(cos(omega*t)*cos(omega*t)) AS cc, sum(sin(omega*t)*sin(omega*t)) AS ss,
+      |  sum(sin(omega*t)*cos(omega*t)) AS cs
+      | FROM ser CROSS JOIN grid GROUP BY omega),
+      |tau AS (SELECT *, cos(atan2(2.0*cs, cc - ss)/2) AS ct, sin(atan2(2.0*cs, cc - ss)/2) AS st2 FROM sums),
+      |spec AS (SELECT 2*pi()/omega AS period,
+      |  ((ct*xc + st2*xs)*(ct*xc + st2*xs) / (ct*ct*cc + 2.0*ct*st2*cs + st2*st2*ss)
+      |   + (ct*xs - st2*xc)*(ct*xs - st2*xc) / (st2*st2*cc - 2.0*ct*st2*cs + ct*ct*ss)) / 2.0
+      |   * (2.0 / ((SELECT n FROM st) * (SELECT v FROM st))) AS power
+      | FROM tau),
+      |sc AS (SELECT period, (power - min(power) OVER ())
+      |  / (max(power) OVER () - min(power) OVER ()) AS pgram FROM spec),
+      |pk AS (SELECT period, pgram,
+      |  lag(pgram,1) OVER w AS l1, lag(pgram,2) OVER w AS l2, lag(pgram,3) OVER w AS l3,
+      |  lag(pgram,4) OVER w AS l4, lag(pgram,5) OVER w AS l5,
+      |  lead(pgram,1) OVER w AS f1, lead(pgram,2) OVER w AS f2, lead(pgram,3) OVER w AS f3,
+      |  lead(pgram,4) OVER w AS f4, lead(pgram,5) OVER w AS f5
+      | FROM sc WINDOW w AS (ORDER BY period))
+      |SELECT round(period, 6) AS period, round(pgram, 6) AS pgram FROM pk
+      |WHERE l1 IS NOT NULL AND f1 IS NOT NULL
+      | AND (l1 IS NULL OR pgram > l1) AND (l2 IS NULL OR pgram > l2)
+      | AND (l3 IS NULL OR pgram > l3) AND (l4 IS NULL OR pgram > l4)
+      | AND (l5 IS NULL OR pgram > l5)
+      | AND (f1 IS NULL OR pgram > f1) AND (f2 IS NULL OR pgram > f2)
+      | AND (f3 IS NULL OR pgram > f3) AND (f4 IS NULL OR pgram > f4)
+      | AND (f5 IS NULL OR pgram > f5)""".stripMargin
 
   private def cosinePairsSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

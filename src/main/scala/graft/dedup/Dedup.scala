@@ -32,29 +32,47 @@ object Dedup {
   def normalizedKey(textCol: Column, nTokens: Int): Column =
     concat_ws(" ", slice(TextFunctions.tokensLower(textCol), 1, nTokens))
 
-  /** MinHash signature: `numHashes` permutation-approximating hash slots
-    * over the document's shingle set. Each slot h_i = min over shingles of
-    * xxhash64(shingle, seed=i). Pure expressions, evaluated in the scan
-    * stage. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    // single fold over the shingles: the shingle subtree is evaluated ONCE
-    // per row. The dual formulation — per-slot `array_min(transform(...))`
-    // — embeds the shingle expression inside the slot lambda, and Spark's
-    // higher-order functions re-evaluate lambda subtrees per element
-    // (CollapseProject re-inlines any pre-projection), which made the
-    // tokenizer pipeline run `numHashes` times per row: ~70× slower.
-    aggregate(shingles,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (m, i) => least(m, xxhash64(s, i))))
+  /** Universe prime for the affine minhash permutations: 2³¹−1. Also the
+    * "infinity" sentinel of an empty shingle set (all slot values < P). */
+  val MinhashPrime = 2147483647L
+
+  /** Seeded affine-permutation params (a_j, b_j) — generated once on the
+    * driver so BOTH engines (Spark expressions and the SQL oracle) use the
+    * identical constants. */
+  def minhashParams(numHashes: Int, seed: Long = 909090L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature: slot j = min over the document's shingle-hash set
+    * of `(a_j·h + b_j) mod P` — classic affine universal hashing over the
+    * [[graft.text.TextFunctions.shingleHashes]] base hashes. Pure integer
+    * expressions (cross-engine deterministic), evaluated in the scan stage.
+    *
+    * Single fold over the shingles: the shingle subtree is evaluated ONCE
+    * per row. The dual formulation — per-slot `array_min(transform(...))` —
+    * embeds the shingle expression inside the slot lambda, and Spark's
+    * higher-order functions re-evaluate lambda subtrees per element
+    * (CollapseProject re-inlines any pre-projection), which made the
+    * tokenizer pipeline run `numHashes` times per row: ~70× slower. */
+  def minhashSignature(shingleHashes: Column, params: Seq[(Long, Long)]): Column = {
+    val pArr = array(params.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    aggregate(shingleHashes,
+      array_repeat(lit(MinhashPrime), params.length),
+      (acc, h) => zip_with(acc, pArr,
+        (m, p) => least(m, (p("a") * h + p("b")) % MinhashPrime)))
+  }
 
   /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`
-    * slots, each band hashed to one bucket key. Docs sharing any band key
-    * are candidate near-duplicates. */
+    * slots, each band folded to one bucket key
+    * (`key = fold(acc·31 + slot) mod P`, seeded with the band index). Docs
+    * sharing any band key are candidate near-duplicates. */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws("_",
-        lit(b), concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))))
+      b => aggregate(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+        b.cast("long"), (acc, s) => (acc * 31L + s) % MinhashPrime))
 
   /** MinHash+LSH candidate pairs: explode band keys, self-join per bucket.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b; `est_jaccard` is
@@ -64,10 +82,11 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingles: Column => Column = TextFunctions.wordShingles(_, 3),
+      shingleHashesOf: Column => Column = TextFunctions.shingleHashes(_, 3),
       numHashes: Int = 64,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
+    val params = minhashParams(numHashes)
     // materialize the shingle array once per row — inlining it into the
     // signature expression would re-evaluate the whole tokenize/distinct
     // pipeline for every one of the `numHashes` slots
@@ -76,7 +95,7 @@ object Dedup {
     // runs three times
     val sigs = df
       .select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
+        minhashSignature(shingleHashesOf(col(textCol)), params).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
@@ -96,15 +115,16 @@ object Dedup {
           eq => eq)).cast("double") / numHashes).as("est_jaccard"))
   }
 
-  /** SimHash: `bits`-bit signature where bit k is the sign of the sum over
-    * features of ±1 votes (bit k of each feature's hash). Near-duplicates
-    * are signatures within a small Hamming distance. */
-  def simhash(features: Column, bits: Int = 64): Column = {
-    // same single-fold shape as [[minhashSignature]]: features and the
-    // hash array are each evaluated once per row, not once per bit
+  /** SimHash over precomputed feature-hash values: `bits`-bit signature
+    * where bit k is the sign of the sum over features of ±1 votes (bit k of
+    * each feature's hash). Near-duplicates are signatures within a small
+    * Hamming distance. */
+  def simhashFromHashes(hashes: Column, bits: Int = 64): Column = {
+    // same single-fold shape as [[minhashSignature]]: the hash array is
+    // evaluated once per row, not once per bit
     val masks = array((0 until bits).map(k => lit(1L << k)): _*)
     val votes = aggregate(
-      transform(features, f => xxhash64(f)),
+      hashes,
       array_repeat(lit(0L), bits),
       (acc, h) => zip_with(acc, masks,
         (v, m) => v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
@@ -112,6 +132,17 @@ object Dedup {
       zip_with(votes, masks, (v, m) => when(v > 0L, m).otherwise(0L)),
       lit(0L), (a, x) => a.bitwiseOR(x))
   }
+
+  /** SimHash of string features (xxhash64 feature hashing — fast Spark path
+    * when cross-engine reproducibility is not required). */
+  def simhash(features: Column, bits: Int = 64): Column =
+    simhashFromHashes(transform(features, f => xxhash64(f)), bits)
+
+  /** Widen a ~30-bit [[graft.text.TextFunctions.polyHash]]-derived value to
+    * 62 well-mixed bits with one Lehmer step — `h62 = ((h·48271) mod 2³¹−1)
+    * · 2³¹ + h`. Pure integer ops, reproducible in any SQL engine. */
+  def widenHash62(h: Column): Column =
+    ((h * 48271L) % MinhashPrime) * 2147483648L + h
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

@@ -49,11 +49,15 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: a reproducible
-    * stand-in for a gaussian projection — hash (table, plane, dim) to a
-    * value in [-1, 1). Portable across engines and runs. */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(table.toLong * 7368787L + plane * 1000003L) + dim),
-      lit(2000003L)).cast("double") / 1000001.5) - 1.0
+    * stand-in for a gaussian projection — one LCG step on the (table,
+    * plane, dim) index, mapped to [-1, 1). Pure 64-bit-safe integer
+    * arithmetic, so any SQL engine reproduces it exactly:
+    * `((1103515245·((t·7368787 + p·1000003 + i) mod 2³¹−1) + 12345)
+    *   mod 2³¹) / 2³⁰ − 1`. */
+  private[similarity] def planeComponent(table: Int, plane: Int, dim: Column): Column =
+    (((lit(1103515245L) *
+        pmod(lit(table.toLong * 7368787L + plane * 1000003L) + dim, lit(2147483647L))
+        + 12345L) % 2147483648L).cast("double") / 1073741824.0) - 1.0
 
   /** Sign bits of `numPlanes` random-hyperplane projections packed into one
     * long bucket key. Cosine-similar vectors collide with high

@@ -113,9 +113,31 @@ object TextFunctions {
   /** Polynomial rolling-hash document fingerprint over character codes:
     * `h = (h*31 + code) mod 1e9+7`. Stable across engines (pure integer
     * arithmetic), usable as a cheap content id for dedup joins. */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = polyHash(text)
+
+  /** The same polynomial char-code hash applied to any string column —
+    * the cross-engine-reproducible base hash for minhash/simhash features
+    * (every engine with a char-code accessor computes the identical value,
+    * unlike murmur/xxhash whose seeds and tail handling differ). */
+  def polyHash(s: Column): Column =
     aggregate(
-      transform(filter(split(text, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
       lit(0L),
       (acc, c) => (acc * 31L + c) % 1000000007L)
+
+  /** Deterministic word n-gram shingle HASHES (distinct): per-token
+    * [[polyHash]] values combined across n consecutive tokens with
+    * `h = (h·1000003 + next) mod 1e9+7`. Same zip-shift construction as
+    * [[wordShingles]] (tokens are hashed once, not once per shingle), but
+    * the output is a set of longs — cheaper to minhash than shingle strings
+    * and bit-identical across engines. */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val th = transform(tokensLower(text), polyHash(_))
+    val combined = (2 to n).foldLeft(th) { (acc, i) =>
+      zip_with(acc, slice(th, lit(i), greatest(size(th) - (i - 1), lit(1))),
+        (a, b) => (a * 1000003L + b) % 1000000007L)
+    }
+    // trailing n−1 slots zip against missing elements → null; drop them
+    array_distinct(filter(combined, h => h.isNotNull))
+  }
 }

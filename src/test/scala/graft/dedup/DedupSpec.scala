@@ -1,0 +1,83 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** The deterministic (cross-engine) minhash/simhash path: polynomial
+  * shingle hashes, affine-permutation signatures, LSH banding, and simhash
+  * Hamming behavior on near-duplicates. */
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "completely different text about distributed query engines and sparks"),
+      (4L, "tiny doc"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+  }
+
+  test("shingleHashes: one hash per distinct word n-gram, stable values") {
+    val r = docs.select(
+      size(TextFunctions.wordShingles(col("text"), 3)).as("nstr"),
+      size(TextFunctions.shingleHashes(col("text"), 3)).as("nhash")).collect()
+    // hash cardinality can only drop below string cardinality on a hash
+    // collision — none on this fixture
+    r.foreach(row => assert(row.getInt(0) == row.getInt(1), row.toString))
+    // short docs (<n tokens) → empty set
+    val short = docs.filter(col("doc_id") === 4)
+      .select(size(TextFunctions.shingleHashes(col("text"), 3))).head().getInt(0)
+    assert(short == 0)
+    // stability: fixed value for a known token ("the" = ((0*31+t)*31+h)*31+e …)
+    val the = docs.sparkSession.range(1)
+      .select(TextFunctions.polyHash(lit("the"))).head().getLong(0)
+    assert(the == (('t'.toLong * 31 + 'h') * 31 + 'e') % 1000000007L)
+  }
+
+  test("minhash est_jaccard tracks true Jaccard for near-duplicates") {
+    // 16 bands of 4 rows: detection probability for J≈0.83 is
+    // 1-(1-0.83⁴)¹⁶ ≈ 0.99996 (8-row bands would miss ~12% of the time)
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleHashesOf = TextFunctions.shingleHashes(_, 3),
+      numHashes = 64, bands = 16)
+    val rows = cand.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // docs 1/2 differ in one trailing word → true 3-shingle Jaccard ≈ 0.77;
+    // the 64-slot estimate must land in a generous band around it
+    assert(rows.contains((1L, 2L)), s"candidates=${rows.keySet}")
+    assert(rows((1L, 2L)) > 0.5 && rows((1L, 2L)) <= 1.0, rows((1L, 2L)).toString)
+    // both empty-shingle docs share the sentinel signature → est 1.0
+    assert(rows.get((4L, 5L)).contains(1.0), s"rows=$rows")
+    // unrelated docs either absent or scored low
+    assert(rows.get((1L, 3L)).forall(_ < 0.2))
+  }
+
+  test("simhash: near-duplicates within small Hamming distance, distinct texts far") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhashFromHashes(
+        transform(TextFunctions.shingleHashes(col("text"), 2),
+          Dedup.widenHash62(_))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) <= 12,
+      s"near-dup hamming ${ham(sigs(1L), sigs(2L))}")
+    assert(ham(sigs(1L), sigs(3L)) > 12,
+      s"distinct hamming ${ham(sigs(1L), sigs(3L))}")
+    // identical short docs (one bigram feature) → identical signatures
+    assert(sigs(4L) == sigs(5L) && sigs(4L) != 0L)
+    // hamming64 column expression agrees with the local bit count
+    val hc = docs.sparkSession.range(1).select(
+      Dedup.hamming64(lit(sigs(1L)), lit(sigs(3L)))).head().getInt(0)
+    assert(hc == ham(sigs(1L), sigs(3L)))
+  }
+
+  test("widenHash62 stays in 62 bits and is injective on the base range sample") {
+    val hs = (0L until 1000L).map(h =>
+      ((h * 48271L) % 2147483647L) * 2147483648L + h)
+    assert(hs.forall(h => h >= 0 && h < (1L << 62)))
+    assert(hs.distinct.size == hs.size)
+  }
+}
