@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *    are generated per bucket, so the quadratic step is confined to
   *    bucket-local data (the classic shingle → minhash → band → bucket-join
   *    pipeline);
-  *  - all hashing is `xxhash64`/`hash` (Spark-native, codegen'd) — no UDFs.
+  *  - the minhash/simhash hashing is deterministic integer arithmetic
+  *    evaluated by native single-loop Catalyst expressions
+  *    ([[graft.functions.TextHash]]) — no UDFs, engine-portable (the
+  *    DuckDB oracle replays the exact same recurrences).
   */
 object Dedup {
 
@@ -56,14 +59,8 @@ object Dedup {
     * higher-order functions re-evaluate lambda subtrees per element
     * (CollapseProject re-inlines any pre-projection), which made the
     * tokenizer pipeline run `numHashes` times per row: ~70× slower. */
-  def minhashSignature(shingleHashes: Column, params: Seq[(Long, Long)]): Column = {
-    val pArr = array(params.map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
-    aggregate(shingleHashes,
-      array_repeat(lit(MinhashPrime), params.length),
-      (acc, h) => zip_with(acc, pArr,
-        (m, p) => least(m, (p("a") * h + p("b")) % MinhashPrime)))
-  }
+  def minhashSignature(shingleHashes: Column, params: Seq[(Long, Long)]): Column =
+    graft.functions.TextHash.minhashSig(shingleHashes, params)
 
   /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`
     * slots, each band folded to one bucket key
@@ -119,19 +116,8 @@ object Dedup {
     * where bit k is the sign of the sum over features of ±1 votes (bit k of
     * each feature's hash). Near-duplicates are signatures within a small
     * Hamming distance. */
-  def simhashFromHashes(hashes: Column, bits: Int = 64): Column = {
-    // same single-fold shape as [[minhashSignature]]: the hash array is
-    // evaluated once per row, not once per bit
-    val masks = array((0 until bits).map(k => lit(1L << k)): _*)
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), bits),
-      (acc, h) => zip_with(acc, masks,
-        (v, m) => v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0L, m).otherwise(0L)),
-      lit(0L), (a, x) => a.bitwiseOR(x))
-  }
+  def simhashFromHashes(hashes: Column, bits: Int = 64): Column =
+    graft.functions.TextHash.simhashBits(hashes, bits)
 
   /** SimHash of string features (xxhash64 feature hashing — fast Spark path
     * when cross-engine reproducibility is not required). */

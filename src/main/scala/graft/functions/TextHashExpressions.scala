@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the deterministic text-hash pipeline
+  * (dedup/minhash/simhash). Semantically identical to the composed
+  * higher-order-function formulations in [[graft.text.TextFunctions]] /
+  * [[graft.dedup.Dedup]], but evaluated as one tight JVM loop per row:
+  * Spark's array lambda functions (`aggregate`/`transform`/`zip_with`) are
+  * CodegenFallback and interpret their lambda per element, which made the
+  * minhash pipeline ~10⁸ interpreted expression evaluations per corpus
+  * scan. The hash recurrences themselves are pure integer arithmetic, so
+  * the DuckDB oracle reproduces them bit-for-bit (SparkEntry §minhashSql).
+  */
+object TextHash {
+
+  val Mod: Long = 1000000007L
+  val TokenCombine: Long = 1000003L
+  val MinhashP: Long = 2147483647L
+
+  /** `h = (h·31 + codePoint) mod 1e9+7` over the string's code points —
+    * matches `ascii()`-per-char folds on any engine. */
+  def hashString(t: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      h = (h * 31L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def polyHash(c: Column): Column =
+    Bridge.column(PolyHashExpr(Bridge.expression(c)))
+
+  def shingleHashes(c: Column, n: Int): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(c), n))
+
+  def minhashSig(shingleHashes: Column, params: Seq[(Long, Long)]): Column =
+    Bridge.column(MinhashSigExpr(Bridge.expression(shingleHashes),
+      params.map(_._1), params.map(_._2)))
+
+  def simhashBits(hashes: Column, bits: Int): Column =
+    Bridge.column(SimhashBitsExpr(Bridge.expression(hashes), bits))
+}
+
+/** Whole-string polynomial hash (document fingerprint). */
+case class PolyHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.hashString(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
+/** One-pass lowercase → whitespace-tokenize → per-token polyhash →
+  * n-gram combine → first-occurrence distinct. Equivalent to
+  * `array_distinct(zip-combine(transform(tokensLower(text), polyHash)))`. */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val raw = s.split("\\s+")
+    val th = new Array[Long](raw.length)
+    var nt = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { th(nt) = TextHash.hashString(raw(i)); nt += 1 }
+      i += 1
+    }
+    val m = nt - n + 1
+    if (m <= 0) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      i = 0
+      while (i < m) {
+        var h = th(i)
+        var j = 1
+        while (j < n) { h = (h * TextHash.TokenCombine + th(i + j)) % TextHash.Mod; j += 1 }
+        seen.add(h)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** MinHash signature: slot j = min over shingle hashes of
+  * `(a_j·h + b_j) mod 2³¹−1`; empty set → all-sentinel (2³¹−1). */
+case class MinhashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = aArr.length
+    val slots = Array.fill(k)(TextHash.MinhashP)
+    var i = 0
+    val nEl = arr.numElements()
+    while (i < nEl) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (aArr(j) * h + bArr(j)) % TextHash.MinhashP
+        if (v < slots(j)) slots(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(slots)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+/** SimHash bit voting over precomputed feature hashes: bit k of the
+  * result is set iff strictly more features have bit k set than clear. */
+case class SimhashBitsExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](bits)
+    var i = 0
+    val nEl = arr.numElements()
+    while (i < nEl) {
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < bits) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < bits) {
+      if (counts(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimhashBitsExpr =
+    copy(child = newChild)
+}

@@ -54,19 +54,25 @@ object Similarity {
     * arithmetic, so any SQL engine reproduces it exactly:
     * `((1103515245·((t·7368787 + p·1000003 + i) mod 2³¹−1) + 12345)
     *   mod 2³¹) / 2³⁰ − 1`. */
-  private[similarity] def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (((lit(1103515245L) *
-        pmod(lit(table.toLong * 7368787L + plane * 1000003L) + dim, lit(2147483647L))
-        + 12345L) % 2147483648L).cast("double") / 1073741824.0) - 1.0
+  private[similarity] def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    val s = (table.toLong * 7368787L + plane.toLong * 1000003L + dim) % 2147483647L
+    ((1103515245L * s + 12345L) % 2147483648L).toDouble / 1073741824.0 - 1.0
+  }
+
+  /** One hyperplane as an array LITERAL — the LCG is evaluated on the
+    * driver, so the expression tree per plane is a flat constant array
+    * (inlining the per-dimension LCG chain into the lambda made codegen
+    * quadratically large in numPlanes × dim). */
+  private def planeLit(table: Int, plane: Int, dim: Int): Column =
+    array((0 until dim).map(i => lit(planeComponent(table, plane, i))): _*)
 
   /** Sign bits of `numPlanes` random-hyperplane projections packed into one
     * long bucket key. Cosine-similar vectors collide with high
-    * probability. */
-  def lshBucket(vec: Column, numPlanes: Int, table: Int = 0): Column = {
+    * probability. `dim` is the (static) embedding width. */
+  def lshBucket(vec: Column, numPlanes: Int, table: Int, dim: Int): Column = {
     val bits: Seq[Column] = (0 until numPlanes).map { p =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(table, p, i)),
+        zip_with(vec, planeLit(table, p, dim), (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
       shiftleft(when(proj >= 0, 1L).otherwise(0L), p)
     }
@@ -81,10 +87,13 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, numPlanes: Int = 12, tables: Int = 4): DataFrame = {
+    // embedding width read once from the corpus head — the hyperplane
+    // literals need a static dimension
+    val dim = corpus.select(size(col(corpusVec))).head().getInt(0)
     def bucketed(df: DataFrame, id: String, vec: String, idOut: String, vecOut: String) = {
       val v = col(vec).cast("array<double>")
       val keys = array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(v, numPlanes, t).as("b"))): _*)
+        struct(lit(t).as("t"), lshBucket(v, numPlanes, t, dim).as("b"))): _*)
       df.select(col(id).as(idOut), v.as(vecOut), explode(keys).as("bucket"))
     }
     val c = bucketed(corpus, corpusId, corpusVec, "neighbor_id", "cv")

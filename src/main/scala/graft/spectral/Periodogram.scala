@@ -150,8 +150,13 @@ object Periodogram {
     val grid = spark.createDataFrame(
       periods.map(p => Tuple1(2.0 * math.Pi / p))).toDF("omega")
 
-    val j = series.crossJoin(grid)
-    val (ct, st) = (cos(col("omega") * col("t")), sin(col("omega") * col("t")))
+    // broadcast the tiny grid; pre-project cos/sin so each is evaluated
+    // once per (row, ω) instead of once per product inside the aggregate
+    val j = series.crossJoin(broadcast(grid))
+      .select(col("omega"), col("x"),
+        cos(col("omega") * col("t")).as("ct"),
+        sin(col("omega") * col("t")).as("st"))
+    val (ct, st) = (col("ct"), col("st"))
     val sums = j.groupBy(col("omega")).agg(
       sum(col("x") * ct).as("xc"), sum(col("x") * st).as("xs"),
       sum(ct * ct).as("cc"), sum(st * st).as("ss"), sum(st * ct).as("cs"))

@@ -118,21 +118,28 @@ object TextFunctions {
   /** The same polynomial char-code hash applied to any string column —
     * the cross-engine-reproducible base hash for minhash/simhash features
     * (every engine with a char-code accessor computes the identical value,
-    * unlike murmur/xxhash whose seeds and tail handling differ). */
-  def polyHash(s: Column): Column =
-    aggregate(
-      transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 31L + c) % 1000000007L)
+    * unlike murmur/xxhash whose seeds and tail handling differ). Native
+    * expression — one loop per row ([[graft.functions.TextHash]]). */
+  def polyHash(s: Column): Column = graft.functions.TextHash.polyHash(s)
 
   /** Deterministic word n-gram shingle HASHES (distinct): per-token
     * [[polyHash]] values combined across n consecutive tokens with
-    * `h = (h·1000003 + next) mod 1e9+7`. Same zip-shift construction as
-    * [[wordShingles]] (tokens are hashed once, not once per shingle), but
-    * the output is a set of longs — cheaper to minhash than shingle strings
-    * and bit-identical across engines. */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val th = transform(tokensLower(text), polyHash(_))
+    * `h = (h·1000003 + next) mod 1e9+7`. Output is a set of longs —
+    * cheaper to minhash than shingle strings and bit-identical across
+    * engines. Native one-pass expression. */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.TextHash.shingleHashes(text, n)
+
+  /** The composed higher-order-function formulation of [[shingleHashes]] —
+    * kept as the differential-test twin of the native expression (HOF
+    * lambdas interpret per element: ~20× slower on a corpus scan). */
+  def shingleHashesHof(text: Column, n: Int): Column = {
+    def polyHashHof(s: Column): Column =
+      aggregate(
+        transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, c) => (acc * 31L + c) % 1000000007L)
+    val th = transform(tokensLower(text), polyHashHof(_))
     val combined = (2 to n).foldLeft(th) { (acc, i) =>
       zip_with(acc, slice(th, lit(i), greatest(size(th) - (i - 1), lit(1))),
         (a, b) => (a * 1000003L + b) % 1000000007L)

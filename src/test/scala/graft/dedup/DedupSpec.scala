@@ -74,6 +74,15 @@ class DedupSpec extends SparkSpec {
     assert(hc == ham(sigs(1L), sigs(3L)))
   }
 
+  test("native ShingleHashes expression ≡ the higher-order-function formulation") {
+    val n = docs.select(
+      TextFunctions.shingleHashes(col("text"), 3).as("a"),
+      TextFunctions.shingleHashesHof(col("text"), 3).as("b")).collect()
+    n.foreach { r =>
+      assert(r.getSeq[Long](0).sorted == r.getSeq[Long](1).sorted, r.toString)
+    }
+  }
+
   test("widenHash62 stays in 62 bits and is injective on the base range sample") {
     val hs = (0L until 1000L).map(h =>
       ((h * 48271L) % 2147483647L) * 2147483648L + h)
