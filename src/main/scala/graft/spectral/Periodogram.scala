@@ -76,7 +76,11 @@ object Periodogram {
   def spectrum(tsf: TimeseriesFrame, xCol: String,
       detrend: String = "diff"): DataFrame = {
     val spark = tsf.df.sparkSession
+    // the detrend index comes from a single-partition window; without an
+    // explicit repartition the DFT cross join + partial aggregation would
+    // inherit that ONE partition and run single-threaded
     val xd = detrended(tsf, xCol, detrend).select(col("xd"), col("i"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val m = xd.count().toInt
     val half = m / 2
     // HACK preserved from the reference: drop the first len//1000 bins
@@ -151,8 +155,12 @@ object Periodogram {
       periods.map(p => Tuple1(2.0 * math.Pi / p))).toDF("omega")
 
     // broadcast the tiny grid; pre-project cos/sin so each is evaluated
-    // once per (row, ω) instead of once per product inside the aggregate
-    val j = series.crossJoin(broadcast(grid))
+    // once per (row, ω) instead of once per product inside the aggregate.
+    // Repartition first: the detrended series comes out of a
+    // single-partition window and would otherwise drag the whole 5-sum
+    // aggregation onto one thread.
+    val j = series.repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(grid))
       .select(col("omega"), col("x"),
         cos(col("omega") * col("t")).as("ct"),
         sin(col("omega") * col("t")).as("st"))
