@@ -33,4 +33,45 @@ case class DotProductExpr(left: Expression, right: Expression)
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** The LCG hyperplane component shared by [[LshBucketExpr]], the Column
+    * API, and the SQL oracle:
+    * `((1103515245·((t·7368787 + p·1000003 + i) mod 2³¹−1) + 12345)
+    *   mod 2³¹) / 2³⁰ − 1`. */
+  def lcgPlaneComponent(table: Int, plane: Int, i: Int): Double = {
+    val s = (table.toLong * 7368787L + plane.toLong * 1000003L + i) % 2147483647L
+    ((1103515245L * s + 12345L) % 2147483648L).toDouble / 1073741824.0 - 1.0
+  }
+
+  def lshBucket(vec: Column, numPlanes: Int, table: Int, dim: Int): Column =
+    Bridge.column(LshBucketExpr(Bridge.expression(vec), numPlanes, table, dim))
+}
+
+/** All `numPlanes` hyperplane sign bits in one expression node. The
+  * first-cut formulation built 2·numPlanes·dim literal nodes per side
+  * (plane arrays as literals feeding per-plane dot products), which cost
+  * ~8s of optimizer + Janino time per query — the hyperplanes are instead
+  * materialized once on the executor and the projection is a tight loop. */
+case class LshBucketExpr(child: Expression, numPlanes: Int, table: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim)((p, i) => VectorFunctions.lcgPlaneComponent(table, p, i))
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var bits = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val w = planes(p)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * w(i); i += 1 }
+      if (acc >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
 }

@@ -52,34 +52,18 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component: a reproducible
-    * stand-in for a gaussian projection — one LCG step on the (table,
-    * plane, dim) index, mapped to [-1, 1). Pure 64-bit-safe integer
-    * arithmetic, so any SQL engine reproduces it exactly:
-    * `((1103515245·((t·7368787 + p·1000003 + i) mod 2³¹−1) + 12345)
-    *   mod 2³¹) / 2³⁰ − 1`. */
-  private[similarity] def planeComponent(table: Int, plane: Int, dim: Int): Double = {
-    val s = (table.toLong * 7368787L + plane.toLong * 1000003L + dim) % 2147483647L
-    ((1103515245L * s + 12345L) % 2147483648L).toDouble / 1073741824.0 - 1.0
-  }
-
-  /** One hyperplane as an array LITERAL — the LCG is evaluated on the
-    * driver, so the expression tree per plane is a flat constant array
-    * (inlining the per-dimension LCG chain into the lambda made codegen
-    * quadratically large in numPlanes × dim). */
-  private def planeLit(table: Int, plane: Int, dim: Int): Column =
-    array((0 until dim).map(i => lit(planeComponent(table, plane, i))): _*)
+  /** Deterministic pseudo-random hyperplane component — one LCG step on
+    * the (table, plane, dim) index, mapped to [-1, 1). Pure 64-bit-safe
+    * integer arithmetic, reproduced exactly by the SQL oracle. */
+  private[similarity] def planeComponent(table: Int, plane: Int, dim: Int): Double =
+    graft.functions.VectorFunctions.lcgPlaneComponent(table, plane, dim)
 
   /** Sign bits of `numPlanes` random-hyperplane projections packed into one
-    * long bucket key. Cosine-similar vectors collide with high
-    * probability. `dim` is the (static) embedding width. */
-  def lshBucket(vec: Column, numPlanes: Int, table: Int, dim: Int): Column = {
-    val bits: Seq[Column] = (0 until numPlanes).map { p =>
-      val proj = graft.functions.VectorFunctions.dot(vec, planeLit(table, p, dim))
-      shiftleft(when(proj >= 0, 1L).otherwise(0L), p)
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+    * long bucket key — a single native expression node
+    * ([[graft.functions.LshBucketExpr]]). Cosine-similar vectors collide
+    * with high probability. `dim` is the (static) embedding width. */
+  def lshBucket(vec: Column, numPlanes: Int, table: Int, dim: Int): Column =
+    graft.functions.VectorFunctions.lshBucket(vec, numPlanes, table, dim)
 
   /** LSH-bucketed ANN: multi-probe via `tables` independent bucket keys;
     * candidates are corpus rows sharing any bucket with the query, then
