@@ -34,9 +34,13 @@ class SpectralSpec extends SparkSpec {
     assert(peaks.forall(_.getDouble(1) > 0))
   }
 
-  test("distributed ACF formulation matches the window formulation") {
+  test("all three ACF formulations agree (ring-pass, window, explode-join)") {
     val a = Correlation.acfVector(air, "Air passengers", 30)
+    val w = Correlation.acfVectorWindow(air, "Air passengers", 30)
     val b = Correlation.acfVectorDistributed(air, "Air passengers", 30)
+    a.zip(w).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"ring vs window must be bit-identical, lag $i: $x vs $y")
+    }
     a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
       assert(math.abs(x - y) < 1e-10, s"lag $i: $x vs $y")
     }
