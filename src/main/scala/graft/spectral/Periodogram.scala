@@ -151,32 +151,56 @@ object Periodogram {
     val periodHigh = math.max(200 * periodLow, pct.getDouble(1))
     val periods = (0 until nPeriods).map(j =>
       periodHigh + (periodLow - periodHigh) * j / (nPeriods - 1.0))
-    val grid = spark.createDataFrame(
-      periods.map(p => Tuple1(2.0 * math.Pi / p))).toDF("omega")
+    val omegas: Array[Double] = periods.map(p => 2.0 * math.Pi / p).toArray
 
-    // broadcast the tiny grid; pre-project cos/sin so each is evaluated
-    // once per (row, ω) instead of once per product inside the aggregate.
-    // Repartition first: the detrended series comes out of a
-    // single-partition window and would otherwise drag the whole 5-sum
-    // aggregation onto one thread.
-    val j = series.repartition(spark.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(grid))
-      .select(col("omega"), col("x"),
-        cos(col("omega") * col("t")).as("ct"),
-        sin(col("omega") * col("t")).as("st"))
-    val (ct, st) = (col("ct"), col("st"))
-    val sums = j.groupBy(col("omega")).agg(
-      sum(col("x") * ct).as("xc"), sum(col("x") * st).as("xs"),
-      sum(ct * ct).as("cc"), sum(st * st).as("ss"), sum(st * ct).as("cs"))
-    val tau2 = atan2(lit(2.0) * col("cs"), col("cc") - col("ss"))
-    val (cT, sT) = (cos(tau2 / 2), sin(tau2 / 2))
-    val xcTau = cT * col("xc") + sT * col("xs")
-    val xsTau = cT * col("xs") - sT * col("xc")
-    val ccTau = cT * cT * col("cc") + lit(2.0) * cT * sT * col("cs") + sT * sT * col("ss")
-    val ssTau = sT * sT * col("cc") - lit(2.0) * cT * sT * col("cs") + cT * cT * col("ss")
-    val power = (xcTau * xcTau / ccTau + xsTau * xsTau / ssTau) / 2.0
-    val spec = sums.select((lit(2.0 * math.Pi) / col("omega")).as("period"),
-      (power * (2.0 / (n * variance))).as("power"))
+    // The 5 tau-identity sums per ω, folded per partition (treeAggregate
+    // shape): each task keeps a 200×5 local matrix and loops the frequency
+    // grid per row — no 120M-row cross-join materialization, no hash-agg
+    // probe per (row, ω). The detrended series comes out of a
+    // single-partition window, so fan back out first.
+    import spark.implicits._
+    val m = omegas.length
+    val partials = series
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("t"), col("x"))
+      .mapPartitions { it =>
+        val acc = new Array[Double](m * 5)
+        while (it.hasNext) {
+          val r = it.next()
+          val t = r.getDouble(0)
+          val x = r.getDouble(1)
+          var j = 0
+          while (j < m) {
+            val w = omegas(j)
+            val c = math.cos(w * t)
+            val s = math.sin(w * t)
+            val o = j * 5
+            acc(o) += x * c; acc(o + 1) += x * s
+            acc(o + 2) += c * c; acc(o + 3) += s * s; acc(o + 4) += s * c
+            j += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+      .collect()
+    val tot = new Array[Double](m * 5)
+    partials.foreach { p =>
+      var i = 0
+      while (i < m * 5) { tot(i) += p(i); i += 1 }
+    }
+    // tau-shifted power per ω — 200 values, computed on the driver
+    val spec = spark.createDataFrame((0 until m).map { j =>
+      val o = j * 5
+      val (xc, xs, cc, ss, cs) = (tot(o), tot(o + 1), tot(o + 2), tot(o + 3), tot(o + 4))
+      val tau2 = math.atan2(2.0 * cs, cc - ss)
+      val (cT, sT) = (math.cos(tau2 / 2), math.sin(tau2 / 2))
+      val xcTau = cT * xc + sT * xs
+      val xsTau = cT * xs - sT * xc
+      val ccTau = cT * cT * cc + 2.0 * cT * sT * cs + sT * sT * ss
+      val ssTau = sT * sT * cc - 2.0 * cT * sT * cs + cT * cT * ss
+      val power = (xcTau * xcTau / ccTau + xsTau * xsTau / ssTau) / 2.0
+      Tuple2(2.0 * math.Pi / omegas(j), power * (2.0 / (n * variance)))
+    }).toDF("period", "power")
     scaleAndPeaks(spec, order = 5)
   }
 }
