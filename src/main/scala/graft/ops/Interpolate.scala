@@ -95,4 +95,66 @@ object Interpolate {
         tsf.df.withColumn(c, coalesce(x, filled))
       case m => throw new IllegalArgumentException(s"unknown discrete method: $m")
     }
+
+  /** Multivariate 2-D pre-pass (`functions.py:300-318`), 'nearest'
+    * variant: each NaN cell of the selected continuous columns is filled
+    * with the value of the nearest non-NaN cell in (row, column) INDEX
+    * space — scipy `griddata(method='nearest')` over the matrix grid
+    * (ties → smallest row index, then smallest column index, matching
+    * cKDTree's first-found order on our scan). Requires ≥3 columns and
+    * ≥3 rows like the reference; a univariate pass should follow, as the
+    * reference always runs one afterwards.
+    *
+    * Driver-side by nature — the reference formulates this as an
+    * in-memory whole-matrix operation (the interpolant couples every row
+    * with every column), bounded by `maxCells`. The 'linear'/'cubic'
+    * griddata variants need Delaunay triangulation and remain a
+    * documented gap. */
+  def multivariateNearest(tsf: TimeseriesFrame, cols: Seq[String],
+      maxCells: Long = 10L * 1000 * 1000): DataFrame = {
+    require(cols.size >= 3, "reference skips multivariate below 3 continuous columns")
+    val rn = row_number().over(tsf.window).as("__rn")
+    val base = tsf.df.withColumn("__rn", rn)
+    val mat = base
+      .select(col("__rn") +: cols.map(c => nanToNull(col(c))): _*)
+      .orderBy("__rn").collect()
+    val n = mat.length
+    if (n < 3) return tsf.df
+    require(n.toLong * cols.size <= maxCells,
+      s"multivariate interpolation is a whole-matrix driver-side op; " +
+        s"${n.toLong * cols.size} cells exceeds maxCells=$maxCells")
+    val k = cols.size
+    val vals = Array.tabulate(n, k)((i, j) =>
+      if (mat(i).isNullAt(j + 1)) Double.NaN else mat(i).getDouble(j + 1))
+    val nonNan = for {
+      i <- (0 until n).iterator; j <- (0 until k).iterator
+      if !vals(i)(j).isNaN
+    } yield (i, j)
+    val known = nonNan.toArray
+    if (known.isEmpty || known.length == n * k) return tsf.df
+    val fills = Array.ofDim[java.lang.Double](n, k)
+    for (i <- 0 until n; j <- 0 until k if vals(i)(j).isNaN) {
+      var best = Long.MaxValue
+      var bv = Double.NaN
+      known.foreach { case (ii, jj) =>
+        val d = (ii - i).toLong * (ii - i) + (jj - j).toLong * (jj - j)
+        if (d < best) { best = d; bv = vals(ii)(jj) }
+      }
+      fills(i)(j) = bv
+    }
+    val sp = tsf.df.sparkSession
+    val fillRows = (0 until n).map { i =>
+      org.apache.spark.sql.Row.fromSeq((i + 1L) +: fills(i).toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rn", org.apache.spark.sql.types.LongType) +:
+        cols.map(c => org.apache.spark.sql.types.StructField(
+          s"__fill_$c", org.apache.spark.sql.types.DoubleType)))
+    val fillDf = sp.createDataFrame(sp.sparkContext.parallelize(fillRows, 1), schema)
+    val joined = base.withColumn("__rn", col("__rn").cast("long"))
+      .join(broadcast(fillDf), "__rn")
+    cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(nanToNull(col(c)), col(s"__fill_$c")))
+    }.drop("__rn" +: cols.map(c => s"__fill_$c"): _*)
+  }
 }

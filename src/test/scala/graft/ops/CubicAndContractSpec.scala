@@ -54,4 +54,39 @@ class CubicAndContractSpec extends SparkSpec {
       .head().getDouble(0)
     assert(got == 6.0)
   }
+
+  test("graft text/vector functions registered for SQL") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_poly_hash",
+      exprs => graft.functions.PolyHashExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => graft.functions.ShingleHashesExpr(exprs.head, 2), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => graft.functions.DotProductExpr(exprs.head, exprs(1)), "scala_udf")
+    val r = spark.sql(
+      """SELECT graft_poly_hash('the'),
+        |  size(graft_shingle_hashes('a b c')),
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))""".stripMargin).head()
+    assert(r.getLong(0) == (('t'.toLong * 31 + 'h') * 31 + 'e') % 1000000007L)
+    assert(r.getInt(1) == 2) // bigrams "a b", "b c"
+    assert(r.getDouble(2) == 11.0)
+  }
+
+  test("multivariate nearest pre-pass fills from the closest (row, col) cell") {
+    // 4 rows x 3 cols; NaN at (1, b). Index-space neighbors at distance 1:
+    // (0,b)=10 above, (2,b)=30 below, (1,a)=2, (1,c)=200. Tie-break picks
+    // the smallest row index first → (0,b) = 10.
+    val df = spark.createDataFrame(Seq(
+      (1L, 1.0, 10.0, 100.0),
+      (2L, 2.0, Double.NaN, 200.0),
+      (3L, 3.0, 30.0, 300.0),
+      (4L, 4.0, 40.0, 400.0)))
+      .toDF("i", "a", "b", "c")
+    val out = Interpolate.multivariateNearest(
+      TimeseriesFrame(df, None, Seq("i")), Seq("a", "b", "c"))
+    val b = col1(out, "b", "i")
+    assert(b == Seq(Some(10.0), Some(10.0), Some(30.0), Some(40.0)), b.toString)
+    // non-NaN cells untouched
+    assert(col1(out, "a", "i") == Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0)))
+  }
 }
