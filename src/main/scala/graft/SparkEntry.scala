@@ -403,6 +403,13 @@ object SparkEntry {
           Some(Spiralogram.PeriodComponent("hour_of_day")), selected)
         .select(col("event_id"), col("user_id"), col("value"))
     }),
+    "q39_acf_by_key" -> ((s, dir) => {
+      // grouped multi-series ACF — the shuffle-parallel spectral scale path
+      // (every series an independent partition; no global sort anywhere)
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      Correlation.acfByKey(t, "value", maxLag = 6)
+        .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"))
+    }),
     // ---- relational / scale demos ------------------------------------
     "q23_lineitem_pricing" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
@@ -604,6 +611,20 @@ object SparkEntry {
     "q22_lsh_topk" -> lshTopkSql,
     "q27_pacf" -> pacfSql,
     "q30_lomb_scargle" -> lombScargleSql,
+    "q39_acf_by_key" ->
+      """WITH s AS (SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  avg(value) OVER (PARTITION BY user_id) AS mu
+        | FROM events),
+        |c AS (SELECT user_id, rn, value - mu AS xc FROM s),
+        |den AS (SELECT user_id, sum(xc*xc) AS s0 FROM c GROUP BY 1)
+        |SELECT a.user_id, lg.lag AS lag,
+        | round(sum(a.xc*b.xc) / max(d.s0), 6) AS acf
+        |FROM range(1, 7) lg(lag)
+        |JOIN c a ON a.rn > lg.lag
+        |JOIN c b ON b.user_id = a.user_id AND b.rn = a.rn - lg.lag
+        |JOIN den d ON d.user_id = a.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q26_acf" ->
       s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
          |mu AS (SELECT avg(value) AS mu FROM s),

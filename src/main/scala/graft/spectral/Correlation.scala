@@ -2,6 +2,7 @@ package graft.spectral
 
 import graft.core.TimeseriesFrame
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -117,6 +118,34 @@ object Correlation {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val denom = idx.agg(sum(col("xc") * col("xc"))).head().getDouble(0)
     Array(1.0) ++ (1 to maxLag).map(k => sums.getOrElse(k, 0.0) / denom)
+  }
+
+  /** Grouped multi-series ACF — the horizontal scale path the reference
+    * lacks: one row per (seriesKeys, lag). All windows partition by the
+    * series keys, so every series is an independent partition and the
+    * whole computation is shuffle-parallel (no single-partition sort,
+    * unlike the global-series formulations). Estimator identical to
+    * [[acfVector]]: demean by the per-series mean, denominator-n. */
+  def acfByKey(tsf: TimeseriesFrame, xCol: String, maxLag: Int): DataFrame = {
+    require(tsf.seriesKeys.nonEmpty, "acfByKey needs seriesKeys")
+    val keys = tsf.seriesKeys
+    val keyCols = keys.map(col)
+    val x = col(xCol).cast("double")
+    val part = Window.partitionBy(keyCols: _*)
+    val xc = x - avg(x).over(part)
+    val w = tsf.window
+    val prods = (xc * xc).as("p0") +:
+      (1 to maxLag).map(k => (xc * lag(xc, k).over(w)).as(s"p$k"))
+    val sums = tsf.df
+      .select(keyCols ++ prods: _*)
+      .groupBy(keyCols: _*)
+      .agg(sum(col("p0")).as("s0"),
+        (1 to maxLag).map(k => sum(col(s"p$k")).as(s"s$k")): _*)
+    // melt the K sum columns into (keys, lag, acf) rows
+    val lagStructs = array((1 to maxLag).map(k =>
+      struct(lit(k).cast("long").as("lag"), (col(s"s$k") / col("s0")).as("acf"))): _*)
+    sums.select(keyCols :+ explode(lagStructs).as("la"): _*)
+      .select(keyCols :+ col("la.lag").as("lag") :+ col("la.acf").as("acf"): _*)
   }
 
   /** Local maxima of |values| with `order`-neighborhood strict dominance —

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.TimeseriesFrame
+import graft.spectral.Correlation
+import org.apache.spark.sql.functions._
+
+/** Multi-series (`seriesKeys`) correctness: grouped operators must equal
+  * running the single-series operator on each key's slice independently —
+  * the property the round-1 review found violated in SeasonalDecompose
+  * (global df.count() leaked across series). */
+class MultiSeriesSpec extends SparkSpec {
+
+  /** Two series of different lengths with different seasonal/trend shape. */
+  private def twoSeries = {
+    import spark.implicits._
+    val a = (0 until 28).map(i =>
+      ("a", i.toLong, 10.0 + i * 0.5 + math.sin(i * math.Pi / 3.5) * 3 + (i % 3) * 0.1))
+    val b = (0 until 21).map(i =>
+      ("b", i.toLong, 50.0 - i * 0.2 + math.cos(i * math.Pi / 3.5) * 7))
+    (a ++ b).toDF("k", "i", "x")
+  }
+
+  test("per-series seasonal decomposition == per-key independent runs") {
+    val df = twoSeries
+    val grouped = SeasonalDecompose(
+      TimeseriesFrame(df, None, Seq("i"), Seq("k")), Seq("x"),
+      period = 7, model = "additive")
+    for (key <- Seq("a", "b")) {
+      val single = SeasonalDecompose(
+        TimeseriesFrame(df.filter(col("k") === key), None, Seq("i")), Seq("x"),
+        period = 7, model = "additive")
+      for (c <- Seq("x_trend", "x_seasonal", "x_adjusted", "x_residual")) {
+        val g = col1(grouped.filter(col("k") === key), c)
+        val s = col1(single, c)
+        assertSeqAlmost(g, s, 1e-9)
+      }
+    }
+  }
+
+  test("grouped ACF == per-key acfVector") {
+    val df = twoSeries
+    val grouped = Correlation.acfByKey(
+      TimeseriesFrame(df, None, Seq("i"), Seq("k")), "x", maxLag = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (key <- Seq("a", "b")) {
+      val vec = Correlation.acfVector(
+        TimeseriesFrame(df.filter(col("k") === key), None, Seq("i")), "x", 5)
+      (1 to 5).foreach { k =>
+        assert(math.abs(grouped((key, k.toLong)) - vec(k)) < 1e-9,
+          s"$key lag $k: ${grouped((key, k.toLong))} vs ${vec(k)}")
+      }
+    }
+  }
+}
