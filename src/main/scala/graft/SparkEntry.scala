@@ -410,6 +410,17 @@ object SparkEntry {
       Correlation.acfByKey(t, "value", maxLag = 6)
         .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"))
     }),
+    "q40_seasonal_by_key" -> ((s, dir) => {
+      // per-series seasonal decomposition (edge regressions and phase
+      // means all per-key — fully distributed, no driver collects)
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      SeasonalDecompose(t, Seq("value"), period = 7, model = "additive")
+        .select(col("user_id"), col("event_id"),
+          round(col("value_adjusted"), 6).as("value_adjusted"),
+          round(col("value_seasonal"), 6).as("value_seasonal"),
+          round(col("value_trend"), 6).as("value_trend"),
+          round(col("value_residual"), 6).as("value_residual"))
+    }),
     // ---- relational / scale demos ------------------------------------
     "q23_lineitem_pricing" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
@@ -611,6 +622,7 @@ object SparkEntry {
     "q22_lsh_topk" -> lshTopkSql,
     "q27_pacf" -> pacfSql,
     "q30_lomb_scargle" -> lombScargleSql,
+    "q40_seasonal_by_key" -> seasonalByKeySql,
     "q39_acf_by_key" ->
       """WITH s AS (SELECT user_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
@@ -767,6 +779,50 @@ object SparkEntry {
        |         THEN tr.rn * (SELECT k2 FROM fit) + (SELECT c2 FROM fit)
        |        ELSE tr.trend0 END), 6) AS v_residual
        |FROM tr JOIN ph ON tr.rn % 7 = ph.phase""".stripMargin
+
+  /** Per-user additive decomposition, period 7 over the row order —
+    * mirrors SeasonalDecompose's per-series windows/fits exactly. */
+  private def seasonalByKeySql: String =
+    """WITH idx AS (SELECT user_id, event_id, value AS v,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+      |  count(*) OVER (PARTITION BY user_id) AS n
+      | FROM events),
+      |tr AS (SELECT *, CASE WHEN rn >= 3 AND rn <= n - 4
+      |  THEN avg(v) OVER (PARTITION BY user_id ORDER BY rn
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) END AS trend0
+      | FROM idx),
+      |fit AS (SELECT user_id,
+      |  regr_slope(CASE WHEN rn >= 3 AND rn < least(6, n-4) THEN trend0 END,
+      |             CASE WHEN rn >= 3 AND rn < least(6, n-4) THEN rn END) AS k1,
+      |  regr_intercept(CASE WHEN rn >= 3 AND rn < least(6, n-4) THEN trend0 END,
+      |                 CASE WHEN rn >= 3 AND rn < least(6, n-4) THEN rn END) AS c1,
+      |  avg(CASE WHEN rn >= 3 AND rn < least(6, n-4) THEN trend0 END) AS m1,
+      |  regr_slope(CASE WHEN rn >= greatest(3, n-7) AND rn < n-4 THEN trend0 END,
+      |             CASE WHEN rn >= greatest(3, n-7) AND rn < n-4 THEN rn END) AS k2,
+      |  regr_intercept(CASE WHEN rn >= greatest(3, n-7) AND rn < n-4 THEN trend0 END,
+      |                 CASE WHEN rn >= greatest(3, n-7) AND rn < n-4 THEN rn END) AS c2,
+      |  avg(CASE WHEN rn >= greatest(3, n-7) AND rn < n-4 THEN trend0 END) AS m2
+      | FROM tr GROUP BY 1),
+      |ph AS (SELECT user_id, rn % 7 AS phase, avg(v - trend0) AS pavg
+      | FROM tr GROUP BY 1, 2),
+      |g AS (SELECT user_id, phase, pavg,
+      |  avg(pavg) OVER (PARTITION BY user_id) AS grand FROM ph)
+      |SELECT tr.user_id, tr.event_id,
+      | round(tr.v - (g.pavg - g.grand), 6) AS value_adjusted,
+      | round(g.pavg - g.grand, 6) AS value_seasonal,
+      | round(CASE WHEN tr.rn < 3
+      |    THEN tr.rn * coalesce(f.k1, 0) + coalesce(f.c1, f.m1)
+      |   WHEN tr.rn > tr.n - 4
+      |    THEN tr.rn * coalesce(f.k2, 0) + coalesce(f.c2, f.m2)
+      |   ELSE tr.trend0 END, 6) AS value_trend,
+      | round((tr.v - (g.pavg - g.grand))
+      |  - (CASE WHEN tr.rn < 3
+      |      THEN tr.rn * coalesce(f.k1, 0) + coalesce(f.c1, f.m1)
+      |     WHEN tr.rn > tr.n - 4
+      |      THEN tr.rn * coalesce(f.k2, 0) + coalesce(f.c2, f.m2)
+      |     ELSE tr.trend0 END), 6) AS value_residual
+      |FROM tr JOIN g ON g.user_id = tr.user_id AND g.phase = tr.rn % 7
+      | JOIN fit f ON f.user_id = tr.user_id""".stripMargin
 
   private def textStatsSql: String =
     s"""WITH t AS (SELECT doc_id, text,
