@@ -65,15 +65,23 @@ object Granger {
     val series = ModelEvaluation.collectSeries(interp, cols)
     val byCol = cols.indices.map(i => series.map(_(i))).toArray
 
-    val rows = for {
-      ai <- cols.indices
-      ci <- cols.indices
-      if ai != ci
-      found <- (1 to maxLag).iterator
-        .map(l => l -> pValue(byCol(ci), byCol(ai), l))
-        .find { case (_, p) => !p.isNaN && p < alpha }
-        .iterator
-    } yield Row(found._1.toLong, found._2, cols(ai), cols(ci))
+    // ordered pairs are independent — one Spark task each over the
+    // broadcast series (the reference moves this loop to a worker thread,
+    // `owgrangercausality.py:17-26`; here it fans out across executors)
+    val sc = spark.sparkContext
+    val bCols = sc.broadcast(byCol)
+    val pairs = for { ai <- cols.indices; ci <- cols.indices if ai != ci }
+      yield (ai, ci)
+    val found = sc.parallelize(pairs, math.max(pairs.size, 1))
+      .flatMap { case (ai, ci) =>
+        (1 to maxLag).iterator
+          .map(l => l -> pValue(bCols.value(ci), bCols.value(ai), l))
+          .find { case (_, p) => !p.isNaN && p < alpha }
+          .map { case (l, p) => (l.toLong, p, ai, ci) }.iterator
+      }
+      .collect()
+    val rows = found.sortBy(r => (r._3, r._4)).toIndexedSeq
+      .map { case (l, p, ai, ci) => Row(l, p, cols(ai), cols(ci)) }
 
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(

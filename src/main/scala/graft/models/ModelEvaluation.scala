@@ -67,14 +67,31 @@ object ModelEvaluation {
         Metrics.pocid(td, pd), Metrics.r2(td, pd), aic, bic)
     }
 
-    val rows = models.flatMap { spec =>
+    // the (model × fold) fits are independent — run them as ONE Spark job
+    // over the broadcast series (SURVEY §3.3: on a cluster each fit is a
+    // task; the collected series is tiny next to the frame it came from)
+    val sc = spark.sparkContext
+    val bSeries = sc.broadcast(series)
+    val tasks = for { si <- models.indices; fold <- 1 to nFolds } yield (si, fold)
+    val modelsArr = models.toArray
+    val steps = forecastSteps
+    val foldPreds: Map[(Int, Int), Array[Double]] = sc
+      .parallelize(tasks, tasks.size)
+      .map { case (si, fold) =>
+        val trainEnd = bSeries.value.length - fold * steps
+        val pred =
+          try fitPredict(modelsArr(si), bSeries.value.take(trainEnd), steps)
+          catch { case _: Exception => Array.empty[Double] }
+        ((si, fold), pred)
+      }
+      .collect().toMap
+
+    val rows = models.zipWithIndex.flatMap { case (spec, si) =>
       val folds = (1 to nFolds).flatMap { fold =>
         val trainEnd = n - fold * forecastSteps
-        try {
-          val pred = fitPredict(spec, series.take(trainEnd), forecastSteps)
-          val actual = trueY.slice(trainEnd, trainEnd + forecastSteps)
-          actual.zip(pred)
-        } catch { case _: Exception => Nil }
+        val pred = foldPreds((si, fold))
+        if (pred.isEmpty) Nil
+        else trueY.slice(trainEnd, trainEnd + forecastSteps).zip(pred)
       }
       val (aic, bic) = fitFull(spec, series)
       val cvRow = scoreRow(spec.name, folds.map(_._1).toArray,
