@@ -38,6 +38,25 @@ object Spiralogram {
     case Binned(c, lo, hi, bins) => binKey(col(c), lo, hi, bins)
   }
 
+  /** Data-driven "nice decimal" binning — the shape of Orange's
+    * `decimal_binnings` feeding the reference's interactive binner: pick a
+    * bin width from {1, 2, 5}·10^k so that the data span yields about
+    * `targetBins` bins, snap the low edge down to a width multiple, and
+    * return the resulting [[Binned]] key. One tiny min/max aggregate over
+    * the column; at any scale that is a single map-side-combined pass. */
+  def autoBinned(tsf: TimeseriesFrame, column: String, targetBins: Int = 6): Binned = {
+    val r = tsf.df.agg(
+      min(col(column).cast("double")), max(col(column).cast("double"))).head()
+    val (lo0, hi0) = (r.getDouble(0), r.getDouble(1))
+    val span = math.max(hi0 - lo0, Double.MinPositiveValue)
+    val raw = span / targetBins
+    val mag = math.pow(10, math.floor(math.log10(raw)))
+    val width = Seq(1.0, 2.0, 5.0, 10.0).map(_ * mag).find(_ >= raw).get
+    val lo = math.floor(lo0 / width) * width
+    val bins = math.max(1, math.ceil((hi0 - lo) / width).toInt)
+    Binned(column, lo, lo + bins * width, bins)
+  }
+
   /** Equal-width bin label: "< a" / "a - b" / "≥ b". */
   def binKey(c: Column, lo: Double, hi: Double, bins: Int): Column = {
     val width = (hi - lo) / bins
@@ -73,12 +92,22 @@ object Spiralogram {
       tsf: TimeseriesFrame,
       angular: Key,
       radial: Option[Key],
-      selected: DataFrame): DataFrame = {
-    val keyed = tsf.df
-      .withColumn("angular", keyExpr(tsf, angular))
-      .withColumn("radial", radial.map(k => keyExpr(tsf, k)).getOrElse(lit(null)))
-    keyed.join(broadcast(selected), keyed("angular") <=> selected("angular") &&
-      keyed("radial") <=> selected("radial"), "left_semi")
-      .drop("angular", "radial")
+      selected: DataFrame): DataFrame = radial match {
+    case Some(rk) =>
+      val keyed = tsf.df
+        .withColumn("angular", keyExpr(tsf, angular))
+        .withColumn("radial", keyExpr(tsf, rk))
+      keyed.join(broadcast(selected), keyed("angular") <=> selected("angular") &&
+        keyed("radial") <=> selected("radial"), "left_semi")
+        .drop("angular", "radial")
+    case None =>
+      // no radial key → match on angular alone. (A NullType literal on
+      // both sides does NOT work here: Spark's null-safe hash-join rewrite
+      // `coalesce(k, default) + isnull(k)` has no default for NullType, so
+      // the null key never matches and the semi-join silently empties.)
+      val keyed = tsf.df.withColumn("angular", keyExpr(tsf, angular))
+      val sel = selected.select("angular")
+      keyed.join(broadcast(sel), keyed("angular") <=> sel("angular"), "left_semi")
+        .drop("angular")
   }
 }

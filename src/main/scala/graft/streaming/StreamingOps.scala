@@ -59,6 +59,45 @@ object StreamingOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact deduplication: keep the first document per content
+    * digest inside the watermark horizon — `dropDuplicates` backed by the
+    * streaming state store, the streaming form of `Dedup.exact`. State is
+    * bounded by the watermark (`dropDuplicatesWithinWatermark` expires
+    * digests once they age out), which is what makes this viable on an
+    * unbounded corpus. */
+  def streamingDedupExact(
+      stream: DataFrame,
+      timeCol: String,
+      textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("__digest", md5(col(textCol).cast("binary")))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
+  /** Streaming near-dedup: first document per SimHash signature within the
+    * watermark — the deterministic 62-bit signature from the batch
+    * pipeline ([[graft.dedup.Dedup.simhashFromHashes]]) as a streaming
+    * duplicate key. Exact-signature collision is the streaming-friendly
+    * tier of near-dup detection (band-joins need a batch pass). */
+  def streamingDedupSimhash(
+      stream: DataFrame,
+      timeCol: String,
+      textCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.text.TextFunctions
+    stream
+      .withColumn("__sig",
+        Dedup.simhashFromHashes(
+          transform(TextFunctions.shingleHashes(col(textCol), 2),
+            Dedup.widenHash62(_))))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+  }
+
   /** Per-key incremental running statistics via arbitrary stateful
     * processing (`flatMapGroupsWithState` — the brief's custom-state
     * primitive): Welford count/mean/variance folded across micro-batches.

@@ -57,6 +57,41 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(math.abs(got.head.getDouble(3) - 14.5) < 1e-9)
   }
 
+  test("streaming dedup: first document per digest/signature within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val docs = Seq(
+      (new Timestamp(base), "the quick brown fox"),
+      (new Timestamp(base + 1000), "a completely different document"),
+      (new Timestamp(base + 2000), "the quick brown fox"), // exact dup
+      (new Timestamp(base + 3000), "yet another unique text"),
+      (new Timestamp(base + 4000), "a completely different document")) // dup
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(docs: _*)
+    val out = StreamingOps.streamingDedupExact(
+      mem.toDF().toDF("ts", "text"), "ts", "text")
+    val q = out.writeStream.format("memory")
+      .queryName("dedup_test").outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.sql("select text from dedup_test").collect().map(_.getString(0))
+    q.stop()
+    assert(got.length == 3, got.mkString(";"))
+    assert(got.toSet == Set("the quick brown fox",
+      "a completely different document", "yet another unique text"))
+
+    val mem2 = MemoryStream[(Timestamp, String)]
+    mem2.addData(docs: _*)
+    val out2 = StreamingOps.streamingDedupSimhash(
+      mem2.toDF().toDF("ts", "text"), "ts", "text")
+    val q2 = out2.writeStream.format("memory")
+      .queryName("dedup_sim_test").outputMode("append").start()
+    q2.processAllAvailable()
+    val got2 = spark.sql("select text from dedup_sim_test").collect().map(_.getString(0))
+    q2.stop()
+    assert(got2.length == 3, got2.mkString(";"))
+  }
+
   test("streaming session windows split on inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
