@@ -25,6 +25,31 @@ object Finance {
     s"https://query1.finance.yahoo.com/v7/finance/download/$symbol" +
       s"?period1=$sinceEpochSec&period2=$untilEpochSec&interval=1d&events=history"
 
+  /** Quandl CSV-over-HTTP endpoint with the reference's collapse/transform
+    * params (`quandl_data`, `datasources.py:14-48`; the service is defunct
+    * — URL format preserved for API parity, readable through the same
+    * pluggable transport). `collapse`: none|daily|weekly|monthly|
+    * quarterly|annual; `transform`: none|diff|rdiff|cumul|normalize. */
+  def quandlUrl(
+      dataset: String,
+      apiKey: String,
+      since: String,
+      until: String,
+      collapse: String = "daily",
+      transform: String = "none"): String =
+    s"https://www.quandl.com/api/v3/datasets/$dataset/data.csv" +
+      s"?api_key=$apiKey&start_date=$since&end_date=$until" +
+      s"&collapse=$collapse&transform=$transform&order=asc"
+
+  /** Quandl-shaped read: same Date-time/target-role rewrite as
+    * [[readOhlcv]] over the dataset's CSV. */
+  def readQuandl(
+      spark: SparkSession,
+      url: String,
+      targetCol: String = "Close",
+      fetch: String => String = defaultFetch): TimeseriesFrame =
+    readOhlcv(spark, url, targetCol, fetch)
+
   /** Default transport: stream the URL to a temp file, return its path. */
   def defaultFetch(url: String): String = {
     val tmp = Files.createTempFile("graft-ingest", ".csv")

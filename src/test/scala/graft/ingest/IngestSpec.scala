@@ -16,6 +16,19 @@ class IngestSpec extends SparkSpec {
     assert(closes.head == 125.07 && closes.last == 130.15)
   }
 
+  test("Quandl URL format carries collapse/transform params (datasources.py:14-48)") {
+    val u = Finance.quandlUrl("WIKI/AAPL", "k3y", "2020-01-01", "2020-12-31",
+      collapse = "monthly", transform = "rdiff")
+    assert(u.startsWith("https://www.quandl.com/api/v3/datasets/WIKI/AAPL/data.csv?"))
+    for (p <- Seq("api_key=k3y", "start_date=2020-01-01", "end_date=2020-12-31",
+        "collapse=monthly", "transform=rdiff", "order=asc"))
+      assert(u.contains(p), s"missing $p in $u")
+    // same reader path as OHLCV (role rewrite verified above)
+    val tsf = Finance.readQuandl(spark,
+      getClass.getResource("/ohlcv_sample.csv").getPath)
+    assert(tsf.timeCol.contains("Date") && tsf.df.count() == 5)
+  }
+
   test("TimeSlice playback windows advance and clamp (owtimeslice.py:343-378)") {
     val wins = TimeSlice.playback(0.0, 100.0, widthSec = 30.0, stepSec = 30.0).toSeq
     assert(wins == Seq((0.0, 30.0), (30.0, 60.0), (60.0, 90.0), (90.0, 100.0)))
