@@ -58,6 +58,32 @@ object MovingTransform {
     }
   }
 
+  /** Strided windows — the reference's library-level `_windowed(x, width,
+    * shift)` (`aggregate.py:31-38`): windows of `width` rows every `shift`
+    * rows starting at row 0, trailing partial window dropped; output count
+    * `1 + (n-width)//shift`, `width > n` → empty. The widget fixes
+    * shift=1 ([[slidingWindow]]) and shift=width ([[sequentialBlocks]]);
+    * this is the general form. Same single-WindowExec plan plus a stride
+    * filter on the window END positions. */
+  def strided(
+      tsf: TimeseriesFrame,
+      specs: Seq[(String, String)],
+      width: Int,
+      shift: Int): DataFrame = {
+    require(width >= 1 && shift >= 1, "width and shift must be >= 1")
+    val rn = row_number().over(tsf.window)
+    val aggCols = specs.map { case (c, aggKey) =>
+      AggRegistry.windowed(aggKey, col(c), tsf.window, width)
+        .as(s"${c}_$aggKey")
+    }
+    val keyCols = (tsf.timeCol.toSeq ++ tsf.tieBreak ++ tsf.seriesKeys).map(col)
+    tsf.df
+      .select((keyCols :+ rn.as("__rn")) ++ aggCols: _*)
+      .filter(col("__rn") >= width && (col("__rn") - width) % shift === 0)
+      .withColumn("window_index", ((col("__rn") - width) / shift).cast("long"))
+      .drop("__rn")
+  }
+
   /** Tumbling count-based blocks (`_compute_sequential_blocks`,
     * `owmovingtransform.py:446-498`): rows are grouped into consecutive
     * blocks of `width` in series order; the trailing partial block is

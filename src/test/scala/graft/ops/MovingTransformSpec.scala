@@ -20,6 +20,23 @@ class MovingTransformSpec extends SparkSpec {
   private def fixture: TimeseriesFrame =
     TimeseriesFrame(seriesDF(d(c1: _*)).withColumnRenamed("x", "c1"), None, Seq("i"))
 
+  test("strided windows: every width/shift golden from test_aggregate.py:89-121") {
+    val a = Seq(3.0, 8.0, 6.0, 4.0, 2.0, 4.0, 6.0, 8.0, 1.0, 2.0, 4.0)
+    def tsf(xs: Seq[Double]) =
+      TimeseriesFrame(seriesDF(d(xs: _*)), None, Seq("i"))
+    def sums(xs: Seq[Double], width: Int, shift: Int): Seq[Option[Double]] =
+      col1(MovingTransform.strided(tsf(xs), Seq("x" -> "sum"), width, shift),
+        "x_sum", "window_index")
+    assertSeqAlmost(sums(a.take(6), 3, 1), d(17, 18, 12, 10))
+    assertSeqAlmost(sums(a, 3, 3), d(17, 10, 15))
+    assertSeqAlmost(sums(a, 3, 5), d(17, 18))
+    assertSeqAlmost(sums(a, 10, 1), d(44, 45))
+    assertSeqAlmost(sums(a, 4, 2), d(21, 16, 20, 17))
+    assertSeqAlmost(sums(a, 11, 1), d(48))
+    assertSeqAlmost(sums(a, 11, 2), d(48))
+    assert(sums(a, 15, 2).isEmpty)
+  }
+
   test("sequential blocks: aggregates + trailing partial dropped") {
     val out = MovingTransform.sequentialBlocks(fixture,
       Seq("c1" -> "min", "c1" -> "max"), 3)
