@@ -126,7 +126,10 @@ object SparkEntry {
           round(col("value_exp_ma"), 6).as("value_exp_ma"),
           round(col("value_geometric"), 6).as("value_geometric"),
           round(col("value_harmonic"), 6).as("value_harmonic"),
-          round(col("value_product"), 2).as("value_product"))
+          // products reach ~1e7; DuckDB's segment-tree window product
+          // reassociates (≈1e-13 relative), so 2-decimal rounding flips
+          // ~1/600k rows — integer rounding leaves 100x margin
+          round(col("value_product"), 0).as("value_product"))
     }),
     // ---- §2.6 difference family --------------------------------------
     "q04_difference" -> ((s, dir) => {
@@ -510,7 +513,7 @@ object SparkEntry {
          | round(list_inner_product(vals, $expLit) / ${expw.sum}, 6) AS value_exp_ma,
          | round(CASE WHEN zeros > 0 THEN 0 ELSE exp(mean_ln) END, 6) AS value_geometric,
          | round(CASE WHEN zeros > 0 THEN 0 ELSE $w / inv_sum END, 6) AS value_harmonic,
-         | round(prod, 2) AS value_product
+         | round(prod, 0) AS value_product
          |FROM t WHERE rn >= $w""".stripMargin
     },
     "q04_difference" ->

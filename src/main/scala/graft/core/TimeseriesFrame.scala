@@ -38,6 +38,18 @@ final case class TimeseriesFrame(
     if (seriesKeys.isEmpty) Window.orderBy(orderCols: _*)
     else Window.partitionBy(seriesKeys.map(col): _*).orderBy(orderCols: _*)
 
+  /** The base window with the total order REVERSED. Use for "next known
+    * value" style lookaheads as `last(...).over(windowDesc.rowsBetween(
+    * unboundedPreceding, 0))`: Spark evaluates unbounded-PRECEDING frames
+    * incrementally (O(n) per partition) but recomputes unbounded-FOLLOWING
+    * frames from scratch per row (O(n²) — `UnboundedFollowingWindow
+    * FunctionFrame`), which turns a 600k-row interpolation into hours. */
+  def windowDesc: WindowSpec = {
+    val descCols = orderCols.map(_.desc)
+    if (seriesKeys.isEmpty) Window.orderBy(descCols: _*)
+    else Window.partitionBy(seriesKeys.map(col): _*).orderBy(descCols: _*)
+  }
+
   /** Trailing row window of `width` rows ending at the current row. */
   def trailing(width: Int): WindowSpec =
     window.rowsBetween(-(width - 1L), 0L)

@@ -35,13 +35,16 @@ object Interpolate {
     val x = nanToNull(col(c))
     val wAll = tsf.window.rowsBetween(Long.MinValue, Long.MaxValue)
     val wPrev = tsf.window.rowsBetween(Long.MinValue, 0L)
-    val wNext = tsf.window.rowsBetween(0L, Long.MaxValue)
+    // "next known" = "last known over the REVERSED order" — an incremental
+    // O(n) running frame; the forward unbounded-FOLLOWING formulation is
+    // recomputed per row by Spark (O(n²) — see TimeseriesFrame.windowDesc)
+    val wNextRun = tsf.windowDesc.rowsBetween(Long.MinValue, 0L)
 
     val knownCount = count(x).over(wAll)
     val prevV = last(x, ignoreNulls = true).over(wPrev)
     val prevT = last(when(x.isNotNull, t), ignoreNulls = true).over(wPrev)
-    val nextV = first(x, ignoreNulls = true).over(wNext)
-    val nextT = first(when(x.isNotNull, t), ignoreNulls = true).over(wNext)
+    val nextV = last(x, ignoreNulls = true).over(wNextRun)
+    val nextT = last(when(x.isNotNull, t), ignoreNulls = true).over(wNextRun)
 
     val filled = method match {
       case "linear" =>
@@ -84,12 +87,12 @@ object Interpolate {
         val t = tsf.timeCol.map(col(_).cast("double")).getOrElse(
           row_number().over(tsf.window).cast("double"))
         val wPrev = tsf.window.rowsBetween(Long.MinValue, 0L)
-        val wNext = tsf.window.rowsBetween(0L, Long.MaxValue)
+        val wNextRun = tsf.windowDesc.rowsBetween(Long.MinValue, 0L)
         val x = col(c)
         val prevV = last(x, ignoreNulls = true).over(wPrev)
         val prevT = last(when(x.isNotNull, t), ignoreNulls = true).over(wPrev)
-        val nextV = first(x, ignoreNulls = true).over(wNext)
-        val nextT = first(when(x.isNotNull, t), ignoreNulls = true).over(wNext)
+        val nextV = last(x, ignoreNulls = true).over(wNextRun)
+        val nextT = last(when(x.isNotNull, t), ignoreNulls = true).over(wNextRun)
         val filled = when(prevV.isNull, nextV).when(nextV.isNull, prevV)
           .when(t - prevT <= nextT - t, prevV).otherwise(nextV)
         tsf.df.withColumn(c, coalesce(x, filled))

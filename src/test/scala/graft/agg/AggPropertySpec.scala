@@ -71,6 +71,26 @@ class AggPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: strided(shift=1) == sliding KeepComplete; strided(shift=width) == blocks") {
+    val rnd = new Random(13)
+    for (_ <- 1 to 4) {
+      val xs = randomVec(rnd, 30 + rnd.nextInt(15))
+      val w = 2 + rnd.nextInt(5)
+      val tsf = TimeseriesFrame(seriesDF(xs), None, Seq("i"))
+      val stride1 = col1(
+        MovingTransform.strided(tsf, Seq("x" -> "sum"), w, 1), "x_sum", "window_index")
+      val sliding = col1(
+        MovingTransform.slidingWindow(tsf, Seq("x" -> "sum"), w,
+          MovingTransform.KeepComplete), "x_sum")
+      assertSeqAlmost(stride1, sliding)
+      val strideW = col1(
+        MovingTransform.strided(tsf, Seq("x" -> "sum"), w, w), "x_sum", "window_index")
+      val blocks = col1(
+        MovingTransform.sequentialBlocks(tsf, Seq("x" -> "sum"), w), "x_sum", "block")
+      assertSeqAlmost(strideW, blocks)
+    }
+  }
+
   test("property: span == max - min; sum == mean * defined on NaN-free data") {
     val rnd = new Random(7)
     for (_ <- 1 to 4) {
