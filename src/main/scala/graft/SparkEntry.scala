@@ -413,6 +413,17 @@ object SparkEntry {
       Correlation.acfByKey(t, "value", maxLag = 6)
         .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"))
     }),
+    "q41_interpolate_by_key" -> ((s, dir) => {
+      // per-series gap fill — seriesKeys exercise of the O(n) reversed-
+      // window lookahead (each user an independent partition)
+      val t0 = evGappy(s, dir)
+      val t = t0.withSeriesKeys("user_id")
+      val lin = Interpolate.expr(t, "value", "linear")
+      val near = Interpolate.expr(t, "value", "nearest")
+      t.df.select(col("event_id"), col("user_id"),
+        round(lin, 6).as("value_linear"),
+        near.as("value_nearest"))
+    }),
     "q40_seasonal_by_key" -> ((s, dir) => {
       // per-series seasonal decomposition (edge regressions and phase
       // means all per-key — fully distributed, no driver collects)
@@ -626,6 +637,32 @@ object SparkEntry {
     "q27_pacf" -> pacfSql,
     "q30_lomb_scargle" -> lombScargleSql,
     "q40_seasonal_by_key" -> seasonalByKeySql,
+    "q41_interpolate_by_key" ->
+      s"""WITH s AS (
+         | SELECT event_id, user_id, ts, epoch(ts) AS tt,
+         |  CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS v
+         | FROM events),
+         |t AS (
+         | SELECT event_id, user_id, tt, v,
+         |  count(v) OVER (PARTITION BY user_id) AS kn,
+         |  last_value(v IGNORE NULLS) OVER wp AS pv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN tt END IGNORE NULLS) OVER wp AS pt,
+         |  first_value(v IGNORE NULLS) OVER wn AS nv,
+         |  first_value(CASE WHEN v IS NOT NULL THEN tt END IGNORE NULLS) OVER wn AS nt
+         | FROM s
+         | WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wn AS (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_id, user_id,
+         | round(CASE WHEN kn < 2 THEN v ELSE
+         |  coalesce(v, CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+         |   WHEN nt = pt THEN pv ELSE pv + (nv - pv) * (tt - pt) / (nt - pt) END) END, 6)
+         |  AS value_linear,
+         | CASE WHEN kn < 2 THEN v ELSE
+         |  coalesce(v, CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+         |   WHEN tt - pt <= nt - tt THEN pv ELSE nv END) END AS value_nearest
+         |FROM t""".stripMargin,
     "q39_acf_by_key" ->
       """WITH s AS (SELECT user_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
