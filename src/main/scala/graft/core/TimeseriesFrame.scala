@@ -26,7 +26,9 @@ final case class TimeseriesFrame(
     df: DataFrame,
     timeCol: Option[String],
     tieBreak: Seq[String] = Nil,
-    seriesKeys: Seq[String] = Nil) {
+    seriesKeys: Seq[String] = Nil,
+    interpMethod: String = "linear",
+    interpMultivariate: Boolean = false) {
 
   /** Total-order columns: time first, then tie-break (e.g. an ingest id) so
     * duplicate timestamps — legal in the reference (`timeseries.py:39-41`) —
@@ -67,6 +69,32 @@ final case class TimeseriesFrame(
   }
 
   def withSeriesKeys(keys: String*): TimeseriesFrame = copy(seriesKeys = keys)
+
+  /** Reference `set_interp` (`timeseries.py:270-272`): remember the
+    * interpolation settings on the table. */
+  def withInterpolation(method: String, multivariate: Boolean = false): TimeseriesFrame =
+    copy(interpMethod = method, interpMultivariate = multivariate)
+
+  /** Reference `interp()` (`timeseries.py:274-299`): an interpolated copy
+    * using the remembered settings, over `cols` or (default) every
+    * numeric non-axis column. The multivariate pre-pass applies for the
+    * 'nearest' method (the implemented griddata variant —
+    * `Interpolate.multivariateNearest`); a univariate pass always follows,
+    * as in the reference. */
+  def interp(cols: Seq[String] = Nil): DataFrame = {
+    val axis = timeCol.toSeq ++ tieBreak ++ seriesKeys
+    val targets =
+      if (cols.nonEmpty) cols
+      else df.schema.fields.collect {
+        case f if !axis.contains(f.name) &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+      }.toSeq
+    val pre =
+      if (interpMultivariate && interpMethod == "nearest" && targets.size >= 3)
+        copy(df = graft.ops.Interpolate.multivariateNearest(this, targets))
+      else this
+    graft.ops.Interpolate(pre, targets, interpMethod)
+  }
 
   /** Infer the time-spacing metadata (one small Spark job). */
   def timeDelta: TimeDelta = timeCol match {

@@ -51,4 +51,12 @@ class InterpolateSpec extends SparkSpec {
     val out = Interpolate(t, Seq("x"), "linear")
     assertSeqAlmost(col1(out, "x", "t"), Seq(None, Some(7.0), None))
   }
+
+  test("interp() uses remembered settings over all numeric columns (timeseries.py:270-299)") {
+    val t = fixture(Seq(0, 1, 2, 3), Seq(Some(2.0), None, Some(6.0), None))
+      .withInterpolation("linear")
+    assertSeqAlmost(col1(t.interp(), "x", "t"), d(2, 4, 6, 6))
+    val tNearest = t.withInterpolation("nearest")
+    assertSeqAlmost(col1(tNearest.interp(), "x", "t"), d(2, 2, 6, 6))
+  }
 }
