@@ -1,6 +1,8 @@
 package graft.models
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.core.{TimeDelta, TimeseriesFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The forecast-table column contract (`models.py:210-228` + SURVEY §1.2):
@@ -32,5 +34,56 @@ object ForecastTable {
     val rows = forecast.indices.map(i =>
       Row(i + 1L, forecast(i), lo(i), hi(i)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Line-chart continuation (`owlinechart.py:749-803` re-expressed as a
+    * data contract, SURVEY §2.3): history rows tagged `"history"`, forecast
+    * rows tagged `"forecast"` with the forecast time axis extrapolated from
+    * the last observed time by the series' inferred step (numeric seconds,
+    * or calendar months/years via `add_months`). Output columns:
+    * (`segment`, `<timeCol>`, `<name>`, `<name> (N%CI low/high)` —
+    * null on history rows). */
+  def continuation(
+      history: TimeseriesFrame,
+      valueCol: String,
+      forecast: Array[Double],
+      lo: Array[Double],
+      hi: Array[Double],
+      confidence: Int = 95): DataFrame = {
+    val spark = history.df.sparkSession
+    val tCol = history.timeCol.getOrElse(
+      throw new IllegalArgumentException("continuation needs a time column"))
+    val loName = s"$valueCol (${confidence}%CI low)"
+    val hiName = s"$valueCol (${confidence}%CI high)"
+    val lastT = history.df.agg(max(col(tCol))).head()
+    val delta = history.timeDelta
+    val steps = forecast.indices.map(_ + 1)
+    val futureTimes: Seq[Column] = delta.deltas.headOption match {
+      case Some(Right((k, "month"))) =>
+        steps.map(i => add_months(lit(lastT.get(0)), i * k).cast(history.df.schema(tCol).dataType))
+      case Some(Right((k, "year"))) =>
+        steps.map(i => add_months(lit(lastT.get(0)), i * k * 12).cast(history.df.schema(tCol).dataType))
+      case _ =>
+        val stepSec = delta.intervalSeconds
+          .orElse(delta.gcdSeconds)
+          .getOrElse(1.0)
+        history.df.schema(tCol).dataType match {
+          case _: TimestampType => steps.map(i =>
+            timestamp_seconds(unix_timestamp(lit(lastT.get(0))) + lit(i * stepSec)))
+          case _ => steps.map(i => lit(lastT.getDouble(0) + i * stepSec))
+        }
+    }
+    val hist = history.df.select(
+      lit("history").as("segment"), col(tCol),
+      col(valueCol).cast("double").as(valueCol),
+      lit(null).cast("double").as(loName),
+      lit(null).cast("double").as(hiName))
+    val fut = forecast.indices.map { i =>
+      spark.range(1).select(
+        lit("forecast").as("segment"), futureTimes(i).as(tCol),
+        lit(forecast(i)).as(valueCol),
+        lit(lo(i)).as(loName), lit(hi(i)).as(hiName))
+    }.reduce(_ unionByName _)
+    hist.unionByName(fut)
   }
 }

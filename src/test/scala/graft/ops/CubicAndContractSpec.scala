@@ -44,6 +44,25 @@ class CubicAndContractSpec extends SparkSpec {
       Seq("Air passengers (95%CI low)", "Air passengers (95%CI high)"))
   }
 
+  test("line-chart continuation: history + extrapolated forecast times (owlinechart.py:749-803)") {
+    import graft.core.TimeseriesFrame
+    val df = spark.createDataFrame(
+      (0 until 5).map(i => (i * 10.0, 100.0 + i))).toDF("t", "y")
+    val hist = TimeseriesFrame(df, Some("t"))
+    val out = ForecastTable.continuation(hist, "y",
+      Array(200.0, 210.0), Array(190.0, 195.0), Array(210.0, 225.0))
+    val rows = out.orderBy("t").collect()
+    assert(rows.length == 7)
+    assert(rows.take(5).forall(_.getString(0) == "history"))
+    // forecast times extrapolate the 10-second step from t=40
+    val fut = rows.drop(5)
+    assert(fut.map(_.getDouble(1)).toSeq == Seq(50.0, 60.0))
+    assert(fut.map(_.getString(0)).forall(_ == "forecast"))
+    assert(fut.head.getDouble(2) == 200.0 && fut.head.getDouble(3) == 190.0)
+    // history rows carry null CI columns
+    assert(rows.take(5).forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
   test("nan_product registered for SQL via GraftExtensions") {
     // register on the live session the same way the extension does
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
