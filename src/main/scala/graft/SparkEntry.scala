@@ -413,6 +413,19 @@ object SparkEntry {
       Correlation.acfByKey(t, "value", maxLag = 6)
         .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"))
     }),
+    "q42_sliding_rangepart" -> ((s, dir) => {
+      // the single-series SCALE path under the hash gate: range-partitioned
+      // sliding windows with chained boundary carry (no global sort) must
+      // reproduce the declarative window semantics exactly
+      val t = ev(s, dir)
+      RangeWindow.slidingWindow(t, "value_cents",
+          Seq("sum", "min", "max", "defined"), width = 7, numPartitions = 32)
+        .select(col("event_id"),
+          round(col("value_cents_sum") / 100.0, 6).as("v_sum"),
+          (col("value_cents_min") / 100.0).as("v_min"),
+          (col("value_cents_max") / 100.0).as("v_max"),
+          col("value_cents_defined").cast("long").as("v_defined"))
+    }),
     "q41_interpolate_by_key" -> ((s, dir) => {
       // per-series gap fill — seriesKeys exercise of the O(n) reversed-
       // window lookahead (each user an independent partition)
@@ -637,6 +650,14 @@ object SparkEntry {
     "q27_pacf" -> pacfSql,
     "q30_lomb_scargle" -> lombScargleSql,
     "q40_seasonal_by_key" -> seasonalByKeySql,
+    "q42_sliding_rangepart" ->
+      s"""SELECT event_id,
+         | round(sum($centsSql) OVER w / 100.0, 6) AS v_sum,
+         | min($centsSql) OVER w / 100.0 AS v_min,
+         | max($centsSql) OVER w / 100.0 AS v_max,
+         | count(value) OVER w AS v_defined
+         |FROM events
+         |${winSql("6 PRECEDING")}""".stripMargin,
     "q41_interpolate_by_key" ->
       s"""WITH s AS (
          | SELECT event_id, user_id, ts, epoch(ts) AS tt,
