@@ -165,10 +165,20 @@ object MovingTransform {
     * "Instance count" column then one column per (var, agg). Sliding-only
     * aggs (weighted MAs, cumulatives) are rejected, as in the reference.
     */
+  /** English period-name tables for the two named components —
+    * `calendar.month_name[1:]` / `calendar.day_name`
+    * (`aggregate.py:210-221`, "Use month names" / "Use day names"). */
+  private val MonthNames = Seq("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+  private val DayNames = Seq("Monday", "Tuesday", "Wednesday", "Thursday",
+    "Friday", "Saturday", "Sunday")
+
   def timePeriods(
       tsf: TimeseriesFrame,
       period: String,
-      specs: Seq[(String, String)]): DataFrame = {
+      specs: Seq[(String, String)],
+      usePeriodNames: Boolean = false): DataFrame = {
     specs.foreach { case (_, a) =>
       require(AggRegistry.blockKeys.contains(a), s"agg '$a' has no block form")
     }
@@ -178,8 +188,17 @@ object MovingTransform {
     val aggs = specs.map { case (c, aggKey) =>
       AggRegistry.block(aggKey, col(c)).as(s"${c}_$aggKey")
     }
-    tsf.df
+    val grouped = tsf.df
       .groupBy((tsf.seriesKeys.map(col) :+ key): _*)
       .agg(count(lit(1)).as("instance_count"), aggs: _*)
+    // named variants keep the reference's NUMERIC group order (the
+    // categorical's values list is calendar-ordered, not alphabetical)
+    if (usePeriodNames && period == "month_of_year")
+      grouped.withColumn(period,
+        element_at(array(MonthNames.map(lit): _*), col(period).cast("int")))
+    else if (usePeriodNames && period == "day_of_week")
+      grouped.withColumn(period,
+        element_at(array(DayNames.map(lit): _*), col(period).cast("int") + 1))
+    else grouped
   }
 }

@@ -37,6 +37,25 @@ class MovingTransformSpec extends SparkSpec {
     assert(sums(a, 15, 2).isEmpty)
   }
 
+  test("period names: month/day labels in calendar order (aggregate.py:210-221)") {
+    import spark.implicits._
+    val df = Seq(
+      "2024-01-15 10:00:00", "2024-03-01 12:00:00", "2024-03-20 13:00:00",
+      "2024-12-31 09:00:00")
+      .map(s => Tuple2(java.sql.Timestamp.valueOf(s), 1.0)).toDF("ts", "v")
+    val t = TimeseriesFrame(df, Some("ts"))
+    val byMonth = MovingTransform.timePeriods(t, "month_of_year",
+      Seq("v" -> "sum"), usePeriodNames = true)
+    val names = byMonth.orderBy("instance_count")
+      .select("month_of_year").collect().map(_.getString(0)).toSet
+    assert(names == Set("January", "March", "December"), names.toString)
+    val byDay = MovingTransform.timePeriods(t, "day_of_week",
+      Seq("v" -> "sum"), usePeriodNames = true)
+    val dayNames = byDay.select("day_of_week").collect().map(_.getString(0)).toSet
+    // 2024-01-15 Mon, 2024-03-01 Fri, 2024-03-20 Wed, 2024-12-31 Tue
+    assert(dayNames == Set("Monday", "Friday", "Wednesday", "Tuesday"), dayNames.toString)
+  }
+
   test("sequential blocks: aggregates + trailing partial dropped") {
     val out = MovingTransform.sequentialBlocks(fixture,
       Seq("c1" -> "min", "c1" -> "max"), 3)
