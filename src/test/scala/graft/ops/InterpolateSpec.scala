@@ -52,6 +52,41 @@ class InterpolateSpec extends SparkSpec {
     assertSeqAlmost(col1(out, "x", "t"), Seq(None, Some(7.0), None))
   }
 
+  test("property: linear/nearest match a local scipy-semantics reference on random gaps") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 8) {
+      val n = 15 + rnd.nextInt(25)
+      // strictly increasing, non-uniform times
+      val ts = Iterator.iterate(0.0)(_ + 0.5 + rnd.nextInt(10)).take(n).toSeq
+      val xs = Seq.fill(n)(
+        if (rnd.nextInt(3) == 0) None else Some((rnd.nextInt(200) - 100) / 7.0))
+      val t = fixture(ts, xs)
+      def localRef(nearest: Boolean): Seq[Option[Double]] = {
+        val known = ts.zip(xs).collect { case (tt, Some(v)) => (tt, v) }
+        if (known.size < 2) xs
+        else ts.zip(xs).map {
+          case (_, Some(v)) => Some(v)
+          case (tt, None) =>
+            val before = known.filter(_._1 <= tt).lastOption
+            val after = known.find(_._1 >= tt)
+            (before, after) match {
+              case (None, Some((_, v))) => Some(v)
+              case (Some((_, v)), None) => Some(v)
+              case (Some((t0, v0)), Some((t1, v1))) =>
+                if (nearest) Some(if (tt - t0 <= t1 - tt) v0 else v1)
+                else if (t1 == t0) Some(v0)
+                else Some(v0 + (v1 - v0) * (tt - t0) / (t1 - t0))
+              case _ => None
+            }
+        }
+      }
+      assertSeqAlmost(col1(Interpolate(t, Seq("x"), "linear"), "x", "t"),
+        localRef(nearest = false), 1e-9)
+      assertSeqAlmost(col1(Interpolate(t, Seq("x"), "nearest"), "x", "t"),
+        localRef(nearest = true), 1e-9)
+    }
+  }
+
   test("interp() uses remembered settings over all numeric columns (timeseries.py:270-299)") {
     val t = fixture(Seq(0, 1, 2, 3), Seq(Some(2.0), None, Some(6.0), None))
       .withInterpolation("linear")
