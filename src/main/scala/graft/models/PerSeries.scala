@@ -1,0 +1,70 @@
+package graft.models
+
+import graft.core.TimeseriesFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-series model fitting at cluster scale: one forecast model per
+  * `seriesKeys` group, fitted on the EXECUTORS (the collected-series
+  * driver path of [[ModelEvaluation]] is the reference's single-series
+  * semantics; this is the horizontal generalization — at 100 TB each
+  * series is small even when the table is not, so `collect_list` per key
+  * followed by an executor-side fit is the standard "millions of models"
+  * recipe).
+  *
+  * The plan: one hash aggregate gathers each series in time order
+  * (`sort_array` of (time, tiebreak, value) structs — map-side partials,
+  * one shuffle of the grouped values), then a narrow `flatMap` fits the
+  * model and emits `steps` forecast rows per key. No driver involvement
+  * per series.
+  */
+object PerSeries {
+
+  /** Fit ARIMA(p,d,q) per series and forecast `steps` ahead.
+    * Output: (seriesKeys..., step, forecast, ci_low, ci_high). Series
+    * shorter than `minRows` are skipped. */
+  def arimaForecastByKey(
+      tsf: TimeseriesFrame,
+      valueCol: String,
+      p: Int, d: Int, q: Int,
+      steps: Int,
+      alpha: Double = 0.05,
+      minRows: Int = 12): DataFrame = {
+    require(tsf.seriesKeys.nonEmpty, "arimaForecastByKey needs seriesKeys")
+    val spark = tsf.df.sparkSession
+    val keys = tsf.seriesKeys
+    val tCol = tsf.timeCol.getOrElse(
+      throw new IllegalArgumentException("needs a time column"))
+    val orderStruct = struct(
+      (col(tCol).cast("double") +: tsf.tieBreak.map(c => col(c).cast("double")))
+        :+ col(valueCol).cast("double"): _*)
+    val gathered = tsf.df
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(orderStruct)).as("__series"))
+
+    val keySchema = StructType(keys.map(k => gathered.schema(k)))
+    val outSchema = StructType(keySchema.fields ++ Seq(
+      StructField("step", LongType, nullable = false),
+      StructField("forecast", DoubleType),
+      StructField("ci_low", DoubleType),
+      StructField("ci_high", DoubleType)))
+    val nField = tsf.tieBreak.size + 2 // time + tieBreaks + value
+    val outRdd = gathered.rdd.flatMap { row =>
+      val series = row.getSeq[Row](row.length - 1)
+        .map(s => s.getDouble(nField - 1)).toArray
+      if (series.length < minRows) Iterator.empty
+      else {
+        val keyVals = (0 until row.length - 1).map(row.get)
+        try {
+          val (fo, lo, hi) = new Arima(p, d, q).fit(series).predict(steps, alpha)
+          (0 until steps).iterator.map(h =>
+            // Seq[Any]: a plain Seq(...) would numeric-widen the Long step
+            // to Double via LUB inference and break the row encoder
+            Row.fromSeq(keyVals ++ Seq[Any](h + 1L, fo(h), lo(h), hi(h))))
+        } catch { case _: Exception => Iterator.empty }
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.models
+
+import graft.SparkSpec
+import graft.core.TimeseriesFrame
+import org.apache.spark.sql.functions._
+
+/** Executor-side per-series model fitting: grouped forecasts must equal
+  * fitting each series independently on the driver. */
+class PerSeriesSpec extends SparkSpec {
+
+  private def twoArSeries = {
+    import spark.implicits._
+    def gen(seed: Int, phi: Double, mu: Double, n: Int): Seq[Double] = {
+      val rnd = new scala.util.Random(seed)
+      val out = Array.fill(n)(0.0)
+      for (i <- 1 until n) out(i) = phi * out(i - 1) + rnd.nextGaussian()
+      out.map(_ + mu).toSeq
+    }
+    val a = gen(1, 0.7, 10.0, 80).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+    val b = gen(2, -0.4, 50.0, 60).zipWithIndex.map { case (v, i) => ("b", i.toLong, v) }
+    (a ++ b).toDF("k", "t", "x")
+  }
+
+  test("grouped ARIMA forecasts == independent per-key driver fits") {
+    val df = twoArSeries
+    val tsf = TimeseriesFrame(df, Some("t"), Nil, Seq("k"))
+    val grouped = PerSeries.arimaForecastByKey(tsf, "x", p = 1, d = 0, q = 0,
+      steps = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(grouped.size == 10) // 2 series × 5 steps
+    for (key <- Seq("a", "b")) {
+      val series = df.filter(col("k") === key).orderBy("t")
+        .select(col("x")).collect().map(_.getDouble(0))
+      val (fo, lo, _) = new Arima(1, 0, 0).fit(series).predict(5)
+      (0 until 5).foreach { h =>
+        val (gf, gl) = grouped((key, h + 1L))
+        assert(math.abs(gf - fo(h)) < 1e-8, s"$key step $h: $gf vs ${fo(h)}")
+        assert(math.abs(gl - lo(h)) < 1e-8)
+      }
+    }
+    // the two series genuinely differ (different AR dynamics and level)
+    assert(math.abs(grouped(("a", 1L))._1 - grouped(("b", 1L))._1) > 10)
+  }
+
+  test("series shorter than minRows are skipped, not failed") {
+    import spark.implicits._
+    val df = (0 until 5).map(i => ("tiny", i.toLong, i * 1.0)).toDF("k", "t", "x")
+    val tsf = TimeseriesFrame(df, Some("t"), Nil, Seq("k"))
+    val out = PerSeries.arimaForecastByKey(tsf, "x", 1, 0, 0, steps = 3)
+    assert(out.count() == 0)
+  }
+}
