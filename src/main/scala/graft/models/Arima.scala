@@ -101,6 +101,20 @@ final class Arima(val p: Int, val d: Int, val q: Int) {
   private def diff(y: Array[Double], times: Int): Array[Double] =
     (1 to times).foldLeft(y)((a, _) => a.indices.drop(1).map(i => a(i) - a(i - 1)).toArray)
 
+  /** Install externally-estimated parameters (used by [[Arimax]]'s joint
+    * refinement, which optimizes the ARMA and regression parts together
+    * and hands the ARMA piece back here for prediction/likelihood). */
+  private[models] def setFitted(
+      y: Array[Double], ph: Array[Double], th: Array[Double], m: Double): Arima = {
+    yRaw = y
+    w = diff(y, d)
+    phi = ph; theta = th; mu = m
+    val centered = if (d == 0) w.map(_ - mu) else w
+    val (ll, s2) = Arima.logLikAndSigma2(centered, phi, theta)
+    logLik = ll; sigma2 = s2
+    this
+  }
+
   // ------------------------------------------------------------- predict
 
   /** (forecast, ciLow, ciHigh) for 1..steps ahead at (1-alpha) confidence. */

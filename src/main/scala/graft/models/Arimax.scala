@@ -5,15 +5,15 @@ import breeze.linalg.{DenseMatrix, DenseVector}
 /** ARIMAX — ARIMA with exogenous regressors (`models.py:279-328`
   * `use_exog=True`: statsmodels fits a regression with SARIMAX errors).
   *
-  * Round-1 estimator: iterated feasible GLS (Cochrane–Orcutt shape) —
-  * (1) OLS of the d-differenced target on the d-differenced exog,
-  * (2) exact-MLE ARIMA on the regression residuals,
-  * (3) re-estimate β by GLS using the fitted ARMA innovations filter,
-  * iterated to convergence. This converges to the same stationary point as
-  * the joint state-space MLE for the regression part (documented
-  * approximation: β standard errors are conditional, and the reference's
-  * golden suite pins no ARIMAX numbers — `tests/test_models.py` covers the
-  * univariate path only).
+  * Estimator: iterated feasible GLS (Cochrane–Orcutt shape) as a warm
+  * start — (1) OLS of the d-differenced target on the d-differenced exog,
+  * (2) exact-MLE ARIMA on the regression residuals, (3) GLS re-estimate of
+  * β through the fitted AR filter — followed by a JOINT maximization of
+  * the concentrated Gaussian likelihood over (φ, θ, β, μ) with the same
+  * Kalman machinery as [[Arima]], i.e. the regression is estimated inside
+  * the state space like the reference's statsmodels path. (No reference
+  * goldens exist for ARIMAX — `tests/test_models.py` covers the univariate
+  * path only — so the spec checks parameter recovery on simulated data.)
   *
   * Forecasting requires future exog rows, matching the reference
   * (`predict(steps, exog)`).
@@ -64,9 +64,51 @@ final class Arimax(val p: Int, val d: Int, val q: Int) {
       b = Xw \ DenseVector(yw)
       iter += 1
     }
-    beta = b
-    val residFinal = (yv - X * b).toArray
-    arima = new Arima(p, 0, q).fit(residFinal)
+    // joint refinement: maximize the concentrated Gaussian likelihood over
+    // [AR pacf-space, MA pacf-space, β, (μ when d=0)] simultaneously —
+    // the statsmodels path estimates the regression inside the state space;
+    // the iterated GLS above supplies the β warm start.
+    val useMean = d == 0
+    val nFree = p + q + k + (if (useMean) 1 else 0)
+    def unpack(v: DenseVector[Double]) = {
+      val ph = Arima.transformAr(v.toArray.slice(0, p))
+      val th = Arima.transformMa(v.toArray.slice(p, p + q))
+      val bb = DenseVector(v.toArray.slice(p + q, p + q + k))
+      val m = if (useMean) v(p + q + k) else 0.0
+      (ph, th, bb, m)
+    }
+    def negLL(v: DenseVector[Double]): Double = {
+      val (ph, th, bb, m) = unpack(v)
+      val resid = (yv - X * bb).toArray.map(_ - m)
+      val ll = Arima.concentratedLogLik(resid, ph, th)
+      if (ll.isNaN || ll.isInfinite) 1e10 else -ll
+    }
+    val objective = new breeze.optimize.DiffFunction[DenseVector[Double]] {
+      def calculate(v: DenseVector[Double]): (Double, DenseVector[Double]) = {
+        val f0 = negLL(v)
+        val g = DenseVector.zeros[Double](v.length)
+        val h = 1e-6
+        for (i <- 0 until v.length) {
+          val vp = v.copy; vp(i) += h
+          val vm = v.copy; vm(i) -= h
+          g(i) = (negLL(vp) - negLL(vm)) / (2 * h)
+        }
+        (f0, g)
+      }
+    }
+    val start = DenseVector.zeros[Double](nFree)
+    for (j <- 0 until k) start(p + q + j) = b(j)
+    if (useMean) {
+      val r0 = (yv - X * b).toArray
+      start(p + q + k) = r0.sum / r0.length
+    }
+    val lbfgs = new breeze.optimize.LBFGS[DenseVector[Double]](
+      maxIter = 300, m = 7, tolerance = 1e-10)
+    val opt = lbfgs.minimize(objective, start)
+    val (phJ, thJ, bJ, muJ) = unpack(opt)
+    beta = bJ
+    val residFinal = (yv - X * bJ).toArray
+    arima = new Arima(p, 0, q).setFitted(residFinal, phJ, thJ, muJ)
     this
   }
 
