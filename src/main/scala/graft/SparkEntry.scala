@@ -258,7 +258,12 @@ object SparkEntry {
     "q18_minhash_lsh" -> ((s, dir) =>
       // deterministic affine minhash over polynomial shingle hashes —
       // reproduced exactly by the DuckDB oracle (same integer arithmetic)
-      Dedup.minhashCandidates(tbl(s, dir, "documents"), "doc_id", "text",
+      // null text is filtered identically on both engines (the oracle's
+      // tokHashSql has WHERE text IS NOT NULL) — otherwise Spark's
+      // null-intolerant hash expressions silently drop the doc while the
+      // oracle's CASE gives it an all-sentinel signature
+      Dedup.minhashCandidates(
+        tbl(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text",
         shingleHashesOf = TextFunctions.shingleHashes(_, 3),
         numHashes = 64, bands = 8)
         .filter(col("est_jaccard") >= 0.5)),
@@ -267,9 +272,11 @@ object SparkEntry {
       // features than char shingles at equal near-dup sensitivity);
       // deterministic polynomial feature hashes widened to 62 bits
       val d = tbl(s, dir, "documents")
+      // null text → '' → empty feature set → sig 0, matching the oracle's
+      // LEFT JOIN + coalesce(sig, 0) for docs its null filter removed
       d.select(col("doc_id"),
         Dedup.simhashFromHashes(
-          transform(TextFunctions.shingleHashes(col("text"), 2),
+          transform(TextFunctions.shingleHashes(coalesce(col("text"), lit("")), 2),
             Dedup.widenHash62(_))).as("sig"))
     }),
     // ---- similarity search --------------------------------------------
@@ -942,7 +949,7 @@ object SparkEntry {
       |   list_transform(list_filter(string_split(t, ''), c -> c != ''),
       |    c -> CAST(ascii(c) AS BIGINT)),
       |   (a, c) -> (a * 31 + c) % 1000000007)) AS th
-      |FROM documents""".stripMargin
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   private def minhashSql: String = {
     val paramRows = Dedup.minhashParams(64).zipWithIndex

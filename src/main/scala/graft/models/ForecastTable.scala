@@ -56,6 +56,8 @@ object ForecastTable {
     val loName = s"$valueCol (${confidence}%CI low)"
     val hiName = s"$valueCol (${confidence}%CI high)"
     val lastT = history.df.agg(max(col(tCol))).head()
+    require(!lastT.isNullAt(0),
+      "continuation needs a non-empty history with at least one non-null time")
     val delta = history.timeDelta
     val steps = forecast.indices.map(_ + 1)
     val futureTimes: Seq[Column] = delta.deltas.headOption match {
@@ -70,7 +72,14 @@ object ForecastTable {
         history.df.schema(tCol).dataType match {
           case _: TimestampType => steps.map(i =>
             timestamp_seconds(unix_timestamp(lit(lastT.get(0))) + lit(i * stepSec)))
-          case _ => steps.map(i => lit(lastT.getDouble(0) + i * stepSec))
+          case _: DateType => steps.map(i =>
+            timestamp_seconds(
+              unix_timestamp(lit(lastT.get(0)).cast(TimestampType)) + lit(i * stepSec))
+              .cast(DateType))
+          case _ =>
+            // getDouble does not widen Integer/Long — go through Number
+            val t0 = lastT.getAs[Number](0).doubleValue
+            steps.map(i => lit(t0 + i * stepSec))
         }
     }
     val hist = history.df.select(

@@ -76,7 +76,7 @@ object ModelEvaluation {
     val modelsArr = models.toArray
     val steps = forecastSteps
     val foldPreds: Map[(Int, Int), Array[Double]] = sc
-      .parallelize(tasks, tasks.size)
+      .parallelize(tasks, math.max(tasks.size, 1))
       .map { case (si, fold) =>
         val trainEnd = bSeries.value.length - fold * steps
         val pred =

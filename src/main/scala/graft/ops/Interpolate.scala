@@ -110,52 +110,79 @@ object Interpolate {
     *
     * Driver-side by nature — the reference formulates this as an
     * in-memory whole-matrix operation (the interpolant couples every row
-    * with every column), bounded by `maxCells`. The 'linear'/'cubic'
-    * griddata variants need Delaunay triangulation and remain a
-    * documented gap. */
+    * with every column), bounded by `maxCells` TOTAL cells across all
+    * series. With `seriesKeys` set, each series is its own matrix (the
+    * fill join carries the key columns, so fills never cross series);
+    * series with fewer than 3 rows are left untouched, as in the
+    * reference.
+    *
+    * DESCOPED: the 'linear'/'cubic' griddata variants
+    * (`functions.py:300-318` with `method='linear'|'cubic'`) need a
+    * Delaunay triangulation of the scattered known cells and are NOT
+    * implemented — calling `withInterpolation(method, multivariate=true)`
+    * with those methods runs the univariate pass only. See README
+    * "Known gaps". */
   def multivariateNearest(tsf: TimeseriesFrame, cols: Seq[String],
       maxCells: Long = 10L * 1000 * 1000): DataFrame = {
     require(cols.size >= 3, "reference skips multivariate below 3 continuous columns")
-    val rn = row_number().over(tsf.window).as("__rn")
+    val keys = tsf.seriesKeys
+    // `__rn` is a row index WITHIN its series (tsf.window partitions by the
+    // series keys), so each series gets its own matrix; the fill join below
+    // carries the key columns so fills never cross series.
+    val rn = row_number().over(tsf.window).cast("long").as("__rn")
     val base = tsf.df.withColumn("__rn", rn)
     val mat = base
-      .select(col("__rn") +: cols.map(c => nanToNull(col(c))): _*)
-      .orderBy("__rn").collect()
-    val n = mat.length
-    if (n < 3) return tsf.df
-    require(n.toLong * cols.size <= maxCells,
+      .select(keys.map(col) ++ (col("__rn") +: cols.map(c => nanToNull(col(c)))): _*)
+      .orderBy(keys.map(col) :+ col("__rn"): _*).collect()
+    val total = mat.length
+    require(total.toLong * cols.size <= maxCells,
       s"multivariate interpolation is a whole-matrix driver-side op; " +
-        s"${n.toLong * cols.size} cells exceeds maxCells=$maxCells")
+        s"${total.toLong * cols.size} cells exceeds maxCells=$maxCells")
     val k = cols.size
-    val vals = Array.tabulate(n, k)((i, j) =>
-      if (mat(i).isNullAt(j + 1)) Double.NaN else mat(i).getDouble(j + 1))
-    val nonNan = for {
-      i <- (0 until n).iterator; j <- (0 until k).iterator
-      if !vals(i)(j).isNaN
-    } yield (i, j)
-    val known = nonNan.toArray
-    if (known.isEmpty || known.length == n * k) return tsf.df
-    val fills = Array.ofDim[java.lang.Double](n, k)
-    for (i <- 0 until n; j <- 0 until k if vals(i)(j).isNaN) {
-      var best = Long.MaxValue
-      var bv = Double.NaN
-      known.foreach { case (ii, jj) =>
-        val d = (ii - i).toLong * (ii - i) + (jj - j).toLong * (jj - j)
-        if (d < best) { best = d; bv = vals(ii)(jj) }
+    val nk = keys.size
+    // contiguous groups of identical key prefixes (rows are sorted by keys)
+    val groups = mat.toSeq.groupBy(r => (0 until nk).map(r.get)).toSeq
+    val fillRows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    groups.foreach { case (keyVals, rows) =>
+      val n = rows.length
+      if (n >= 3) { // reference skips matrices below 3 rows
+        val vals = Array.tabulate(n, k)((i, j) =>
+          if (rows(i).isNullAt(nk + 1 + j)) Double.NaN else rows(i).getDouble(nk + 1 + j))
+        val known = (for {
+          i <- (0 until n).iterator; j <- (0 until k).iterator
+          if !vals(i)(j).isNaN
+        } yield (i, j)).toArray
+        if (known.nonEmpty && known.length < n * k) {
+          (0 until n).foreach { i =>
+            val fills = Array.ofDim[java.lang.Double](k)
+            var any = false
+            (0 until k).foreach { j =>
+              if (vals(i)(j).isNaN) {
+                var best = Long.MaxValue
+                var bv = Double.NaN
+                known.foreach { case (ii, jj) =>
+                  val d = (ii - i).toLong * (ii - i) + (jj - j).toLong * (jj - j)
+                  if (d < best) { best = d; bv = vals(ii)(jj) }
+                }
+                fills(j) = bv; any = true
+              }
+            }
+            if (any) fillRows += org.apache.spark.sql.Row.fromSeq(
+              keyVals ++ (rows(i).getLong(nk) +: fills.toSeq))
+          }
+        }
       }
-      fills(i)(j) = bv
     }
+    if (fillRows.isEmpty) return tsf.df
     val sp = tsf.df.sparkSession
-    val fillRows = (0 until n).map { i =>
-      org.apache.spark.sql.Row.fromSeq((i + 1L) +: fills(i).toSeq)
-    }
+    val keyFields = keys.map(kn => base.schema(kn))
     val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__rn", org.apache.spark.sql.types.LongType) +:
-        cols.map(c => org.apache.spark.sql.types.StructField(
-          s"__fill_$c", org.apache.spark.sql.types.DoubleType)))
-    val fillDf = sp.createDataFrame(sp.sparkContext.parallelize(fillRows, 1), schema)
-    val joined = base.withColumn("__rn", col("__rn").cast("long"))
-      .join(broadcast(fillDf), "__rn")
+      keyFields ++
+        (org.apache.spark.sql.types.StructField("__rn", org.apache.spark.sql.types.LongType) +:
+          cols.map(c => org.apache.spark.sql.types.StructField(
+            s"__fill_$c", org.apache.spark.sql.types.DoubleType))))
+    val fillDf = sp.createDataFrame(sp.sparkContext.parallelize(fillRows.toSeq, 1), schema)
+    val joined = base.join(broadcast(fillDf), keys :+ "__rn", "left")
     cols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, coalesce(nanToNull(col(c)), col(s"__fill_$c")))
     }.drop("__rn" +: cols.map(c => s"__fill_$c"): _*)

@@ -47,7 +47,13 @@ object Spiralogram {
   def autoBinned(tsf: TimeseriesFrame, column: String, targetBins: Int = 6): Binned = {
     val r = tsf.df.agg(
       min(col(column).cast("double")), max(col(column).cast("double"))).head()
+    // degenerate columns: all-null (min/max are null) or constant (zero
+    // span) would underflow the magnitude pick below — emit one unit bin
+    if (r.isNullAt(0) || r.isNullAt(1))
+      return Binned(column, -0.5, 0.5, 1)
     val (lo0, hi0) = (r.getDouble(0), r.getDouble(1))
+    if (hi0 - lo0 <= 0)
+      return Binned(column, lo0 - 0.5, lo0 + 0.5, 1)
     val span = math.max(hi0 - lo0, Double.MinPositiveValue)
     val raw = span / targetBins
     val mag = math.pow(10, math.floor(math.log10(raw)))

@@ -163,18 +163,81 @@ object Correlation {
     }
   }
 
-  /** ACF peaks as a DataFrame (lag, acf) — reference default
-    * `nlags = 0.9·n`, |acf| local maxima with order=3. */
+  private def normPpf(p: Double): Double =
+    new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+      .inverseCumulativeProbability(p)
+
+  /** Bartlett-formula ACF confidence intervals — statsmodels
+    * `acf(x, alpha=)` (`stattools.acf`; surfaced by the reference's
+    * `autocorrelation(..., alpha=)`, `functions.py:212-218`):
+    * `var(0)=0`, `var(1)=1/n`,
+    * `var(k≥2)=(1+2·Σ_{j=1}^{k-1} acf_j²)/n`; the interval is
+    * `acf_k ± z_{1-α/2}·sqrt(var(k))`. Returns (low, high) per lag
+    * 0..maxLag. */
+  def acfConfint(acfVec: Array[Double], n: Long, alpha: Double): Array[(Double, Double)] = {
+    val z = normPpf(1 - alpha / 2)
+    var cum = 0.0
+    acfVec.zipWithIndex.map { case (a, k) =>
+      val v =
+        if (k == 0) 0.0
+        else if (k == 1) 1.0 / n
+        else {
+          cum += acfVec(k - 1) * acfVec(k - 1)
+          (1 + 2 * cum) / n
+        }
+      val iv = z * math.sqrt(v)
+      (a - iv, a + iv)
+    }
+  }
+
+  /** PACF confidence intervals — statsmodels `pacf(x, alpha=)`:
+    * constant `var=1/n` for every lag ≥ 1; lag 0 is pinned to the value
+    * itself (`confint[0] = ret[0]`). */
+  def pacfConfint(pacfVec: Array[Double], n: Long, alpha: Double): Array[(Double, Double)] = {
+    val iv = normPpf(1 - alpha / 2) * math.sqrt(1.0 / n)
+    pacfVec.zipWithIndex.map { case (p, k) =>
+      if (k == 0) (p, p) else (p - iv, p + iv)
+    }
+  }
+
+  /** The correlogram's dashed significance band — `owcorrelogram.py:64-72`:
+    * `1.96·sqrt((1 + 2·Σ peaks²)/n)` over the PLOTTED (peaks-only) acf
+    * values, n = series length. */
+  def correlogramBand(peakVals: Seq[Double], n: Long): Double =
+    1.96 * math.sqrt((1 + 2 * peakVals.map(v => v * v).sum) / n)
+
+  private def peaksFrame(spark: SparkSession, valueName: String,
+      vec: Array[Double], n: Long,
+      confint: Option[Array[(Double, Double)]]): DataFrame = {
+    val peaks = significantPeaks(vec, order = 3).filter(_._1 > 0)
+    confint match {
+      case None =>
+        val rows = peaks.map { case (i, v) => Row(i.toLong, v) }
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("lag", LongType),
+            StructField(valueName, DoubleType))))
+      case Some(ci) =>
+        val rows = peaks.map { case (i, v) =>
+          Row(i.toLong, v, ci(i)._1, ci(i)._2)
+        }
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("lag", LongType),
+            StructField(valueName, DoubleType),
+            StructField("ci_low", DoubleType),
+            StructField("ci_high", DoubleType))))
+    }
+  }
+
+  /** ACF peaks as a DataFrame (lag, acf[, ci_low, ci_high]) — reference
+    * default `nlags = 0.9·n`, |acf| local maxima with order=3. With
+    * `alpha` set, the Bartlett confint columns are attached, selected at
+    * the same peak rows (`_significant_acf`, `functions.py:177-189`). */
   def acf(spark: SparkSession, tsf: TimeseriesFrame, xCol: String,
-      maxLag: Option[Int] = None): DataFrame = {
+      maxLag: Option[Int] = None, alpha: Option[Double] = None): DataFrame = {
     val n = tsf.df.count()
     val k = maxLag.getOrElse((0.9 * n).toInt)
     val vec = acfVector(tsf, xCol, k)
-    val peaks = significantPeaks(vec, order = 3)
-      .filter(_._1 > 0)
-      .map { case (i, v) => Row(i.toLong, v) }
-    spark.createDataFrame(spark.sparkContext.parallelize(peaks.toSeq, 1),
-      StructType(Seq(StructField("lag", LongType), StructField("acf", DoubleType))))
+    peaksFrame(spark, "acf", vec, n, alpha.map(a => acfConfint(vec, n, a)))
   }
 
   /** Levinson–Durbin recursion over the biased ACF — statsmodels
@@ -200,17 +263,14 @@ object Correlation {
     pacf
   }
 
-  /** PACF peaks (lag, pacf); reference default
-    * `nlags = min(n//2 - 1, n - 1)`. */
+  /** PACF peaks (lag, pacf[, ci_low, ci_high]); reference default
+    * `nlags = min(n//2 - 1, n - 1)`. With `alpha` set, the constant-
+    * variance confint columns are attached at the peak rows. */
   def pacf(spark: SparkSession, tsf: TimeseriesFrame, xCol: String,
-      maxLag: Option[Int] = None): DataFrame = {
+      maxLag: Option[Int] = None, alpha: Option[Double] = None): DataFrame = {
     val n = tsf.df.count()
     val k = maxLag.getOrElse(math.min(n.toInt / 2 - 1, n.toInt - 1))
     val vec = pacfVector(acfVector(tsf, xCol, k))
-    val peaks = significantPeaks(vec, order = 3)
-      .filter(_._1 > 0)
-      .map { case (i, v) => Row(i.toLong, v) }
-    spark.createDataFrame(spark.sparkContext.parallelize(peaks.toSeq, 1),
-      StructType(Seq(StructField("lag", LongType), StructField("pacf", DoubleType))))
+    peaksFrame(spark, "pacf", vec, n, alpha.map(a => pacfConfint(vec, n, a)))
   }
 }

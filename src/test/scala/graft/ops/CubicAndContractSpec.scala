@@ -108,4 +108,51 @@ class CubicAndContractSpec extends SparkSpec {
     // non-NaN cells untouched
     assert(col1(out, "a", "i") == Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0)))
   }
+
+  test("multivariate nearest with seriesKeys: per-series matrices, fills never cross series") {
+    // two series with the same per-series row indices; the gap in series s1
+    // must fill from s1's own cells, never from s2 (the round-2 __rn
+    // collision bug applied one series' fills to every series)
+    val df = spark.createDataFrame(Seq(
+      ("s1", 1L, 1.0, 10.0, 100.0),
+      ("s1", 2L, 2.0, Double.NaN, 200.0),
+      ("s1", 3L, 3.0, 30.0, 300.0),
+      ("s2", 1L, 5.0, 777.0, 500.0),
+      ("s2", 2L, 6.0, 888.0, Double.NaN),
+      ("s2", 3L, 7.0, 999.0, 700.0)))
+      .toDF("k", "i", "a", "b", "c")
+    val tsf = TimeseriesFrame(df, None, Seq("i"), seriesKeys = Seq("k"))
+    val out = Interpolate.multivariateNearest(tsf, Seq("a", "b", "c"))
+    val rows = out.orderBy("k", "i").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4))).toSeq
+    // s1 row 2, col b: nearest in s1's matrix at distance 1 → (row 1, b)=10
+    assert(rows(1)._2 == 10.0, rows.toString)
+    // s2 row 2, col c: nearest in s2's matrix at distance 1 → (row 1, c)=500
+    assert(rows(4)._3 == 500.0, rows.toString)
+    // untouched cells stay put in both series
+    assert(rows(3)._2 == 777.0 && rows(5)._3 == 700.0)
+  }
+
+  test("continuation widens integer time columns and rejects empty history") {
+    val df = spark.createDataFrame((0 until 4).map(i => (i * 10, 1.0 + i))).toDF("t", "y")
+    val out = ForecastTable.continuation(
+      TimeseriesFrame(df, Some("t")), "y", Array(9.0), Array(8.0), Array(10.0))
+    val fut = out.filter(col("segment") === "forecast").head()
+    assert(fut.getDouble(1) == 40.0) // IntegerType time widened, +1 step of 10
+    val empty = df.filter(col("t") < 0)
+    intercept[IllegalArgumentException] {
+      ForecastTable.continuation(
+        TimeseriesFrame(empty, Some("t")), "y", Array(1.0), Array(0.0), Array(2.0))
+    }
+  }
+
+  test("autoBinned guards degenerate columns (constant and all-null)") {
+    val const = spark.createDataFrame(Seq((1L, 5.0), (2L, 5.0))).toDF("i", "x")
+    val b1 = Spiralogram.autoBinned(TimeseriesFrame(const, None, Seq("i")), "x")
+    assert(b1.bins == 1 && b1.lo < 5.0 && b1.hi > 5.0)
+    val allNull = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("i", "s")
+      .withColumn("x", lit(null).cast("double"))
+    val b2 = Spiralogram.autoBinned(TimeseriesFrame(allNull, None, Seq("i")), "x")
+    assert(b2.bins == 1)
+  }
 }
