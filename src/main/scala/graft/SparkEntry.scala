@@ -312,10 +312,16 @@ object SparkEntry {
     // ---- §2.8 spectral / correlation ----------------------------------
     "q26_acf" -> ((s, dir) => {
       val t = ev(s, dir)
+      val n = t.df.count()
       val vec = Correlation.acfVector(t, "value", maxLag = 48)
+      // Bartlett 95% confint columns (statsmodels acf(alpha=.05)); the
+      // oracle replays the closed form over its own ACF CTE
+      val ci = Correlation.acfConfint(vec, n, 0.05)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       s.createDataFrame((1 to 48).map(l =>
-        (l.toLong, BigDecimal(vec(l)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble))).toDF("lag", "acf")
+        (l.toLong, r6(vec(l)), r6(ci(l)._1), r6(ci(l)._2))))
+        .toDF("lag", "acf", "ci_low", "ci_high")
     }),
     "q27_pacf" -> ((s, dir) => {
       // Levinson-Durbin over the ACF — mirrored by a recursive-CTE oracle
@@ -709,12 +715,21 @@ object SparkEntry {
       s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
          |mu AS (SELECT avg(value) AS mu FROM s),
          |c AS (SELECT rn, value - (SELECT mu FROM mu) AS xc FROM s),
-         |den AS (SELECT sum(xc*xc) AS s0 FROM c)
-         |SELECT lg.lag AS lag, round(sum(a.xc*b.xc) / (SELECT s0 FROM den), 6) AS acf
-         |FROM range(1, 49) lg(lag)
-         |JOIN c a ON a.rn > lg.lag
-         |JOIN c b ON b.rn = a.rn - lg.lag
-         |GROUP BY 1""".stripMargin,
+         |den AS (SELECT sum(xc*xc) AS s0 FROM c),
+         |n AS (SELECT count(*) AS n FROM events),
+         |acf AS (SELECT lg.lag AS lag, sum(a.xc*b.xc) / (SELECT s0 FROM den) AS acf
+         | FROM range(1, 49) lg(lag)
+         | JOIN c a ON a.rn > lg.lag
+         | JOIN c b ON b.rn = a.rn - lg.lag
+         | GROUP BY 1),
+         |ci AS (SELECT lag, acf,
+         |  1.959963984540054 * sqrt((1 + 2 * coalesce(sum(acf*acf) OVER
+         |    (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+         |    / (SELECT n FROM n)) AS iv
+         | FROM acf)
+         |SELECT lag, round(acf, 6) AS acf,
+         | round(acf - iv, 6) AS ci_low, round(acf + iv, 6) AS ci_high
+         |FROM ci""".stripMargin,
     "q28_periodogram" -> periodogramSql,
     "q29_seasonal" -> seasonalSql,
     "q35_multimodal_decode" ->

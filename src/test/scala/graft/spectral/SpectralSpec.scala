@@ -53,6 +53,51 @@ class SpectralSpec extends SparkSpec {
     assert(peaks.head.getDouble(1) > 0)
   }
 
+  test("ACF Bartlett confint matches statsmodels acf(alpha=.05) on airpassengers") {
+    // transcribed goldens (statsmodels.tsa.stattools.acf(x, alpha=.05),
+    // cross-checked closed-form in DuckDB): acf1=0.9480473, interval at
+    // lag 1 = z/sqrt(144), at lag 2 = z*sqrt((1+2*acf1^2)/144)
+    val vec = Correlation.acfVector(air, "Air passengers", 3)
+    assert(math.abs(vec(1) - 0.9480473407524919) < 1e-9)
+    val ci = Correlation.acfConfint(vec, 144, 0.05)
+    assert(math.abs(ci(1)._1 - 0.7847170087074874) < 1e-9, ci(1).toString)
+    assert(math.abs(ci(1)._2 - 1.1113776727974964) < 1e-9)
+    assert(math.abs(ci(2)._1 - 0.6023886799107703) < 1e-9, ci(2).toString)
+    assert(math.abs(ci(2)._2 - 1.1487609903399305) < 1e-9)
+    // lag 0 variance is pinned to 0: interval collapses to the value
+    assert(ci(0) == ((1.0, 1.0)))
+  }
+
+  test("PACF confint: constant width z/sqrt(n), lag 0 pinned (statsmodels pacf(alpha=))") {
+    val pv = Correlation.pacfVector(Correlation.acfVector(air, "Air passengers", 10))
+    val ci = Correlation.pacfConfint(pv, 144, 0.05)
+    val iv = 1.959963984540054 / 12 // z(0.975)*sqrt(1/144)
+    (1 to 10).foreach { k =>
+      assert(math.abs((ci(k)._2 - ci(k)._1) / 2 - iv) < 1e-12)
+      assert(math.abs((ci(k)._1 + ci(k)._2) / 2 - pv(k)) < 1e-12)
+    }
+    assert(ci(0) == ((pv(0), pv(0))))
+  }
+
+  test("acf(alpha=) DataFrame carries ci columns at peak rows; correlogram band") {
+    val df = Correlation.acf(spark, air, "Air passengers", alpha = Some(0.05))
+    assert(df.columns.toSeq == Seq("lag", "acf", "ci_low", "ci_high"))
+    val rows = df.orderBy("lag").collect()
+    assert(rows.map(_.getLong(0)).take(4).toSeq == Seq(12L, 24L, 36L, 48L))
+    rows.foreach { r =>
+      assert(r.getDouble(2) < r.getDouble(1) && r.getDouble(1) < r.getDouble(3))
+    }
+    // owcorrelogram.py:64-72 band over the plotted (peaks-only) values
+    val peaks = rows.map(_.getDouble(1)).toSeq
+    val band = Correlation.correlogramBand(peaks, 144)
+    assert(band == 1.96 * math.sqrt((1 + 2 * peaks.map(v => v * v).sum) / 144))
+    assert(band > 0 && band < 1)
+    // pacf variant too
+    val pdf = Correlation.pacf(spark, air, "Air passengers", alpha = Some(0.05))
+    assert(pdf.columns.toSeq == Seq("lag", "pacf", "ci_low", "ci_high"))
+    assert(pdf.collect().forall(r => r.getDouble(2) < r.getDouble(3)))
+  }
+
   test("periodogram: max scaled power 1 at period ≈ 6 (test_periodogram.py:11-14)") {
     val p = Periodogram.periodogram(air, "Air passengers").collect()
     val top = p.maxBy(_.getDouble(1))
