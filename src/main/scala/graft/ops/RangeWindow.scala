@@ -24,13 +24,143 @@ import org.apache.spark.sql.types._
   * This is the deliberate `(d) mapPartitions` case of the implementation
   * preference order: the semantics (cross-partition positional carry)
   * cannot be expressed with per-partition declarative windows, and the
-  * alternative — a global sort — does not scale. Supported aggregations
-  * are the O(1)-fold ones (sum/mean/min/max/count); results are verified
-  * against the single-partition `Window` plan in the spec.
+  * alternative — a global sort — does not scale.
+  *
+  * The inner loop is O(1) amortized per row: values are decoded once with
+  * a typed primitive getter chosen from the schema, sum/count/sumsq and
+  * friends are maintained incrementally (add incoming, subtract the slot
+  * falling out of the ring), and min/max use the classic monotonic-deque
+  * sliding minimum. Incremental subtraction is EXACT for integer-valued
+  * doubles below 2^53 (the cents-encoded gate fixtures) and drifts by at
+  * most one rounding step per window width for general floats — same
+  * contract as any O(1) sliding sum.
+  *
+  * Supported aggregations are the [[graft.agg.AggRegistry]] keys with an
+  * incremental fold: mean/sum/min/max/span/std/var/nonzero/defined/
+  * harmonic/geometric (NaN rules identical to the registry). Excluded:
+  * median/mode (need order statistics per row), product (division-based
+  * eviction is numerically unsafe around zeros), lin_ma/exp_ma
+  * (position-reweighted every row — inherently O(w)), cumsum/cumprod
+  * (running, not sliding — a prefix carry, not a width−1 carry). For
+  * those, use [[MovingTransform]]'s declarative window on a per-series
+  * partitioning.
   */
 object RangeWindow {
 
-  val SupportedAggs: Set[String] = Set("mean", "sum", "min", "max", "defined")
+  val SupportedAggs: Set[String] = Set(
+    "mean", "sum", "min", "max", "span", "std", "var",
+    "nonzero", "defined", "harmonic", "geometric")
+
+  /** Sliding min/max in O(1) amortized: a ring of (pushIndex, value)
+    * kept monotone; head is the current extremum. */
+  private final class MonoDeque(capacity: Int, isMin: Boolean) {
+    private val idx = new Array[Long](capacity + 1)
+    private val vs = new Array[Double](capacity + 1)
+    private var head = 0
+    private var tail = 0 // exclusive
+    private def size = tail - head
+    def push(i: Long, v: Double): Unit = {
+      while (size > 0 && (if (isMin) vs((tail - 1) % (capacity + 1)) >= v
+                          else vs((tail - 1) % (capacity + 1)) <= v)) tail -= 1
+      idx(tail % (capacity + 1)) = i
+      vs(tail % (capacity + 1)) = v
+      tail += 1
+      if (size > capacity) head += 1 // cannot happen with evict, safety
+    }
+    def evictBefore(minIdx: Long): Unit =
+      while (size > 0 && idx(head % (capacity + 1)) < minIdx) head += 1
+    def value: Double =
+      if (size == 0) Double.NaN else vs(head % (capacity + 1))
+  }
+
+  private def typedGetter(dt: DataType, i: Int): Row => Double = dt match {
+    case DoubleType => r => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+    case FloatType => r => if (r.isNullAt(i)) Double.NaN else r.getFloat(i).toDouble
+    case LongType => r => if (r.isNullAt(i)) Double.NaN else r.getLong(i).toDouble
+    case IntegerType => r => if (r.isNullAt(i)) Double.NaN else r.getInt(i).toDouble
+    case ShortType => r => if (r.isNullAt(i)) Double.NaN else r.getShort(i).toDouble
+    case ByteType => r => if (r.isNullAt(i)) Double.NaN else r.getByte(i).toDouble
+    case _: DecimalType => r => if (r.isNullAt(i)) Double.NaN else r.getDecimal(i).doubleValue
+    case other => throw new IllegalArgumentException(
+      s"RangeWindow needs a numeric value column, got $other")
+  }
+
+  /** Incremental per-window state shared by all requested aggregates. */
+  private final class SlideState(width: Int, needMin: Boolean, needMax: Boolean,
+      needSq: Boolean, needInv: Boolean, needLog: Boolean) {
+    val ring = new Array[Double](width)
+    var pushed = 0L       // total values pushed (carry + partition)
+    var defined = 0       // non-NaN slots in window
+    var zeros = 0
+    var negs = 0
+    var nonzero = 0
+    var sum = 0.0
+    var sumsq = 0.0
+    var sumInv = 0.0      // over non-null, non-zero slots
+    var sumLog = 0.0      // over strictly positive slots
+    val minq = if (needMin) new MonoDeque(width, isMin = true) else null
+    val maxq = if (needMax) new MonoDeque(width, isMin = false) else null
+
+    def filled: Int = math.min(pushed, width.toLong).toInt
+
+    def push(v: Double): Unit = {
+      val slot = (pushed % width).toInt
+      if (pushed >= width) { // evict the value falling out of the frame
+        val old = ring(slot)
+        if (!old.isNaN) {
+          defined -= 1
+          sum -= old
+          if (needSq) sumsq -= old * old
+          if (old == 0.0) zeros -= 1 else nonzero -= 1
+          if (old < 0.0) negs -= 1
+          if (needInv && old != 0.0) sumInv -= 1.0 / old
+          if (needLog && old > 0.0) sumLog -= math.log(old)
+        }
+      }
+      ring(slot) = v
+      if (!v.isNaN) {
+        defined += 1
+        sum += v
+        if (needSq) sumsq += v * v
+        if (v == 0.0) zeros += 1 else nonzero += 1
+        if (v < 0.0) negs += 1
+        if (needInv && v != 0.0) sumInv += 1.0 / v
+        if (needLog && v > 0.0) sumLog += math.log(v)
+        if (needMin) minq.push(pushed, v)
+        if (needMax) maxq.push(pushed, v)
+      }
+      pushed += 1
+      if (needMin) minq.evictBefore(pushed - width)
+      if (needMax) maxq.evictBefore(pushed - width)
+    }
+
+    /** Current value of `agg` — registry NaN rules (NaN encodes null). */
+    def eval(agg: String, width: Int): Double = agg match {
+      case "sum" => sum // all-null window → 0 (np.nancumsum)
+      case "mean" => if (defined == 0) Double.NaN else sum / defined
+      case "min" => minq.value
+      case "max" => maxq.value
+      case "span" =>
+        if (defined == 0) Double.NaN else maxq.value - minq.value
+      case "std" =>
+        if (defined == 0) Double.NaN
+        else math.sqrt(math.max(0.0, sumsq / defined - (sum / defined) * (sum / defined)))
+      case "var" =>
+        if (defined == 0) Double.NaN
+        else math.max(0.0, sumsq / defined - (sum / defined) * (sum / defined))
+      case "nonzero" => nonzero.toDouble
+      case "defined" => defined.toDouble
+      case "harmonic" => // aggregate.py: incomplete/negative → null; zero → 0
+        if (defined < width || negs > 0) Double.NaN
+        else if (zeros > 0) 0.0
+        else width / sumInv
+      case "geometric" =>
+        if (defined < width || negs > 0) Double.NaN
+        else if (zeros > 0) 0.0
+        else math.exp(sumLog / width)
+      case a => throw new IllegalArgumentException(s"unsupported agg: $a")
+    }
+  }
 
   def slidingWindow(
       tsf: TimeseriesFrame,
@@ -48,17 +178,17 @@ object RangeWindow {
     val spark = df.sparkSession
     val schema = ranged.schema
     val valueIdx = schema.fieldIndex(valueCol)
+    val getV = typedGetter(schema(valueIdx).dataType, valueIdx)
 
     // pass 1: per-partition tails (the carry) — P·(w−1) rows
     val tails: Map[Int, Array[Double]] = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        val buf = new scala.collection.mutable.ArrayBuffer[Double]()
-        it.foreach { r =>
-          buf += (if (r.isNullAt(valueIdx)) Double.NaN else
-            r.get(valueIdx).toString.toDouble)
-          if (buf.size > width - 1) buf.remove(0)
-        }
-        Iterator.single(pid -> buf.toArray)
+        val tail = new Array[Double](math.max(width - 1, 1))
+        var n = 0L
+        it.foreach { r => tail((n % (width - 1).max(1)).toInt) = getV(r); n += 1 }
+        val k = math.min(n, (width - 1).toLong).toInt
+        val out = Array.tabulate(k)(i => tail(((n - k + i) % (width - 1).max(1)).toInt))
+        Iterator.single(pid -> out)
       }
       .collect().toMap
     // chain the carries on the driver so short/empty partitions still see
@@ -73,36 +203,31 @@ object RangeWindow {
     }
     val carry = spark.sparkContext.broadcast(chained.toMap)
 
+    val needMin = aggs.exists(Set("min", "span"))
+    val needMax = aggs.exists(Set("max", "span"))
+    val needSq = aggs.exists(Set("std", "var"))
+    val needInv = aggs.contains("harmonic")
+    val needLog = aggs.contains("geometric")
+    val aggsArr = aggs.toArray
+
     // pass 2: per-partition sliding aggregates with prepended carry
     val outSchema = StructType(schema.fields ++
       aggs.map(a => StructField(s"${valueCol}_$a", DoubleType)))
     val outRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val prev: Array[Double] = carry.value.getOrElse(pid, Array.empty)
-      val ring = new Array[Double](width)
-      var filled = 0
-      var pos = 0
-      def push(v: Double): Unit = {
-        ring(pos) = v; pos = (pos + 1) % width
-        if (filled < width) filled += 1
-      }
-      prev.foreach(push)
+      val st = new SlideState(width, needMin, needMax, needSq, needInv, needLog)
+      carry.value.getOrElse(pid, Array.empty[Double]).foreach(st.push)
       it.map { r =>
-        val v = if (r.isNullAt(valueIdx)) Double.NaN
-          else r.get(valueIdx).toString.toDouble
-        push(v)
-        val win = (0 until filled).map(i =>
-          ring((pos - 1 - i + 2 * width) % width)).filterNot(_.isNaN)
-        val extras = aggs.map { a =>
-          val res: Double = a match {
-            case "sum" => win.sum
-            case "mean" => if (win.isEmpty) Double.NaN else win.sum / win.size
-            case "min" => if (win.isEmpty) Double.NaN else win.min
-            case "max" => if (win.isEmpty) Double.NaN else win.max
-            case "defined" => win.size.toDouble
-          }
-          if (res.isNaN) null else Double.box(res)
+        st.push(getV(r))
+        val out = new Array[Any](r.length + aggsArr.length)
+        var i = 0
+        while (i < r.length) { out(i) = r.get(i); i += 1 }
+        var j = 0
+        while (j < aggsArr.length) {
+          val res = st.eval(aggsArr(j), width)
+          out(r.length + j) = if (res.isNaN) null else Double.box(res)
+          j += 1
         }
-        Row.fromSeq(r.toSeq ++ extras)
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
       }
     }
     spark.createDataFrame(outRdd, outSchema)

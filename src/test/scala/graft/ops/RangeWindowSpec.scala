@@ -39,4 +39,37 @@ class RangeWindowSpec extends SparkSpec {
     val out = RangeWindow.slidingWindow(tsf, "x", Seq("sum"), 3, numPartitions = 12)
     assertSeqAlmost(col1(out, "x_sum"), d(1, 3, 6, 9, 12))
   }
+
+  test("widened agg set == AggRegistry.windowed differentially (NaN rules included)") {
+    // positive-only values so harmonic/geometric have defined goldens;
+    // planted NaN gaps and a zero exercise the registry edge rules
+    val rnd = new scala.util.Random(23)
+    val xs = Seq.tabulate(400) { i =>
+      if (i == 57) Some(0.0)
+      else if (rnd.nextInt(7) == 0) None
+      else Some((1 + rnd.nextInt(1000)) / 8.0)
+    }
+    val tsf = TimeseriesFrame(seriesDF(xs), None, Seq("i"))
+    val w = 6
+    val aggs = Seq("mean", "sum", "min", "max", "span", "std", "var",
+      "nonzero", "defined", "harmonic", "geometric")
+    val declarative = aggs.foldLeft(tsf.df) { (df, a) =>
+      df.withColumn(s"g_$a",
+        graft.agg.AggRegistry.windowed(a, col("x"), tsf.window, w).cast("double"))
+    }
+    val ranged = RangeWindow.slidingWindow(tsf, "x", aggs, w, numPartitions = 9)
+    val joined = declarative.join(ranged.select(
+      col("i") +: aggs.map(a => col(s"x_$a")): _*), "i")
+    aggs.foreach { a =>
+      assertSeqAlmost(col1(joined, s"x_$a"), col1(joined, s"g_$a"), tol = 1e-9)
+    }
+  }
+
+  test("typed getters: integer and decimal value columns work without string decode") {
+    val df = spark.createDataFrame(Seq((1L, 10), (2L, 20), (3L, 30))).toDF("i", "x")
+    val out = RangeWindow.slidingWindow(
+      TimeseriesFrame(df, None, Seq("i")), "x", Seq("sum", "max"), 2, 3)
+    assertSeqAlmost(col1(out, "x_sum"), d(10, 30, 50))
+    assertSeqAlmost(col1(out, "x_max"), d(10, 20, 30))
+  }
 }
