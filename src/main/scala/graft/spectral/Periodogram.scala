@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
 object Periodogram {
 
   /** Detrend per `_detrend` (`functions.py:52-60`): 'diff' (default),
-    * 'constant', 'linear' (vs the positional index, as statsmodels does). */
+    * 'constant', 'linear', 'quadratic', 'cubic' — the polynomial orders
+    * are statsmodels `tsa.detrend(x, order)` vs the positional index. */
   def detrended(tsf: TimeseriesFrame, xCol: String, method: String): DataFrame = {
     val x = col(xCol).cast("double")
     method match {
@@ -41,8 +42,37 @@ object Periodogram {
           regr_intercept(col("x"), col("i")).as("c")).head()
         val (k, c) = (fit.getDouble(0), fit.getDouble(1))
         idx.select((col("x") - (col("i") * k + c)).as("xd"), col("i"))
+      case "quadratic" | "cubic" =>
+        val w = tsf.window
+        val idx = tsf.df.select(x.as("x"),
+          (row_number().over(w) - 1).cast("double").as("i"))
+        val order = if (method == "quadratic") 2 else 3
+        idx.select(polyResidual(idx, col("x"), col("i"), order).as("xd"), col("i"))
       case m => throw new IllegalArgumentException(s"unknown detrend: $m")
     }
+  }
+
+  /** Residual of a least-squares polynomial fit of `x` on the 0-based
+    * index `i` — statsmodels `tsa.detrend(x, order)` for order ≥ 2. The
+    * index is affinely mapped to s∈[−1,1] before forming the normal
+    * equations (same column space → identical fitted values; raw index
+    * powers up to i⁶ would be hopelessly ill-conditioned), the (order+1)²
+    * moment system is one map-side-combined aggregate, and the solve is a
+    * driver-side Breeze LU on a ≤4×4 matrix. */
+  private def polyResidual(df: DataFrame, x: Column, i: Column, order: Int): Column = {
+    val n = df.count()
+    require(n > order, s"polynomial detrend of order $order needs > $order rows")
+    val scale = if (n > 1) (n - 1).toDouble else 1.0
+    val s = i * lit(2.0 / scale) - lit(1.0)
+    val momentCols = (0 to 2 * order).map(k => sum(pow(s, k)).as(s"m$k")) ++
+      (0 to order).map(k => sum(x * pow(s, k)).as(s"c$k"))
+    val r = df.agg(momentCols.head, momentCols.tail: _*).head()
+    val a = breeze.linalg.DenseMatrix.tabulate(order + 1, order + 1)(
+      (j, k) => r.getDouble(j + k))
+    val c = breeze.linalg.DenseVector.tabulate(order + 1)(
+      j => r.getDouble(2 * order + 1 + j))
+    val b = a \ c
+    x - (0 to order).map(k => pow(s, k) * b(k)).reduce(_ + _)
   }
 
   /** Min-max scale + `order`-neighborhood local maxima over the period axis
@@ -134,6 +164,11 @@ object Periodogram {
           regr_intercept(col("x"), col("i")).as("c")).head()
         idx.select(col("t"),
           (col("x") - (col("i") * fit.getDouble(0) + fit.getDouble(1))).as("x"))
+      case "quadratic" | "cubic" =>
+        val idx = base0.select(col("t"), col("x"),
+          (row_number().over(wOrd) - 1).cast("double").as("i"))
+        val order = if (detrend == "quadratic") 2 else 3
+        idx.select(col("t"), polyResidual(idx, col("x"), col("i"), order).as("x"))
       case m => throw new IllegalArgumentException(s"unknown detrend: $m")
     }
 

@@ -114,6 +114,49 @@ class SpectralSpec extends SparkSpec {
     assert(math.abs(p.map(_.getDouble(1)).max - 1.0) < 1e-9)
   }
 
+  test("quadratic/cubic detrend matches numpy polyfit residuals on airpassengers") {
+    // transcribed goldens: np.polyfit(arange(144), x, order) residuals
+    val gold = Map(
+      "quadratic" -> Map(0 -> -2.02804086, 1 -> 2.309939393,
+        71 -> -37.86218853, 143 -> -62.00533971),
+      "cubic" -> Map(0 -> -6.250781654, 1 -> -1.55844553,
+        71 -> -37.81632332, 143 -> -57.782598916))
+    gold.foreach { case (method, pts) =>
+      val out = Periodogram.detrended(air, "Air passengers", method)
+        .orderBy("i").collect()
+      assert(out.length == 144)
+      // residuals of an OLS fit sum to ~0 (intercept column present)
+      assert(math.abs(out.map(_.getDouble(0)).sum) < 1e-6)
+      pts.foreach { case (i, v) =>
+        assert(math.abs(out(i).getDouble(0) - v) < 1e-6,
+          s"$method at $i: ${out(i).getDouble(0)} vs $v")
+      }
+    }
+  }
+
+  test("cubic detrend annihilates an exact cubic; periodogram still peaks under poly detrend") {
+    // y = cubic(i) + seasonal(period 8): cubic detrend removes the trend
+    // exactly, so the spectrum's top peak sits at period 8
+    val n = 160
+    val df = spark.createDataFrame((0 until n).map { i =>
+      val t = i.toDouble
+      (i.toLong, 0.001 * t * t * t - 0.2 * t * t + 3 * t + 10 +
+        5 * math.sin(2 * math.Pi * i / 8.0))
+    }).toDF("i", "y")
+    val tsf = TimeseriesFrame(df, None, Seq("i"))
+    val pureCubic = spark.createDataFrame((0 until n).map { i =>
+      val t = i.toDouble
+      (i.toLong, 0.001 * t * t * t - 0.2 * t * t + 3 * t + 10)
+    }).toDF("i", "y")
+    val resid = Periodogram.detrended(
+      TimeseriesFrame(pureCubic, None, Seq("i")), "y", "cubic")
+      .collect().map(_.getDouble(0))
+    assert(resid.forall(v => math.abs(v) < 1e-6), resid.max.toString)
+    val top = Periodogram.periodogram(tsf, "y", detrend = "cubic")
+      .collect().maxBy(_.getDouble(1))
+    assert(math.abs(top.getDouble(0) - 8.0) < 0.5, top.toString)
+  }
+
   test("multiplicative decomposition identities (test_seasonal.py:12-22)") {
     val out = SeasonalDecompose(air, Seq("Air passengers"), period = 12)
     val rows = out.orderBy("Month").select(
