@@ -439,6 +439,24 @@ object SparkEntry {
           (col("value_cents_max") / 100.0).as("v_max"),
           col("value_cents_defined").cast("long").as("v_defined"))
     }),
+    "q43_arma_forecast_fixed" -> ((s, dir) => {
+      // the ARMA predict surface at FIXED (phi, theta, mu): the Kalman
+      // filter for ARMA(1,1) reduces to a scalar (a1, p11) recursion
+      // (p12=theta, p22=theta^2 are invariant), so the DuckDB oracle
+      // replays the filter, sigma2 = sum(v^2/F)/n, the forecast
+      // difference-equation iteration, and the forward P(0,0)
+      // propagation for the CI as recursive CTEs — hash-checking
+      // everything downstream of the (non-SQL-expressible) MLE
+      val d = daily(s, dir)
+      val y = ModelEvaluation.collectSeries(d, Seq("v")).map(_.head)
+      val m = new Arima(1, 0, 1).fitFixed(y, Array(0.6), Array(0.3), 50.0)
+      val (fo, lo, hi) = m.predict(7)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s.createDataFrame((0 until 7).map(i =>
+        (i + 1L, r6(fo(i)), r6(lo(i)), r6(hi(i)))))
+        .toDF("step", "forecast", "ci_low", "ci_high")
+    }),
     "q41_interpolate_by_key" -> ((s, dir) => {
       // per-series gap fill — seriesKeys exercise of the O(n) reversed-
       // window lookahead (each user an independent partition)
@@ -732,6 +750,7 @@ object SparkEntry {
          |FROM ci""".stripMargin,
     "q28_periodogram" -> periodogramSql,
     "q29_seasonal" -> seasonalSql,
+    "q43_arma_forecast_fixed" -> armaForecastFixedSql,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),
@@ -803,6 +822,57 @@ object SparkEntry {
       | sum(CAST(round(value*100) AS BIGINT))/100.0/count(*) AS v,
       | CAST(count(*) AS DOUBLE) AS c
       |FROM events GROUP BY 1""".stripMargin
+
+  /** ARMA(1,1) d=0 forecast/CI at fixed (φ=0.6, θ=0.3, μ=50): the Kalman
+    * filter collapses to a scalar (a1, p11) recursion — p12=θ and p22=θ²
+    * are invariant under both the filter update and the forecast
+    * propagation — so the whole predict path (filter → σ²=Σv²/F/n →
+    * difference-equation forecast → forward P(0,0) CI) is two recursive
+    * CTEs. Mirrors `Arima.fitFixed(...).predict(7)`. */
+  private def armaForecastFixedSql: String =
+    s"""WITH RECURSIVE daily AS ($dailySql),
+       |params AS (SELECT CAST(0.6 AS DOUBLE) AS phi, CAST(0.3 AS DOUBLE) AS theta,
+       |  CAST(50.0 AS DOUBLE) AS mu),
+       |idx AS (SELECT CAST(v AS DOUBLE) - (SELECT mu FROM params) AS x,
+       |  row_number() OVER (ORDER BY d) AS rn FROM daily),
+       |n AS (SELECT count(*) AS n FROM idx),
+       |kf AS (
+       |  SELECT 0 AS rn, CAST(0.0 AS DOUBLE) AS a1,
+       |    (1 + 2*p.phi*p.theta + p.theta*p.theta)/(1 - p.phi*p.phi) AS p11,
+       |    CAST(0.0 AS DOUBLE) AS v, CAST(0.0 AS DOUBLE) AS cumv2f,
+       |    CAST(0.0 AS DOUBLE) AS lastx
+       |  FROM params p
+       |  UNION ALL
+       |  SELECT i.rn,
+       |    p.phi*kf.a1 + ((p.phi*kf.p11 + p.theta)/kf.p11)*(i.x - kf.a1),
+       |    p.phi*p.phi*kf.p11 + 2*p.phi*p.theta + p.theta*p.theta + 1
+       |      - ((p.phi*kf.p11 + p.theta)/kf.p11)*((p.phi*kf.p11 + p.theta)/kf.p11)*kf.p11,
+       |    i.x - kf.a1,
+       |    kf.cumv2f + (i.x - kf.a1)*(i.x - kf.a1)/kf.p11,
+       |    i.x
+       |  FROM kf JOIN idx i ON i.rn = kf.rn + 1 CROSS JOIN params p
+       |),
+       |fin AS (SELECT kf.*, kf.cumv2f/(SELECT n FROM n) AS s2
+       |  FROM kf WHERE rn = (SELECT n FROM n)),
+       |fc AS (
+       |  SELECT 1 AS step,
+       |    (SELECT phi FROM params)*(SELECT lastx FROM fin)
+       |      + (SELECT theta FROM params)*(SELECT v FROM fin) AS fw,
+       |    (SELECT p11 FROM fin) AS p11f
+       |  UNION ALL
+       |  SELECT step + 1, (SELECT phi FROM params)*fw,
+       |    (SELECT phi FROM params)*(SELECT phi FROM params)*p11f
+       |      + 2*(SELECT phi FROM params)*(SELECT theta FROM params)
+       |      + (SELECT theta FROM params)*(SELECT theta FROM params) + 1
+       |  FROM fc WHERE step < 7
+       |)
+       |SELECT CAST(step AS BIGINT) AS step,
+       | round(fw + (SELECT mu FROM params), 6) AS forecast,
+       | round(fw + (SELECT mu FROM params)
+       |   - 1.959963984540054*sqrt((SELECT s2 FROM fin)*p11f), 6) AS ci_low,
+       | round(fw + (SELECT mu FROM params)
+       |   + 1.959963984540054*sqrt((SELECT s2 FROM fin)*p11f), 6) AS ci_high
+       |FROM fc""".stripMargin
 
   private def periodogramSql: String =
     s"""WITH daily AS ($dailySql),

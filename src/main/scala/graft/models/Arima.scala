@@ -98,6 +98,18 @@ final class Arima(val p: Int, val d: Int, val q: Int) {
     this
   }
 
+  /** Install fixed (externally-chosen) parameters instead of fitting —
+    * exposes the predict surface at known (φ, θ, μ). σ² and the log-
+    * likelihood still come from the Kalman filter pass, exactly as after
+    * [[fit]]; this is what makes the forecast/CI recursion oracle-
+    * checkable (the MLE itself is not SQL-expressible, but everything
+    * downstream of the parameters is). */
+  def fitFixed(y: Array[Double], ph: Array[Double], th: Array[Double],
+      m: Double = 0.0): Arima = {
+    require(ph.length == p && th.length == q, s"need $p AR and $q MA params")
+    setFitted(y, ph, th, m)
+  }
+
   private def diff(y: Array[Double], times: Int): Array[Double] =
     (1 to times).foldLeft(y)((a, _) => a.indices.drop(1).map(i => a(i) - a(i - 1)).toArray)
 

@@ -61,6 +61,22 @@ class ArimaSpec extends SparkSpec {
     assert(math.abs(th(1) - 0.3) < 0.1, s"theta=${th.toSeq}")
   }
 
+  test("fitFixed: AR(1) forecast is the closed form mu + phi^h (x_n - mu)") {
+    val rnd = new scala.util.Random(7)
+    val y = Array.iterate(10.0, 80)(v => 50.0 + 0.5 * (v - 50.0) + rnd.nextGaussian())
+    val m = new Arima(1, 0, 0).fitFixed(y, Array(0.7), Array.empty, 50.0)
+    val (f, lo, hi) = m.predict(5)
+    val xn = y.last - 50.0
+    (0 until 5).foreach { h =>
+      assert(math.abs(f(h) - (50.0 + math.pow(0.7, h + 1) * xn)) < 1e-9,
+        s"h=$h: ${f(h)}")
+      assert(lo(h) < f(h) && f(h) < hi(h))
+    }
+    // AR(1) end-of-sample P converges to 1 after one update: se_1 = sigma
+    assert(math.abs((hi(0) - f(0)) / 1.959963984540054 -
+      math.sqrt(m.fittedSigma2)) < 1e-9)
+  }
+
   test("transformMa maps into the invertible region (roots outside unit circle)") {
     for (seed <- 1 to 20) {
       val rnd = new scala.util.Random(seed)
