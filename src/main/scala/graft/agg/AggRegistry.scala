@@ -59,20 +59,38 @@ object AggRegistry {
 
   /** Weighted mean with per-row weight renormalization over non-null slots
     * (`aggregate.py:50-70`): collect the window as null-preserving struct
-    * slots, weight positionally, divide by the weight mass of the defined
-    * slots. All-null → null. */
-  private def weightedMA(v: Column, w: WindowSpec, width: Int)(
-      weightAt: Column => Column): Column = {
+    * slots, then fold them in one native loop against the precomputed
+    * weight table ([[WeightedMeanSlotsExpr]]). All-null → null; a partial
+    * leading window of m slots receives `weights(0..m-1)`. */
+  private def weightedMA(v: Column, w: WindowSpec, weights: Seq[Double]): Column =
+    WeightedMeanSlotsExpr(collect_list(struct(v.as("v"))).over(w), weights)
+
+  /** The previous higher-order-function formulation of [[weightedMA]] —
+    * `zip_with`/`aggregate` lambdas, interpreted per slot. Kept as the
+    * differential oracle for `WeightedMeanExprSpec`; not used on any query
+    * path. */
+  private[agg] def weightedMAHof(v: Column, w: WindowSpec, weights: Seq[Double]): Column = {
     val slots = collect_list(struct(v.as("v"))).over(w) // keeps null slots
+    val wArr = array(weights.map(lit): _*)
     val num = aggregate(
-      zip_with(slots, sequence(lit(0), lit(width - 1)),
-        (s, i) => when(s("v").isNotNull, s("v") * weightAt(i)).otherwise(0.0)),
+      zip_with(slots, wArr,
+        (s, wi) => when(s("v").isNotNull, s("v") * wi).otherwise(0.0)),
       lit(0.0), (acc, x) => acc + x)
     val den = aggregate(
-      zip_with(slots, sequence(lit(0), lit(width - 1)),
-        (s, i) => when(s("v").isNotNull, weightAt(i)).otherwise(0.0)),
+      zip_with(slots, wArr,
+        (s, wi) => when(s("v").isNotNull, wi).otherwise(0.0)),
       lit(0.0), (acc, x) => acc + x)
     safeDiv(num, den)
+  }
+
+  /** Slot weights for the two reference weighted MAs (`aggregate.py:50-70`):
+    * oldest slot first. */
+  private[agg] def maWeights(key: String, width: Int): Seq[Double] = key match {
+    case "lin_ma" => (1 to width).map(_.toDouble)
+    case "exp_ma" =>
+      val alpha = 2.0 / (width + 1.0)
+      (0 until width).map(i => alpha * math.pow(1.0 - alpha, (width - 1 - i).toDouble))
+    case k => throw new IllegalArgumentException(s"no MA weights for agg: $k")
   }
 
   /** scipy.stats.mode semantics: most frequent non-null value, ties →
@@ -112,12 +130,7 @@ object AggRegistry {
         s => s("v")))
       case "std"     => stddev_pop(v).over(w)
       case "var"     => var_pop(v).over(w)
-      case "lin_ma"  => weightedMA(v, w, width)(i => (i + 1).cast("double"))
-      case "exp_ma"  =>
-        val alpha = 2.0 / (width + 1.0)
-        // oldest slot i=0 gets alpha*(1-alpha)^(width-1-i)
-        weightedMA(v, w, width)(i =>
-          lit(alpha) * pow(lit(1.0 - alpha), lit(width - 1) - i))
+      case "lin_ma" | "exp_ma" => weightedMA(v, w, maWeights(key, width))
       case "harmonic" =>
         when(defined < lit(width.toDouble) || negs > 0, lit(null).cast("double"))
           .when(zeros > 0, 0.0)
