@@ -439,6 +439,20 @@ object SparkEntry {
           (col("value_cents_max") / 100.0).as("v_max"),
           col("value_cents_defined").cast("long").as("v_defined"))
     }),
+    "q44_seq_blocks_rangepart" -> ((s, dir) => {
+      // sequential blocks WITHOUT the global row_number WindowExec: sorted
+      // zipWithIndex block ids + the same hash aggregate; must reproduce
+      // q05's declarative semantics exactly (same oracle)
+      val t = ev(s, dir)
+      MovingTransform.sequentialBlocksRangePart(t,
+          Seq("value_cents" -> "sum", "value" -> "min",
+            "value" -> "max", "value" -> "defined"),
+          width = 50)
+        .select(col("block"),
+          round(col("value_cents_sum") / 100.0 / 50, 6).as("value_mean"),
+          round(col("value_cents_sum") / 100.0, 6).as("value_sum"),
+          col("value_min"), col("value_max"), col("value_defined"))
+    }),
     "q43_arma_forecast_fixed" -> ((s, dir) => {
       // the ARMA predict surface at FIXED (phi, theta, mu): the Kalman
       // filter for ARMA(1,1) reduces to a scalar (a1, p11) recursion
@@ -581,6 +595,16 @@ object SparkEntry {
          |FROM events
          |WINDOW wo AS ($tsOrder)""".stripMargin,
     "q05_seq_blocks" ->
+      s"""WITH t AS (SELECT value,
+         |  CAST(floor((row_number() OVER ($tsOrder) - 1) / 50) AS BIGINT) AS block
+         | FROM events)
+         |SELECT block,
+         | round(sum($centsSql) / 100.0 / 50, 6) AS value_mean,
+         | round(sum($centsSql) / 100.0, 6) AS value_sum,
+         | min(value) AS value_min, max(value) AS value_max,
+         | count(value) AS value_defined
+         |FROM t GROUP BY block HAVING count(*) = 50""".stripMargin,
+    "q44_seq_blocks_rangepart" ->
       s"""WITH t AS (SELECT value,
          |  CAST(floor((row_number() OVER ($tsOrder) - 1) / 50) AS BIGINT) AS block
          | FROM events)
