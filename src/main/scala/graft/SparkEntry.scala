@@ -453,6 +453,25 @@ object SparkEntry {
           round(col("value_cents_sum") / 100.0, 6).as("value_sum"),
           col("value_min"), col("value_max"), col("value_defined"))
     }),
+    "q45_var_forecast_fixed" -> ((s, dir) => {
+      // the VAR predict surface at FIXED (A1, c): residual covariance,
+      // forecast recursion, and Ψ-matrix CI accumulation are all linear,
+      // so the DuckDB oracle replays them as recursive CTEs in the same
+      // accumulation order as the Breeze fold — hash-checking everything
+      // downstream of the (non-SQL-expressible) OLS/order selection
+      val d = daily(s, dir)
+      val m = ModelEvaluation.collectSeries(d, Seq("v", "c"))
+      val a1 = breeze.linalg.DenseMatrix((0.5, 0.01), (0.1, 0.3))
+      val fit = new Var().fitFixed(m, Array(a1), Array(20.0, 5.0))
+      val (fo, lo, hi) = fit.predict(7)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s.createDataFrame((0 until 7).map(i =>
+        (i + 1L, r6(fo(i)(0)), r6(lo(i)(0)), r6(hi(i)(0)),
+          r6(fo(i)(1)), r6(lo(i)(1)), r6(hi(i)(1)))))
+        .toDF("step", "v_forecast", "v_lo", "v_hi",
+          "c_forecast", "c_lo", "c_hi")
+    }),
     "q43_arma_forecast_fixed" -> ((s, dir) => {
       // the ARMA predict surface at FIXED (phi, theta, mu): the Kalman
       // filter for ARMA(1,1) reduces to a scalar (a1, p11) recursion
@@ -775,6 +794,7 @@ object SparkEntry {
     "q28_periodogram" -> periodogramSql,
     "q29_seasonal" -> seasonalSql,
     "q43_arma_forecast_fixed" -> armaForecastFixedSql,
+    "q45_var_forecast_fixed" -> varForecastFixedSql,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),
@@ -896,6 +916,77 @@ object SparkEntry {
        |   - 1.959963984540054*sqrt((SELECT s2 FROM fin)*p11f), 6) AS ci_low,
        | round(fw + (SELECT mu FROM params)
        |   + 1.959963984540054*sqrt((SELECT s2 FROM fin)*p11f), 6) AS ci_high
+       |FROM fc""".stripMargin
+
+  /** VAR(1) k=2 forecast/CI at fixed (A₁, c): residuals and their
+    * covariance accumulate along the series in a recursive CTE (same fold
+    * order as the Breeze loop, so the floats are bit-identical), then the
+    * forecast difference equation and the Ψ-matrix diagonal accumulation
+    * (Φ₀=I, Φₕ=Φₕ₋₁A₁, mse += ΦΣᵤΦ') run as a second recursion.
+    * Mirrors `Var.fitFixed(...).predict(7)` (`models.py:393-402`). */
+  private def varForecastFixedSql: String =
+    s"""WITH RECURSIVE daily AS ($dailySql),
+       |params AS (SELECT CAST(0.5 AS DOUBLE) AS a11, CAST(0.01 AS DOUBLE) AS a12,
+       |  CAST(0.1 AS DOUBLE) AS a21, CAST(0.3 AS DOUBLE) AS a22,
+       |  CAST(20.0 AS DOUBLE) AS c1, CAST(5.0 AS DOUBLE) AS c2),
+       |idx AS (SELECT CAST(v AS DOUBLE) AS y1, CAST(c AS DOUBLE) AS y2,
+       |  row_number() OVER (ORDER BY d) AS rn FROM daily),
+       |n AS (SELECT count(*) AS n FROM idx),
+       |res AS (
+       |  SELECT 1 AS rn, CAST(0 AS DOUBLE) AS s11, CAST(0 AS DOUBLE) AS s12,
+       |    CAST(0 AS DOUBLE) AS s22, i.y1 AS py1, i.y2 AS py2
+       |  FROM idx i WHERE i.rn = 1
+       |  UNION ALL
+       |  SELECT i.rn,
+       |    r.s11 + (i.y1 - (p.c1 + (p.a11*r.py1 + p.a12*r.py2)))
+       |          * (i.y1 - (p.c1 + (p.a11*r.py1 + p.a12*r.py2))),
+       |    r.s12 + (i.y1 - (p.c1 + (p.a11*r.py1 + p.a12*r.py2)))
+       |          * (i.y2 - (p.c2 + (p.a21*r.py1 + p.a22*r.py2))),
+       |    r.s22 + (i.y2 - (p.c2 + (p.a21*r.py1 + p.a22*r.py2)))
+       |          * (i.y2 - (p.c2 + (p.a21*r.py1 + p.a22*r.py2))),
+       |    i.y1, i.y2
+       |  FROM res r JOIN idx i ON i.rn = r.rn + 1 CROSS JOIN params p
+       |),
+       |sig AS (SELECT s11/((SELECT n FROM n) - 4) AS s11,
+       |  s12/((SELECT n FROM n) - 4) AS s12,
+       |  s22/((SELECT n FROM n) - 4) AS s22,
+       |  py1 AS ylast1, py2 AS ylast2
+       | FROM res WHERE rn = (SELECT n FROM n)),
+       |fc AS (
+       |  SELECT 1 AS step,
+       |    p.c1 + (p.a11*s.ylast1 + p.a12*s.ylast2) AS f1,
+       |    p.c2 + (p.a21*s.ylast1 + p.a22*s.ylast2) AS f2,
+       |    CAST(1 AS DOUBLE) AS phi11, CAST(0 AS DOUBLE) AS phi12,
+       |    CAST(0 AS DOUBLE) AS phi21, CAST(1 AS DOUBLE) AS phi22,
+       |    s.s11 AS m1, s.s22 AS m2
+       |  FROM sig s CROSS JOIN params p
+       |  UNION ALL
+       |  SELECT f.step + 1,
+       |    p.c1 + (p.a11*f.f1 + p.a12*f.f2),
+       |    p.c2 + (p.a21*f.f1 + p.a22*f.f2),
+       |    f.phi11*p.a11 + f.phi12*p.a21, f.phi11*p.a12 + f.phi12*p.a22,
+       |    f.phi21*p.a11 + f.phi22*p.a21, f.phi21*p.a12 + f.phi22*p.a22,
+       |    f.m1 + ((f.phi11*p.a11 + f.phi12*p.a21)*s.s11
+       |            + (f.phi11*p.a12 + f.phi12*p.a22)*s.s12)
+       |             *(f.phi11*p.a11 + f.phi12*p.a21)
+       |         + ((f.phi11*p.a11 + f.phi12*p.a21)*s.s12
+       |            + (f.phi11*p.a12 + f.phi12*p.a22)*s.s22)
+       |             *(f.phi11*p.a12 + f.phi12*p.a22),
+       |    f.m2 + ((f.phi21*p.a11 + f.phi22*p.a21)*s.s11
+       |            + (f.phi21*p.a12 + f.phi22*p.a22)*s.s12)
+       |             *(f.phi21*p.a11 + f.phi22*p.a21)
+       |         + ((f.phi21*p.a11 + f.phi22*p.a21)*s.s12
+       |            + (f.phi21*p.a12 + f.phi22*p.a22)*s.s22)
+       |             *(f.phi21*p.a12 + f.phi22*p.a22)
+       |  FROM fc f CROSS JOIN sig s CROSS JOIN params p WHERE f.step < 7
+       |)
+       |SELECT CAST(step AS BIGINT) AS step,
+       | round(f1, 6) AS v_forecast,
+       | round(f1 - 1.959963984540054*sqrt(m1), 6) AS v_lo,
+       | round(f1 + 1.959963984540054*sqrt(m1), 6) AS v_hi,
+       | round(f2, 6) AS c_forecast,
+       | round(f2 - 1.959963984540054*sqrt(m2), 6) AS c_lo,
+       | round(f2 + 1.959963984540054*sqrt(m2), 6) AS c_hi
        |FROM fc""".stripMargin
 
   private def periodogramSql: String =

@@ -124,6 +124,38 @@ final class Var(
     bic = ldet + math.log(nobs.toDouble) * kTot / nobs
   }
 
+  /** Fit at FIXED coefficients (A₁..Aₚ, trend constants): skips the OLS
+    * and takes the parameter matrices as given, computing only the
+    * residual covariance Σᵤ = (e'e)/dfResid over the full sample — the
+    * same downstream state `fit` produces, so [[predict]]/[[mseDiag]]/
+    * [[fittedValues]] run unchanged. This makes the entire VAR predict
+    * surface (residuals → Σᵤ → forecast recursion → Ψ-matrix CI
+    * accumulation, `models.py:393-402`) deterministic and SQL-expressible
+    * for the DuckDB oracle (gate q45) — mirroring `Arima.fitFixed`/q43,
+    * which hash-checks everything downstream of the non-SQL MLE. */
+  def fitFixed(rows: Array[Array[Double]],
+      a: Array[DenseMatrix[Double]],
+      trendConst: Array[Double]): Var = {
+    require(trend == "c", "fitFixed supports the default 'c' trend")
+    data = rows
+    nVars = rows.head.length
+    k = a.length
+    coefs = a
+    trendCoefs = DenseMatrix.zeros[Double](1, nVars)
+    for (v <- 0 until nVars) trendCoefs(0, v) = trendConst(v)
+    val fv = fittedValues()
+    val n = data.length
+    val nobs = n - k
+    val dfResid = nobs - (nVars * k + nTrend)
+    val s = DenseMatrix.zeros[Double](nVars, nVars)
+    for (t <- k until n) {
+      val e = DenseVector.tabulate(nVars)(i => data(t)(i) - fv(t - k)(i))
+      s += e * e.t
+    }
+    sigmaU = s / dfResid.toDouble
+    this
+  }
+
   /** Forecast recursion from the last k observations
     * (statsmodels `VARResults.forecast`). */
   def forecast(steps: Int): Array[Array[Double]] = {

@@ -32,6 +32,33 @@ class ModelSuiteSpec extends SparkSpec {
     assert(m.k == 2 && m.nVars == 2)
   }
 
+  test("VAR fitFixed at the fitted coefficients reproduces fit's predict surface") {
+    // extract (A1, c) from a VAR(1) OLS fit, refit at fixed parameters:
+    // the residual covariance and hence forecasts and CI bands must agree
+    val m = new Var(Some(1)).fit(mat)
+    val (fc, lo, hi) = m.predict(5)
+    val a1 = breeze.linalg.DenseMatrix.zeros[Double](2, 2)
+    val fv = m.fittedValues()
+    // recover A1 and c by solving the exact linear relation the fitted
+    // values satisfy: fv(t) = c + A1 * y(t-1) — three independent points
+    // are enough for the 2x3 per-equation system
+    val pts = Seq(1, 2, 3).map(t => (mat(t - 1), fv(t - 1)))
+    val x = breeze.linalg.DenseMatrix(pts.map { case (p, _) => Array(1.0, p(0), p(1)) }: _*)
+    val b0 = breeze.linalg.DenseVector(pts.map(_._2(0)).toArray)
+    val b1 = breeze.linalg.DenseVector(pts.map(_._2(1)).toArray)
+    val s0 = x \ b0
+    val s1 = x \ b1
+    a1(0, 0) = s0(1); a1(0, 1) = s0(2); a1(1, 0) = s1(1); a1(1, 1) = s1(2)
+    val mf = new Var().fitFixed(mat, Array(a1), Array(s0(0), s1(0)))
+    val (fc2, lo2, hi2) = mf.predict(5)
+    for (h <- 0 until 5; v <- 0 until 2) {
+      assert(math.abs(fc(h)(v) - fc2(h)(v)) < 1e-6 * math.abs(fc(h)(v)),
+        s"forecast drift at h=$h v=$v: ${fc(h)(v)} vs ${fc2(h)(v)}")
+      assert(math.abs(lo(h)(v) - lo2(h)(v)) < 1e-5 * math.abs(lo(h)(v)))
+      assert(math.abs(hi(h)(v) - hi2(h)(v)) < 1e-5 * math.abs(hi(h)(v)))
+    }
+  }
+
   test("VAR ic='magic' selects a lag ≤ maxlags") {
     val m = new Var(Some(6), ic = Some("magic")).fit(mat)
     assert(m.k >= 0 && m.k <= 6)
