@@ -472,6 +472,22 @@ object SparkEntry {
         .toDF("step", "v_forecast", "v_lo", "v_hi",
           "c_forecast", "c_lo", "c_hi")
     }),
+    "q46_arima_d1_forecast_fixed" -> ((s, dir) => {
+      // the ARIMA d=1 predict surface at FIXED φ: differencing, the m=1
+      // Kalman filter, σ², the AR forecast recursion, the running-sum
+      // level integration (typ='levels', `models.py:324-328`), and the
+      // augmented-state SE recursion all replay as recursive CTEs —
+      // extends q43's hash coverage to the integration path
+      val d = daily(s, dir)
+      val y = ModelEvaluation.collectSeries(d, Seq("v")).map(_.head)
+      val m = new Arima(1, 1, 0).fitFixed(y, Array(0.55), Array())
+      val (fo, lo, hi) = m.predict(7)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s.createDataFrame((0 until 7).map(i =>
+        (i + 1L, r6(fo(i)), r6(lo(i)), r6(hi(i)))))
+        .toDF("step", "forecast", "ci_low", "ci_high")
+    }),
     "q43_arma_forecast_fixed" -> ((s, dir) => {
       // the ARMA predict surface at FIXED (phi, theta, mu): the Kalman
       // filter for ARMA(1,1) reduces to a scalar (a1, p11) recursion
@@ -795,6 +811,7 @@ object SparkEntry {
     "q29_seasonal" -> seasonalSql,
     "q43_arma_forecast_fixed" -> armaForecastFixedSql,
     "q45_var_forecast_fixed" -> varForecastFixedSql,
+    "q46_arima_d1_forecast_fixed" -> arimaD1ForecastFixedSql,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),
@@ -987,6 +1004,63 @@ object SparkEntry {
        | round(f2, 6) AS c_forecast,
        | round(f2 - 1.959963984540054*sqrt(m2), 6) AS c_lo,
        | round(f2 + 1.959963984540054*sqrt(m2), 6) AS c_hi
+       |FROM fc""".stripMargin
+
+  /** ARIMA(1,1,0) forecast/CI at fixed φ: with q=0 the state is scalar,
+    * so the exact-likelihood Kalman filter is a (a, p) recursion with
+    * P₀ = 1/(1-φ²); the forecast is fwₕ = φ·fwₕ₋₁ integrated onto the
+    * last level by a running sum (typ='levels'), and the d=1 standard
+    * errors propagate the 2×2 augmented [state; level-offset] covariance
+    * (`Arima.forecastSe` d=1 branch). Every multiply/add mirrors the
+    * Breeze op order so the floats are bit-identical. */
+  private def arimaD1ForecastFixedSql: String =
+    s"""WITH RECURSIVE daily AS ($dailySql),
+       |params AS (SELECT CAST(0.55 AS DOUBLE) AS phi),
+       |lvl AS (SELECT CAST(v AS DOUBLE) AS y,
+       |  row_number() OVER (ORDER BY d) AS rn FROM daily),
+       |w AS (SELECT y - lag(y) OVER (ORDER BY rn) AS x,
+       |  row_number() OVER (ORDER BY rn) - 1 AS rn
+       | FROM lvl QUALIFY x IS NOT NULL),
+       |n AS (SELECT count(*) AS nw FROM w),
+       |kf AS (
+       |  SELECT 0 AS rn, CAST(0 AS DOUBLE) AS a,
+       |    1/(1 - p.phi*p.phi) AS p,
+       |    CAST(0 AS DOUBLE) AS cumv2f, CAST(0 AS DOUBLE) AS lastx
+       |  FROM params p
+       |  UNION ALL
+       |  SELECT i.rn,
+       |    p.phi*kf.a + ((p.phi*kf.p)/kf.p)*(i.x - kf.a),
+       |    ((p.phi*kf.p)*p.phi + 1)
+       |      - (((p.phi*kf.p)/kf.p)*((p.phi*kf.p)/kf.p))*kf.p,
+       |    kf.cumv2f + ((i.x - kf.a)*(i.x - kf.a))/kf.p,
+       |    i.x
+       |  FROM kf JOIN w i ON i.rn = kf.rn + 1 CROSS JOIN params p
+       |),
+       |fin AS (SELECT kf.a, kf.p, kf.lastx,
+       |  kf.cumv2f/(SELECT nw FROM n) AS s2
+       | FROM kf WHERE rn = (SELECT nw FROM n)),
+       |ylast AS (SELECT y FROM lvl WHERE rn = (SELECT nw FROM n) + 1),
+       |fc AS (
+       |  SELECT 1 AS step,
+       |    p.phi*(SELECT lastx FROM fin) AS fw,
+       |    (SELECT y FROM ylast) + p.phi*(SELECT lastx FROM fin) AS level,
+       |    (SELECT p FROM fin) AS q11, (SELECT p FROM fin) AS q01,
+       |    (SELECT p FROM fin) AS q10, (SELECT p FROM fin) AS q22
+       |  FROM params p
+       |  UNION ALL
+       |  SELECT f.step + 1, p.phi*f.fw, f.level + p.phi*f.fw,
+       |    (p.phi*f.q11)*p.phi + 1,
+       |    ((p.phi*f.q11)*p.phi + p.phi*f.q01) + 1,
+       |    ((p.phi*f.q11 + f.q10)*p.phi) + 1,
+       |    ((p.phi*f.q11 + f.q10)*p.phi + (p.phi*f.q01 + f.q22)) + 1
+       |  FROM fc f CROSS JOIN params p WHERE f.step < 7
+       |)
+       |SELECT CAST(step AS BIGINT) AS step,
+       | round(level, 6) AS forecast,
+       | round(level - 1.959963984540054*sqrt((SELECT s2 FROM fin)*q22), 6)
+       |   AS ci_low,
+       | round(level + 1.959963984540054*sqrt((SELECT s2 FROM fin)*q22), 6)
+       |   AS ci_high
        |FROM fc""".stripMargin
 
   private def periodogramSql: String =
