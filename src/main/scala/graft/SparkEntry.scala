@@ -3,7 +3,7 @@ package graft
 import graft.core.TimeseriesFrame
 import graft.dedup.Dedup
 import graft.ops._
-import graft.models.{Arima, Granger, ModelEvaluation, Var}
+import graft.models.{Arima, Granger, Metrics, ModelEvaluation, Var}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.spectral.{Correlation, Periodogram}
@@ -472,6 +472,37 @@ object SparkEntry {
         .toDF("step", "v_forecast", "v_lo", "v_hi",
           "c_forecast", "c_lo", "c_hi")
     }),
+    "q47_eval_metrics_fixed" -> ((s, dir) => {
+      // the model-evaluation SCORING half at fixed predictions: rolling-
+      // origin naive and drift forecasts are SQL-expressible, so the
+      // pooled (true, pred) fold pairs — same fold order and alignment as
+      // ModelEvaluation.evaluate — and all five reference metrics
+      // (functions.py:21-49, incl. the nonstandard median-MAE and
+      // mean-normalized MAPE) hash-check end to end
+      val d0 = daily(s, dir)
+      val y = ModelEvaluation.collectSeries(d0, Seq("v")).map(_.head)
+      val steps = 3; val nFolds = 3
+      def pool(pred: (Int, Int) => Double): (Array[Double], Array[Double]) = {
+        val pairs = for {
+          fold <- 1 to nFolds
+          te = y.length - fold * steps
+          h <- 0 until steps
+        } yield (y(te + h), pred(te, h))
+        (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      }
+      val specs = Seq(
+        "naive" -> ((te: Int, h: Int) => y(te - 1)),
+        "drift" -> ((te: Int, h: Int) =>
+          y(te - 1) + (h + 1) * (y(te - 1) - y(0)) / (te - 1)))
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s.createDataFrame(specs.map { case (name, p) =>
+        val (t, pr) = pool(p)
+        (name, r6(Metrics.rmse(t, pr)), r6(Metrics.mae(t, pr)),
+          r6(Metrics.mape(t, pr)), r6(Metrics.pocid(t, pr)),
+          r6(Metrics.r2(t, pr)))
+      }).toDF("model", "rmse", "mae", "mape", "pocid", "r2")
+    }),
     "q46_arima_d1_forecast_fixed" -> ((s, dir) => {
       // the ARIMA d=1 predict surface at FIXED φ: differencing, the m=1
       // Kalman filter, σ², the AR forecast recursion, the running-sum
@@ -812,6 +843,7 @@ object SparkEntry {
     "q43_arma_forecast_fixed" -> armaForecastFixedSql,
     "q45_var_forecast_fixed" -> varForecastFixedSql,
     "q46_arima_d1_forecast_fixed" -> arimaD1ForecastFixedSql,
+    "q47_eval_metrics_fixed" -> evalMetricsFixedSql,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),
@@ -1062,6 +1094,57 @@ object SparkEntry {
        | round(level + 1.959963984540054*sqrt((SELECT s2 FROM fin)*q22), 6)
        |   AS ci_high
        |FROM fc""".stripMargin
+
+  /** Evaluation metrics at fixed (naive / drift) rolling-origin
+    * predictions: pooled fold pairs in the same order as
+    * `ModelEvaluation.evaluate`, scored with the reference's definitions
+    * (`functions.py:21-49`) — RMSE, MEDIAN absolute error, mean-normalized
+    * MAPE, POCID over pooled direction changes, R². */
+  private def evalMetricsFixedSql: String =
+    s"""WITH daily AS ($dailySql),
+       |idx AS (SELECT CAST(v AS DOUBLE) AS y,
+       |  row_number() OVER (ORDER BY d) AS rn FROM daily),
+       |n AS (SELECT count(*) AS n FROM idx),
+       |folds AS (SELECT fold, (SELECT n FROM n) - fold*3 AS te
+       |  FROM (VALUES (1),(2),(3)) t(fold)),
+       |hs AS (SELECT h FROM (VALUES (0),(1),(2)) t(h)),
+       |base AS (
+       |  SELECT fo.fold, hs.h, (fo.fold-1)*3 + hs.h AS seq,
+       |    ty.y AS yt, tr.y AS ylast, fo.te
+       |  FROM folds fo CROSS JOIN hs
+       |  JOIN idx ty ON ty.rn = fo.te + hs.h + 1
+       |  JOIN idx tr ON tr.rn = fo.te),
+       |pairs AS (
+       |  SELECT 'naive' AS model, seq, yt, ylast AS yp FROM base
+       |  UNION ALL
+       |  SELECT 'drift', seq, yt,
+       |    ylast + (h+1) * (ylast - (SELECT y FROM idx WHERE rn = 1)) / (te - 1)
+       |  FROM base),
+       |scored AS (
+       |  SELECT model,
+       |    sqrt(sum((yt-yp)*(yt-yp))/9) AS rmse,
+       |    median(abs(yt-yp)) AS mae,
+       |    (sum(abs(yt-yp))/9) / (sum(abs(yt))/9) AS mape,
+       |    sum(yt)/9 AS mu,
+       |    sum((yt-yp)*(yt-yp)) AS sse
+       |  FROM pairs GROUP BY model),
+       |r2t AS (
+       |  SELECT p.model, 1 - s.sse / sum((p.yt - s.mu)*(p.yt - s.mu)) AS r2
+       |  FROM pairs p JOIN scored s USING (model) GROUP BY p.model, s.sse),
+       |pocidt AS (
+       |  SELECT model,
+       |    100.0 * sum(CASE WHEN (ytn - yt)*(ypn - yp) > 0 THEN 1 ELSE 0 END)
+       |      / count(*) AS pocid
+       |  FROM (SELECT model, seq, yt, yp,
+       |          lead(yt) OVER (PARTITION BY model ORDER BY seq) AS ytn,
+       |          lead(yp) OVER (PARTITION BY model ORDER BY seq) AS ypn
+       |        FROM pairs)
+       |  WHERE ytn IS NOT NULL GROUP BY model)
+       |SELECT s.model, round(s.rmse, 6) AS rmse, round(s.mae, 6) AS mae,
+       | round(s.mape, 6) AS mape, round(p.pocid, 6) AS pocid,
+       | round(r.r2, 6) AS r2
+       |FROM scored s JOIN r2t r ON r.model = s.model
+       |JOIN pocidt p ON p.model = s.model""".stripMargin
 
   private def periodogramSql: String =
     s"""WITH daily AS ($dailySql),
