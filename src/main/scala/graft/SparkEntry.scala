@@ -426,6 +426,26 @@ object SparkEntry {
       Correlation.acfByKey(t, "value", maxLag = 6)
         .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"))
     }),
+    "q48_periodogram_by_key" -> ((s, dir) => {
+      // grouped periodogram — per-series frequency grids, per-key DFT as
+      // one hash aggregate, no single-partition stage; the oracle replays
+      // the per-user DFT (spectrum checked; peak-picking is covered by
+      // the single-series gate q28 + the SpectralByKeySpec differential)
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      Periodogram.spectrumByKey(t, "value", "diff")
+        .select(col("user_id"), round(col("period"), 6).as("period"),
+          round(col("power"), 6).as("power"))
+    }),
+    "q49_lomb_by_key" -> ((s, dir) => {
+      // grouped Lomb-Scargle — per-key Δt-percentile frequency grids and
+      // the 5-sum tau identity as one keyed hash aggregate
+      val t0 = ev(s, dir)
+      val t = t0.copy(df = t0.df.withColumn("tsec", col("ts").cast("double")),
+        timeCol = Some("tsec")).withSeriesKeys("user_id")
+      Periodogram.lombSpectrumByKey(t, "value", nPeriods = 60)
+        .select(col("user_id"), round(col("period"), 6).as("period"),
+          round(col("power"), 6).as("power"))
+    }),
     "q42_sliding_rangepart" -> ((s, dir) => {
       // the single-series SCALE path under the hash gate: range-partitioned
       // sliding windows with chained boundary carry (no global sort) must
@@ -844,6 +864,8 @@ object SparkEntry {
     "q45_var_forecast_fixed" -> varForecastFixedSql,
     "q46_arima_d1_forecast_fixed" -> arimaD1ForecastFixedSql,
     "q47_eval_metrics_fixed" -> evalMetricsFixedSql,
+    "q48_periodogram_by_key" -> periodogramByKeySql,
+    "q49_lomb_by_key" -> lombByKeySql,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),
@@ -1442,6 +1464,69 @@ object SparkEntry {
       | AND (f1 IS NULL OR pgram > f1) AND (f2 IS NULL OR pgram > f2)
       | AND (f3 IS NULL OR pgram > f3) AND (f4 IS NULL OR pgram > f4)
       | AND (f5 IS NULL OR pgram > f5)""".stripMargin
+
+  /** Per-user equispaced DFT ('diff' detrend, per-user m/half/skip). */
+  private def periodogramByKeySql: String =
+    """WITH s AS (SELECT user_id, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      | FROM events),
+      |xd AS (SELECT user_id,
+      |  value - lag(value) OVER (PARTITION BY user_id ORDER BY rn) AS x,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY rn) - 2 AS i
+      | FROM s QUALIFY x IS NOT NULL),
+      |params AS (SELECT user_id, count(*) AS m, count(*) // 2 AS half,
+      |  greatest(count(*) // 1000, 1) AS lo FROM xd GROUP BY 1),
+      |ks AS (SELECT unnest(generate_series(1, (SELECT max(half) FROM params))) AS k),
+      |spec AS (
+      | SELECT x.user_id, k.k,
+      |  sum(x.x * cos(2*pi() * k.k * x.i / p.m)) AS re,
+      |  sum(x.x * sin(2*pi() * k.k * x.i / p.m)) AS im,
+      |  max(p.m) AS m, max(p.half) AS half
+      | FROM xd x JOIN params p USING (user_id)
+      | JOIN ks k ON k.k BETWEEN p.lo AND p.half
+      | GROUP BY 1, 2)
+      |SELECT user_id, round(m / CAST(k AS DOUBLE), 6) AS period,
+      | round((re*re + im*im) / m
+      |   * (CASE WHEN k = half AND m % 2 = 0 THEN 1.0 ELSE 2.0 END), 6) AS power
+      |FROM spec""".stripMargin
+
+  /** Per-user Lomb–Scargle spectrum (linear detrend, per-user Δt
+    * percentile grid of 60 frequencies, 5-sum tau identity). */
+  private def lombByKeySql: String =
+    """WITH base AS (SELECT user_id, epoch_us(ts)/1000000.0 AS t, value AS x
+      | FROM events),
+      |ser0 AS (SELECT user_id, t, x,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY t) - 1 AS DOUBLE) AS i
+      | FROM base),
+      |fit AS (SELECT user_id, regr_slope(x, i) AS k, regr_intercept(x, i) AS c
+      | FROM ser0 GROUP BY 1),
+      |ser AS (SELECT s.user_id, s.t, s.x - (s.i * f.k + f.c) AS x
+      | FROM ser0 s JOIN fit f USING (user_id)),
+      |st AS (SELECT user_id, count(*) AS n, var_pop(x) AS v FROM ser GROUP BY 1),
+      |dts AS (SELECT user_id,
+      |  t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS dt
+      | FROM base QUALIFY dt IS NOT NULL),
+      |pct AS (SELECT user_id, quantile_cont(dt, 0.05) AS p5,
+      |  greatest(200*quantile_cont(dt, 0.05), quantile_cont(dt, 0.80)) AS ph
+      | FROM dts GROUP BY 1),
+      |grid AS (SELECT p.user_id,
+      |  2*pi() / (p.ph + (p.p5 - p.ph) * g.j / 59.0) AS omega
+      | FROM pct p, range(0, 60) g(j)),
+      |sums AS (SELECT s.user_id, g.omega,
+      |  sum(s.x * cos(g.omega*s.t)) AS xc, sum(s.x * sin(g.omega*s.t)) AS xs,
+      |  sum(cos(g.omega*s.t)*cos(g.omega*s.t)) AS cc,
+      |  sum(sin(g.omega*s.t)*sin(g.omega*s.t)) AS ss,
+      |  sum(sin(g.omega*s.t)*cos(g.omega*s.t)) AS cs
+      | FROM ser s JOIN grid g USING (user_id) GROUP BY 1, 2),
+      |tau AS (SELECT *, cos(atan2(2.0*cs, cc - ss)/2) AS ct,
+      |  sin(atan2(2.0*cs, cc - ss)/2) AS st2 FROM sums)
+      |SELECT t.user_id, round(2*pi()/t.omega, 6) AS period,
+      | round(((t.ct*t.xc + t.st2*t.xs)*(t.ct*t.xc + t.st2*t.xs)
+      |    / (t.ct*t.ct*t.cc + 2.0*t.ct*t.st2*t.cs + t.st2*t.st2*t.ss)
+      |  + (t.ct*t.xs - t.st2*t.xc)*(t.ct*t.xs - t.st2*t.xc)
+      |    / (t.st2*t.st2*t.cc - 2.0*t.ct*t.st2*t.cs + t.ct*t.ct*t.ss)) / 2.0
+      |  * (2.0 / (s.n * s.v)), 6) AS power
+      |FROM tau t JOIN st s USING (user_id)""".stripMargin
 
   private def cosinePairsSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

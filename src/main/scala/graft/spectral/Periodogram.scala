@@ -77,20 +77,30 @@ object Periodogram {
 
   /** Min-max scale + `order`-neighborhood local maxima over the period axis
     * (`_significant_periods`, `functions.py:63-73`) — all window
-    * expressions over the (small) spectrum frame. */
-  private def scaleAndPeaks(spec: DataFrame, order: Int): DataFrame = {
-    val wAll = Window.orderBy(col("period")).rowsBetween(Long.MinValue, Long.MaxValue)
+    * expressions over the (small) spectrum frame. With `keys` nonempty the
+    * windows partition per series, so every series scales and peak-picks
+    * independently and in parallel. */
+  private def scaleAndPeaks(spec: DataFrame, order: Int,
+      keys: Seq[String] = Nil): DataFrame = {
+    val keyCols = keys.map(col)
+    val wAll =
+      if (keys.isEmpty)
+        Window.orderBy(col("period")).rowsBetween(Long.MinValue, Long.MaxValue)
+      else Window.partitionBy(keyCols: _*)
     val scaled = spec.withColumn("pgram",
       (col("power") - min(col("power")).over(wAll)) /
         (max(col("power")).over(wAll) - min(col("power")).over(wAll)))
-    val wOrd = Window.orderBy(col("period"))
+    val wOrd =
+      if (keys.isEmpty) Window.orderBy(col("period"))
+      else Window.partitionBy(keyCols: _*).orderBy(col("period"))
     val neighbors = (1 to order).flatMap(k =>
       Seq(lag(col("pgram"), k).over(wOrd), lead(col("pgram"), k).over(wOrd)))
     val isPeak = neighbors.map(nb => nb.isNull || col("pgram") > nb).reduce(_ && _) &&
       lag(col("pgram"), 1).over(wOrd).isNotNull &&
       lead(col("pgram"), 1).over(wOrd).isNotNull
     scaled.withColumn("__peak", isPeak)
-      .filter(col("__peak")).select(col("period"), col("pgram"))
+      .filter(col("__peak"))
+      .select(keyCols :+ col("period") :+ col("pgram"): _*)
   }
 
   /** Equispaced periodogram (scipy.signal.periodogram semantics: one-sided
@@ -133,6 +143,154 @@ object Periodogram {
           when(noDouble, 1.0).otherwise(2.0)).as("power"))
       .select((lit(m.toDouble) / col("k").cast("double")).as("period"), col("power"))
     spec
+  }
+
+  /** Grouped per-series periodogram — the horizontal scale path the
+    * reference (single-series, `functions.py:76-107`) lacks, mirroring
+    * `acfByKey`/`seasonalDecomposeByKey`: every window and aggregate
+    * partitions by `seriesKeys`, each series gets its OWN frequency grid
+    * (`max(m/1000,1) .. m/2` from its own length), and the per-key DFT is
+    * an `explode` into (row, k) contributions feeding one map-side-combined
+    * hash aggregate — no single-partition stage anywhere, so the plan is
+    * shuffle-parallel in both series and frequencies. Peaks via the keyed
+    * [[scaleAndPeaks]]. Per-key detrends: 'diff' | 'constant' | 'linear'
+    * (polynomial orders need a per-key dense solve — single-series only,
+    * see README "Known gaps"). */
+  def periodogramByKey(tsf: TimeseriesFrame, xCol: String,
+      detrend: String = "diff"): DataFrame =
+    scaleAndPeaks(spectrumByKey(tsf, xCol, detrend), order = 5, tsf.seriesKeys)
+
+  /** The full (unscaled) per-series one-sided spectrum
+    * (keys..., period, power) — [[periodogramByKey]] minus scaling/peaks;
+    * exposed for differential testing and the hash gate. */
+  def spectrumByKey(tsf: TimeseriesFrame, xCol: String,
+      detrend: String = "diff"): DataFrame = {
+    require(tsf.seriesKeys.nonEmpty, "spectrumByKey needs seriesKeys")
+    val keys = tsf.seriesKeys
+    val keyCols = keys.map(col)
+    val w = tsf.window // partitioned per series
+    val part = Window.partitionBy(keyCols: _*)
+    val x = col(xCol).cast("double")
+    val xd: DataFrame = detrend match {
+      case "diff" =>
+        tsf.df.select(keyCols :+ (x - lag(x, 1).over(w)).as("xd") :+
+          (row_number().over(w) - 2).cast("double").as("i"): _*)
+          .filter(col("xd").isNotNull)
+      case "constant" =>
+        tsf.df.select(keyCols :+ (x - avg(x).over(part)).as("xd") :+
+          (row_number().over(w) - 1).cast("double").as("i"): _*)
+      case "linear" =>
+        val idx = tsf.df.select(keyCols :+ x.as("x") :+
+          (row_number().over(w) - 1).cast("double").as("i"): _*)
+        val k = regr_slope(col("x"), col("i")).over(part)
+        val c = regr_intercept(col("x"), col("i")).over(part)
+        idx.select(keyCols :+ (col("x") - (col("i") * k + c)).as("xd") :+
+          col("i"): _*)
+      case m => throw new IllegalArgumentException(
+        s"grouped detrend supports diff|constant|linear, got: $m")
+    }
+    val withM = xd.withColumn("__m", count(lit(1)).over(part))
+    // per-series frequency grid: k in [max(m/1000, 1), m/2]; an empty grid
+    // (m < 2) must yield an empty array — sequence() counts DOWN otherwise
+    val lo = greatest(floor(col("__m") / 1000).cast("int"), lit(1))
+    val hi = floor(col("__m") / 2).cast("int")
+    val ks = when(lo <= hi, sequence(lo, hi))
+      .otherwise(array().cast("array<int>"))
+    val theta = lit(2.0 * math.Pi) * col("__k") * col("i") / col("__m")
+    withM
+      .withColumn("__k", explode(ks))
+      .groupBy(keyCols :+ col("__k"): _*)
+      .agg(sum(col("xd") * cos(theta)).as("__re"),
+        sum(col("xd") * sin(theta)).as("__im"),
+        max(col("__m")).as("__mm"))
+      .select(keyCols ++ Seq(
+        (col("__mm").cast("double") / col("__k")).as("period"),
+        ((col("__re") * col("__re") + col("__im") * col("__im")) / col("__mm") *
+          when(col("__k") === (col("__mm") / 2).cast("int") && col("__mm") % 2 === 0,
+            1.0).otherwise(2.0)).as("power")): _*)
+  }
+
+  /** Grouped per-series Lomb–Scargle: per-key Δt percentiles build each
+    * series its OWN `nPeriods`-point frequency grid, the 5 tau-identity
+    * sums are one map-side-combined hash aggregate over the exploded
+    * (row, j) contributions, and the tau/power algebra + keyed
+    * scale-and-peaks are pure column math — shuffle-parallel in series,
+    * rows, and frequencies (the mapPartitions fold of the single-series
+    * form is unnecessary here: each key's grid multiplies only its own
+    * rows, and partial aggregation bounds the shuffle at
+    * keys × nPeriods). */
+  def lombScargleByKey(tsf: TimeseriesFrame, xCol: String,
+      nPeriods: Int = 200, detrend: String = "linear"): DataFrame =
+    scaleAndPeaks(lombSpectrumByKey(tsf, xCol, nPeriods, detrend),
+      order = 5, tsf.seriesKeys)
+
+  /** The full per-series Lomb–Scargle spectrum (keys..., period, power) —
+    * [[lombScargleByKey]] minus scaling/peaks. */
+  def lombSpectrumByKey(tsf: TimeseriesFrame, xCol: String,
+      nPeriods: Int = 200, detrend: String = "linear"): DataFrame = {
+    require(tsf.seriesKeys.nonEmpty, "lombScargleByKey needs seriesKeys")
+    val keys = tsf.seriesKeys
+    val keyCols = keys.map(col)
+    val tCol = tsf.timeCol.getOrElse(
+      throw new IllegalArgumentException("Lomb-Scargle needs a time column"))
+    val base = tsf.df.select(keyCols :+ col(tCol).cast("double").as("t") :+
+      col(xCol).cast("double").as("x"): _*)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("t"))
+    val part = Window.partitionBy(keyCols: _*)
+    val series: DataFrame = detrend match {
+      case "diff" =>
+        base.select(keyCols :+ col("t") :+
+          (col("x") - lag(col("x"), 1).over(w)).as("x"): _*)
+          .filter(col("x").isNotNull)
+      case "constant" =>
+        base.select(keyCols :+ col("t") :+
+          (col("x") - avg(col("x")).over(part)).as("x"): _*)
+      case "linear" =>
+        val idx = base.select(keyCols :+ col("t") :+ col("x") :+
+          (row_number().over(w) - 1).cast("double").as("i"): _*)
+        val k = regr_slope(col("x"), col("i")).over(part)
+        val c = regr_intercept(col("x"), col("i")).over(part)
+        idx.select(keyCols :+ col("t") :+
+          (col("x") - (col("i") * k + c)).as("x"): _*)
+      case m => throw new IllegalArgumentException(
+        s"grouped detrend supports diff|constant|linear, got: $m")
+    }
+    // per-key stats and Δt percentile grid bounds (one row per key)
+    val stats = series.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__n"), var_pop(col("x")).as("__v"))
+    val pct = base
+      .select(keyCols :+ (col("t") - lag(col("t"), 1).over(w)).as("dt"): _*)
+      .filter(col("dt").isNotNull)
+      .groupBy(keyCols: _*)
+      .agg(percentile(col("dt"), lit(0.05)).as("__p5"),
+        percentile(col("dt"), lit(0.80)).as("__p80"))
+      .select(keyCols :+ col("__p5").as("__plo") :+
+        greatest(col("__p5") * 200, col("__p80")).as("__phi"): _*)
+    val omega = lit(2.0 * math.Pi) /
+      (col("__phi") + (col("__plo") - col("__phi")) * col("__j") / (nPeriods - 1.0))
+    val sums = series
+      .join(pct, keys)
+      .withColumn("__j", explode(sequence(lit(0), lit(nPeriods - 1))))
+      .withColumn("__w", omega)
+      .groupBy(keyCols :+ col("__j"): _*)
+      .agg(max(col("__w")).as("__wv"),
+        sum(col("x") * cos(col("__w") * col("t"))).as("__xc"),
+        sum(col("x") * sin(col("__w") * col("t"))).as("__xs"),
+        sum(cos(col("__w") * col("t")) * cos(col("__w") * col("t"))).as("__cc"),
+        sum(sin(col("__w") * col("t")) * sin(col("__w") * col("t"))).as("__ss"),
+        sum(sin(col("__w") * col("t")) * cos(col("__w") * col("t"))).as("__cs"))
+    val tau2 = atan2(lit(2.0) * col("__cs"), col("__cc") - col("__ss"))
+    val cT = cos(tau2 / 2); val sT = sin(tau2 / 2)
+    val xcT = cT * col("__xc") + sT * col("__xs")
+    val xsT = cT * col("__xs") - sT * col("__xc")
+    val ccT = cT * cT * col("__cc") + lit(2.0) * cT * sT * col("__cs") + sT * sT * col("__ss")
+    val ssT = sT * sT * col("__cc") - lit(2.0) * cT * sT * col("__cs") + cT * cT * col("__ss")
+    sums
+      .join(stats, keys)
+      .select(keyCols ++ Seq(
+        (lit(2.0) * math.Pi / col("__wv")).as("period"),
+        ((xcT * xcT / ccT + xsT * xsT / ssT) / 2.0 *
+          (lit(2.0) / (col("__n") * col("__v")))).as("power")): _*)
   }
 
   /** Lomb–Scargle for non-equispaced series (`functions.py:109-174`):

@@ -1,0 +1,72 @@
+package graft.spectral
+
+import graft.SparkSpec
+import graft.core.TimeseriesFrame
+import org.apache.spark.sql.functions._
+
+/** Grouped spectral ops must equal running the single-series operator on
+  * each key's slice independently (the `MultiSeriesSpec` property), for
+  * every supported per-key detrend. */
+class SpectralByKeySpec extends SparkSpec {
+
+  /** Three series: different lengths, trends, and dominant periods; series
+    * 'c' has irregular (non-equispaced) times for the Lomb–Scargle case. */
+  private def series = {
+    import spark.implicits._
+    val a = (0 until 60).map(i =>
+      ("a", i.toDouble, 10.0 + 0.3 * i + 5 * math.sin(2 * math.Pi * i / 6)))
+    val b = (0 until 45).map(i =>
+      ("b", i.toDouble, 80.0 - 0.1 * i + 3 * math.cos(2 * math.Pi * i / 9)))
+    val c = (0 until 50).map { i =>
+      val t = i + 0.3 * math.sin(i * 2.7) // jittered sampling
+      ("c", t, 5.0 + 4 * math.sin(2 * math.Pi * t / 7.5))
+    }
+    (a ++ b ++ c).toDF("k", "t", "x")
+  }
+
+  private def keyed = TimeseriesFrame(series, Some("t"), Nil, Seq("k"))
+  private def single(key: String) =
+    TimeseriesFrame(series.filter(col("k") === key), Some("t"))
+
+  test("spectrumByKey == per-key spectrum for diff/constant/linear detrends") {
+    for (detrend <- Seq("diff", "constant", "linear")) {
+      val grouped = Periodogram.spectrumByKey(keyed, "x", detrend)
+      for (key <- Seq("a", "b", "c")) {
+        val g = grouped.filter(col("k") === key)
+        val s = Periodogram.spectrum(single(key), "x", detrend)
+        assert(g.count() == s.count(), s"$detrend/$key row count")
+        assertSeqAlmost(col1(g, "power", "period"), col1(s, "power", "period"),
+          tol = 1e-8)
+      }
+    }
+  }
+
+  test("periodogramByKey peaks == per-key periodogram peaks") {
+    val grouped = Periodogram.periodogramByKey(keyed, "x")
+    for (key <- Seq("a", "b", "c")) {
+      val g = grouped.filter(col("k") === key)
+      val s = Periodogram.periodogram(single(key), "x")
+      assertSeqAlmost(col1(g, "period", "period"), col1(s, "period", "period"))
+      assertSeqAlmost(col1(g, "pgram", "period"), col1(s, "pgram", "period"),
+        tol = 1e-8)
+    }
+  }
+
+  test("lombSpectrumByKey == per-key lombScargle spectrum (linear detrend)") {
+    val grouped = Periodogram.lombScargleByKey(keyed, "x", nPeriods = 100)
+    for (key <- Seq("a", "b", "c")) {
+      val g = grouped.filter(col("k") === key)
+      val s = Periodogram.lombScargle(single(key), "x", nPeriods = 100)
+      assertSeqAlmost(col1(g, "period", "period"), col1(s, "period", "period"))
+      assertSeqAlmost(col1(g, "pgram", "period"), col1(s, "pgram", "period"),
+        tol = 1e-6)
+    }
+  }
+
+  test("degenerate series: single-row key yields empty spectrum, no crash") {
+    import spark.implicits._
+    val df = series.union(Seq(("d", 0.0, 1.0)).toDF("k", "t", "x"))
+    val tsf = TimeseriesFrame(df, Some("t"), Nil, Seq("k"))
+    assert(Periodogram.spectrumByKey(tsf, "x").filter(col("k") === "d").count() == 0)
+  }
+}
