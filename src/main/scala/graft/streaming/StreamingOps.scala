@@ -79,8 +79,10 @@ object StreamingOps {
   /** Streaming near-dedup: first document per SimHash signature within the
     * watermark — the deterministic 62-bit signature from the batch
     * pipeline ([[graft.dedup.Dedup.simhashFromHashes]]) as a streaming
-    * duplicate key. Exact-signature collision is the streaming-friendly
-    * tier of near-dup detection (band-joins need a batch pass). */
+    * duplicate key. Exact-signature collision is the cheapest streaming
+    * tier of near-dup detection; [[streamingMinhashCandidates]] is the
+    * band-key tier above it (true near-dups, not just identical
+    * signatures). */
   def streamingDedupSimhash(
       stream: DataFrame,
       timeCol: String,
@@ -96,6 +98,56 @@ object StreamingOps {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
+  }
+
+  /** Streaming MinHash band-key near-duplicate detection — the tier above
+    * exact-signature collision that the batch `Dedup.minhashCandidates`
+    * bucket join provides offline. Each document's minhash signature is
+    * split into the same deterministic LSH band keys as the batch path,
+    * and candidate pairing is a watermarked stream-stream SELF-JOIN on the
+    * band bucket with a time-range condition — the Spark-native form of
+    * "pair me with every doc that shared a band inside the horizon": the
+    * engine keeps both sides' state, expires it by watermark, and a
+    * near-dup arriving in a LATER micro-batch still pairs with its
+    * original from join state. Signature agreement is scored inline
+    * (`zip_with`, codegen — no custom state), pairs below `threshold` are
+    * dropped before the exchange, and the trailing
+    * `dropDuplicatesWithinWatermark` (stream-stream join → dedup is a
+    * supported stateful chain) emits each pair once, mirroring the batch
+    * path's pair `distinct()` before scoring. */
+  def streamingMinhashCandidates(
+      stream: DataFrame,
+      timeCol: String,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.text.TextFunctions
+    val rowsPerBand = numHashes / bands
+    val params = Dedup.minhashParams(numHashes)
+    def side(sfx: String): DataFrame = stream
+      .withColumn("__sig", Dedup.minhashSignature(
+        TextFunctions.shingleHashes(col(textCol), 3), params))
+      .select(explode(Dedup.lshBandKeys(col("__sig"), bands, rowsPerBand))
+          .as(s"bucket$sfx"),
+        col(idCol).cast("long").as(s"id$sfx"), col("__sig").as(s"sig$sfx"),
+        col(timeCol).cast("timestamp").as(s"ts$sfx"))
+      .withWatermark(s"ts$sfx", watermark) // AFTER the projection — selecting
+      // a cast mints a new attribute and would drop the watermark tag
+    val est = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      eq => eq)).cast("double") / numHashes
+    side("_a").join(side("_b"),
+      col("bucket_a") === col("bucket_b") && col("id_a") < col("id_b") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $watermark") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $watermark"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("ts_b"))
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
   }
 
   /** Per-key incremental running statistics via arbitrary stateful

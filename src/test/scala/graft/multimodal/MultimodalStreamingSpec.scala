@@ -92,6 +92,41 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(got2.length == 3, got2.mkString(";"))
   }
 
+  test("streaming minhash band tier catches a planted near-dup across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val original = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen astronomers chart the winter sky above the quiet harbor town"
+    val nearDup = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen astronomers chart the winter sky above the quiet harbour town"
+    val unrelated = "completely different content about databases and " +
+      "distributed query execution engines with columnar storage layouts"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.streamingMinhashCandidates(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+      threshold = 0.5)
+    val q = out.writeStream.format("memory")
+      .queryName("minhash_stream_test").outputMode("append").start()
+    // micro-batch 1: the original + an unrelated doc — no pairs yet
+    mem.addData((new Timestamp(base), 1L, original),
+      (new Timestamp(base + 1000), 2L, unrelated))
+    q.processAllAvailable()
+    // micro-batch 2: the near-dup arrives later — must pair with doc 1
+    // via band-bucket STATE (doc 1 is not in this batch)
+    mem.addData((new Timestamp(base + 60000), 3L, nearDup))
+    q.processAllAvailable()
+    // micro-batch 3: advance the watermark so append-mode results flush
+    mem.addData((new Timestamp(base + 7200000L), 9L, "watermark advancer"))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "select id_a, id_b, est_jaccard from minhash_stream_test").collect()
+    q.stop()
+    assert(got.length == 1, got.mkString(";"))
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 3L)
+    assert(got.head.getDouble(2) > 0.5, s"est_jaccard ${got.head.getDouble(2)}")
+  }
+
   test("streaming session windows split on inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
