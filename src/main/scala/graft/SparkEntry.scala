@@ -267,6 +267,18 @@ object SparkEntry {
         shingleHashesOf = TextFunctions.shingleHashes(_, 3),
         numHashes = 64, bands = 8)
         .filter(col("est_jaccard") >= 0.5)),
+    "q50_dedup_clusters" -> ((s, dir) => {
+      // pairs → CLUSTERS: distributed min-label connected components over
+      // the ≥0.5 minhash candidate graph; the oracle replays the closure
+      // as a recursive CTE (component = min reachable id)
+      val pairs = Dedup.minhashCandidates(
+        tbl(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text",
+        shingleHashesOf = TextFunctions.shingleHashes(_, 3),
+        numHashes = 64, bands = 8)
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
     "q19_simhash" -> ((s, dir) => {
       // word-bigram features (the standard simhash feature set; ~7x fewer
       // features than char shingles at equal near-dup sensitivity);
@@ -866,6 +878,7 @@ object SparkEntry {
     "q47_eval_metrics_fixed" -> evalMetricsFixedSql,
     "q48_periodogram_by_key" -> periodogramByKeySql,
     "q49_lomb_by_key" -> lombByKeySql,
+    "q50_dedup_clusters" -> dedupClustersSql,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),
@@ -1330,10 +1343,15 @@ object SparkEntry {
       |   (a, c) -> (a * 31 + c) % 1000000007)) AS th
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
-  private def minhashSql: String = {
+  private def minhashSql: String =
+    s"WITH $minhashPairCtes\nSELECT * FROM scored WHERE est_jaccard >= 0.5"
+
+  /** The shared CTE chain producing `scored` (id_a, id_b, est_jaccard) —
+    * the tail of [[minhashSql]] and the front of [[dedupClustersSql]]. */
+  private def minhashPairCtes: String = {
     val paramRows = Dedup.minhashParams(64).zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
-    s"""WITH th AS ($tokHashSql),
+    s"""th AS ($tokHashSql),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(th) >= 3 THEN list_distinct(list_transform(range(1, len(th) - 1),
        |    i -> (((th[i]*1000003 + th[i+1]) % 1000000007) * 1000003 + th[i+2]) % 1000000007))
@@ -1354,9 +1372,24 @@ object SparkEntry {
        |scored AS (SELECT c.id_a, c.id_b,
        |  list_sum(list_transform(range(1, 65),
        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 64 AS est_jaccard
-       | FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b)
-       |SELECT * FROM scored WHERE est_jaccard >= 0.5""".stripMargin
+       | FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b)""".stripMargin
   }
+
+  /** Duplicate clusters: transitive closure of the ≥0.5 minhash pair graph
+    * (recursive CTE — `UNION` dedup terminates it), component = min
+    * reachable id, matching `Dedup.connectedComponents`. */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |pr AS (SELECT id_a, id_b FROM scored WHERE est_jaccard >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION SELECT id_b, id_a FROM pr),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id)
+       |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+       |FROM reach GROUP BY 1""".stripMargin
 
   private def simhashSql: String =
     s"""WITH th AS ($tokHashSql),

@@ -148,4 +148,60 @@ object Dedup {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Connected components over a candidate-pair edge list — turns the
+    * near-dup PAIRS from [[minhashCandidates]] (or the cosine/simhash
+    * tiers) into duplicate CLUSTERS: every node gets `component` = the
+    * smallest id reachable through the pair graph, the canonical
+    * keep-one-per-cluster key for a dedup pipeline.
+    *
+    * Distributed min-label propagation with pointer jumping: each round
+    * (1) takes the min label over neighbors (one co-partitioned join +
+    * map-side-combined min aggregate) and (2) replaces every label by its
+    * label's label (one self-join) — the path-halving step that makes
+    * convergence O(log diameter) rounds rather than O(diameter), so a
+    * 2³⁰-node chain converges inside the default `maxIter`. Per-round
+    * state is `localCheckpoint`ed to truncate the iterative lineage; the
+    * only driver-side values are the per-round convergence counts.
+    * Near-dup clusters in practice are small and dense — typically 2-3
+    * rounds. */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .union(pairs.select(col(idBCol).cast("long").as("src"),
+        col(idACol).cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // (1) min over neighborhood
+      val nb = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nbl")).as("minNb"))
+      val stepped = labels.join(nb, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("minNb"), col("label"))).as("label"))
+      // (2) pointer jump: label ← label(label) (labels are always node ids)
+      val jumped = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("parent")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("parent"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = jumped.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") < col("old")).count()
+      labels = jumped
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
 }

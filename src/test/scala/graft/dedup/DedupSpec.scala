@@ -89,4 +89,38 @@ class DedupSpec extends SparkSpec {
     assert(hs.forall(h => h >= 0 && h < (1L << 62)))
     assert(hs.distinct.size == hs.size)
   }
+
+  /** Local union-find ground truth for the distributed components. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents == union-find on random graphs (incl. long chains)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random sparse graph + a 40-node chain (exercises pointer jumping
+    // past the naive round bound) + an isolated pair
+    val random = (0 until 120).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val edges = random ++ chain ++ Seq((500L, 501L))
+    val df = edges.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(df, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(edges)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, comp) =>
+      assert(comp == want(id), s"node $id: $comp vs ${want(id)}")
+    }
+  }
 }
