@@ -3,7 +3,7 @@ package graft
 import graft.core.TimeseriesFrame
 import graft.dedup.Dedup
 import graft.ops._
-import graft.models.{Arima, Granger, Metrics, ModelEvaluation, Var}
+import graft.models.{Arima, Arimax, Granger, Metrics, ModelEvaluation, Var}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.spectral.{Correlation, Periodogram}
@@ -535,6 +535,26 @@ object SparkEntry {
           r6(Metrics.r2(t, pr)))
       }).toDF("model", "rmse", "mae", "mape", "pocid", "r2")
     }),
+    "q51_arimax_forecast_fixed" -> ((s, dir) => {
+      // the ARIMAX predict surface at FIXED (β, φ, μ): regression
+      // residuals, their AR(1) Kalman filter, the u-forecast, the exog
+      // contribution (time-index regressor, so future exog is known), and
+      // the CI all replay as recursive CTEs — extends q43/q46's coverage
+      // to the regression-with-ARMA-errors path
+      val d0 = daily(s, dir)
+      val y = ModelEvaluation.collectSeries(d0, Seq("v")).map(_.head)
+      val n = y.length
+      val exog = Array.tabulate(n)(i => Array(i.toDouble))
+      val m = new Arimax(1, 0, 0).fitFixed(y, exog,
+        Array(0.02), Array(0.5), Array(), 48.0)
+      val future = Array.tabulate(7)(h => Array((n + h).toDouble))
+      val (fo, lo, hi) = m.predict(future)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s.createDataFrame((0 until 7).map(i =>
+        (i + 1L, r6(fo(i)), r6(lo(i)), r6(hi(i)))))
+        .toDF("step", "forecast", "ci_low", "ci_high")
+    }),
     "q46_arima_d1_forecast_fixed" -> ((s, dir) => {
       // the ARIMA d=1 predict surface at FIXED φ: differencing, the m=1
       // Kalman filter, σ², the AR forecast recursion, the running-sum
@@ -879,6 +899,7 @@ object SparkEntry {
     "q48_periodogram_by_key" -> periodogramByKeySql,
     "q49_lomb_by_key" -> lombByKeySql,
     "q50_dedup_clusters" -> dedupClustersSql,
+    "q51_arimax_forecast_fixed" -> arimaxForecastFixedSql,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),
@@ -1180,6 +1201,60 @@ object SparkEntry {
        | round(r.r2, 6) AS r2
        |FROM scored s JOIN r2t r ON r.model = s.model
        |JOIN pocidt p ON p.model = s.model""".stripMargin
+
+  /** ARIMAX(1,0,0) k=1 forecast/CI at fixed (β, φ, μ): centered residuals
+    * `(v − β·i) − μ` run the same scalar AR(1) Kalman recursion as q46;
+    * the forecast adds the known future exog contribution `β·(n+step−1)`,
+    * and the d=0 CI half-width round-trips through z exactly as
+    * `Arimax.predict` derives it (se = (uHi − uF)/z). */
+  private def arimaxForecastFixedSql: String =
+    s"""WITH RECURSIVE daily AS ($dailySql),
+       |params AS (SELECT CAST(0.5 AS DOUBLE) AS phi, CAST(0.02 AS DOUBLE) AS beta,
+       |  CAST(48.0 AS DOUBLE) AS mu),
+       |idx AS (SELECT CAST(v AS DOUBLE) AS y,
+       |  row_number() OVER (ORDER BY d) AS rn FROM daily),
+       |n AS (SELECT count(*) AS n FROM idx),
+       |cent AS (SELECT rn,
+       |  (y - (SELECT beta FROM params)*CAST(rn - 1 AS DOUBLE))
+       |    - (SELECT mu FROM params) AS x
+       | FROM idx),
+       |kf AS (
+       |  SELECT 0 AS rn, CAST(0 AS DOUBLE) AS a,
+       |    1/(1 - p.phi*p.phi) AS p,
+       |    CAST(0 AS DOUBLE) AS cumv2f, CAST(0 AS DOUBLE) AS lastx
+       |  FROM params p
+       |  UNION ALL
+       |  SELECT i.rn,
+       |    p.phi*kf.a + ((p.phi*kf.p)/kf.p)*(i.x - kf.a),
+       |    ((p.phi*kf.p)*p.phi + 1)
+       |      - (((p.phi*kf.p)/kf.p)*((p.phi*kf.p)/kf.p))*kf.p,
+       |    kf.cumv2f + ((i.x - kf.a)*(i.x - kf.a))/kf.p,
+       |    i.x
+       |  FROM kf JOIN cent i ON i.rn = kf.rn + 1 CROSS JOIN params p
+       |),
+       |fin AS (SELECT kf.p, kf.lastx, kf.cumv2f/(SELECT n FROM n) AS s2
+       | FROM kf WHERE rn = (SELECT n FROM n)),
+       |fc AS (
+       |  SELECT 1 AS step, p.phi*(SELECT lastx FROM fin) AS fw,
+       |    (SELECT p FROM fin) AS ph
+       |  FROM params p
+       |  UNION ALL
+       |  SELECT f.step + 1, p.phi*f.fw, (p.phi*f.ph)*p.phi + 1
+       |  FROM fc f CROSS JOIN params p WHERE f.step < 7
+       |),
+       |out AS (SELECT step,
+       |  fw + (SELECT mu FROM params) AS uf,
+       |  ((fw + (SELECT mu FROM params)
+       |     + 1.959963984540054*sqrt((SELECT s2 FROM fin)*ph))
+       |   - (fw + (SELECT mu FROM params))) / 1.959963984540054 AS se,
+       |  (SELECT beta FROM params)
+       |    * CAST((SELECT n FROM n) + step - 1 AS DOUBLE) AS reg
+       | FROM fc)
+       |SELECT CAST(step AS BIGINT) AS step,
+       | round(reg + uf, 6) AS forecast,
+       | round((reg + uf) - 1.959963984540054*se, 6) AS ci_low,
+       | round((reg + uf) + 1.959963984540054*se, 6) AS ci_high
+       |FROM out""".stripMargin
 
   private def periodogramSql: String =
     s"""WITH daily AS ($dailySql),

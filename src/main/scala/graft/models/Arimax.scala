@@ -112,6 +112,30 @@ final class Arimax(val p: Int, val d: Int, val q: Int) {
     this
   }
 
+  /** Install fixed (β, φ, θ, μ) instead of fitting — the ARIMAX analogue
+    * of `Arima.fitFixed`/`Var.fitFixed`: the regression residuals, their
+    * Kalman filter, and the whole [[predict]] surface (u-forecast +
+    * regression contribution + CI) become deterministic functions of the
+    * data, which is what makes them DuckDB-oracle-checkable (gate q51).
+    * σ² and the likelihood still come from the filter pass, exactly as
+    * after [[fit]]. */
+  def fitFixed(y: Array[Double], exog: Array[Array[Double]],
+      b: Array[Double], ph: Array[Double], th: Array[Double],
+      m: Double = 0.0): Arimax = {
+    require(y.length == exog.length, "endog/exog length mismatch")
+    require(b.length == exog.head.length, "one beta per exog column")
+    yRaw = y; xRaw = exog
+    val k = exog.head.length
+    val yd = diffV(y, d)
+    val xd = (0 until k).map(j => diffV(exog.map(_(j)), d)).toArray
+    val n = yd.length
+    val X = DenseMatrix.tabulate[Double](n, k)((i, j) => xd(j)(i))
+    beta = DenseVector(b)
+    val residFinal = (DenseVector(yd) - X * beta).toArray
+    arima = new Arima(p, 0, q).setFitted(residFinal, ph, th, m)
+    this
+  }
+
   /** Forecast `steps` ahead given the future exog rows. */
   def predict(futureExog: Array[Array[Double]], alpha: Double = 0.05)
       : (Array[Double], Array[Double], Array[Double]) = {
