@@ -170,10 +170,14 @@ object Dedup {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {
+    // both edge directions in ONE pass over the (possibly expensive) pair
+    // plan — a union of two selects would evaluate it twice pre-persist
     val edges = pairs
-      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
-      .union(pairs.select(col(idBCol).cast("long").as("src"),
-        col(idACol).cast("long").as("dst")))
+      .select(explode(array(
+        struct(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst")),
+        struct(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
