@@ -3,7 +3,7 @@ package graft
 import graft.core.TimeseriesFrame
 import graft.dedup.Dedup
 import graft.ops._
-import graft.models.{Arima, Arimax, Granger, Metrics, ModelEvaluation, Var}
+import graft.models.{Arima, Arimax, Granger, Metrics, ModelEvaluation, PerSeries, Var}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.spectral.{Correlation, Periodogram}
@@ -535,6 +535,20 @@ object SparkEntry {
           r6(Metrics.r2(t, pr)))
       }).toDF("model", "rmse", "mae", "mape", "pocid", "r2")
     }),
+    "q52_arma_forecast_by_key" -> ((s, dir) => {
+      // the millions-of-models fan-out under the HASH gate: one
+      // fixed-parameter ARMA(1,1) per user, fitted and forecast entirely
+      // on the executors (collect_list gather + narrow flatMap); the
+      // oracle runs q43's scalar Kalman/forecast/CI recursion with every
+      // user stepped simultaneously in one recursive CTE
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      PerSeries.armaForecastFixedByKey(t, "value",
+          Array(0.6), Array(0.3), mu = 50.0, steps = 3)
+        .select(col("user_id"), col("step"),
+          round(col("forecast"), 6).as("forecast"),
+          round(col("ci_low"), 6).as("ci_low"),
+          round(col("ci_high"), 6).as("ci_high"))
+    }),
     "q51_arimax_forecast_fixed" -> ((s, dir) => {
       // the ARIMAX predict surface at FIXED (β, φ, μ): regression
       // residuals, their AR(1) Kalman filter, the u-forecast, the exog
@@ -900,6 +914,7 @@ object SparkEntry {
     "q49_lomb_by_key" -> lombByKeySql,
     "q50_dedup_clusters" -> dedupClustersSql,
     "q51_arimax_forecast_fixed" -> arimaxForecastFixedSql,
+    "q52_arma_forecast_by_key" -> armaForecastFixedByKeySql,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),
@@ -1201,6 +1216,56 @@ object SparkEntry {
        | round(r.r2, 6) AS r2
        |FROM scored s JOIN r2t r ON r.model = s.model
        |JOIN pocidt p ON p.model = s.model""".stripMargin
+
+  /** Per-user ARMA(1,1) forecast/CI at fixed (φ=0.6, θ=0.3, μ=50): the
+    * q43 scalar (a1, p11) Kalman recursion and forecast/CI iteration with
+    * every user stepped simultaneously (the recursion carries user_id).
+    * Users shorter than 8 rows are dropped on both engines. */
+  private def armaForecastFixedByKeySql: String =
+    s"""WITH RECURSIVE s AS (SELECT user_id, value,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       | FROM events),
+       |params AS (SELECT CAST(0.6 AS DOUBLE) AS phi, CAST(0.3 AS DOUBLE) AS theta,
+       |  CAST(50.0 AS DOUBLE) AS mu),
+       |idx AS (SELECT user_id,
+       |  CAST(value AS DOUBLE) - (SELECT mu FROM params) AS x, rn FROM s),
+       |n AS (SELECT user_id, count(*) AS n FROM idx
+       | GROUP BY 1 HAVING count(*) >= 8),
+       |kf AS (
+       |  SELECT n.user_id, 0 AS rn, CAST(0.0 AS DOUBLE) AS a1,
+       |    (1 + 2*p.phi*p.theta + p.theta*p.theta)/(1 - p.phi*p.phi) AS p11,
+       |    CAST(0.0 AS DOUBLE) AS v, CAST(0.0 AS DOUBLE) AS cumv2f,
+       |    CAST(0.0 AS DOUBLE) AS lastx
+       |  FROM n CROSS JOIN params p
+       |  UNION ALL
+       |  SELECT kf.user_id, i.rn,
+       |    p.phi*kf.a1 + ((p.phi*kf.p11 + p.theta)/kf.p11)*(i.x - kf.a1),
+       |    p.phi*p.phi*kf.p11 + 2*p.phi*p.theta + p.theta*p.theta + 1
+       |      - ((p.phi*kf.p11 + p.theta)/kf.p11)*((p.phi*kf.p11 + p.theta)/kf.p11)*kf.p11,
+       |    i.x - kf.a1,
+       |    kf.cumv2f + (i.x - kf.a1)*(i.x - kf.a1)/kf.p11,
+       |    i.x
+       |  FROM kf JOIN idx i ON i.user_id = kf.user_id AND i.rn = kf.rn + 1
+       |  CROSS JOIN params p
+       |),
+       |fin AS (SELECT kf.*, kf.cumv2f/n.n AS s2
+       |  FROM kf JOIN n ON n.user_id = kf.user_id AND kf.rn = n.n),
+       |fc AS (
+       |  SELECT f.user_id, 1 AS step,
+       |    p.phi*f.lastx + p.theta*f.v AS fw, f.p11 AS p11f, f.s2
+       |  FROM fin f CROSS JOIN params p
+       |  UNION ALL
+       |  SELECT f.user_id, f.step + 1, p.phi*f.fw,
+       |    p.phi*p.phi*f.p11f + 2*p.phi*p.theta + p.theta*p.theta + 1, f.s2
+       |  FROM fc f CROSS JOIN params p WHERE f.step < 3
+       |)
+       |SELECT user_id, CAST(step AS BIGINT) AS step,
+       | round(fw + (SELECT mu FROM params), 6) AS forecast,
+       | round(fw + (SELECT mu FROM params)
+       |   - 1.959963984540054*sqrt(s2*p11f), 6) AS ci_low,
+       | round(fw + (SELECT mu FROM params)
+       |   + 1.959963984540054*sqrt(s2*p11f), 6) AS ci_high
+       |FROM fc""".stripMargin
 
   /** ARIMAX(1,0,0) k=1 forecast/CI at fixed (β, φ, μ): centered residuals
     * `(v − β·i) − μ` run the same scalar AR(1) Kalman recursion as q46;

@@ -21,17 +21,17 @@ import org.apache.spark.sql.types._
   */
 object PerSeries {
 
-  /** Fit ARIMA(p,d,q) per series and forecast `steps` ahead.
-    * Output: (seriesKeys..., step, forecast, ci_low, ci_high). Series
-    * shorter than `minRows` are skipped. */
-  def arimaForecastByKey(
+  /** Shared gather/fan-out shell: collect each series in time order into
+    * one grouped row, run `predictOf` on the executors, emit `steps`
+    * forecast rows per key. */
+  private def forecastByKey(
       tsf: TimeseriesFrame,
       valueCol: String,
-      p: Int, d: Int, q: Int,
       steps: Int,
-      alpha: Double = 0.05,
-      minRows: Int = 12): DataFrame = {
-    require(tsf.seriesKeys.nonEmpty, "arimaForecastByKey needs seriesKeys")
+      minRows: Int)(
+      predictOf: Array[Double] => (Array[Double], Array[Double], Array[Double]))
+      : DataFrame = {
+    require(tsf.seriesKeys.nonEmpty, "per-series forecasting needs seriesKeys")
     val spark = tsf.df.sparkSession
     val keys = tsf.seriesKeys
     val tCol = tsf.timeCol.getOrElse(
@@ -57,7 +57,7 @@ object PerSeries {
       else {
         val keyVals = (0 until row.length - 1).map(row.get)
         try {
-          val (fo, lo, hi) = new Arima(p, d, q).fit(series).predict(steps, alpha)
+          val (fo, lo, hi) = predictOf(series)
           (0 until steps).iterator.map(h =>
             // Seq[Any]: a plain Seq(...) would numeric-widen the Long step
             // to Double via LUB inference and break the row encoder
@@ -67,4 +67,34 @@ object PerSeries {
     }
     spark.createDataFrame(outRdd, outSchema)
   }
+
+  /** Fit ARIMA(p,d,q) per series and forecast `steps` ahead.
+    * Output: (seriesKeys..., step, forecast, ci_low, ci_high). Series
+    * shorter than `minRows` are skipped. */
+  def arimaForecastByKey(
+      tsf: TimeseriesFrame,
+      valueCol: String,
+      p: Int, d: Int, q: Int,
+      steps: Int,
+      alpha: Double = 0.05,
+      minRows: Int = 12): DataFrame =
+    forecastByKey(tsf, valueCol, steps, minRows)(series =>
+      new Arima(p, d, q).fit(series).predict(steps, alpha))
+
+  /** Per-series ARMA forecast at FIXED (φ, θ, μ) — the fan-out path at
+    * known parameters. Unlike [[arimaForecastByKey]] (iterative MLE per
+    * key, rows-only checkable), every per-key output here is a
+    * deterministic function of that key's series, so the whole
+    * millions-of-models recipe sits under the DuckDB hash gate (q52: the
+    * q43 scalar Kalman/forecast/CI recursion, PARTITIONed per key). */
+  def armaForecastFixedByKey(
+      tsf: TimeseriesFrame,
+      valueCol: String,
+      phi: Array[Double], theta: Array[Double], mu: Double,
+      steps: Int,
+      alpha: Double = 0.05,
+      minRows: Int = 8): DataFrame =
+    forecastByKey(tsf, valueCol, steps, minRows)(series =>
+      new Arima(phi.length, 0, theta.length)
+        .fitFixed(series, phi, theta, mu).predict(steps, alpha))
 }
