@@ -267,6 +267,16 @@ object SparkEntry {
         shingleHashesOf = TextFunctions.shingleHashes(_, 3),
         numHashes = 64, bands = 8)
         .filter(col("est_jaccard") >= 0.5)),
+    "q53_repetition_stats" -> ((s, dir) =>
+      // Gopher-style word-repetition quality signals; exact integer
+      // character/count arithmetic, so the ratios hash cross-engine
+      TextFunctions.repetitionStats(
+          tbl(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("dup_word_frac"), 6).as("dup_word_frac"),
+          round(col("dup_word_char_frac"), 6).as("dup_word_char_frac"),
+          round(col("top_bigram_char_frac"), 6).as("top_bigram_char_frac"))),
     "q50_dedup_clusters" -> ((s, dir) => {
       // pairs → CLUSTERS: distributed min-label connected components over
       // the ≥0.5 minhash candidate graph; the oracle replays the closure
@@ -915,6 +925,7 @@ object SparkEntry {
     "q50_dedup_clusters" -> dedupClustersSql,
     "q51_arimax_forecast_fixed" -> arimaxForecastFixedSql,
     "q52_arma_forecast_by_key" -> armaForecastFixedByKeySql,
+    "q53_repetition_stats" -> repetitionStatsSql,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),
@@ -1216,6 +1227,34 @@ object SparkEntry {
        | round(r.r2, 6) AS r2
        |FROM scored s JOIN r2t r ON r.model = s.model
        |JOIN pocidt p ON p.model = s.model""".stripMargin
+
+  /** Word-level repetition signals (Gopher/MassiveText family): duplicate
+    * word-slot fraction, duplicated-occurrence character fraction, and the
+    * best single-bigram character coverage — integer count/length
+    * arithmetic, one division each. */
+  private def repetitionStatsSql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |wl AS (SELECT doc_id, text,
+      |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+      | FROM docs),
+      |w AS (SELECT doc_id, unnest(ws) AS word FROM wl),
+      |wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, sum(c) AS tot, count(*) AS dist,
+      |  sum(c*len(word)) AS totchars, sum((c-1)*len(word)) AS dupchars
+      | FROM wc GROUP BY 1),
+      |bg AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      | FROM wl),
+      |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c * len(bg)) AS cover FROM bgc GROUP BY 1)
+      |SELECT a.doc_id,
+      | round(CAST(a.tot - a.dist AS DOUBLE) / a.tot, 6) AS dup_word_frac,
+      | round(CAST(a.dupchars AS DOUBLE) / a.totchars, 6) AS dup_word_char_frac,
+      | round(CAST(coalesce(t.cover, 0) AS DOUBLE) / len(d.text), 6)
+      |   AS top_bigram_char_frac
+      |FROM agg a
+      |LEFT JOIN top t ON t.doc_id = a.doc_id
+      |JOIN docs d ON d.doc_id = a.doc_id""".stripMargin
 
   /** Per-user ARMA(1,1) forecast/CI at fixed (φ=0.6, θ=0.3, μ=50): the
     * q43 scalar (a1, p11) Kalman recursion and forecast/CI iteration with

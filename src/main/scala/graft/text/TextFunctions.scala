@@ -147,4 +147,51 @@ object TextFunctions {
     // trailing n−1 slots zip against missing elements → null; drop them
     array_distinct(filter(combined, h => h.isNotNull))
   }
+
+  /** Repetition signals for training-data quality filtering (the
+    * word-level family of the Gopher/MassiveText repetition filters,
+    * Rae et al. 2021 §A1.1): per document,
+    *
+    *  - `dup_word_frac`      — fraction of word slots that repeat an
+    *                           earlier word: `(total − distinct) / total`;
+    *  - `dup_word_char_frac` — characters in the repeated occurrences over
+    *                           all word characters:
+    *                           `Σ (c−1)·len(w) / Σ c·len(w)`;
+    *  - `top_bigram_char_frac` — the best character coverage any single
+    *                           word bigram achieves:
+    *                           `max(c·len(bigram)) / len(text)` (a max of
+    *                           products, so deterministic under count ties).
+    *
+    * Shape at scale: explode → (doc, word) / (doc, bigram) hash aggregates
+    * with map-side partials, then per-doc rollups — rows stay narrow and
+    * every stage is shuffle-parallel. Documents with no words (null/empty
+    * text) produce no output row, identically on both engines. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ws"),
+      length(col(textCol)).as("__tlen"))
+    val wc = base.select(col("doc_id"), explode(col("__ws")).as("__w"))
+      .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("__c"))
+    val agg = wc.groupBy("doc_id").agg(
+      sum(col("__c")).as("__tot"),
+      count(lit(1)).as("__dist"),
+      sum(col("__c") * length(col("__w"))).as("__totchars"),
+      sum((col("__c") - 1) * length(col("__w"))).as("__dupchars"))
+    val m = greatest(size(col("__ws")) - 1, lit(0))
+    val bgArr = zip_with(slice(col("__ws"), lit(1), m), slice(col("__ws"), lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+    val top = base.select(col("doc_id"), explode(bgArr).as("__bg"))
+      .groupBy(col("doc_id"), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id").agg(max(col("__c") * length(col("__bg"))).as("__cover"))
+    agg
+      .join(top, Seq("doc_id"), "left")
+      .join(base.select(col("doc_id"), col("__tlen")), "doc_id")
+      .select(col("doc_id"),
+        ((col("__tot") - col("__dist")).cast("double") / col("__tot"))
+          .as("dup_word_frac"),
+        (col("__dupchars").cast("double") / col("__totchars"))
+          .as("dup_word_char_frac"),
+        (coalesce(col("__cover"), lit(0L)).cast("double") / col("__tlen"))
+          .as("top_bigram_char_frac"))
+  }
 }

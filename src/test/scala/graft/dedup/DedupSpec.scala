@@ -90,6 +90,27 @@ class DedupSpec extends SparkSpec {
     assert(hs.distinct.size == hs.size)
   }
 
+  test("repetitionStats: hand-computed Gopher-style fractions") {
+    import spark.implicits._
+    // "a b a b a": words {a:3, b:2} → tot=5, dist=2, dup_word_frac=3/5;
+    // char sums: a→3·1, b→2·1 → totchars=5, dupchars=(3−1)+(2−1)=3;
+    // bigrams: "a b"×2, "b a"×2 → cover=max(2·3)=6, len(text)=9
+    val df = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "aa aa")).toDF("doc_id", "text")
+    val got = TextFunctions.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(got(1L)._1 - 3.0 / 5) < 1e-12)
+    assert(math.abs(got(1L)._2 - 3.0 / 5) < 1e-12)
+    assert(math.abs(got(1L)._3 - 6.0 / 9) < 1e-12)
+    // all-unique doc: zero repetition; best bigram covers once
+    assert(got(2L)._1 == 0.0 && got(2L)._2 == 0.0)
+    assert(math.abs(got(2L)._3 - 3.0 / 5) < 1e-12) // "x y" len 3 / len 5
+    // fully duplicated two-word doc
+    assert(math.abs(got(3L)._1 - 0.5) < 1e-12)
+    assert(math.abs(got(3L)._2 - 0.5) < 1e-12)
+    assert(math.abs(got(3L)._3 - 5.0 / 5) < 1e-12) // "aa aa" covers all
+  }
+
   /** Local union-find ground truth for the distributed components. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
