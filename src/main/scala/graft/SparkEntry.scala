@@ -332,6 +332,18 @@ object SparkEntry {
           col("neighbor_id"), round(col("sim"), 4).as("sim"))
     }),
     // ---- §2.8 spectral / correlation ----------------------------------
+    "q54_acf_distributed" -> ((s, dir) => {
+      // the horizontally-scalable ACF formulation (parallel sort +
+      // zipWithIndex + explode-join — no single-partition window) under
+      // the hash gate; numerically identical to q26's acfVector up to
+      // summation order, so round(6) hashes against the same closed form
+      val t = ev(s, dir)
+      val vec = Correlation.acfVectorDistributed(t, "value", maxLag = 24)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s.createDataFrame((1 to 24).map(l => (l.toLong, r6(vec(l)))))
+        .toDF("lag", "acf")
+    }),
     "q26_acf" -> ((s, dir) => {
       val t = ev(s, dir)
       val n = t.df.count()
@@ -895,6 +907,17 @@ object SparkEntry {
         |JOIN c b ON b.user_id = a.user_id AND b.rn = a.rn - lg.lag
         |JOIN den d ON d.user_id = a.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q54_acf_distributed" ->
+      s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
+         |mu AS (SELECT avg(value) AS mu FROM s),
+         |c AS (SELECT rn, value - (SELECT mu FROM mu) AS xc FROM s),
+         |den AS (SELECT sum(xc*xc) AS s0 FROM c)
+         |SELECT CAST(lg.lag AS BIGINT) AS lag,
+         | round(sum(a.xc*b.xc) / (SELECT s0 FROM den), 6) AS acf
+         |FROM range(1, 25) lg(lag)
+         |JOIN c a ON a.rn > lg.lag
+         |JOIN c b ON b.rn = a.rn - lg.lag
+         |GROUP BY 1""".stripMargin,
     "q26_acf" ->
       s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
          |mu AS (SELECT avg(value) AS mu FROM s),

@@ -76,4 +76,64 @@ object OrangeCsv {
     df.schema.fields.filter(f =>
       f.metadata.contains("role") && f.metadata.getString("role") == role)
       .map(_.name).toSeq
+
+  /** Writer for the same 3-row-header format — the Save-widget
+    * counterpart of [[read]] (`Timeseries.save`, Orange `io` path): row 1
+    * column names, row 2 type flags (from `orangeType` metadata, else
+    * inferred from the Spark type), row 3 role flags. Data rows follow in
+    * series order.
+    *
+    * This is an interchange EXPORT (a file the Orange GUI opens), so the
+    * output is one CSV part file: header rows and body carry an explicit
+    * sort key and collapse to a single partition before the write — still
+    * a Spark job (no driver collect), just intentionally not parallel.
+    * Round-trips through [[read]]: same values, roles, and time column. */
+  def write(tsf: TimeseriesFrame, path: String, sep: String = ","): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = tsf.df.sparkSession
+    val df = tsf.df
+    val dataCols = df.columns.filterNot(_.startsWith("__")).toSeq
+    def meta(c: String) = df.schema(c).metadata
+    val types = dataCols.map { c =>
+      if (meta(c).contains("orangeType") && meta(c).getString("orangeType").nonEmpty)
+        meta(c).getString("orangeType")
+      else df.schema(c).dataType match {
+        case TimestampType | DateType => "t"
+        case _: NumericType => "c"
+        case _ => "s"
+      }
+    }
+    val roles = dataCols.map { c =>
+      if (!meta(c).contains("role")) ""
+      else meta(c).getString("role") match {
+        case "target" => "class"
+        case "meta" => "meta"
+        case _ => ""
+      }
+    }
+    val strCols = dataCols.zip(types).map { case (c, t) =>
+      val cc = col(c)
+      (t match {
+        case "t" => date_format(cc, "yyyy-MM-dd HH:mm:ss")
+        case "c" => cc.cast("double").cast("string")
+        case _ => cc.cast("string")
+      }).as(c)
+    }
+    val body = df
+      .withColumn("__k", row_number().over(tsf.window).cast("long") + 2L)
+      .select(col("__k") +: strCols: _*)
+    val hSchema = StructType(StructField("__k", LongType) +:
+      dataCols.map(c => StructField(c, StringType)))
+    val header = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row.fromSeq(0L +: dataCols),
+        Row.fromSeq(1L +: types),
+        Row.fromSeq(2L +: roles)),
+      hSchema)
+    header.union(body)
+      .coalesce(1).sortWithinPartitions("__k").drop("__k")
+      .write.mode("overwrite").option("sep", sep).option("header", "false")
+      .csv(path)
+  }
 }

@@ -35,4 +35,27 @@ class IngestSpec extends SparkSpec {
     val overlapping = TimeSlice.playback(0.0, 50.0, 20.0, 10.0).toSeq
     assert(overlapping.head == (0.0, 20.0) && overlapping.size == 5)
   }
+
+  test("OrangeCsv write → read round-trips values, roles, and time column") {
+    val src = OrangeCsv.read(spark,
+      getClass.getResource("/airpassengers.csv").getPath)
+    val dir = java.nio.file.Files.createTempDirectory("orange_rt").toString
+    OrangeCsv.write(src, dir)
+    val back = OrangeCsv.read(spark, dir)
+    assert(back.timeCol == src.timeCol)
+    val tgt = "Air passengers"
+    assert(OrangeCsv.colsWithRole(back.df, "target") ==
+      OrangeCsv.colsWithRole(src.df, "target"))
+    val a = src.df.orderBy(src.orderCols: _*).select(tgt)
+      .collect().map(_.getDouble(0)).toSeq
+    val b = back.df.orderBy(back.orderCols: _*).select(tgt)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(a == b, s"${a.take(5)} vs ${b.take(5)}")
+    // times survive (month-precision ISO in, full timestamps out)
+    val ta = src.df.orderBy(src.orderCols: _*).select(src.timeCol.get)
+      .collect().map(_.getTimestamp(0)).toSeq
+    val tb = back.df.orderBy(back.orderCols: _*).select(back.timeCol.get)
+      .collect().map(_.getTimestamp(0)).toSeq
+    assert(ta == tb)
+  }
 }
