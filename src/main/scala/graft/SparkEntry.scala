@@ -267,6 +267,21 @@ object SparkEntry {
         shingleHashesOf = TextFunctions.shingleHashes(_, 3),
         numHashes = 64, bands = 8)
         .filter(col("est_jaccard") >= 0.5)),
+    "q55_asof_join" -> ((s, dir) => {
+      // backward as-of enrichment: each event gets its user's latest daily
+      // mean at or before the event time — one union + keyed window carry,
+      // no join operator; the oracle is DuckDB's native ASOF LEFT JOIN
+      val base = ev(s, dir).df
+      val e = base.select(col("event_id"), col("user_id"),
+        col("ts").cast("double").as("t"))
+      val dailyByUser = base
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg((sum(col("value_cents")) / 100.0 / count(lit(1))).as("v"))
+        .select(col("user_id"), col("d").cast("double").as("dt"), col("v"))
+      AsOfJoin.backward(e, dailyByUser, "t", "dt", Seq("v"),
+          keys = Seq("user_id"))
+        .select(col("event_id"), round(col("v"), 6).as("asof_v"))
+    }),
     "q53_repetition_stats" -> ((s, dir) =>
       // Gopher-style word-repetition quality signals; exact integer
       // character/count arithmetic, so the ratios hash cross-engine
@@ -949,6 +964,15 @@ object SparkEntry {
     "q51_arimax_forecast_fixed" -> arimaxForecastFixedSql,
     "q52_arma_forecast_by_key" -> armaForecastFixedByKeySql,
     "q53_repetition_stats" -> repetitionStatsSql,
+    "q55_asof_join" ->
+      s"""WITH dailyu AS (SELECT user_id,
+         |  CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS dt,
+         |  sum($centsSql)/100.0/count(*) AS v
+         | FROM events GROUP BY 1, 2),
+         |e AS (SELECT event_id, user_id, epoch_us(ts)/1000000.0 AS t FROM events)
+         |SELECT e.event_id, round(d.v, 6) AS asof_v
+         |FROM e ASOF LEFT JOIN dailyu d
+         |  ON e.user_id = d.user_id AND e.t >= d.dt""".stripMargin,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),

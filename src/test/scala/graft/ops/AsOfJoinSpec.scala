@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    ("a", 0.5, 100L), ("a", 1.0, 101L), ("a", 2.5, 102L),
+    ("b", 1.5, 200L), ("b", 9.0, 201L)).toDF("k", "t", "id")
+  private def right = Seq(
+    ("a", 1.0, 10.0), ("a", 2.0, 20.0),
+    ("b", 1.0, 30.0), ("b", 4.0, 40.0)).toDF("k", "rt", "v")
+
+  private def collectV(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+    df.collect().map(r => r.getAs[Long]("id") ->
+      (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getDouble(r.fieldIndex("v"))))).toMap
+
+  test("backward as-of: latest right at or BEFORE, inclusive at equality, per key") {
+    val out = AsOfJoin.backward(left, right, "t", "rt", Seq("v"), keys = Seq("k"))
+    val got = collectV(out)
+    assert(got(100L).isEmpty)            // 0.5: nothing at or before
+    assert(got(101L).contains(10.0))     // 1.0: inclusive match
+    assert(got(102L).contains(20.0))     // 2.5: latest of {1.0, 2.0}
+    assert(got(200L).contains(30.0))     // key b independent
+    assert(got(201L).contains(40.0))
+  }
+
+  test("tolerance nulls out stale matches") {
+    val out = AsOfJoin.backward(left, right, "t", "rt", Seq("v"),
+      keys = Seq("k"), tolerance = Some(lit(1.0)))
+    val got = collectV(out)
+    assert(got(102L).contains(20.0))     // 2.5 - 2.0 = 0.5 ≤ 1
+    assert(got(201L).isEmpty)            // 9.0 - 4.0 = 5 > 1 → stale
+  }
+
+  test("duplicate right timestamps: rightTie picks the last in tie order") {
+    val r2 = Seq(("a", 1.0, 1.0, 7.0), ("a", 1.0, 2.0, 8.0))
+      .toDF("k", "rt", "seq", "v")
+    val out = AsOfJoin.backward(left, r2, "t", "rt", Seq("v"),
+      keys = Seq("k"), rightTie = Some("seq"))
+    assert(collectV(out)(101L).contains(8.0))
+  }
+
+  test("keyless (single-series) form matches the keyed result on one key") {
+    val out = AsOfJoin.backward(
+      left.filter(col("k") === "a").drop("k"),
+      right.filter(col("k") === "a").drop("k"),
+      "t", "rt", Seq("v"))
+    val got = collectV(out)
+    assert(got(100L).isEmpty && got(101L).contains(10.0) && got(102L).contains(20.0))
+  }
+}
