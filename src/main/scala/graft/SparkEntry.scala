@@ -267,6 +267,24 @@ object SparkEntry {
         shingleHashesOf = TextFunctions.shingleHashes(_, 3),
         numHashes = 64, bands = 8)
         .filter(col("est_jaccard") >= 0.5)),
+    "q56_range_join" -> ((s, dir) => {
+      // point-in-interval range join via interval bucketization: an
+      // EQUI-join on (user, bin) + exact containment filter instead of the
+      // BroadcastNestedLoop cross product a raw inequality join plans;
+      // the oracle is the plain inequality join (DuckDB handles it fine
+      // at oracle scale)
+      val base = ev(s, dir).df
+      val e = base.select(col("event_id"), col("user_id"),
+        col("ts").cast("double").as("t"))
+      val hours = base
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("h").cast("double").as("hstart"),
+          (col("h").cast("double") + 3600.0).as("hend"), col("n"))
+      RangeJoin.pointInInterval(e, hours, "t", "hstart", "hend",
+          keys = Seq("user_id"), binWidth = 3600.0)
+        .select(col("event_id"), col("n").as("hour_n"))
+    }),
     "q55_asof_join" -> ((s, dir) => {
       // backward as-of enrichment: each event gets its user's latest daily
       // mean at or before the event time — one union + keyed window carry,
@@ -964,6 +982,16 @@ object SparkEntry {
     "q51_arimax_forecast_fixed" -> arimaxForecastFixedSql,
     "q52_arma_forecast_by_key" -> armaForecastFixedByKeySql,
     "q53_repetition_stats" -> repetitionStatsSql,
+    "q56_range_join" ->
+      """WITH hours AS (SELECT user_id,
+        |  CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS hstart,
+        |  CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) + 3600.0 AS hend,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2, 3),
+        |e AS (SELECT event_id, user_id, epoch_us(ts)/1000000.0 AS t FROM events)
+        |SELECT e.event_id, h.n AS hour_n
+        |FROM e JOIN hours h ON e.user_id = h.user_id
+        | AND e.t >= h.hstart AND e.t < h.hend""".stripMargin,
     "q55_asof_join" ->
       s"""WITH dailyu AS (SELECT user_id,
          |  CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS dt,
