@@ -43,6 +43,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(collectV(out)(101L).contains(8.0))
   }
 
+  test("forward direction: earliest right at or after, inclusive") {
+    val out = AsOfJoin.join(left, right, "t", "rt", Seq("v"),
+      keys = Seq("k"), direction = "forward")
+    val got = collectV(out)
+    assert(got(100L).contains(10.0))     // 0.5 → 1.0
+    assert(got(101L).contains(10.0))     // inclusive at equality
+    assert(got(102L).isEmpty)            // 2.5: nothing after
+    assert(got(200L).contains(40.0))     // 1.5 → 4.0
+    assert(got(201L).isEmpty)
+  }
+
+  test("nearest direction: closer side wins, exact ties resolve backward") {
+    val out = AsOfJoin.join(left, right, "t", "rt", Seq("v"),
+      keys = Seq("k"), direction = "nearest")
+    val got = collectV(out)
+    assert(got(100L).contains(10.0))     // only forward exists
+    assert(got(102L).contains(20.0))     // only backward exists
+    assert(got(200L).contains(30.0))     // |1.5-1.0| = |1.5-4.0|? no: 0.5 < 2.5 → backward
+    // exact tie: t=1.5 between rt=1.0 and rt=2.0 on key a
+    val mid = Seq(("a", 1.5, 300L)).toDF("k", "t", "id")
+    val tie = collectV(AsOfJoin.join(mid, right, "t", "rt", Seq("v"),
+      keys = Seq("k"), direction = "nearest"))
+    assert(tie(300L).contains(10.0))     // backward wins the tie
+  }
+
+  test("nearest with tolerance: both sides out of range → null") {
+    val far = Seq(("b", 9.0, 400L)).toDF("k", "t", "id")
+    val got = collectV(AsOfJoin.join(far, right, "t", "rt", Seq("v"),
+      keys = Seq("k"), direction = "nearest", tolerance = Some(lit(1.0))))
+    assert(got(400L).isEmpty)            // backward at 4.0 is 5 away; no forward
+  }
+
   test("keyless (single-series) form matches the keyed result on one key") {
     val out = AsOfJoin.backward(
       left.filter(col("k") === "a").drop("k"),
