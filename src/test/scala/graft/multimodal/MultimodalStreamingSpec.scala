@@ -127,6 +127,31 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(got.head.getDouble(2) > 0.5, s"est_jaccard ${got.head.getDouble(2)}")
   }
 
+  test("streaming minhash band tier: a near-dup OUTSIDE the horizon does not pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val original = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen astronomers chart the winter sky above the quiet harbor town"
+    val nearDup = original.replace("harbor", "harbour")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.streamingMinhashCandidates(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+      threshold = 0.5, watermark = "1 hour")
+    val q = out.writeStream.format("memory")
+      .queryName("minhash_expiry_test").outputMode("append").start()
+    mem.addData((new Timestamp(base), 1L, original))
+    q.processAllAvailable()
+    // 2.5 hours later — outside the 1-hour horizon: must NOT pair
+    mem.addData((new Timestamp(base + 9000000L), 3L, nearDup))
+    q.processAllAvailable()
+    mem.addData((new Timestamp(base + 20000000L), 9L, "watermark advancer"))
+    q.processAllAvailable()
+    val got = spark.sql("select * from minhash_expiry_test").collect()
+    q.stop()
+    assert(got.isEmpty, got.mkString(";"))
+  }
+
   test("streaming session windows split on inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
