@@ -267,6 +267,23 @@ object SparkEntry {
         shingleHashesOf = TextFunctions.shingleHashes(_, 3),
         numHashes = 64, bands = 8)
         .filter(col("est_jaccard") >= 0.5)),
+    "q57_embedding_clusters" -> ((s, dir) => {
+      // the embedding tier of dedup clustering: cosine-threshold graph →
+      // connected components. Brute-force pair generation is the
+      // correctness baseline (the scale path swaps in the LSH bucket
+      // join, q22 — components are agnostic to the pair source); sims
+      // round to 4 decimals BEFORE thresholding so both engines make
+      // identical boundary decisions
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      val pairs = a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("va"), col("vb")), 4) >= 0.42)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("vec_id"), col("component"))
+    }),
     "q56_range_join" -> ((s, dir) => {
       // point-in-interval range join via interval bucketization: an
       // EQUI-join on (user, bin) + exact containment filter instead of the
@@ -982,6 +999,21 @@ object SparkEntry {
     "q51_arimax_forecast_fixed" -> arimaxForecastFixedSql,
     "q52_arma_forecast_by_key" -> armaForecastFixedByKeySql,
     "q53_repetition_stats" -> repetitionStatsSql,
+    "q57_embedding_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b
+        | WHERE a.vec_id < b.vec_id
+        |  AND round(list_inner_product(a.v, b.v)
+        |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.42),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION SELECT id_b, id_a FROM pr),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e2.src AS id, reach.r FROM reach JOIN edges e2 ON e2.dst = reach.id)
+        |SELECT CAST(id AS BIGINT) AS vec_id, CAST(min(r) AS BIGINT) AS component
+        |FROM reach GROUP BY 1""".stripMargin,
     "q56_range_join" ->
       """WITH hours AS (SELECT user_id,
         |  CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS hstart,
