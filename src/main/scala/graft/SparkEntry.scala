@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.ops._
 import graft.models.{Arima, Arimax, Granger, Metrics, ModelEvaluation, PerSeries, Var}
 import graft.multimodal.Multimodal
-import graft.similarity.Similarity
+import graft.similarity.{IvfIndex, Similarity}
 import graft.spectral.{Correlation, Periodogram}
 import graft.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -380,6 +380,31 @@ object SparkEntry {
           e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("sim"), 4).as("sim"))
+    }),
+    "q58_ivf_topk" -> ((s, dir) => {
+      // IVF ANN at FULL probe (nprobe = nlist): every cell is searched, so
+      // the result is exactly brute-force top-k regardless of where the
+      // k-means quantizer put the centroids — the fitFixed trick applied
+      // to ANN, hash-checking the whole probe/rescore/rank pipeline
+      // downstream of the (non-SQL-expressible) k-means fit
+      val e = tbl(s, dir, "embeddings")
+      val idx = IvfIndex.build(e, "vec_id", "embedding", nlist = 8)
+      IvfIndex.search(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("sim"), 4).as("sim"))
+    }),
+    "q59_simhash_pairs" -> ((s, dir) => {
+      // the SimHash near-dup PAIRING tier over q19's signatures: 4×16-bit
+      // band bucket-join (pigeonhole-complete to Hamming ≤ 3), exact
+      // Hamming rescore, threshold 8
+      val d = tbl(s, dir, "documents")
+      val sigs = d.select(col("doc_id"),
+        Dedup.simhashFromHashes(
+          transform(TextFunctions.shingleHashes(coalesce(col("text"), lit("")), 2),
+            Dedup.widenHash62(_))).as("sig"))
+      Dedup.simhashCandidates(sigs, "doc_id", "sig", bandBits = 16, maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
     // ---- §2.8 spectral / correlation ----------------------------------
     "q54_acf_distributed" -> ((s, dir) => {
@@ -906,6 +931,9 @@ object SparkEntry {
     "q20_cosine_pairs" -> cosinePairsSql,
     "q21_knn_topk" -> knnTopkSql,
     "q22_lsh_topk" -> lshTopkSql,
+    // full probe ⇒ IVF degenerates to exact search: same oracle as q21
+    "q58_ivf_topk" -> knnTopkSql,
+    "q59_simhash_pairs" -> simhashPairsSql,
     "q27_pacf" -> pacfSql,
     "q30_lomb_scargle" -> lombScargleSql,
     "q40_seasonal_by_key" -> seasonalByKeySql,
@@ -1677,8 +1705,11 @@ object SparkEntry {
        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
        |FROM reach GROUP BY 1""".stripMargin
 
-  private def simhashSql: String =
-    s"""WITH th AS ($tokHashSql),
+  /** The shared CTE chain producing `sigs` (doc_id, sig) — the simhash
+    * signature replay; tail of [[simhashSql]], front of
+    * [[simhashPairsSql]]. */
+  private def simhashSigCtes: String =
+    s"""th AS ($tokHashSql),
        |bh AS (SELECT doc_id,
        |  CASE WHEN len(th) >= 2 THEN list_distinct(list_transform(range(1, len(th)),
        |    i -> (th[i]*1000003 + th[i+1]) % 1000000007)) ELSE [] END AS bh
@@ -1690,9 +1721,28 @@ object SparkEntry {
        | FROM w CROSS JOIN range(0, 64) k(k) GROUP BY doc_id, k.k),
        |sigs AS (SELECT doc_id,
        |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS sig
-       | FROM votes GROUP BY doc_id)
+       | FROM votes GROUP BY doc_id)""".stripMargin
+
+  private def simhashSql: String =
+    s"""WITH $simhashSigCtes
        |SELECT d.doc_id, coalesce(s.sig, 0) AS sig
        |FROM documents d LEFT JOIN sigs s USING (doc_id)""".stripMargin
+
+  /** Band the 64-bit signature into 4×16-bit keys, bucket-join, exact
+    * Hamming rescore — integer shifts/masks DuckDB replays bit-for-bit
+    * (arithmetic >> then & 65535 is sign-agnostic). Docs whose token set
+    * is empty never enter `sigs` here; the Spark side drops their sig-0
+    * sentinel rows, so both engines pair over the same population. */
+  private def simhashPairsSql: String =
+    s"""WITH $simhashSigCtes,
+       |banded AS (SELECT doc_id, sig, b.b, (sig >> (b.b * 16)) & 65535 AS bval
+       | FROM sigs CROSS JOIN range(0, 4) b(b) WHERE sig != 0),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  x.sig AS sa, y.sig AS sb
+       | FROM banded x JOIN banded y ON x.b = y.b AND x.bval = y.bval
+       |  AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin
 
   private def lshTopkSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

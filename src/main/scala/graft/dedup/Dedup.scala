@@ -134,6 +134,57 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate candidate PAIRS — the pairing tier on top of
+    * [[simhashFromHashes]] signatures (which q19 emits per document):
+    * split each 64-bit signature into `64/bandBits` contiguous bit bands
+    * and bucket-join on (band index, band value), so two documents meet
+    * iff they agree on at least one whole band. By pigeonhole, any pair
+    * within Hamming distance `bands − 1` (3 for 16-bit bands) is
+    * guaranteed to collide; pairs above that are found only
+    * opportunistically, exactly like classic simhash sharding (Manku et
+    * al., WWW'07 — public algorithm). Collided pairs are deduplicated,
+    * then exact-scored with [[hamming64]] and filtered to `maxHamming`.
+    *
+    * Scale shape: mirrors [[minhashCandidates]] — only (band, id, sig)
+    * triples shuffle (bodies never move), the quadratic step is confined
+    * to bucket-local data, and band values are pure integer shifts/masks
+    * (`(sig >> 16b) & 0xffff`, arithmetic shift + mask — identical in any
+    * two's-complement SQL engine, which lets the DuckDB oracle replay the
+    * bucketing bit-for-bit). */
+  def simhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bandBits: Int = 16,
+      maxHamming: Int = 8,
+      dropZeroSig: Boolean = true): DataFrame = {
+    val bands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    // sig 0 is the empty-feature-set sentinel (null/blank text); those
+    // documents are all Hamming-0 "duplicates" of each other, which at
+    // corpus scale is a quadratic single-bucket blowup of meaningless
+    // pairs — drop them (the exact-dedup tier already groups empty docs)
+    val in = if (dropZeroSig) df.filter(col(sigCol) =!= 0L) else df
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col(sigCol), b * bandBits).bitwiseAND(lit(mask)).as("bval"))): _*)
+    val banded = in
+      .select(col(idCol).as("__id"), col(sigCol).as("__sig"),
+        explode(bandStructs).as("__bk"))
+      .select(col("__id"), col("__sig"),
+        col("__bk.band").as("__band"), col("__bk.bval").as("__bval"))
+    val a = banded.select(col("__band"), col("__bval"),
+      col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = banded.select(col("__band"), col("__bval"),
+      col("__id").as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("__band", "__bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -74,6 +74,37 @@ class DedupSpec extends SparkSpec {
     assert(hc == ham(sigs(1L), sigs(3L)))
   }
 
+  test("simhashCandidates: banding is pigeonhole-complete to hamming ≤ bands-1") {
+    import spark.implicits._
+    // near-dup cluster (1,2), exact dup pair (4,5), an unrelated doc, and
+    // two empty-feature docs whose sig-0 sentinel must NOT pair up
+    val all = docs.union(Seq((6L, "x"), (7L, "y")).toDF("doc_id", "text"))
+    val sigs = all.select(col("doc_id"),
+      Dedup.simhashFromHashes(
+        transform(TextFunctions.shingleHashes(col("text"), 2),
+          Dedup.widenHash62(_))).as("sig"))
+    val got = Dedup.simhashCandidates(sigs, "doc_id", "sig",
+        bandBits = 16, maxHamming = 63)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+
+    // brute-force reference over the same population (sig != 0)
+    val bySig = sigs.filter(col("sig") =!= 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val brute = (for {
+      (ia, sa) <- bySig; (ib, sb) <- bySig if ia < ib
+    } yield (ia, ib) -> ham(sa, sb)).toMap
+
+    // every emitted pair carries the exact brute-force hamming
+    got.foreach { case (k, h) => assert(brute(k) == h, s"$k: $h vs ${brute(k)}") }
+    // pigeonhole: 4 bands of 16 bits catch EVERY pair within hamming 3
+    brute.filter(_._2 <= 3).foreach { case (k, h) =>
+      assert(got.contains(k), s"missed guaranteed pair $k (hamming $h)") }
+    // the exact-dup pair collides at hamming 0; sig-0 docs never pair
+    assert(got((4L, 5L)) == 0)
+    assert(!got.contains((6L, 7L)))
+  }
+
   test("native ShingleHashes expression ≡ the higher-order-function formulation") {
     val n = docs.select(
       TextFunctions.shingleHashes(col("text"), 3).as("a"),
