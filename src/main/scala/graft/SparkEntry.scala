@@ -5,6 +5,7 @@ import graft.dedup.Dedup
 import graft.ops._
 import graft.models.{Arima, Arimax, Granger, Metrics, ModelEvaluation, PerSeries, Var}
 import graft.multimodal.Multimodal
+import graft.pipeline.{Packing, Sampling}
 import graft.similarity.{IvfIndex, Similarity}
 import graft.spectral.{Correlation, Periodogram}
 import graft.text.TextFunctions
@@ -405,6 +406,31 @@ object SparkEntry {
             Dedup.widenHash62(_))).as("sig"))
       Dedup.simhashCandidates(sigs, "doc_id", "sig", bandBits = 16, maxHamming = 8)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+    // ---- training-data layout: packing / splitting --------------------
+    "q60_pack_sequences" -> ((s, dir) => {
+      // LLM sequence packing: lay the corpus token stream end-to-end in
+      // doc_id order, cut every 256 tokens, emit the (doc, seq) spans —
+      // range-partitioned prefix sum, no single-partition window
+      val d = tbl(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("tok"))
+      Packing.packSequences(toks, "doc_id", "tok", budget = 256)
+    }),
+    "q61_split" -> ((s, dir) => {
+      // deterministic 80/10/10 train/val/test: md5-bucket carving —
+      // scan-stage expression, stable under appends and re-partitioning
+      val d = tbl(s, dir, "documents")
+      Sampling.deterministicSplit(d, "doc_id",
+          Seq("train" -> 204, "val" -> 26, "test" -> 26))
+        .select(col("doc_id"), col("split"))
+    }),
+    "q62_stratified_sample" -> ((s, dir) => {
+      // keep a deterministic 20% of every language stratum (md5-rank
+      // selection — proportions exact, reproducible, one keyed window)
+      val d = tbl(s, dir, "documents")
+      Sampling.stratifiedSample(d, "doc_id", Seq("lang"), 0.2)
+        .select(col("doc_id"), col("lang"))
     }),
     // ---- §2.8 spectral / correlation ----------------------------------
     "q54_acf_distributed" -> ((s, dir) => {
@@ -934,6 +960,39 @@ object SparkEntry {
     // full probe ⇒ IVF degenerates to exact search: same oracle as q21
     "q58_ivf_topk" -> knnTopkSql,
     "q59_simhash_pairs" -> simhashPairsSql,
+    // integer cut-point arithmetic over the same whitespace tokenization
+    // the q12 oracle already replays — exclusive running count, floor
+    // divisions, span clamps
+    "q60_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
+        | FROM documents),
+        |p AS (SELECT doc_id, tok,
+        |  CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        | FROM t WHERE tok > 0),
+        |s AS (SELECT doc_id, tok, start,
+        |  unnest(generate_series(start // 256, (start + tok - 1) // 256)) AS seq_id
+        | FROM p)
+        |SELECT doc_id, seq_id,
+        | greatest(seq_id * 256, start) - start AS doc_offset,
+        | greatest(seq_id * 256, start) - seq_id * 256 AS seq_offset,
+        | least((seq_id + 1) * 256, start + tok) - greatest(seq_id * 256, start) AS n_tokens
+        |FROM s""".stripMargin,
+    // md5 hex prefix compared as a string — engine-portable bucketing
+    "q61_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+        |  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q62_stratified_sample" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5(doc_id::VARCHAR), 1, 2), doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM documents)
+        |SELECT doc_id, lang FROM s WHERE rk <= ceil(n * 0.2)""".stripMargin,
     "q27_pacf" -> pacfSql,
     "q30_lomb_scargle" -> lombScargleSql,
     "q40_seasonal_by_key" -> seasonalByKeySql,

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic splitting and sampling for training-data pipelines.
+  *
+  * Everything here keys on `md5(id-as-string)` rather than `rand()`:
+  * assignments are then (a) reproducible across runs, engines, and
+  * cluster layouts, (b) stable under re-partitioning and incremental
+  * appends — a document keeps its split forever, the property that makes
+  * train/test contamination auditable — and (c) embarrassingly parallel:
+  * a scan-stage expression per row, no shuffle, no driver state, which is
+  * the only formulation that holds at 100 TB. The md5 hex prefix is
+  * compared as a STRING (hex chars order lexicographically), so any SQL
+  * engine reproduces the buckets without bigint-from-hex conversions.
+  */
+object Sampling {
+
+  /** Two-hex-char (256-bucket) key of an id column — the shared basis of
+    * [[deterministicSplit]] and [[stratifiedSample]]. */
+  def bucketKey(idCol: Column): Column =
+    substring(md5(idCol.cast("string").cast("binary")), 1, 2)
+
+  /** Assign each row a named split by hashing its id into 256 buckets and
+    * carving them by the given integer weights (e.g. train/val/test
+    * 204/26/26 ≈ 80/10/10). Weights must sum to ≤ 256; the split column
+    * is appended. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 256,
+      s"split weights must sum to <= 256: $splits")
+    val key = bucketKey(col(idCol))
+    val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val hex = bounds.map(b => f"${b}%02x") // exclusive upper bound, 2-hex
+    val assign = splits.map(_._1).zip(hex).foldRight(
+      lit(splits.last._1): Column) { case ((name, ub), els) =>
+      when(key < lit(ub), lit(name)).otherwise(els)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Keep a deterministic `fraction` of each stratum (the rows whose
+    * md5 rank within their stratum is ≤ ⌈fraction·n⌉) — stratified
+    * downsampling that preserves group proportions exactly and is
+    * reproducible run-to-run. One keyed window (partition-parallel across
+    * strata); ties on the 256-bucket key broken by id so the selection is
+    * total-order deterministic. */
+  def stratifiedSample(df: DataFrame, idCol: String,
+      strataCols: Seq[String], fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1]: $fraction")
+    val part = strataCols.map(col)
+    val w = Window.partitionBy(part: _*)
+      .orderBy(bucketKey(col(idCol)), col(idCol))
+    val wAll = Window.partitionBy(part: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rk") <= ceil(col("__n") * fraction))
+      .drop("__rk", "__n")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Training-data layout operators: sequence packing and deterministic
+  * splitting/sampling. */
+class PipelineSpec extends SparkSpec {
+
+  private def tokDocs(sizes: Seq[Long]) = {
+    import spark.implicits._
+    sizes.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "tok").repartition(3)
+  }
+
+  test("packSequences (range-partitioned) ≡ packSequencesWindow (declarative)") {
+    // giant doc (straddles many), exact-budget doc, singletons, zeros
+    val sizes = Seq[Long](5, 0, 300, 64, 1, 0, 64, 63, 129, 1, 2, 640, 7)
+    val df = tokDocs(sizes)
+    def canon(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).sorted.toSeq
+    val a = canon(Packing.packSequences(df, "doc_id", "tok", 64))
+    val b = canon(Packing.packSequencesWindow(df, "doc_id", "tok", 64))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("packing invariants: full sequences, exact doc coverage, contiguity") {
+    val sizes = (1 to 200).map(i => (i * 7919L) % 130) // pseudo-random 0..129
+    val df = tokDocs(sizes)
+    val packed = Packing.packSequences(df, "doc_id", "tok", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+
+    val total = sizes.sum
+    // every sequence holds exactly `budget` tokens except the last
+    val bySeq = packed.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, n) =>
+      if (s < lastSeq) assert(n == 100, s"seq $s holds $n")
+      else assert(n == total - 100 * lastSeq)
+    }
+    // every non-empty doc's tokens are fully covered, in order
+    val byDoc = packed.groupBy(_._1)
+    sizes.zipWithIndex.filter(_._1 > 0).foreach { case (t, i) =>
+      val spans = byDoc(i.toLong).sortBy(_._3)
+      assert(spans.map(_._5).sum == t, s"doc $i covers ${spans.map(_._5).sum}/$t")
+      assert(spans.head._3 == 0)
+      spans.sliding(2).foreach {
+        case Array(p, n) => assert(p._3 + p._5 == n._3, s"doc $i gap at $n")
+        case _ =>
+      }
+    }
+    // zero-token docs emit nothing
+    assert(sizes.zipWithIndex.filter(_._1 == 0)
+      .forall { case (_, i) => !byDoc.contains(i.toLong) })
+    // within a sequence, spans tile [0, budget) without overlap
+    packed.groupBy(_._2).foreach { case (s, rows) =>
+      val tiles = rows.sortBy(_._4)
+      assert(tiles.head._4 == 0, s"seq $s starts at ${tiles.head._4}")
+      tiles.sliding(2).foreach {
+        case Array(p, n) => assert(p._4 + p._5 == n._4, s"seq $s gap at $n")
+        case _ =>
+      }
+    }
+  }
+
+  test("deterministicSplit: total, stable, proportions near the weights") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("doc_id")
+    val s1 = Sampling.deterministicSplit(df, "doc_id",
+      Seq("train" -> 204, "val" -> 26, "test" -> 26))
+    val counts = s1.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(math.abs(counts("train") - 2000 * 204.0 / 256) < 100, counts.toString)
+    assert(counts("val") > 50 && counts("test") > 50, counts.toString)
+    // same assignment on re-run and under different partitioning
+    val s2 = Sampling.deterministicSplit(df.repartition(7), "doc_id",
+      Seq("train" -> 204, "val" -> 26, "test" -> 26))
+    assert(s1.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      s2.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+  }
+
+  test("stratifiedSample: exact per-stratum ceil(f·n), deterministic subset") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(df, "doc_id", Seq("lang"), 0.2)
+    val perStratum = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map("lang0" -> 334, "lang1" -> 333, "lang2" -> 333)
+      .map { case (k, n) => k -> math.ceil(n * 0.2).toLong }
+    assert(perStratum == expected, s"$perStratum vs $expected")
+    // deterministic: identical selection on re-run
+    val again = Sampling.stratifiedSample(df.repartition(5), "doc_id",
+      Seq("lang"), 0.2)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
