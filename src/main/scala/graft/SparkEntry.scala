@@ -517,6 +517,26 @@ object SparkEntry {
       val d = daily(s, dir)
       Granger.causality(s, d, Seq("v", "c"), maxLag = 5, alpha = 0.5)
     }),
+    "q63_granger_lag1" -> ((s, dir) => {
+      // the Granger F-test core under the hash gate: daily whole-unit
+      // totals and event counts are INTEGER inputs, so the ten normal-
+      // equation sums are exact and the fixed-order Cramer arithmetic
+      // (Granger.lag1ClosedForm ↔ the oracle's CTE chain) reproduces the
+      // F-statistic bit-for-bit — converts q34's rows-only core to a
+      // hash-checked surface (only the F→p CDF stays driver-side)
+      val t = ev(s, dir)
+      val d = MovingTransform.timePeriods(t, "days", Seq("value_cents" -> "sum"))
+        .select(col("days").as("d"),
+          expr("CAST(value_cents_sum AS BIGINT) div 100").as("y"),
+          col("instance_count").cast("long").as("x"))
+      Granger.lag1ClosedForm(d, "y", "x", "d")
+        .select(col("n"),
+          round(col("beta_ylag"), 6).as("beta_ylag"),
+          round(col("beta_xlag"), 6).as("beta_xlag"),
+          round(col("rss_r"), 2).as("rss_r"),
+          round(col("rss_u"), 2).as("rss_u"),
+          round(col("f_stat"), 6).as("f_stat"))
+    }),
     // ---- multimodal / ingest / multi-series / selection ---------------
     "q35_multimodal_decode" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
@@ -993,6 +1013,37 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY lang) AS n
         | FROM documents)
         |SELECT doc_id, lang FROM s WHERE rk <= ceil(n * 0.2)""".stripMargin,
+    // lag-1 Granger F replay: exact integer sums → fixed-order Cramer —
+    // operation order mirrors Granger.lag1ClosedForm statement by statement
+    "q63_granger_lag1" ->
+      s"""WITH d AS (SELECT date_trunc('day', ts) AS d,
+         |  CAST(sum($centsSql) // 100 AS BIGINT) AS y, count(*) AS x
+         | FROM events GROUP BY 1),
+         |l AS (SELECT y, lag(y) OVER (ORDER BY d) AS u,
+         |  lag(x) OVER (ORDER BY d) AS wl FROM d),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(u) AS DOUBLE) AS su, CAST(sum(wl) AS DOUBLE) AS sw,
+         |  CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(u*u) AS DOUBLE) AS suu,
+         |  CAST(sum(wl*wl) AS DOUBLE) AS sww, CAST(sum(u*wl) AS DOUBLE) AS suw,
+         |  CAST(sum(u*y) AS DOUBLE) AS suy, CAST(sum(wl*y) AS DOUBLE) AS swy,
+         |  CAST(sum(y*y) AS DOUBLE) AS syy
+         | FROM l WHERE u IS NOT NULL AND wl IS NOT NULL),
+         |r1 AS (SELECT s.*, (n*suy - su*sy) / (n*suu - su*su) AS b_r FROM s),
+         |r2 AS (SELECT r1.*, (sy - b_r*su) / n AS a_r FROM r1),
+         |r3 AS (SELECT r2.*, syy - a_r*sy - b_r*suy AS rss_rv FROM r2),
+         |u1 AS (SELECT r3.*,
+         |  suu*(sww*n - sw*sw) - suw*(suw*n - sw*su) + su*(suw*sw - sww*su) AS dd,
+         |  suy*(sww*n - sw*sw) - suw*(swy*n - sw*sy) + su*(swy*sw - sww*sy) AS d1,
+         |  suu*(swy*n - sw*sy) - suy*(suw*n - sw*su) + su*(suw*sy - swy*su) AS d2,
+         |  suu*(sww*sy - swy*sw) - suw*(suw*sy - swy*su) + suy*(suw*sw - sww*su) AS d3
+         | FROM r3),
+         |u2 AS (SELECT u1.*, d1/dd AS b1, d2/dd AS b2, d3/dd AS cc FROM u1),
+         |u3 AS (SELECT u2.*, syy - b1*suy - b2*swy - cc*sy AS rss_uv FROM u2)
+         |SELECT CAST(n AS BIGINT) AS n,
+         | round(b1, 6) AS beta_ylag, round(b2, 6) AS beta_xlag,
+         | round(rss_rv, 2) AS rss_r, round(rss_uv, 2) AS rss_u,
+         | round((rss_rv - rss_uv) / (rss_uv / (n - 3)), 6) AS f_stat
+         |FROM u3""".stripMargin,
     "q27_pacf" -> pacfSql,
     "q30_lomb_scargle" -> lombScargleSql,
     "q40_seasonal_by_key" -> seasonalByKeySql,

@@ -4,6 +4,7 @@ import breeze.linalg.{DenseMatrix, DenseVector}
 import graft.core.TimeseriesFrame
 import graft.ops.Interpolate
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Granger causality — `granger_causality`
@@ -50,6 +51,71 @@ object Granger {
     if (f.isNaN || f < 0) return Double.NaN
     val dist = new org.apache.commons.math3.distribution.FDistribution(lag, dfDenom)
     1.0 - dist.cumulativeProbability(f)
+  }
+
+  /** Lag-1 Granger F-statistic in closed form from normal-equation sums —
+    * the hash-checkable core of [[pValue]]: both regressions (restricted
+    * `y ~ y₋₁ + c`, unrestricted `y ~ y₋₁ + x₋₁ + c`) are solved by
+    * Cramer's rule over ten scalar sums accumulated in ONE map-side-
+    * combined Spark aggregation. When `yCol`/`xCol` are integer columns
+    * the sums are exact (no floating-point reassociation), so any SQL
+    * engine replaying the same fixed-order Cramer arithmetic reproduces
+    * F bit-for-bit — the same fixed-parameter trick as `Arima.fitFixed`,
+    * applied to the test statistic itself. Scale shape: the lag columns
+    * are one keyed/ordered window over the (short, per-series) series;
+    * the sums never move row-level data to the driver. For the general
+    * k-regressor path with floating inputs see [[DistributedOls]].
+    *
+    * Output (one row): n (regression rows), beta_ylag, beta_xlag
+    * (unrestricted), rss_r, rss_u, f_stat.
+    *
+    * Exactness bound: every sum must stay below 2⁵³ — |y|,|x| ≤ 3·10⁵ at
+    * n ≤ 10⁵ rows is safe (Σy² ≤ 9·10¹⁵); rescale inputs above that. */
+  def lag1ClosedForm(df: DataFrame, yCol: String, xCol: String,
+      orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCol)
+    val lagged = df
+      .select(col(yCol).cast("long").as("y"),
+        lag(col(yCol).cast("long"), 1).over(w).as("u"),
+        lag(col(xCol).cast("long"), 1).over(w).as("wl"))
+      .na.drop(Seq("y", "u", "wl"))
+    val r = lagged.agg(
+      count(lit(1)).as("n"),
+      sum(col("u")).as("su"), sum(col("wl")).as("sw"), sum(col("y")).as("sy"),
+      sum(col("u") * col("u")).as("suu"), sum(col("wl") * col("wl")).as("sww"),
+      sum(col("u") * col("wl")).as("suw"), sum(col("u") * col("y")).as("suy"),
+      sum(col("wl") * col("y")).as("swy"), sum(col("y") * col("y")).as("syy")
+    ).head()
+    val n = r.getLong(0).toDouble
+    val Seq(su, sw, sy, suu, sww, suw, suy, swy, syy) =
+      (1 to 9).map(i => r.getLong(i).toDouble)
+
+    // restricted y ~ u + const (2×2 normal equations)
+    val detR = n * suu - su * su
+    val bR = (n * suy - su * sy) / detR
+    val aR = (sy - bR * su) / n
+    val rssR = syy - aR * sy - bR * suy
+    // unrestricted y ~ u + w + const: Cramer on the 3×3 system — keep
+    // this operation order in sync with the SQL oracle (grangerLag1Sql)
+    val d = suu * (sww * n - sw * sw) - suw * (suw * n - sw * su) +
+      su * (suw * sw - sww * su)
+    val d1 = suy * (sww * n - sw * sw) - suw * (swy * n - sw * sy) +
+      su * (swy * sw - sww * sy)
+    val d2 = suu * (swy * n - sw * sy) - suy * (suw * n - sw * su) +
+      su * (suw * sy - swy * su)
+    val d3 = suu * (sww * sy - swy * sw) - suw * (suw * sy - swy * su) +
+      suy * (suw * sw - sww * su)
+    val b1 = d1 / d
+    val b2 = d2 / d
+    val c = d3 / d
+    val rssU = syy - b1 * suy - b2 * swy - c * sy
+    val f = (rssR - rssU) / (rssU / (n - 3))
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((r.getLong(0), b1, b2, rssR, rssU, f))
+      .toDF("n", "beta_ylag", "beta_xlag", "rss_r", "rss_u", "f_stat")
   }
 
   /** All ordered pairs over `cols`; returns DataFrame
