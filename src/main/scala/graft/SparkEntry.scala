@@ -537,6 +537,24 @@ object SparkEntry {
           round(col("rss_u"), 2).as("rss_u"),
           round(col("f_stat"), 6).as("f_stat"))
     }),
+    "q64_granger_by_key" -> ((s, dir) => {
+      // per-series Granger at scale: lags → exact sums → Cramer all as
+      // Column arithmetic — one keyed window + one aggregate, zero
+      // driver math; "does event count lead spend" per user
+      val e = tbl(s, dir, "events")
+      val perUserDaily = e
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("y"),
+          count(lit(1)).as("x"))
+      Granger.lag1ClosedFormByKey(perUserDaily, "y", "x", "d",
+          Seq("user_id"), minRows = 10)
+        .select(col("user_id"), col("n"),
+          round(col("beta_ylag"), 6).as("beta_ylag"),
+          round(col("beta_xlag"), 6).as("beta_xlag"),
+          round(col("rss_r"), 2).as("rss_r"),
+          round(col("rss_u"), 2).as("rss_u"),
+          round(col("f_stat"), 6).as("f_stat"))
+    }),
     // ---- multimodal / ingest / multi-series / selection ---------------
     "q35_multimodal_decode" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
@@ -1040,6 +1058,39 @@ object SparkEntry {
          |u2 AS (SELECT u1.*, d1/dd AS b1, d2/dd AS b2, d3/dd AS cc FROM u1),
          |u3 AS (SELECT u2.*, syy - b1*suy - b2*swy - cc*sy AS rss_uv FROM u2)
          |SELECT CAST(n AS BIGINT) AS n,
+         | round(b1, 6) AS beta_ylag, round(b2, 6) AS beta_xlag,
+         | round(rss_rv, 2) AS rss_r, round(rss_uv, 2) AS rss_u,
+         | round((rss_rv - rss_uv) / (rss_uv / (n - 3)), 6) AS f_stat
+         |FROM u3""".stripMargin,
+    // per-user replay of the same fixed-order arithmetic, keyed windows
+    "q64_granger_by_key" ->
+      s"""WITH d AS (SELECT user_id, date_trunc('day', ts) AS d,
+         |  CAST(sum($centsSql) AS BIGINT) AS y, count(*) AS x
+         | FROM events GROUP BY 1, 2),
+         |l AS (SELECT user_id, y,
+         |  lag(y) OVER (PARTITION BY user_id ORDER BY d) AS u,
+         |  lag(x) OVER (PARTITION BY user_id ORDER BY d) AS wl FROM d),
+         |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nn,
+         |  CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(u) AS DOUBLE) AS su, CAST(sum(wl) AS DOUBLE) AS sw,
+         |  CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(u*u) AS DOUBLE) AS suu,
+         |  CAST(sum(wl*wl) AS DOUBLE) AS sww, CAST(sum(u*wl) AS DOUBLE) AS suw,
+         |  CAST(sum(u*y) AS DOUBLE) AS suy, CAST(sum(wl*y) AS DOUBLE) AS swy,
+         |  CAST(sum(y*y) AS DOUBLE) AS syy
+         | FROM l WHERE u IS NOT NULL AND wl IS NOT NULL
+         | GROUP BY user_id HAVING count(*) >= 10),
+         |r1 AS (SELECT s.*, (n*suy - su*sy) / (n*suu - su*su) AS b_r FROM s),
+         |r2 AS (SELECT r1.*, (sy - b_r*su) / n AS a_r FROM r1),
+         |r3 AS (SELECT r2.*, syy - a_r*sy - b_r*suy AS rss_rv FROM r2),
+         |u1 AS (SELECT r3.*,
+         |  suu*(sww*n - sw*sw) - suw*(suw*n - sw*su) + su*(suw*sw - sww*su) AS dd,
+         |  suy*(sww*n - sw*sw) - suw*(swy*n - sw*sy) + su*(swy*sw - sww*sy) AS d1,
+         |  suu*(swy*n - sw*sy) - suy*(suw*n - sw*su) + su*(suw*sy - swy*su) AS d2,
+         |  suu*(sww*sy - swy*sw) - suw*(suw*sy - swy*su) + suy*(suw*sw - sww*su) AS d3
+         | FROM r3),
+         |u2 AS (SELECT u1.*, d1/dd AS b1, d2/dd AS b2, d3/dd AS cc FROM u1),
+         |u3 AS (SELECT u2.*, syy - b1*suy - b2*swy - cc*sy AS rss_uv FROM u2)
+         |SELECT user_id, nn AS n,
          | round(b1, 6) AS beta_ylag, round(b2, 6) AS beta_xlag,
          | round(rss_rv, 2) AS rss_r, round(rss_uv, 2) AS rss_u,
          | round((rss_rv - rss_uv) / (rss_uv / (n - 3)), 6) AS f_stat

@@ -118,6 +118,58 @@ object Granger {
       .toDF("n", "beta_ylag", "beta_xlag", "rss_r", "rss_u", "f_stat")
   }
 
+  /** Per-series lag-1 Granger F — [[lag1ClosedForm]] with the Cramer
+    * arithmetic lifted into Column expressions, so the WHOLE computation
+    * (lags → ten exact sums → F) is distributed: one keyed window, one
+    * map-side-combined aggregate, scan-stage arithmetic. No driver math
+    * at all — the formulation for "does x lead y" across millions of
+    * independent series in one job. Series with fewer than `minRows`
+    * regression rows are dropped (a 3-regressor fit needs headroom, and
+    * degenerate series produce NaN/±Inf F anyway). Operation order is
+    * kept identical to [[lag1ClosedForm]] and the q63/q64 oracles. */
+  def lag1ClosedFormByKey(df: DataFrame, yCol: String, xCol: String,
+      orderCol: String, keyCols: Seq[String], minRows: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(orderCol)
+    val lagged = df
+      .select(keys :+ col(yCol).cast("long").as("y") :+
+        lag(col(yCol).cast("long"), 1).over(w).as("u") :+
+        lag(col(xCol).cast("long"), 1).over(w).as("wl"): _*)
+      .na.drop(Seq("y", "u", "wl"))
+    val sums = lagged.groupBy(keys: _*).agg(
+      count(lit(1)).as("nn"),
+      sum(col("u")).as("lsu"), sum(col("wl")).as("lsw"), sum(col("y")).as("lsy"),
+      sum(col("u") * col("u")).as("lsuu"), sum(col("wl") * col("wl")).as("lsww"),
+      sum(col("u") * col("wl")).as("lsuw"), sum(col("u") * col("y")).as("lsuy"),
+      sum(col("wl") * col("y")).as("lswy"), sum(col("y") * col("y")).as("lsyy"))
+      .filter(col("nn") >= minRows)
+    val n = col("nn").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val (su, sw, sy) = (d("lsu"), d("lsw"), d("lsy"))
+    val (suu, sww, suw) = (d("lsuu"), d("lsww"), d("lsuw"))
+    val (suy, swy, syy) = (d("lsuy"), d("lswy"), d("lsyy"))
+    val bR = (n * suy - su * sy) / (n * suu - su * su)
+    val aR = (sy - bR * su) / n
+    val rssR = syy - aR * sy - bR * suy
+    val dd = suu * (sww * n - sw * sw) - suw * (suw * n - sw * su) +
+      su * (suw * sw - sww * su)
+    val d1 = suy * (sww * n - sw * sw) - suw * (swy * n - sw * sy) +
+      su * (swy * sw - sww * sy)
+    val d2 = suu * (swy * n - sw * sy) - suy * (suw * n - sw * su) +
+      su * (suw * sy - swy * su)
+    val d3 = suu * (sww * sy - swy * sw) - suw * (suw * sy - swy * su) +
+      suy * (suw * sw - sww * su)
+    val b1 = d1 / dd
+    val b2 = d2 / dd
+    val cc = d3 / dd
+    val rssU = syy - b1 * suy - b2 * swy - cc * sy
+    val f = (rssR - rssU) / (rssU / (n - 3))
+    sums.select(keys :+ col("nn").as("n") :+ b1.as("beta_ylag") :+
+      b2.as("beta_xlag") :+ rssR.as("rss_r") :+ rssU.as("rss_u") :+
+      f.as("f_stat"): _*)
+  }
+
   /** All ordered pairs over `cols`; returns DataFrame
     * (lag, p_value, antecedent, consequent) — only pairs with some
     * significant lag, like the reference. */

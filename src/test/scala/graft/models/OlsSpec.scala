@@ -2,6 +2,7 @@ package graft.models
 
 import breeze.linalg.{DenseMatrix, DenseVector}
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Normal-equation OLS aggregation vs direct Breeze least squares, and
   * the closed-form lag-1 Granger F vs the rss-based formulation. */
@@ -55,6 +56,43 @@ class OlsSpec extends SparkSpec {
     val (bref, _) = breezeFit(Array(1.0, 2.0, 3.1, 4.0),
       Array(Array(1.0, 2.0, 3.0, 4.0)))
     assert(math.abs(fit.beta(0) - bref(0)) < 1e-9)
+  }
+
+  test("lag1ClosedFormByKey ≡ independent per-key lag1ClosedForm runs") {
+    import spark.implicits._
+    val df = (for {
+      k <- 0 until 4
+      i <- 0 until 40
+    } yield {
+      val y = 100 + 7 * k + ((i * (2654435761L + k)) % 23) - 11 + 3 * (i % 5)
+      val x = 10 + ((i * 40503L + k * 17) % 9)
+      (s"key$k", i.toLong, y, x)
+    }).toDF("k", "t", "y", "x").repartition(5)
+
+    val grouped = Granger.lag1ClosedFormByKey(df, "y", "x", "t", Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("f_stat"),
+          r.getAs[Double]("beta_ylag"), r.getAs[Double]("rss_u"))).toMap
+    assert(grouped.size == 4)
+    (0 until 4).foreach { k =>
+      val one = Granger.lag1ClosedForm(
+        df.filter(col("k") === s"key$k"), "y", "x", "t").head()
+      val (n, f, b1, rssU) = grouped(s"key$k")
+      assert(n == one.getAs[Long]("n"))
+      // exact integer sums + identical op order → bit-identical doubles
+      assert(f == one.getAs[Double]("f_stat"), s"key$k F: $f")
+      assert(b1 == one.getAs[Double]("beta_ylag"))
+      assert(rssU == one.getAs[Double]("rss_u"))
+    }
+  }
+
+  test("lag1ClosedFormByKey drops series shorter than minRows") {
+    import spark.implicits._
+    val df = ((0 until 30).map(i => ("long", i.toLong, 50L + i % 7, 5L + i % 3)) ++
+      (0 until 5).map(i => ("short", i.toLong, 10L + i, 2L))).toDF("k", "t", "y", "x")
+    val keys = Granger.lag1ClosedFormByKey(df, "y", "x", "t", Seq("k"), minRows = 10)
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(keys == Set("long"))
   }
 
   test("Granger.lag1ClosedForm F ≡ rss-based unrestricted/restricted fits") {
