@@ -42,16 +42,25 @@ object Packing {
     StructField("seq_offset", LongType, nullable = false),
     StructField("n_tokens", LongType, nullable = false)))
 
-  /** Span rows for one document given its exclusive prefix `start`. */
-  private def spans(id: Long, tok: Long, start: Long, budget: Long): Iterator[Row] = {
+  /** Span tuples (seq_id, doc_offset, seq_offset, n_tokens) for one
+    * document given its exclusive prefix `start` — shared with the
+    * streaming packer ([[graft.streaming.StreamingOps.streamingPackSequences]]). */
+  private[graft] def spanTuples(tok: Long, start: Long, budget: Long)
+      : Iterator[(Long, Long, Long, Long)] = {
     val first = start / budget
     val last = (start + tok - 1) / budget
     (first to last).iterator.map { s =>
       val from = math.max(s * budget, start)
       val to = math.min((s + 1) * budget, start + tok)
-      Row(id, s, from - start, from - s * budget, to - from)
+      (s, from - start, from - s * budget, to - from)
     }
   }
+
+  /** Span rows for one document given its exclusive prefix `start`. */
+  private def spans(id: Long, tok: Long, start: Long, budget: Long): Iterator[Row] =
+    spanTuples(tok, start, budget).map { case (s, dOff, sOff, n) =>
+      Row(id, s, dOff, sOff, n)
+    }
 
   /** Range-partitioned packing — the scale path. */
   def packSequences(df: DataFrame, idCol: String, tokCol: String,

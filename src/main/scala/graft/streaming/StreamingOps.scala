@@ -150,6 +150,53 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("id_a", "id_b")
   }
 
+  /** Streaming sequence packing — the incremental form of
+    * [[graft.pipeline.Packing.packSequences]]: per shard, an O(1) state
+    * (the running token offset) lays each arriving document's tokens
+    * end-to-end and emits its (seq_id, doc_offset, seq_offset, n_tokens)
+    * spans as they become known, so fixed-size training sequences stream
+    * out while the corpus is still arriving. Documents are packed in
+    * doc-id order WITHIN each micro-batch (sorted before folding) and in
+    * arrival order across batches; sequence ids are per-shard. Zero-token
+    * documents emit nothing, exactly like the batch path. */
+  final case class PackState(nextStart: Long)
+  final case class PackedSpan(shard: Long, docId: Long, seqId: Long,
+      docOffset: Long, seqOffset: Long, nTokens: Long)
+
+  def streamingPackSequences(
+      stream: DataFrame,
+      shardCol: String,
+      idCol: String,
+      tokCol: String,
+      budget: Long): Dataset[PackedSpan] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val typed = stream.select(
+      col(shardCol).cast("long").as("shard"),
+      col(idCol).cast("long").as("docId"),
+      col(tokCol).cast("long").as("tok"))
+      .as(Encoders.product[(Long, Long, Long)])
+    typed
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (shard: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[PackState]) => {
+          var start = state.getOption.map(_.nextStart).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).iterator
+            .filter(_._3 > 0)
+            .flatMap { case (_, id, tok) =>
+              val docStart = start
+              start += tok
+              graft.pipeline.Packing.spanTuples(tok, docStart, budget)
+                .map { case (s, dOff, sOff, n) =>
+                  PackedSpan(shard, id, s, dOff, sOff, n)
+                }
+            }.toVector
+          state.update(PackState(start))
+          out.iterator
+        })(Encoders.product[PackState], Encoders.product[PackedSpan])
+  }
+
   /** Per-key incremental running statistics via arbitrary stateful
     * processing (`flatMapGroupsWithState` — the brief's custom-state
     * primitive): Welford count/mean/variance folded across micro-batches.

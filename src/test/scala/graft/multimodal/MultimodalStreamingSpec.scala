@@ -171,4 +171,39 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(got.length == 2, got.mkString(";"))
     assert(got.map(_.getLong(3)).toSeq == Seq(5L, 3L))
   }
+
+  test("streaming sequence packing ≡ batch packing across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)] // (shard, doc_id, tok)
+    val out = StreamingOps.streamingPackSequences(
+      mem.toDF().toDF("shard", "doc_id", "tok"),
+      "shard", "doc_id", "tok", budget = 64)
+    val q = out.writeStream.format("memory")
+      .queryName("pack_stream_test").outputMode("append").start()
+    // batch 1 ends mid-sequence (shard 0 at offset 50); shard 1 independent
+    mem.addData((0L, 1L, 30L), (0L, 2L, 20L), (1L, 1L, 10L))
+    q.processAllAvailable()
+    // batch 2: doc 3 straddles the 64-token boundary ACROSS the batch
+    // cut (state carries offset 50); a zero-token doc emits nothing
+    mem.addData((0L, 3L, 40L), (0L, 4L, 0L), (1L, 2L, 100L))
+    q.processAllAvailable()
+    val got = spark.sql("select * from pack_stream_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sorted.toSeq
+    q.stop()
+
+    // reference: batch packing of each shard's concatenated stream
+    // (arrival order == doc_id order here)
+    val expected = Seq(0L -> Seq((1L, 30L), (2L, 20L), (3L, 40L), (4L, 0L)),
+      1L -> Seq((1L, 10L), (2L, 100L))).flatMap { case (shard, docs) =>
+      val df = docs.toDF("doc_id", "tok")
+      graft.pipeline.Packing.packSequencesWindow(df, "doc_id", "tok", 64)
+        .collect().map(r => (shard, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    }.sorted
+    assert(got == expected, s"\n$got\nvs\n$expected")
+    // the straddling doc really does split across sequences
+    assert(got.count(t => t._1 == 0L && t._2 == 3L) == 2)
+  }
 }
