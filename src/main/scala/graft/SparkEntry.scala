@@ -318,6 +318,21 @@ object SparkEntry {
           keys = Seq("user_id"))
         .select(col("event_id"), round(col("v"), 6).as("asof_v"))
     }),
+    "q65_asof_nearest" -> ((s, dir) => {
+      // nearest-direction as-of: both carries in one union pass, closer
+      // side wins (exact ties backward); the oracle is two native DuckDB
+      // ASOF joins + the same distance rule — an independent formulation
+      val base = ev(s, dir).df
+      val e = base.select(col("event_id"), col("user_id"),
+        col("ts").cast("double").as("t"))
+      val dailyByUser = base
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg((sum(col("value_cents")) / 100.0 / count(lit(1))).as("v"))
+        .select(col("user_id"), col("d").cast("double").as("dt"), col("v"))
+      AsOfJoin.join(e, dailyByUser, "t", "dt", Seq("v"),
+          keys = Seq("user_id"), direction = "nearest")
+        .select(col("event_id"), round(col("v"), 6).as("asof_v"))
+    }),
     "q53_repetition_stats" -> ((s, dir) =>
       // Gopher-style word-repetition quality signals; exact integer
       // character/count arithmetic, so the ratios hash cross-engine
@@ -406,6 +421,14 @@ object SparkEntry {
             Dedup.widenHash62(_))).as("sig"))
       Dedup.simhashCandidates(sigs, "doc_id", "sig", bandBits = 16, maxHamming = 8)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+    "q66_decontaminate" -> ((s, dir) => {
+      // eval-leakage audit: 8-token shingle collisions between the train
+      // and eval slices of the corpus — only (hash, id) pairs shuffle
+      val d = tbl(s, dir, "documents")
+      Dedup.decontaminate(
+          d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 8, minShared = 3)
     }),
     // ---- training-data layout: packing / splitting --------------------
     "q60_pack_sequences" -> ((s, dir) => {
@@ -1031,6 +1054,21 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY lang) AS n
         | FROM documents)
         |SELECT doc_id, lang FROM s WHERE rk <= ceil(n * 0.2)""".stripMargin,
+    // same tokHash base + 8-slice left-fold shingle recurrence
+    "q66_decontaminate" ->
+      s"""WITH th AS ($tokHashSql),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(th) >= 8 THEN list_distinct(list_transform(range(1, len(th) - 6),
+         |    i -> list_reduce(list_slice(th, i, i + 7),
+         |      (a, b) -> (a*1000003 + b) % 1000000007)))
+         |   ELSE [] END AS sh
+         | FROM th),
+         |f AS (SELECT doc_id, unnest(sh) AS h FROM sh)
+         |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+         | count(DISTINCT t.h) AS n_shared
+         |FROM f t JOIN f e ON t.h = e.h
+         |WHERE t.doc_id % 10 != 0 AND e.doc_id % 10 = 0
+         |GROUP BY 1, 2 HAVING count(DISTINCT t.h) >= 3""".stripMargin,
     // lag-1 Granger F replay: exact integer sums → fixed-order Cramer —
     // operation order mirrors Granger.lag1ClosedForm statement by statement
     "q63_granger_lag1" ->
@@ -1222,6 +1260,23 @@ object SparkEntry {
          |SELECT e.event_id, round(d.v, 6) AS asof_v
          |FROM e ASOF LEFT JOIN dailyu d
          |  ON e.user_id = d.user_id AND e.t >= d.dt""".stripMargin,
+    "q65_asof_nearest" ->
+      s"""WITH dailyu AS (SELECT user_id,
+         |  CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS dt,
+         |  sum($centsSql)/100.0/count(*) AS v
+         | FROM events GROUP BY 1, 2),
+         |e AS (SELECT event_id, user_id, epoch_us(ts)/1000000.0 AS t FROM events),
+         |b AS (SELECT e.event_id, e.t, d.dt AS bt, d.v AS bv
+         | FROM e ASOF LEFT JOIN dailyu d
+         |  ON e.user_id = d.user_id AND e.t >= d.dt),
+         |f AS (SELECT e.event_id, d.dt AS ft, d.v AS fv
+         | FROM e ASOF LEFT JOIN dailyu d
+         |  ON e.user_id = d.user_id AND e.t <= d.dt)
+         |SELECT b.event_id,
+         | round(CASE WHEN bt IS NOT NULL
+         |    AND (ft IS NULL OR abs(t - bt) <= abs(t - ft))
+         |   THEN bv ELSE fv END, 6) AS asof_v
+         |FROM b JOIN f USING (event_id)""".stripMargin,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),

@@ -185,6 +185,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Train/eval decontamination — cross-corpus n-gram collision check,
+    * the standard eval-leakage audit before training: explode each side's
+    * distinct n-gram shingle hashes ([[TextFunctions.shingleHashes]] —
+    * the same deterministic polynomial recurrence the minhash oracle
+    * replays), equi-join on the hash, and count distinct shared shingles
+    * per (train doc, eval doc) pair. Pairs with `minShared` or more
+    * collisions are flagged for removal from the training side.
+    *
+    * Scale shape: one hash-partitioned equi-join on the shingle hash —
+    * only (hash, id) pairs shuffle, never text. The eval side is
+    * typically tiny (benchmarks), so Spark broadcasts it and the train
+    * side never shuffles at all. Pick `n` large enough (8+ tokens) that
+    * boilerplate n-grams are rare; genuinely universal shingles skew the
+    * join key and should be pre-filtered by document frequency upstream
+    * at extreme corpus sizes. */
+  def decontaminate(
+      train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 8, minShared: Long = 3L): DataFrame = {
+    def side(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out),
+        explode(TextFunctions.shingleHashes(col(textCol), n)).as("__h"))
+    side(train, "train_id")
+      .join(side(eval_, "eval_id"), "__h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count_distinct(col("__h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -105,6 +105,28 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((6L, 7L)))
   }
 
+  test("decontaminate: flags train docs sharing ≥minShared n-grams with eval") {
+    import spark.implicits._
+    val evalSpan = "the midnight train rolled slowly through seven sleeping " +
+      "villages before dawn broke over the eastern ridge"
+    val train = Seq(
+      // contaminated: contains the eval doc's text verbatim mid-document
+      (101L, s"intro words here $evalSpan and some trailing commentary"),
+      // clean: same vocabulary, different order — no 5-gram survives
+      (102L, "dawn villages seven train the rolled broke midnight through " +
+        "sleeping eastern over ridge slowly before"),
+      (103L, "entirely unrelated text about columnar execution engines")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((9L, evalSpan)).toDF("doc_id", "text")
+
+    val hits = Dedup.decontaminate(train, eval_, "doc_id", "text",
+        n = 5, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((101L, 9L)), hits.mkString(";"))
+    // a 16-token eval doc has 12 distinct 5-gram shingles, all in doc 101
+    assert(hits.head._3 == 12, hits.head.toString)
+  }
+
   test("native ShingleHashes expression ≡ the higher-order-function formulation") {
     val n = docs.select(
       TextFunctions.shingleHashes(col("text"), 3).as("a"),
