@@ -1,5 +1,6 @@
 package graft
 
+import graft.agg.Quantiles
 import graft.core.TimeseriesFrame
 import graft.dedup.Dedup
 import graft.ops._
@@ -421,6 +422,15 @@ object SparkEntry {
             Dedup.widenHash62(_))).as("sig"))
       Dedup.simhashCandidates(sigs, "doc_id", "sig", bandBits = 16, maxHamming = 8)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+    "q67_group_quantiles" -> ((s, dir) => {
+      // per-user quantile threshold table (the cut surface for outlier
+      // trimming): exact type-7 interpolation on integer cents — engine-
+      // portable bit-for-bit; Quantiles.approx is the unbounded-group path
+      val e = ev(s, dir).df
+        .withColumn("cents", expr("CAST(round(value*100) AS BIGINT)"))
+      Quantiles.exact(e, Seq("user_id"), "cents", Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("user_id"), col("p25"), col("p50"), col("p90"), col("p99"))
     }),
     "q66_decontaminate" -> ((s, dir) => {
       // eval-leakage audit: 8-token shingle collisions between the train
@@ -1054,6 +1064,13 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY lang) AS n
         | FROM documents)
         |SELECT doc_id, lang FROM s WHERE rk <= ceil(n * 0.2)""".stripMargin,
+    "q67_group_quantiles" ->
+      s"""SELECT user_id,
+         | quantile_cont($centsSql, 0.25) AS p25,
+         | quantile_cont($centsSql, 0.5) AS p50,
+         | quantile_cont($centsSql, 0.9) AS p90,
+         | quantile_cont($centsSql, 0.99) AS p99
+         |FROM events GROUP BY user_id""".stripMargin,
     // same tokHash base + 8-slice left-fold shingle recurrence
     "q66_decontaminate" ->
       s"""WITH th AS ($tokHashSql),
