@@ -224,6 +224,7 @@ object SparkEntry {
       d.select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_calc"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.subwordCountEstimate(col("text")).cast("long").as("n_subwords"),
         round(TextFunctions.typeTokenRatio(col("text")), 6).as("ttr"),
         TextFunctions.qualityScore(col("text")).as("quality"),
         round(TextFunctions.stopwordRatio(col("text"), "en"), 6).as("en_stopword_ratio"))
@@ -449,6 +450,17 @@ object SparkEntry {
       val toks = d.select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("tok"))
       Packing.packSequences(toks, "doc_id", "tok", budget = 256)
+    }),
+    "q68_source_mix" -> ((s, dir) => {
+      // per-source token budget + the equalizing sample weight (the data-
+      // mixing knob sheet); exact integer token sums → deterministic shares
+      val d = tbl(s, dir, "documents")
+      Sampling.mixWeights(
+          d.withColumn("tok", TextFunctions.tokenCount(col("text"))),
+          "source", "tok")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("token_share"), 6).as("token_share"),
+          round(col("uniform_weight"), 6).as("uniform_weight"))
     }),
     "q61_split" -> ((s, dir) => {
       // deterministic 80/10/10 train/val/test: md5-bucket carving —
@@ -1050,6 +1062,18 @@ object SparkEntry {
         | greatest(seq_id * 256, start) - seq_id * 256 AS seq_offset,
         | least((seq_id + 1) * 256, start + tok) - greatest(seq_id * 256, start) AS n_tokens
         |FROM s""".stripMargin,
+    "q68_source_mix" ->
+      """WITH t AS (SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x != ''))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+        |  count(*) AS k FROM t)
+        |SELECT source, n_docs, n_tokens,
+        | round(n_tokens::DOUBLE / tot::DOUBLE, 6) AS token_share,
+        | round(tot::DOUBLE / (k::DOUBLE * n_tokens::DOUBLE), 6) AS uniform_weight
+        |FROM t CROSS JOIN tot""".stripMargin,
     // md5 hex prefix compared as a string — engine-portable bucketing
     "q61_split" ->
       """SELECT doc_id,
@@ -1840,6 +1864,8 @@ object SparkEntry {
        |SELECT doc_id,
        | CAST(length(text) AS BIGINT) AS n_chars_calc,
        | CAST(len(toks) AS BIGINT) AS n_tokens,
+       | CAST(len(regexp_extract_all(text,
+       |   '[^[:space:][:punct:]]+|[[:punct:]]')) AS BIGINT) AS n_subwords,
        | round(CASE WHEN len(toks) = 0 THEN 0
        |   ELSE len(dtoks)::DOUBLE / len(toks) END, 6) AS ttr,
        | round(

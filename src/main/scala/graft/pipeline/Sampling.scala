@@ -41,6 +41,29 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Per-domain mixing table — the knob sheet for weighting training
+    * sources: one row per `groupCol` value with document count, token
+    * count, its share of the corpus token budget, and the up/down-weight
+    * that would equalize the mix (`uniform_weight` = share⁻¹/k; >1 means
+    * oversample). One hash aggregate plus a broadcast of the one-row
+    * totals — group cardinality is domains, not documents, so the output
+    * is driver-size at any corpus scale. `tokenCol` must be integral
+    * (exact sums → deterministic shares). */
+  def mixWeights(df: DataFrame, groupCol: String, tokenCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__tot"),
+      count(lit(1)).as("__k"))
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__tot").cast("double"))
+          .as("token_share"),
+        (col("__tot").cast("double") /
+          (col("__k").cast("double") * col("n_tokens").cast("double")))
+          .as("uniform_weight"))
+  }
+
   /** Keep a deterministic `fraction` of each stratum (the rows whose
     * md5 rank within their stratum is ≤ ⌈fraction·n⌉) — stratified
     * downsampling that preserves group proportions exactly and is

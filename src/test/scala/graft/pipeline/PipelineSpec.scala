@@ -66,6 +66,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mixWeights: shares sum to 1, uniform weight inverts the share") {
+    import spark.implicits._
+    val df = Seq(("web", 100L), ("web", 300L), ("books", 400L),
+      ("code", 100L), ("code", 100L)).toDF("source", "tok")
+    val m = Sampling.mixWeights(df, "source", "tok")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m("web")._1 == 2L && m("web")._2 == 400L && m("web")._3 == 0.4)
+    assert(math.abs(m("web")._4 - 1.0 / (3 * 0.4)) < 1e-12)
+    assert(m("books")._3 == 0.4 && m("code")._3 == 0.2)
+    assert(math.abs(m.values.map(_._3).sum - 1.0) < 1e-12)
+    // equal-share source → weight exactly 1 at k sources
+    assert(math.abs(m("code")._4 - 1.0 / (3 * 0.2)) < 1e-12)
+  }
+
   test("deterministicSplit: total, stable, proportions near the weights") {
     import spark.implicits._
     val df = (0L until 2000L).toDF("doc_id")
