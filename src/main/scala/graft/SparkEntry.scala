@@ -1067,7 +1067,7 @@ object SparkEntry {
         |  count(*) AS n_docs,
         |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
         |    x -> x != ''))) AS BIGINT) AS n_tokens
-        | FROM documents GROUP BY source),
+        | FROM documents GROUP BY source HAVING n_tokens > 0),
         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
         |  count(*) AS k FROM t)
         |SELECT source, n_docs, n_tokens,
@@ -1158,7 +1158,9 @@ object SparkEntry {
          |  CAST(sum(y*y) AS DOUBLE) AS syy
          | FROM l WHERE u IS NOT NULL AND wl IS NOT NULL
          | GROUP BY user_id HAVING count(*) >= 10),
-         |r1 AS (SELECT s.*, (n*suy - su*sy) / (n*suu - su*su) AS b_r FROM s),
+         |s2 AS (SELECT * FROM s WHERE (n*suu - su*su) != 0 AND
+         |  (suu*(sww*n - sw*sw) - suw*(suw*n - sw*su) + su*(suw*sw - sww*su)) != 0),
+         |r1 AS (SELECT s2.*, (n*suy - su*sy) / (n*suu - su*su) AS b_r FROM s2),
          |r2 AS (SELECT r1.*, (sy - b_r*su) / n AS a_r FROM r1),
          |r3 AS (SELECT r2.*, syy - a_r*sy - b_r*suy AS rss_rv FROM r2),
          |u1 AS (SELECT r3.*,
@@ -1173,7 +1175,7 @@ object SparkEntry {
          | round(b1, 6) AS beta_ylag, round(b2, 6) AS beta_xlag,
          | round(rss_rv, 2) AS rss_r, round(rss_uv, 2) AS rss_u,
          | round((rss_rv - rss_uv) / (rss_uv / (n - 3)), 6) AS f_stat
-         |FROM u3""".stripMargin,
+         |FROM u3 WHERE rss_uv != 0""".stripMargin,
     "q27_pacf" -> pacfSql,
     "q30_lomb_scargle" -> lombScargleSql,
     "q40_seasonal_by_key" -> seasonalByKeySql,

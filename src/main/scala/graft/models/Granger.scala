@@ -149,11 +149,18 @@ object Granger {
     val (su, sw, sy) = (d("lsu"), d("lsw"), d("lsy"))
     val (suu, sww, suw) = (d("lsuu"), d("lsww"), d("lsuw"))
     val (suy, swy, syy) = (d("lsuy"), d("lswy"), d("lsyy"))
-    val bR = (n * suy - su * sy) / (n * suu - su * su)
-    val aR = (sy - bR * su) / n
-    val rssR = syy - aR * sy - bR * suy
+    val detR = n * suu - su * su
     val dd = suu * (sww * n - sw * sw) - suw * (suw * n - sw * su) +
       su * (suw * sw - sww * su)
+    // ill-posed series (constant y or x lag → singular system) are
+    // DROPPED, not emitted as NaN/Inf: under ANSI mode Column `/` throws
+    // DIVIDE_BY_ZERO, and one degenerate key must not kill a million-
+    // series job; the And short-circuits, so the divisions below never
+    // see a zero denominator. The oracle applies the same two guards.
+    val wellPosed = sums.filter(detR =!= 0.0 && dd =!= 0.0)
+    val bR = (n * suy - su * sy) / detR
+    val aR = (sy - bR * su) / n
+    val rssR = syy - aR * sy - bR * suy
     val d1 = suy * (sww * n - sw * sw) - suw * (swy * n - sw * sy) +
       su * (swy * sw - sww * sy)
     val d2 = suu * (swy * n - sw * sy) - suy * (suw * n - sw * su) +
@@ -164,10 +171,14 @@ object Granger {
     val b2 = d2 / dd
     val cc = d3 / dd
     val rssU = syy - b1 * suy - b2 * swy - cc * sy
-    val f = (rssR - rssU) / (rssU / (n - 3))
-    sums.select(keys :+ col("nn").as("n") :+ b1.as("beta_ylag") :+
-      b2.as("beta_xlag") :+ rssR.as("rss_r") :+ rssU.as("rss_u") :+
-      f.as("f_stat"): _*)
+    val staged = wellPosed.select(keys :+ col("nn").as("n") :+
+      b1.as("beta_ylag") :+ b2.as("beta_xlag") :+ rssR.as("rss_r") :+
+      rssU.as("rss_u"): _*)
+    // perfect unrestricted fits (rss_u = 0) have no F either
+    staged.filter(col("rss_u") =!= 0.0)
+      .withColumn("f_stat",
+        (col("rss_r") - col("rss_u")) /
+          (col("rss_u") / (col("n").cast("double") - 3)))
   }
 
   /** All ordered pairs over `cols`; returns DataFrame

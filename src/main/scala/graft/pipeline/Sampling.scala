@@ -53,6 +53,9 @@ object Sampling {
     val per = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol).cast("long")).as("n_tokens"))
+      // a zero-token group has no budget share and no finite equalizing
+      // weight (and ANSI `/` would throw) — it does not belong in the mix
+      .filter(col("n_tokens") > 0)
     val tot = per.agg(sum(col("n_tokens")).as("__tot"),
       count(lit(1)).as("__k"))
     per.crossJoin(broadcast(tot))
