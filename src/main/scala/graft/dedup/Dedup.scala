@@ -249,7 +249,8 @@ object Dedup {
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      driverThreshold: Long = 500000L): DataFrame = {
     // both edge directions in ONE pass over the (possibly expensive) pair
     // plan — a union of two selects would evaluate it twice pre-persist
     val edges = pairs
@@ -260,6 +261,40 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // adaptive algorithm switch: near-dup pair graphs are usually FAR
+    // smaller than the corpus (edges ≈ duplicates, not documents), and
+    // the iterative path costs ~4 scheduled jobs per round regardless of
+    // data. When the deduped edge list fits the driver comfortably,
+    // union-find locally — identical output (min id per component; the
+    // spec pins both paths to each other) at one collect instead of
+    // O(log diameter) rounds. The count also materializes the cache the
+    // iterative path needs, so it is never wasted work.
+    val edgeCount = edges.count()
+    if (edgeCount <= driverThreshold) {
+      val spark = pairs.sparkSession
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // root at the smaller id → label = component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = es.iterator.map(_._1).toSet
+      edges.unpersist()
+      import spark.implicits._
+      return nodes.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "component")
+    }
+
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

@@ -189,6 +189,7 @@ class DedupSpec extends SparkSpec {
     val chain = (100L until 140L).map(i => (i, i + 1))
     val edges = random ++ chain ++ Seq((500L, 501L))
     val df = edges.toDF("id_a", "id_b")
+    // default threshold → driver union-find path
     val got = Dedup.connectedComponents(df, maxIter = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = unionFind(edges)
@@ -196,5 +197,11 @@ class DedupSpec extends SparkSpec {
     got.foreach { case (id, comp) =>
       assert(comp == want(id), s"node $id: $comp vs ${want(id)}")
     }
+    // threshold 0 forces the distributed min-label/pointer-jump path —
+    // both paths must produce the identical labeling
+    val distributed = Dedup.connectedComponents(df, maxIter = 8,
+        driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == got)
   }
 }
