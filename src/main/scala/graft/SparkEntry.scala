@@ -279,11 +279,17 @@ object SparkEntry {
       // identical boundary decisions
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        // norms once per VECTOR, not per pair — the pair loop then costs
+        // one dot product instead of three (sqrt(dot(x,x)) is identical
+        // arithmetic either way, and sims round to 4dp before the
+        // threshold, so both engines still agree at the boundary)
+        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       val pairs = a.crossJoin(b)
         .filter(col("id_a") < col("id_b"))
-        .filter(round(Similarity.cosine(col("va"), col("vb")), 4) >= 0.42)
+        .filter(round(
+          Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4) >= 0.42)
       Dedup.connectedComponents(pairs)
         .select(col("id").as("vec_id"), col("component"))
     }),

@@ -31,7 +31,10 @@ object IvfIndex {
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(vecs)
-    val assigned = model.transform(vecs).select(col("id"), col("v"), col("cell"))
+    // store the norm alongside the vector (FAISS-style): rescoring then
+    // costs one dot product per candidate instead of three
+    val assigned = model.transform(vecs).select(col("id"), col("v"), col("cell"),
+      Similarity.norm(col("v")).as("nrm"))
     Index(assigned, model.clusterCenters.map(_.toArray))
   }
 
@@ -42,6 +45,7 @@ object IvfIndex {
     val cents = index.centroids
     val q = queries.select(col(queryId).as("query_id"),
       col(queryVec).cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
 
     // nearest-nprobe cells per query: tiny cross join against the
     // broadcast centroid table, ranked by euclidean distance
@@ -59,16 +63,17 @@ object IvfIndex {
       lit(0.0), (acc, x) => acc + x)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
     val probes = q.crossJoin(broadcast(centDf))
-      .select(col("query_id"), col("qv"), col("cell"), dist.as("dist"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"), dist.as("dist"))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
 
     // candidates = corpus rows in the probed cells; exact cosine rescoring
+    // against the stored norms — one dot product per candidate
     val cand = probes.join(index.assigned, "cell")
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        Similarity.cosine(col("qv"), col("v")).as("sim"))
+        Similarity.cosinePre(col("qv"), col("v"), col("qn"), col("nrm")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

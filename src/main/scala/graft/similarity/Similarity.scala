@@ -33,6 +33,15 @@ object Similarity {
     when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
   }
 
+  /** Cosine from a precomputed per-side norm product — same arithmetic as
+    * [[cosine]] (`sqrt(dot(x,x))` once per VECTOR instead of once per
+    * pair), which cuts the pair loop from three dot products to one. The
+    * norm columns are what FAISS-style indexes store alongside vectors. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+
   /** Brute-force cosine top-k: every query against every corpus row, ranked
     * per query. Correctness baseline — O(|Q|·|C|) with |Q| broadcast. */
   def bruteForceTopK(
@@ -40,13 +49,15 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
     val q = broadcast(queries.select(
-      col(queryId).as("query_id"), col(queryVec).cast("array<double>").as("qv")))
+      col(queryId).as("query_id"), col(queryVec).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv"))))
     val c = corpus.select(
-      col(corpusId).as("neighbor_id"), col(corpusVec).cast("array<double>").as("cv"))
+        col(corpusId).as("neighbor_id"), col(corpusVec).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("sim"))
+        cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -76,18 +87,20 @@ object Similarity {
     // embedding width read once from the corpus head — the hyperplane
     // literals need a static dimension
     val dim = corpus.select(size(col(corpusVec))).head().getInt(0)
-    def bucketed(df: DataFrame, id: String, vec: String, idOut: String, vecOut: String) = {
+    def bucketed(df: DataFrame, id: String, vec: String, idOut: String,
+        vecOut: String, nOut: String) = {
       val v = col(vec).cast("array<double>")
       val keys = array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucket(v, numPlanes, t, dim).as("b"))): _*)
-      df.select(col(id).as(idOut), v.as(vecOut), explode(keys).as("bucket"))
+      df.select(col(id).as(idOut), v.as(vecOut), norm(v).as(nOut),
+        explode(keys).as("bucket"))
     }
-    val c = bucketed(corpus, corpusId, corpusVec, "neighbor_id", "cv")
-    val q = broadcast(bucketed(queries, queryId, queryVec, "query_id", "qv"))
+    val c = bucketed(corpus, corpusId, corpusVec, "neighbor_id", "cv", "cn")
+    val q = broadcast(bucketed(queries, queryId, queryVec, "query_id", "qv", "qn"))
     val cand = c.join(q, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("sim"))
+        cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
       .groupBy(col("query_id"), col("neighbor_id")).agg(first(col("sim")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
