@@ -815,6 +815,21 @@ object SparkEntry {
         (i + 1L, r6(fo(i)), r6(lo(i)), r6(hi(i)))))
         .toDF("step", "forecast", "ci_low", "ci_high")
     }),
+    "q69_resample" -> ((s, dir) => {
+      // regular-grid resampling per user: 10-minute buckets (exact-cents
+      // means), COMPLETE grid via per-series sequence explode, linear
+      // fill through the O(n) window carries; n_events=0 marks
+      // interpolated points
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      // explicit floor-based half-up rounding: small-bucket means land on
+      // exact .5-at-6dp boundaries where Spark round (HALF_UP) and DuckDB
+      // round (banker's) disagree; floor(x·1e6 + 0.5)/1e6 is the same
+      // IEEE op sequence in both engines
+      Resample.meanGrid(t, "value_cents", everySeconds = 3600)
+        .select(col("user_id"), col("bucket_s"),
+          (floor(col("value_mean") * 1e6 + 0.5) / 1e6).as("value_mean"),
+          col("n_events"))
+    }),
     "q41_interpolate_by_key" -> ((s, dir) => {
       // per-series gap fill — seriesKeys exercise of the O(n) reversed-
       // window lookahead (each user an independent partition)
@@ -1193,6 +1208,39 @@ object SparkEntry {
          | count(value) OVER w AS v_defined
          |FROM events
          |${winSql("6 PRECEDING")}""".stripMargin,
+    // bucket agg → generate_series grid → q41-style carry interpolation
+    "q69_resample" ->
+      s"""WITH a AS (SELECT user_id,
+         |  (epoch_us(ts) // 1000000 // 3600) * 3600 AS bucket_s,
+         |  CAST(sum($centsSql) AS BIGINT) AS cs, count(*) AS n_ev
+         | FROM events GROUP BY 1, 2),
+         |b AS (SELECT user_id, min(bucket_s) AS lo, max(bucket_s) AS hi
+         | FROM a GROUP BY 1),
+         |g AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket_s
+         | FROM b),
+         |j AS (SELECT g.user_id, g.bucket_s,
+         |  coalesce(a.n_ev, 0) AS n_events,
+         |  a.cs::DOUBLE / 100.0 / a.n_ev AS m
+         | FROM g LEFT JOIN a USING (user_id, bucket_s)),
+         |t AS (SELECT user_id, bucket_s, n_events, m,
+         |  count(m) OVER (PARTITION BY user_id) AS kn,
+         |  last_value(m IGNORE NULLS) OVER wp AS pv,
+         |  last_value(CASE WHEN m IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER wp AS pt,
+         |  first_value(m IGNORE NULLS) OVER wn AS nv,
+         |  first_value(CASE WHEN m IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER wn AS nt
+         | FROM j
+         | WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_s
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wn AS (PARTITION BY user_id ORDER BY bucket_s
+         |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, bucket_s,
+         | floor((CASE WHEN kn < 2 THEN m ELSE
+         |  coalesce(m, CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+         |   WHEN nt = pt THEN pv
+         |   ELSE pv + (nv - pv) * (bucket_s - pt) / (nt - pt) END) END)
+         |  * 1000000 + 0.5) / 1000000 AS value_mean,
+         | CAST(n_events AS BIGINT) AS n_events
+         |FROM t""".stripMargin,
     "q41_interpolate_by_key" ->
       s"""WITH s AS (
          | SELECT event_id, user_id, ts, epoch(ts) AS tt,

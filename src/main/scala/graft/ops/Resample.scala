@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.core.TimeseriesFrame
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Regular-grid resampling — aggregate an irregular event stream into
+  * fixed `everySeconds` buckets, materialize the COMPLETE grid (empty
+  * buckets included) per series, and fill the gaps by interpolation:
+  * the pandas `resample().mean().interpolate()` / InfluxDB
+  * `GROUP BY time(...) fill(linear)` shape, and the grid-regularizing
+  * step in front of every equispaced operator in this library
+  * (periodogram, ACF, seasonal decomposition assume a regular axis —
+  * see `functions.py:76-174`'s equispaced precondition).
+  *
+  * Scale shape: bucketing is one map-side-combined hash aggregate
+  * (exact integer cent/count sums — engine-reproducible means); the
+  * grid is generated per series by a `sequence()` explode of the
+  * per-series [min, max] bucket range (no driver, no cross join); the
+  * fill reuses [[Interpolate.expr]]'s O(n) forward/reversed window
+  * carries, partitioned by the series keys. One shuffle for the
+  * aggregate, one for the keyed windows.
+  *
+  * Output: (seriesKeys..., bucket_s, value_mean, n_events) — `n_events`
+  * is 0 on grid-filled rows, so callers can distinguish measured from
+  * interpolated points.
+  */
+object Resample {
+
+  /** `centsCol` must be an integer-valued cents column (exact sums). */
+  def meanGrid(
+      tsf: TimeseriesFrame,
+      centsCol: String,
+      everySeconds: Long,
+      fill: String = "linear"): DataFrame = {
+    require(everySeconds > 0, s"everySeconds must be positive: $everySeconds")
+    val tc = tsf.timeCol.getOrElse(
+      throw new IllegalArgumentException("resample needs a time column"))
+    val keys = tsf.seriesKeys
+    val keyCols = keys.map(col)
+    val bucket = (floor(unix_timestamp(col(tc)) / everySeconds)
+      .cast("long") * everySeconds).as("bucket_s")
+
+    val agg = tsf.df
+      .select(keyCols :+ bucket :+ col(centsCol).as("__cents"): _*)
+      .groupBy(keyCols :+ col("bucket_s"): _*)
+      .agg(sum(col("__cents")).cast("long").as("__cents_sum"),
+        count(lit(1)).as("n_events"))
+
+    // complete per-series grid: explode the [min, max] bucket range
+    val grid = agg
+      .groupBy(keyCols: _*)
+      .agg(min(col("bucket_s")).as("__lo"), max(col("bucket_s")).as("__hi"))
+      .select(keyCols :+ explode(
+        sequence(col("__lo"), col("__hi"), lit(everySeconds))).as("bucket_s"): _*)
+
+    val joined = grid.join(agg, keys :+ "bucket_s", "left")
+      .withColumn("__mean",
+        col("__cents_sum").cast("double") / 100.0 / col("n_events"))
+
+    val gtsf = TimeseriesFrame(joined, Some("bucket_s"), Nil, keys)
+    gtsf.df
+      .withColumn("value_mean", Interpolate.expr(gtsf, "__mean", fill))
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .drop("__cents_sum", "__mean")
+  }
+}
