@@ -1280,6 +1280,7 @@ object SparkEntry {
         |JOIN c a ON a.rn > lg.lag
         |JOIN c b ON b.user_id = a.user_id AND b.rn = a.rn - lg.lag
         |JOIN den d ON d.user_id = a.user_id
+        |WHERE d.s0 != 0
         |GROUP BY 1, 2""".stripMargin,
     "q54_acf_distributed" ->
       s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),

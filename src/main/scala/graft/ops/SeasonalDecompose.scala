@@ -34,7 +34,10 @@ object SeasonalDecompose {
     require(model == "multiplicative" || model == "additive",
       s"unknown model: $model")
     val comp: (Column, Column) => Column =
-      if (model == "additive") (a, b) => a - b else (a, b) => a / b
+      if (model == "additive") (a, b) => a - b
+      // zero trend/seasonal index → null component (statsmodels yields
+      // inf/nan; under ANSI a raw `/` would abort the job instead)
+      else (a, b) => when(b === 0.0, lit(null).cast("double")).otherwise(a / b)
     cols.foldLeft(tsf.df) { (df, c) => decomposeOne(tsf.copy(df = df), c, period, comp) }
   }
 

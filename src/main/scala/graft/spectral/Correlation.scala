@@ -141,10 +141,13 @@ object Correlation {
       .groupBy(keyCols: _*)
       .agg(sum(col("p0")).as("s0"),
         (1 to maxLag).map(k => sum(col(s"p$k")).as(s"s$k")): _*)
-    // melt the K sum columns into (keys, lag, acf) rows
+    // melt the K sum columns into (keys, lag, acf) rows; constant series
+    // (zero variance → s0 = 0) have no ACF and are dropped — ANSI `/`
+    // would otherwise kill the whole job on one degenerate key
     val lagStructs = array((1 to maxLag).map(k =>
       struct(lit(k).cast("long").as("lag"), (col(s"s$k") / col("s0")).as("acf"))): _*)
-    sums.select(keyCols :+ explode(lagStructs).as("la"): _*)
+    sums.filter(col("s0") =!= 0.0)
+      .select(keyCols :+ explode(lagStructs).as("la"): _*)
       .select(keyCols :+ col("la.lag").as("lag") :+ col("la.acf").as("acf"): _*)
   }
 

@@ -187,6 +187,8 @@ object TextFunctions {
       .join(top, Seq("doc_id"), "left")
       .join(base.select(col("doc_id"), col("__tlen")), "doc_id")
       .select(col("doc_id"),
+        // denominators are all ≥ 1 here: token-less docs never reach this
+        // projection (they explode to zero rows — the documented drop)
         ((col("__tot") - col("__dist")).cast("double") / col("__tot"))
           .as("dup_word_frac"),
         (col("__dupchars").cast("double") / col("__totchars"))

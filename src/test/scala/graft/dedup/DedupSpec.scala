@@ -164,6 +164,18 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(3L)._3 - 5.0 / 5) < 1e-12) // "aa aa" covers all
   }
 
+  test("repetitionStats: token-less docs are dropped (documented), no /0 abort") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "ok ok")).toDF("doc_id", "text")
+    val got = TextFunctions.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // empty/whitespace docs explode to zero rows, so their zero
+    // denominators never reach the division (the scaladoc'd contract)
+    assert(got.keySet == Set(3L))
+    assert(got(3L)._1 == 0.5)
+  }
+
   /** Local union-find ground truth for the distributed components. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()

@@ -52,4 +52,14 @@ class MultiSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("grouped ACF drops constant series instead of aborting (ANSI /0)") {
+    import spark.implicits._
+    val df = ((0 until 20).map(i => ("varies", i.toLong, math.sin(i * 0.7))) ++
+      (0 until 20).map(i => ("flat", i.toLong, 5.0))).toDF("k", "i", "x")
+    val keys = Correlation.acfByKey(
+        TimeseriesFrame(df, None, Seq("i"), Seq("k")), "x", maxLag = 3)
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(keys == Set("varies"))
+  }
 }
