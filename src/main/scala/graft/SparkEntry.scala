@@ -457,6 +457,18 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")).as("tok"))
       Packing.packSequences(toks, "doc_id", "tok", budget = 256)
     }),
+    "q70_vocabulary" -> ((s, dir) => {
+      // tokenizer-training vocab: global token counts (one hash agg over
+      // exploded tokens), deterministic (count desc, token asc) ranking
+      val d = tbl(s, dir, "documents")
+      TextFunctions.topVocabulary(d, "text", k = 500)
+    }),
+    "q71_quality_filter" -> ((s, dir) => {
+      // the end-of-pipeline keep/drop verdict with auditable reasons —
+      // scan-stage threshold rules over the q12/q53 signal family
+      val d = tbl(s, dir, "documents")
+      TextFunctions.qualityFilter(d, "doc_id", "text")
+    }),
     "q68_source_mix" -> ((s, dir) => {
       // per-source token budget + the equalizing sample weight (the data-
       // mixing knob sheet); exact integer token sums → deterministic shares
@@ -1083,6 +1095,44 @@ object SparkEntry {
         | greatest(seq_id * 256, start) - seq_id * 256 AS seq_offset,
         | least((seq_id + 1) * 256, start + tok) - greatest(seq_id * 256, start) AS n_tokens
         |FROM s""".stripMargin,
+    "q70_vocabulary" ->
+      """WITH c AS (SELECT unnest(list_filter(
+        |   regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS token
+        | FROM documents),
+        |n AS (SELECT token, count(*) AS n FROM c GROUP BY 1)
+        |SELECT token, n,
+        | CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+        |FROM n QUALIFY rank <= 500""".stripMargin,
+    // threshold rules over the exact q12 signal replay
+    "q71_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks,
+        |  list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x != '')) AS dtoks
+        | FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(toks) AS ntok,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |   ELSE len(dtoks)::DOUBLE / len(toks) END AS ttr,
+        |  round(
+        |   (CASE WHEN len(toks) = 0 THEN 0
+        |     WHEN length(text)::DOUBLE / len(toks) BETWEEN 3.0 AND 10.0 THEN 1.0
+        |     ELSE 0.0 END) * 0.4
+        |   + (CASE WHEN length(text) = 0 THEN 0
+        |      ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |           / length(text) END) * 0.3
+        |   + (CASE WHEN len(toks) = 0 THEN 0
+        |      ELSE len(dtoks)::DOUBLE / len(toks) END) * 0.3, 6) AS quality
+        | FROM t),
+        |r AS (SELECT doc_id, list_filter([
+        |   CASE WHEN ntok < 10 THEN 'too_short' END,
+        |   CASE WHEN quality < 0.5 THEN 'low_quality' END,
+        |   CASE WHEN ttr < 0.3 THEN 'low_diversity' END],
+        |  x -> x IS NOT NULL) AS reasons
+        | FROM s)
+        |SELECT doc_id, len(reasons) = 0 AS keep,
+        | coalesce(array_to_string(reasons, ','), '') AS reasons
+        |FROM r""".stripMargin,
     "q68_source_mix" ->
       """WITH t AS (SELECT source,
         |  count(*) AS n_docs,

@@ -110,6 +110,43 @@ object TextFunctions {
     round((wordLenScore * 0.4 + alphaRatio * 0.3 + ttr * 0.3), 6)
   }
 
+  /** Top-`k` vocabulary over a document column — the tokenizer-training /
+    * vocab-pruning step of a data pipeline: lowercased whitespace tokens,
+    * global counts (explode → one map-side-combined hash aggregate —
+    * shuffle carries (token, partial count) pairs, never documents), rank
+    * by (count desc, token asc) so ties are deterministic, keep `k`.
+    * The final rank is a single window over k' ≤ vocabulary-size rows —
+    * bounded by the token universe, not the corpus. */
+  def topVocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .select(explode(tokensLower(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Composite keep/drop verdict — the end-of-pipeline quality gate
+    * combining the scalar signals (Gopher/C4-style threshold rules, each
+    * independently cheap scan-stage arithmetic). `reasons` is a stable
+    * comma-joined list so downstream audits can aggregate drop causes. */
+  def qualityFilter(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val checks = Seq(
+      "too_short" -> (tokenCount(t) < 10),
+      "low_quality" -> (qualityScore(t) < 0.5),
+      "low_diversity" -> (typeTokenRatio(t) < lit(0.3)))
+    val reasons = array_compact(array(checks.map { case (name, bad) =>
+      when(bad, lit(name)).otherwise(lit(null).cast("string"))
+    }: _*))
+    df.select(col(idCol),
+      (size(reasons) === 0).as("keep"),
+      concat_ws(",", reasons).as("reasons"))
+  }
+
   /** Polynomial rolling-hash document fingerprint over character codes:
     * `h = (h*31 + code) mod 1e9+7`. Stable across engines (pure integer
     * arithmetic), usable as a cheap content id for dedup joins. */

@@ -164,6 +164,31 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(3L)._3 - 5.0 / 5) < 1e-12) // "aa aa" covers all
   }
 
+  test("topVocabulary: count-desc rank with deterministic lexicographic ties") {
+    import spark.implicits._
+    val df = Seq((1L, "b a b C c"), (2L, "a b")).toDF("doc_id", "text")
+    // counts: a=2, b=3, c=2 (lowercased) → rank: b(3), then a before c
+    val got = TextFunctions.topVocabulary(df, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("b", 3L, 1L), ("a", 2L, 2L)))
+  }
+
+  test("qualityFilter: keep verdict with auditable reasons") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy sleeping dog " +
+      "while seventeen astronomers chart winter skies above harbors"
+    val df = Seq(
+      (1L, good),
+      (2L, "ok go"),                                // < 10 tokens
+      (3L, ("spam " * 30).trim)                     // repetitive → low ttr
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.qualityFilter(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(got(1L) == ((true, "")))
+    assert(!got(2L)._1 && got(2L)._2.contains("too_short"))
+    assert(!got(3L)._1 && got(3L)._2.contains("low_diversity"))
+  }
+
   test("repetitionStats: token-less docs are dropped (documented), no /0 abort") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "   "), (3L, "ok ok")).toDF("doc_id", "text")
