@@ -172,6 +172,28 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).toSeq == Seq(5L, 3L))
   }
 
+  test("stateless text ops (quality filter) run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // scan-stage operators compose with readStream directly — no
+    // adaptation layer; this is the property that lets the whole text/
+    // dedup signal family run inside a streaming ingest pipeline
+    val out = graft.text.TextFunctions.qualityFilter(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory")
+      .queryName("qf_stream_test").outputMode("append").start()
+    mem.addData((1L, "the quick brown fox jumps over the lazy sleeping dog " +
+      "while seventeen astronomers chart winter skies above harbors"))
+    mem.addData((2L, "ok go"))
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id, keep, reasons from qf_stream_test")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    q.stop()
+    assert(got(1L) == ((true, "")))
+    assert(!got(2L)._1 && got(2L)._2.contains("too_short"))
+  }
+
   test("streaming sequence packing ≡ batch packing across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
