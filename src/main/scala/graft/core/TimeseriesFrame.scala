@@ -92,6 +92,8 @@ final case class TimeseriesFrame(
     val pre =
       if (interpMultivariate && interpMethod == "nearest" && targets.size >= 3)
         copy(df = graft.ops.Interpolate.multivariateNearest(this, targets))
+      else if (interpMultivariate && interpMethod == "linear" && targets.size >= 3)
+        copy(df = graft.ops.Interpolate.multivariateLinear(this, targets))
       else this
     graft.ops.Interpolate(pre, targets, interpMethod)
   }

@@ -1,0 +1,113 @@
+package graft.ops
+
+/** Delaunay triangulation over INTEGER points (Bowyer–Watson) with exact
+  * arithmetic predicates — orientation in Long, incircle in BigInt — so
+  * the heavily cocircular point sets this library feeds it (matrix cells
+  * are an integer grid with holes, every unit square's corners are
+  * cocircular) can never drive the incremental insertion into an
+  * inconsistent state the way floating predicates famously do. Public
+  * algorithm (Bowyer 1981 / Watson 1981); cocircular ties resolve to
+  * "not inside" (strict incircle), which yields one of the valid
+  * triangulations — barycentric interpolation is identical along either
+  * diagonal of a cocircular quad, so the choice cannot change
+  * interpolated values beyond tie positions ON the circle.
+  *
+  * Driver-side by design: the caller ([[Interpolate.multivariateLinear]])
+  * is the documented whole-matrix pre-pass, same size bound as the
+  * nearest-neighbor variant. O(n²) worst case; fine to ~10⁴ points.
+  */
+object Delaunay {
+
+  /** CCW > 0, CW < 0, collinear = 0. Long-exact for |coords| ≤ 2³⁰. */
+  def orient(ax: Long, ay: Long, bx: Long, by: Long, cx: Long, cy: Long): Long =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  /** Exact incircle: for CCW triangle (a,b,c), > 0 iff p strictly inside
+    * the circumcircle. BigInt — the 4×4 determinant reaches coord⁴. */
+  def inCircle(ax: Long, ay: Long, bx: Long, by: Long, cx: Long, cy: Long,
+      px: Long, py: Long): BigInt = {
+    val (adx, ady) = (BigInt(ax - px), BigInt(ay - py))
+    val (bdx, bdy) = (BigInt(bx - px), BigInt(by - py))
+    val (cdx, cdy) = (BigInt(cx - px), BigInt(cy - py))
+    val alift = adx * adx + ady * ady
+    val blift = bdx * bdx + bdy * bdy
+    val clift = cdx * cdx + cdy * cdy
+    alift * (bdx * cdy - bdy * cdx) -
+      blift * (adx * cdy - ady * cdx) +
+      clift * (adx * bdy - ady * bdx)
+  }
+
+  /** Triangles as CCW index triples into `pts`; empty when fewer than 3
+    * points or all collinear. */
+  def triangulate(pts: Array[(Int, Int)]): Array[(Int, Int, Int)] = {
+    val n = pts.length
+    if (n < 3) return Array.empty
+    // super-triangle enclosing everything (indices n, n+1, n+2)
+    val xs = pts.map(_._1.toLong); val ys = pts.map(_._2.toLong)
+    val (minX, maxX) = (xs.min, xs.max)
+    val (minY, maxY) = (ys.min, ys.max)
+    val span = math.max(math.max(maxX - minX, maxY - minY), 1L) * 16 + 16
+    val sup = Array(
+      (minX - span, minY - span),
+      (minX + 3 * span, minY - span),
+      (minX - span, minY + 3 * span))
+    def px(i: Int): Long = if (i < n) pts(i)._1.toLong else sup(i - n)._1
+    def py(i: Int): Long = if (i < n) pts(i)._2.toLong else sup(i - n)._2
+
+    def ccw(t: (Int, Int, Int)): (Int, Int, Int) = {
+      val (a, b, c) = t
+      if (orient(px(a), py(a), px(b), py(b), px(c), py(c)) >= 0) t else (a, c, b)
+    }
+    var tris = scala.collection.mutable.Set[(Int, Int, Int)](
+      ccw((n, n + 1, n + 2)))
+
+    for (p <- 0 until n) {
+      val bad = tris.filter { case (a, b, c) =>
+        inCircle(px(a), py(a), px(b), py(b), px(c), py(c), px(p), py(p)) > 0
+      }
+      if (bad.nonEmpty) {
+        // polygon boundary = edges of the bad region appearing exactly once
+        val edgeCount = scala.collection.mutable.Map[(Int, Int), Int]()
+        def key(u: Int, v: Int) = if (u < v) (u, v) else (v, u)
+        bad.foreach { case (a, b, c) =>
+          Seq((a, b), (b, c), (c, a)).foreach { case (u, v) =>
+            edgeCount(key(u, v)) = edgeCount.getOrElse(key(u, v), 0) + 1
+          }
+        }
+        bad.foreach(tris -= _)
+        edgeCount.filter(_._2 == 1).keys.foreach { case (u, v) =>
+          val t = ccw((u, v, p))
+          // skip degenerate (collinear) fill triangles
+          val (a, b, c) = t
+          if (orient(px(a), py(a), px(b), py(b), px(c), py(c)) != 0) tris += t
+        }
+      }
+    }
+    tris.toArray
+      .filter { case (a, b, c) => a < n && b < n && c < n }
+      .map(ccw)
+  }
+
+  /** Barycentric-interpolate `query` against triangulated `pts` with
+    * per-point values `z`: Some(value) when the query lies inside or on
+    * the hull of some triangle, None outside (scipy griddata 'linear'
+    * leaves those NaN). Exact Long orientation decides containment. */
+  def interpolate(pts: Array[(Int, Int)], z: Array[Double],
+      tris: Array[(Int, Int, Int)], query: (Int, Int)): Option[Double] = {
+    val (qx, qy) = (query._1.toLong, query._2.toLong)
+    tris.foreach { case (a, b, c) =>
+      val (ax, ay) = (pts(a)._1.toLong, pts(a)._2.toLong)
+      val (bx, by) = (pts(b)._1.toLong, pts(b)._2.toLong)
+      val (cx, cy) = (pts(c)._1.toLong, pts(c)._2.toLong)
+      val oa = orient(bx, by, cx, cy, qx, qy)
+      val ob = orient(cx, cy, ax, ay, qx, qy)
+      val oc = orient(ax, ay, bx, by, qx, qy)
+      if (oa >= 0 && ob >= 0 && oc >= 0) {
+        val area = orient(ax, ay, bx, by, cx, cy) // = oa + ob + oc > 0 (CCW)
+        return Some((oa.toDouble * z(a) + ob.toDouble * z(b) +
+          oc.toDouble * z(c)) / area.toDouble)
+      }
+    }
+    None
+  }
+}

@@ -123,7 +123,23 @@ object Interpolate {
     * with those methods runs the univariate pass only. See README
     * "Known gaps". */
   def multivariateNearest(tsf: TimeseriesFrame, cols: Seq[String],
-      maxCells: Long = 10L * 1000 * 1000): DataFrame = {
+      maxCells: Long = 10L * 1000 * 1000): DataFrame =
+    multivariate(tsf, cols, "nearest", maxCells)
+
+  /** scipy-griddata-'linear' analog (`functions.py:300-318`,
+    * `method='linear'`): Delaunay-triangulate the known cells of each
+    * series' (row, column) matrix ([[Delaunay]] — exact integer
+    * predicates, immune to the grid's pervasive cocircularity) and
+    * barycentric-interpolate the NaN cells inside the hull; cells
+    * outside the hull stay NaN for the univariate per-column pass, same
+    * as the reference's "do the 1d interpolation anyway" step.
+    * 'cubic' (Clough–Tocher) remains descoped — see README Known gaps. */
+  def multivariateLinear(tsf: TimeseriesFrame, cols: Seq[String],
+      maxCells: Long = 10L * 1000 * 1000): DataFrame =
+    multivariate(tsf, cols, "linear", maxCells)
+
+  private def multivariate(tsf: TimeseriesFrame, cols: Seq[String],
+      method: String, maxCells: Long): DataFrame = {
     require(cols.size >= 3, "reference skips multivariate below 3 continuous columns")
     val keys = tsf.seriesKeys
     // `__rn` is a row index WITHIN its series (tsf.window partitions by the
@@ -153,18 +169,31 @@ object Interpolate {
           if !vals(i)(j).isNaN
         } yield (i, j)).toArray
         if (known.nonEmpty && known.length < n * k) {
+          val fillAt: (Int, Int) => Double = method match {
+            case "nearest" => (i, j) => {
+              var best = Long.MaxValue
+              var bv = Double.NaN
+              known.foreach { case (ii, jj) =>
+                val d = (ii - i).toLong * (ii - i) + (jj - j).toLong * (jj - j)
+                if (d < best) { best = d; bv = vals(ii)(jj) }
+              }
+              bv
+            }
+            case "linear" =>
+              val zs = known.map { case (ii, jj) => vals(ii)(jj) }
+              val tris = Delaunay.triangulate(known)
+              (i, j) => Delaunay.interpolate(known, zs, tris, (i, j))
+                .getOrElse(Double.NaN)
+          }
           (0 until n).foreach { i =>
             val fills = Array.ofDim[java.lang.Double](k)
             var any = false
             (0 until k).foreach { j =>
               if (vals(i)(j).isNaN) {
-                var best = Long.MaxValue
-                var bv = Double.NaN
-                known.foreach { case (ii, jj) =>
-                  val d = (ii - i).toLong * (ii - i) + (jj - j).toLong * (jj - j)
-                  if (d < best) { best = d; bv = vals(ii)(jj) }
-                }
-                fills(j) = bv; any = true
+                val v = fillAt(i, j)
+                // NaN = not fillable by this method (e.g. outside the
+                // Delaunay hull) → leave null for the univariate pass
+                if (!v.isNaN) { fills(j) = v; any = true }
               }
             }
             if (any) fillRows += org.apache.spark.sql.Row.fromSeq(

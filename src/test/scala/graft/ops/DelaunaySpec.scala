@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.TimeseriesFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-predicate Delaunay and the multivariate 'linear' pre-pass.
+  * Verification strategy (no scipy in the sandbox): (1) the DEFINITIONAL
+  * Delaunay property — no input point strictly inside any triangle's
+  * circumcircle, checked with the same exact BigInt predicate; (2) the
+  * planar-exactness property — barycentric interpolation of z = ax+by+c
+  * recovers the plane EXACTLY for every valid triangulation, so the
+  * check is independent of which cocircular tie-break scipy would have
+  * picked. */
+class DelaunaySpec extends SparkSpec {
+
+  private def lcgPts(seed: Long, n: Int, range: Int): Array[(Int, Int)] = {
+    var s = seed
+    def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % range).toInt }
+    Iterator.continually((next(), next())).distinct.take(n).toArray
+  }
+
+  test("triangulate: definitional empty-circumcircle property (exact)") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val pts = lcgPts(seed, 40, 30)
+      val tris = Delaunay.triangulate(pts)
+      assert(tris.nonEmpty)
+      tris.foreach { case (a, b, c) =>
+        // CCW and non-degenerate
+        val o = Delaunay.orient(pts(a)._1, pts(a)._2, pts(b)._1, pts(b)._2,
+          pts(c)._1, pts(c)._2)
+        assert(o > 0, s"triangle ($a,$b,$c) not CCW: $o")
+        pts.indices.filterNot(Set(a, b, c)).foreach { p =>
+          val ic = Delaunay.inCircle(pts(a)._1, pts(a)._2, pts(b)._1, pts(b)._2,
+            pts(c)._1, pts(c)._2, pts(p)._1, pts(p)._2)
+          assert(ic <= 0, s"point $p strictly inside circumcircle of ($a,$b,$c)")
+        }
+      }
+    }
+  }
+
+  test("triangulate: degenerate inputs — <3 points or collinear → empty") {
+    assert(Delaunay.triangulate(Array((0, 0), (1, 1))).isEmpty)
+    assert(Delaunay.triangulate(
+      Array((0, 0), (1, 1), (2, 2), (5, 5))).isEmpty)
+  }
+
+  test("interpolate: planar exactness inside the hull, None outside") {
+    val pts = lcgPts(3L, 60, 25)
+    def plane(p: (Int, Int)): Double = 2.0 * p._1 - 3.0 * p._2 + 7.0
+    val z = pts.map(plane)
+    val tris = Delaunay.triangulate(pts)
+    // every grid point inside the hull must recover the plane exactly
+    var inside = 0
+    for (x <- 0 until 25; y <- 0 until 25) {
+      Delaunay.interpolate(pts, z, tris, (x, y)).foreach { v =>
+        inside += 1
+        assert(math.abs(v - plane((x, y))) < 1e-9, s"($x,$y): $v")
+      }
+    }
+    assert(inside > 100, s"only $inside in-hull points")
+    // far outside the bounding box → None
+    assert(Delaunay.interpolate(pts, z, tris, (1000, 1000)).isEmpty)
+  }
+
+  test("multivariateLinear: in-hull NaN cells recover a planar matrix") {
+    import spark.implicits._
+    // matrix cell (i, j) holds 2i - 3j + 7; knock out interior cells
+    val n = 12; val k = 4
+    val holes = Set((3, 1), (5, 2), (7, 1), (8, 2), (4, 2))
+    val rows = (0 until n).map { i =>
+      val v = (0 until k).map { j =>
+        if (holes((i, j))) Double.NaN else 2.0 * i - 3.0 * j + 7.0
+      }
+      (i.toLong, v(0), v(1), v(2), v(3))
+    }
+    val df = rows.toDF("t", "c0", "c1", "c2", "c3")
+    val tsf = TimeseriesFrame(df, Some("t"))
+    val out = Interpolate.multivariateLinear(tsf, Seq("c0", "c1", "c2", "c3"))
+      .orderBy("t").collect()
+    holes.foreach { case (i, j) =>
+      val got = out(i).getDouble(1 + j)
+      val want = 2.0 * i - 3.0 * j + 7.0
+      assert(math.abs(got - want) < 1e-9, s"cell ($i,$j): $got vs $want")
+    }
+    // untouched cells unchanged
+    assert(out(0).getDouble(1) == 7.0)
+  }
+
+  test("interp routing: multivariate linear pre-pass then univariate pass") {
+    import spark.implicits._
+    // corner cell (0,0) is OUTSIDE the known-cell hull when row 0 only
+    // has columns 1..3 — the pre-pass leaves it NaN, univariate fills it
+    val df = Seq(
+      (0L, Double.NaN, 3.0, 5.0, 2.0),
+      (1L, 10.0, 4.0, Double.NaN, 3.0),
+      (2L, 12.0, 5.0, 7.0, 4.0),
+      (3L, 14.0, 6.0, 8.0, 5.0)
+    ).toDF("t", "c0", "c1", "c2", "c3")
+    val tsf = TimeseriesFrame(df, Some("t"))
+      .withInterpolation("linear", multivariate = true)
+    val out = tsf.interp(Seq("c0", "c1", "c2", "c3")).orderBy("t").collect()
+    // every NaN is gone after the combined pass
+    out.foreach { r => (1 to 4).foreach { j =>
+      assert(!r.isNullAt(j) && !r.getDouble(j).isNaN, s"row $r col $j") } }
+  }
+}
