@@ -83,4 +83,66 @@ class AsOfJoinSpec extends SparkSpec {
     val got = collectV(out)
     assert(got(100L).isEmpty && got(101L).contains(10.0) && got(102L).contains(20.0))
   }
+
+  test("randomized differential: all three directions vs brute-force scan") {
+    // the union+carry formulation vs a literal O(n·m) reference on random
+    // fixtures with duplicate times, equal left/right times, sparse keys
+    val rnd = new scala.util.Random(2024)
+    for (round <- 1 to 3) {
+      val keys = Seq("k1", "k2", "k3")
+      val lRows = Seq.tabulate(60)(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(40).toDouble / 2, i.toLong))
+      val rRows = Seq.tabulate(25)(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(40).toDouble / 2, i * 1.0))
+      val l = lRows.toDF("k", "t", "id")
+      val r = rRows.toDF("k", "rt", "v")
+
+      def brute(dir: String): Map[Long, Option[Double]] = lRows.map {
+        case (lk, lt, id) =>
+          val cand = rRows.filter(_._1 == lk)
+          val picked = dir match {
+            case "backward" =>
+              val c = cand.filter(_._2 <= lt)
+              if (c.isEmpty) None
+              // max time; among equal times the LARGEST v wins (carry
+              // keeps the last in tie order = asc v here)
+              else Some(c.maxBy(x => (x._2, x._3))._3)
+            case "forward" =>
+              val c = cand.filter(_._2 >= lt)
+              if (c.isEmpty) None
+              else {
+                val minT = c.map(_._2).min
+                Some(c.filter(_._2 == minT).maxBy(_._3)._3)
+              }
+            case "nearest" =>
+              val b = cand.filter(_._2 <= lt)
+              val f = cand.filter(_._2 >= lt)
+              val bBest = if (b.isEmpty) None else Some(b.maxBy(x => (x._2, x._3)))
+              val fBest = if (f.isEmpty) None
+                else { val mt = f.map(_._2).min
+                  Some(f.filter(_._2 == mt).maxBy(_._3)) }
+              (bBest, fBest) match {
+                case (None, None) => None
+                case (Some(x), None) => Some(x._3)
+                case (None, Some(y)) => Some(y._3)
+                case (Some(x), Some(y)) =>
+                  if (lt - x._2 <= y._2 - lt) Some(x._3) else Some(y._3)
+              }
+          }
+          id -> picked
+      }.toMap
+
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        // rightTie pins duplicate-right-time winners (largest v), so the
+        // brute's maxBy(v) is the contractual answer, not scan-order luck
+        val got = collectV(AsOfJoin.join(l, r, "t", "rt", Seq("v"),
+          keys = Seq("k"), rightTie = Some("v"), direction = dir))
+        val want = brute(dir)
+        assert(got == want,
+          s"round $round dir $dir:\n" +
+            got.toSeq.sortBy(_._1).zip(want.toSeq.sortBy(_._1))
+              .filter(p => p._1 != p._2).take(5).mkString("\n"))
+      }
+    }
+  }
 }
