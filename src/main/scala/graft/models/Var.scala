@@ -124,6 +124,67 @@ final class Var(
     bic = ldet + math.log(nobs.toDouble) * kTot / nobs
   }
 
+  /** Distributed fit for series too LONG to collect — the billion-row
+    * VAR: each of the `nVars` equations is an OLS on the lagged columns,
+    * solved by [[DistributedOls]] (normal-equation aggregation — only
+    * k(k+3)/2 scalar sums per equation reach the driver), and the
+    * residual covariance Σᵤ comes from ONE more aggregation over the
+    * residual products at the fitted coefficients. Driver state after
+    * fitting is the coefficient matrices plus the LAST `lags` rows (the
+    * forecast seed) — nothing row-wise is ever collected. [[predict]]/
+    * [[forecast]]/[[mseDiag]] run unchanged; [[fittedValues]] returns
+    * empty (in-sample values stay distributed — materialize them with a
+    * select over the same lag columns if needed). Contrast [[fit]]:
+    * collected Breeze OLS + IC order selection, the reference semantics
+    * for bounded series ([[PerSeries]] fans it out across many series);
+    * here the order is caller-fixed. Default 'c' trend only. */
+  def fitDistributed(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      orderCol: String, lags: Int): Var = {
+    import org.apache.spark.sql.functions._
+    require(trend == "c", "fitDistributed supports the default 'c' trend")
+    require(lags >= 1, "need at least one lag")
+    nVars = cols.size
+    k = lags
+    val base = df.select(col(orderCol).as("__ord") +:
+      cols.map(c => col(c).cast("double").as(c)): _*)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__ord")
+    val regNames = for (l <- 1 to lags; v <- cols) yield s"__l${l}_$v"
+    val lagged = (for (l <- 1 to lags; v <- cols) yield (l, v))
+      .foldLeft(base) { case (d, (l, v)) =>
+        d.withColumn(s"__l${l}_$v", lag(col(v), l).over(w))
+      }.na.drop(cols ++ regNames)
+
+    val fits = cols.map(y => DistributedOls.fit(lagged, y, regNames))
+    coefs = (0 until lags).map { l =>
+      DenseMatrix.tabulate(nVars, nVars)((eq, v) => fits(eq).beta(l * nVars + v))
+    }.toArray
+    trendCoefs = DenseMatrix.tabulate(1, nVars)((_, eq) => fits(eq).intercept)
+
+    // Σᵤ: one aggregation of residual products at the fitted parameters
+    val residCols = cols.zipWithIndex.map { case (y, eq) =>
+      val pred = regNames.zipWithIndex.foldLeft(lit(fits(eq).intercept)) {
+        case (acc, (r, j)) => acc + lit(fits(eq).beta(j)) * col(r)
+      }
+      (col(y) - pred).as(s"__e$eq")
+    }
+    val prods = for (i <- 0 until nVars; j <- i until nVars)
+      yield sum(col(s"__e$i") * col(s"__e$j")).as(s"__s${i}_$j")
+    val sr = lagged.select(residCols: _*).agg(prods.head, prods.tail: _*).head()
+    val nobs = fits.head.n
+    val dfResid = nobs - (nVars * lags + nTrend)
+    sigmaU = DenseMatrix.zeros[Double](nVars, nVars)
+    var idx = 0
+    for (i <- 0 until nVars; j <- i until nVars) {
+      val v = sr.getDouble(idx) / dfResid.toDouble; idx += 1
+      sigmaU(i, j) = v; sigmaU(j, i) = v
+    }
+    // forecast seed: ONLY the last `lags` rows cross to the driver
+    // (collect after orderBy preserves the global sort; reverse → asc)
+    data = base.orderBy(col("__ord").desc).limit(lags).collect().reverse
+      .map(r => Array.tabulate(nVars)(i => r.getDouble(1 + i)))
+    this
+  }
+
   /** Fit at FIXED coefficients (A₁..Aₚ, trend constants): skips the OLS
     * and takes the parameter matrices as given, computing only the
     * residual covariance Σᵤ = (e'e)/dfResid over the full sample — the

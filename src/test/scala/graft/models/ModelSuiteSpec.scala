@@ -32,6 +32,35 @@ class ModelSuiteSpec extends SparkSpec {
     assert(m.k == 2 && m.nVars == 2)
   }
 
+  test("VAR fitDistributed ≡ collected Breeze fit (coefs via predict surface)") {
+    import spark.implicits._
+    // a genuinely 2-D stable VAR-ish pair, long enough to matter
+    var (a, b) = (120.0, 40.0)
+    val rows = (0 until 300).map { t =>
+      val na = ((t * 2654435761L) % 17).toDouble - 8
+      val nb = ((t * 40503L) % 11).toDouble - 5
+      val a1 = 30 + 0.5 * a + 0.3 * b + na
+      val b1 = 10 + 0.2 * a + 0.4 * b + nb
+      a = a1; b = b1
+      (t.toLong, a1, b1)
+    }
+    val df = rows.toDF("t", "ya", "yb").repartition(5)
+
+    val dist = new Var(trend = "c").fitDistributed(df, Seq("ya", "yb"), "t", lags = 2)
+    val local = new Var(Some(2)).fit(rows.map(r => Array(r._2, r._3)).toArray)
+
+    val (fd, ld, hd) = dist.predict(6)
+    val (fl, ll, hl) = local.predict(6)
+    for (h <- 0 until 6; v <- 0 until 2) {
+      assert(math.abs(fd(h)(v) - fl(h)(v)) < 1e-7 * math.max(1, math.abs(fl(h)(v))),
+        s"forecast h=$h v=$v: ${fd(h)(v)} vs ${fl(h)(v)}")
+      assert(math.abs(ld(h)(v) - ll(h)(v)) < 1e-6 * math.max(1, math.abs(ll(h)(v))),
+        s"ci_lo h=$h v=$v: ${ld(h)(v)} vs ${ll(h)(v)}")
+      assert(math.abs(hd(h)(v) - hl(h)(v)) < 1e-6 * math.max(1, math.abs(hl(h)(v))))
+    }
+    assert(dist.k == 2 && dist.nVars == 2)
+  }
+
   test("VAR fitFixed at the fitted coefficients reproduces fit's predict surface") {
     // extract (A1, c) from a VAR(1) OLS fit, refit at fixed parameters:
     // the residual covariance and hence forecasts and CI bands must agree
