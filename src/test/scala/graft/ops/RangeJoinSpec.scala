@@ -33,6 +33,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(run(0.7) == run(1.0) && run(1.0) == run(25.0))
   }
 
+  test("randomized differential vs brute nested-loop, bin-boundary heavy") {
+    val rnd = new scala.util.Random(99)
+    for (round <- 1 to 3) {
+      // half-integer endpoints land EXACTLY on bin boundaries at width 0.5/1
+      val ps = Seq.tabulate(80)(i =>
+        ("k" + rnd.nextInt(2), rnd.nextInt(40).toDouble / 2, i.toLong))
+      val ivs = Seq.tabulate(25) { i =>
+        val s = rnd.nextInt(40).toDouble / 2
+        ("k" + rnd.nextInt(2), s, s + rnd.nextInt(8).toDouble / 2, s"iv$i")
+      }
+      val want = (for {
+        (pk, pt, pid) <- ps
+        (ik, is, ie, name) <- ivs
+        if pk == ik && pt >= is && pt < ie
+      } yield pid -> name).toSet
+      for (w <- Seq(0.5, 1.0, 3.0)) {
+        val got = RangeJoin.pointInInterval(
+            ps.toDF("k", "t", "pid"), ivs.toDF("k", "s", "e", "name"),
+            "t", "s", "e", keys = Seq("k"), binWidth = w)
+          .select(col("pid"), col("name")).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toSet
+        assert(got == want, s"round $round width $w: " +
+          s"missing=${(want -- got).take(4)} extra=${(got -- want).take(4)}")
+      }
+    }
+  }
+
   test("degenerate intervals (end <= start) match nothing") {
     val bad = Seq(("a", 5.0, 5.0, "empty"), ("a", 7.0, 6.0, "inverted"))
       .toDF("k", "s", "e", "name")
