@@ -92,32 +92,80 @@ object Correlation {
   }
 
   /** Horizontally-scalable ACF: instead of K lag columns over a
-    * single-partition global window, index rows with a parallel sort +
-    * `zipWithIndex` (per-partition offsets, no global sort bottleneck),
-    * explode each row into its K lag contributions, and hash-join on the
-    * target index — every stage is partition-parallel, so this is the
-    * 100 TB path. Numerically identical to [[acfVector]] up to summation
-    * order. */
+    * single-partition global window, range-sort in parallel, then fold
+    * each partition once with a maxLag-deep ring buffer; products that
+    * straddle a partition boundary are completed by appending the NEXT
+    * partition's first maxLag values (collected to the driver — P·K
+    * doubles — and broadcast back, the [[graft.ops.RangeWindow]] carry
+    * pattern). One sort shuffle, one O(n) pass, no exploded join —
+    * every stage partition-parallel: the 100 TB path. Numerically
+    * identical to [[acfVector]] up to summation order. */
   def acfVectorDistributed(tsf: TimeseriesFrame, xCol: String, maxLag: Int): Array[Double] = {
     val spark = tsf.df.sparkSession
-    import org.apache.spark.sql.types._
     val mu = tsf.df.agg(avg(col(xCol).cast("double"))).head().getDouble(0)
-    val indexedRdd = tsf.df
+    val sorted = tsf.df
       .orderBy(tsf.orderCols: _*)                 // range-partitioned parallel sort
       .select(col(xCol).cast("double"))
-      .rdd.zipWithIndex                            // per-partition offset indexing
-      .map { case (r, i) => Row(i, r.getDouble(0) - mu) }
-    val idx = spark.createDataFrame(indexedRdd, StructType(Seq(
-      StructField("i", LongType), StructField("xc", DoubleType))))
-    val contrib = idx
-      .select(col("i").as("i0"), col("xc").as("xb"),
-        explode(sequence(lit(1), lit(maxLag))).as("k"))
-      .select(col("xb"), col("k"), (col("i0") + col("k")).as("i"))
-    val sums = idx.join(contrib, "i")
-      .groupBy(col("k")).agg(sum(col("xc") * col("xb")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val denom = idx.agg(sum(col("xc") * col("xc"))).head().getDouble(0)
-    Array(1.0) ++ (1 to maxLag).map(k => sums.getOrElse(k, 0.0) / denom)
+      .rdd.map(_.getDouble(0) - mu)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // heads(p) = first maxLag centered values of partition p — the carry
+    // each partition needs to finish its tail rows' lag products
+    val heads = sorted
+      .mapPartitionsWithIndex { (p, it) =>
+        Iterator.single(p -> it.take(maxLag).toArray)
+      }.collect().toMap
+    val bHeads = spark.sparkContext.broadcast(heads)
+    val nParts = sorted.getNumPartitions
+    // next non-empty partition's head, concatenated as far as needed so a
+    // short (or empty) neighbor cannot starve the carry
+    def carryAfter(p: Int): Array[Double] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var q = p + 1
+      while (out.length < maxLag && q < nParts) {
+        bHeads.value.get(q).foreach(a => out ++= a)
+        q += 1
+      }
+      out.take(maxLag).toArray
+    }
+    val partials = sorted.mapPartitionsWithIndex { (p, it) =>
+      val sums = Array.ofDim[Double](maxLag + 1) // [0] = denom Σxc²
+      val ring = Array.ofDim[Double](maxLag)
+      var n = 0L
+      it.foreach { x =>
+        sums(0) += x * x
+        val upto = math.min(n, maxLag.toLong).toInt
+        var k = 1
+        while (k <= upto) {
+          sums(k) += x * ring(((n - k) % maxLag).toInt)
+          k += 1
+        }
+        ring((n % maxLag).toInt) = x
+        n += 1
+      }
+      // complete straddling products: carried value j (the j-th row of
+      // the following partitions) multiplies ONLY this partition's tail
+      // rows — lags k ≥ j+1 reach past the other carried values, so each
+      // cross product is counted exactly once, by the partition owning
+      // its earlier element; carry-carry products belong to the
+      // neighbor's own pass. No denom contribution from carries.
+      var j = 0
+      carryAfter(p).foreach { x =>
+        val nTot = n + j
+        val upto = math.min(nTot, maxLag.toLong).toInt
+        var k = j + 1
+        while (k <= upto) {
+          sums(k) += x * ring(((nTot - k) % maxLag).toInt)
+          k += 1
+        }
+        ring((nTot % maxLag).toInt) = x
+        j += 1
+      }
+      Iterator.single(sums)
+    }.collect()
+    sorted.unpersist()
+    val total = Array.ofDim[Double](maxLag + 1)
+    partials.foreach(s => (0 to maxLag).foreach(k => total(k) += s(k)))
+    Array(1.0) ++ (1 to maxLag).map(k => total(k) / total(0))
   }
 
   /** Grouped multi-series ACF — the horizontal scale path the reference

@@ -34,6 +34,21 @@ class SpectralSpec extends SparkSpec {
     assert(peaks.forall(_.getDouble(1) > 0))
   }
 
+  test("distributed ACF: partitions far shorter than maxLag (multi-hop carry)") {
+    import spark.implicits._
+    val xs = (0 until 100).map(i => math.sin(i * 0.35) * 10 + (i % 7))
+    // 25 partitions of ~4 rows with maxLag 20: every partition's carry
+    // must concatenate heads from several following partitions
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("i", "x").repartition(25)
+    val tsf = TimeseriesFrame(df, None, Seq("i"))
+    val dist = Correlation.acfVectorDistributed(tsf, "x", maxLag = 20)
+    val ref = Correlation.acfVector(tsf, "x", maxLag = 20)
+    dist.zip(ref).zipWithIndex.foreach { case ((d, r), k) =>
+      assert(math.abs(d - r) < 1e-10, s"lag $k: $d vs $r")
+    }
+  }
+
   test("all three ACF formulations agree (ring-pass, window, explode-join)") {
     val a = Correlation.acfVector(air, "Air passengers", 30)
     val w = Correlation.acfVectorWindow(air, "Air passengers", 30)
