@@ -457,6 +457,26 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")).as("tok"))
       Packing.packSequences(toks, "doc_id", "tok", budget = 256)
     }),
+    "q72_clean_corpus" -> ((s, dir) => {
+      // the WHOLE cleaning pipeline as one DataFrame program: minhash
+      // near-dup clusters → keep each cluster's canonical (min id) →
+      // quality filter → deterministic split of the survivors; every
+      // stage is an operator gated on its own elsewhere (q18/q50/q71/
+      // q61), composed here end-to-end under one oracle
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleHashesOf = TextFunctions.shingleHashes(_, 3),
+          numHashes = 64, bands = 8)
+        .filter(col("est_jaccard") >= 0.5)
+      val clusters = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+      val canonical = docs.join(clusters, Seq("doc_id"), "left")
+        .filter(col("component").isNull || col("component") === col("doc_id"))
+      val verdicts = TextFunctions.qualityFilter(canonical, "doc_id", "text")
+      Sampling.deterministicSplit(verdicts.filter(col("keep")), "doc_id",
+          Seq("train" -> 204, "val" -> 26, "test" -> 26))
+        .select(col("doc_id"), col("split"))
+    }),
     "q70_vocabulary" -> ((s, dir) => {
       // tokenizer-training vocab: global token counts (one hash agg over
       // exploded tokens), deterministic (count desc, token asc) ranking
@@ -1095,6 +1115,46 @@ object SparkEntry {
         | greatest(seq_id * 256, start) - seq_id * 256 AS seq_offset,
         | least((seq_id + 1) * 256, start + tok) - greatest(seq_id * 256, start) AS n_tokens
         |FROM s""".stripMargin,
+    // composed replay: cluster closure → canonical → q71's threshold
+    // rules → q61's bucket carve, one CTE chain
+    "q72_clean_corpus" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pr AS (SELECT id_a, id_b FROM scored WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |  UNION SELECT id_b, id_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1),
+         |canon AS (SELECT d.doc_id, d.text
+         | FROM documents d LEFT JOIN comp c USING (doc_id)
+         | WHERE d.text IS NOT NULL
+         |  AND (c.component IS NULL OR c.component = d.doc_id)),
+         |tq AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks,
+         |  list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    x -> x != '')) AS dtoks, text
+         | FROM canon),
+         |sq AS (SELECT doc_id, len(toks) AS ntok,
+         |  CASE WHEN len(toks) = 0 THEN 0
+         |   ELSE len(dtoks)::DOUBLE / len(toks) END AS ttr,
+         |  round(
+         |   (CASE WHEN len(toks) = 0 THEN 0
+         |     WHEN length(text)::DOUBLE / len(toks) BETWEEN 3.0 AND 10.0 THEN 1.0
+         |     ELSE 0.0 END) * 0.4
+         |   + (CASE WHEN length(text) = 0 THEN 0
+         |      ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+         |           / length(text) END) * 0.3
+         |   + (CASE WHEN len(toks) = 0 THEN 0
+         |      ELSE len(dtoks)::DOUBLE / len(toks) END) * 0.3, 6) AS quality
+         | FROM tq)
+         |SELECT doc_id,
+         | CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+         |  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM sq WHERE ntok >= 10 AND quality >= 0.5 AND ttr >= 0.3""".stripMargin,
     "q70_vocabulary" ->
       """WITH c AS (SELECT unnest(list_filter(
         |   regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS token
