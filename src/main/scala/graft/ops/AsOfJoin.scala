@@ -75,7 +75,7 @@ object AsOfJoin {
           lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(p => col(p).as(s"__r_$p")) ++
         rightTie.toSeq.map(c => col(c).cast("double").as("__tie")): _*)
-    val unioned = lOut.unionByName(rOut.select(lOut.columns.map(col): _*))
+    val unioned = lOut.unionByName(rOut.select(lOut.columns.toIndexedSeq.map(col): _*))
 
     // one carry pass per direction: scan order puts right rows before the
     // left rows they can match (inclusive at equal times); among same-time

@@ -186,7 +186,7 @@ object MovingTransform {
     val sorted = df.orderBy(orderCols: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField("__gidx", LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(rdd, schema)
