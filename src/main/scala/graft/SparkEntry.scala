@@ -500,6 +500,14 @@ object SparkEntry {
           round(col("token_share"), 6).as("token_share"),
           round(col("uniform_weight"), 6).as("uniform_weight"))
     }),
+    "q73_pack_by_shard" -> ((s, dir) => {
+      // per-shard packing (the production shape): keyed-window prefix
+      // sums — every shard an independent partition, no global order
+      val d = tbl(s, dir, "documents")
+      val toks = d.select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        TextFunctions.tokenCount(col("text")).as("tok"))
+      Packing.packSequencesByKey(toks, "shard", "doc_id", "tok", budget = 256)
+    }),
     "q61_split" -> ((s, dir) => {
       // deterministic 80/10/10 train/val/test: md5-bucket carving —
       // scan-stage expression, stable under appends and re-partitioning
@@ -1205,6 +1213,23 @@ object SparkEntry {
         | round(n_tokens::DOUBLE / tot::DOUBLE, 6) AS token_share,
         | round(tot::DOUBLE / (k::DOUBLE * n_tokens::DOUBLE), 6) AS uniform_weight
         |FROM t CROSS JOIN tot""".stripMargin,
+    // q60's cut-point arithmetic with PARTITION BY shard
+    "q73_pack_by_shard" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
+        | FROM documents),
+        |p AS (SELECT shard, doc_id, tok,
+        |  CAST(coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        | FROM t WHERE tok > 0),
+        |s AS (SELECT shard, doc_id, tok, start,
+        |  unnest(generate_series(start // 256, (start + tok - 1) // 256)) AS seq_id
+        | FROM p)
+        |SELECT shard, doc_id, seq_id,
+        | greatest(seq_id * 256, start) - start AS doc_offset,
+        | greatest(seq_id * 256, start) - seq_id * 256 AS seq_offset,
+        | least((seq_id + 1) * 256, start + tok) - greatest(seq_id * 256, start) AS n_tokens
+        |FROM s""".stripMargin,
     // md5 hex prefix compared as a string — engine-portable bucketing
     "q61_split" ->
       """SELECT doc_id,

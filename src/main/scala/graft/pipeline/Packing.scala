@@ -90,6 +90,36 @@ object Packing {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Per-shard packing — the batch twin of
+    * [[graft.streaming.StreamingOps.streamingPackSequences]] and the
+    * formulation real pipelines run (pack within each shard/source, not
+    * across a global order): the exclusive prefix sum is a KEYED window
+    * (partition-parallel, no global sort anywhere), sequence ids are
+    * per-shard, and the span arithmetic is identical to the global
+    * packer. This is the fully declarative scale path — every shard is
+    * an independent window partition, so 10⁶ shards pack concurrently. */
+  def packSequencesByKey(df: DataFrame, keyCol: String, idCol: String,
+      tokCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = lit(budget)
+    val withStart = df.filter(col(tokCol) > 0)
+      .select(col(keyCol).as("shard"), col(idCol).cast("long").as("doc_id"),
+        col(tokCol).cast("long").as("tok"))
+      .withColumn("start", coalesce(sum(col("tok")).over(w), lit(0L)))
+    val first = expr(s"start div $budget")
+    val last = expr(s"(start + tok - 1) div $budget")
+    val from = greatest(col("seq_id") * b, col("start"))
+    val to = least((col("seq_id") + 1) * b, col("start") + col("tok"))
+    withStart
+      .withColumn("seq_id", explode(sequence(first, last)))
+      .select(col("shard"), col("doc_id"), col("seq_id"),
+        (from - col("start")).as("doc_offset"),
+        (from - col("seq_id") * b).as("seq_offset"),
+        (to - from).as("n_tokens"))
+  }
+
   /** Declarative single-window formulation — differential reference. */
   def packSequencesWindow(df: DataFrame, idCol: String, tokCol: String,
       budget: Long): DataFrame = {

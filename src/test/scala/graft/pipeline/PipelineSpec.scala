@@ -66,6 +66,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesByKey ≡ independent global packs per shard") {
+    import spark.implicits._
+    val docs = Seq((0L, 1L, 30L), (0L, 2L, 20L), (0L, 3L, 40L), (0L, 4L, 0L),
+      (1L, 1L, 10L), (1L, 2L, 100L), (2L, 9L, 64L))
+      .toDF("shard", "doc_id", "tok").repartition(4)
+    val keyed = Packing.packSequencesByKey(docs, "shard", "doc_id", "tok", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sorted.toSeq
+    val expected = Seq(0L, 1L, 2L).flatMap { sh =>
+      val one = docs.filter(col("shard") === sh).drop("shard")
+      Packing.packSequencesWindow(one, "doc_id", "tok", 64)
+        .collect().map(r => (sh, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    }.sorted
+    assert(keyed == expected, s"\n$keyed\nvs\n$expected")
+  }
+
   test("mixWeights: shares sum to 1, uniform weight inverts the share") {
     import spark.implicits._
     val df = Seq(("web", 100L), ("web", 300L), ("books", 400L),
