@@ -75,13 +75,22 @@ object Dedup {
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b; `est_jaccard` is
     * the signature agreement fraction. The bucket join shuffles only
     * (bucket, id, signature) — documents never move. */
+  /** `maxBucket` caps the per-band bucket size: a corpus that is mostly
+    * COPIES of few documents puts thousands of identical signatures in
+    * the same buckets, and the pair join goes quadratic in the copy
+    * count (measured: a 2M-row corpus with ~1k distinct texts emits
+    * ~2·10⁹ candidate pairs and spills the cluster). Buckets above the
+    * cap are dropped — their members are near-identical by construction
+    * and the EXACT-dedup tier ([[exact]]/[[normalizedKey]], which is
+    * linear) already groups them; banding is for the near-dup tail. */
   def minhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleHashesOf: Column => Column = TextFunctions.shingleHashes(_, 3),
       numHashes: Int = 64,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxBucket: Long = 100000L): DataFrame = {
     val rowsPerBand = numHashes / bands
     val params = minhashParams(numHashes)
     // materialize the shingle array once per row — inlining it into the
@@ -94,8 +103,14 @@ object Dedup {
       .select(col(idCol).as("id"),
         minhashSignature(shingleHashesOf(col(textCol)), params).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("id"),
+    val banded0 = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
+    // one keyed window pass drops over-cap buckets before the self-join
+    val banded = banded0
+      .withColumn("__bn", count(lit(1))
+        .over(Window.partitionBy(col("bucket"))))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     val a = banded.select(col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("bucket"), col("id").as("id_b"))
     // dedupe pairs BEFORE scoring: docs sharing many bands would otherwise

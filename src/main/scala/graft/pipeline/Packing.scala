@@ -62,7 +62,9 @@ object Packing {
       Row(id, s, dOff, sOff, n)
     }
 
-  /** Range-partitioned packing — the scale path. */
+  /** Range-partitioned packing — the scale path. Document ids must be
+    * unique (they define the concatenation order; duplicates would make
+    * the layout nondeterministic). */
   def packSequences(df: DataFrame, idCol: String, tokCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

@@ -25,8 +25,9 @@ object Sampling {
 
   /** Assign each row a named split by hashing its id into 256 buckets and
     * carving them by the given integer weights (e.g. train/val/test
-    * 204/26/26 ≈ 80/10/10). Weights must sum to ≤ 256; the split column
-    * is appended. */
+    * 204/26/26 ≈ 80/10/10). Weights must sum to ≤ 256; any remainder
+    * buckets fall to the LAST split (its weight is effectively
+    * 256 − preceding). The split column is appended. */
   def deterministicSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 256,

@@ -74,6 +74,27 @@ class DedupSpec extends SparkSpec {
     assert(hc == ham(sigs(1L), sigs(3L)))
   }
 
+  test("minhashCandidates: over-cap buckets drop (copy-flood guard)") {
+    import spark.implicits._
+    // 300 verbatim copies would emit ~45k quadratic pairs; the cap drops
+    // their buckets while the genuine near-dup pair is still found
+    val flood = (100L until 400L).map(i =>
+      (i, "identical boilerplate sentence repeated across the whole dump " +
+        "with enough words to shingle"))
+    val all = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      ++ flood).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(all, "doc_id", "text", maxBucket = 100)
+      .filter(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((4L, 5L)), pairs.take(5).toString) // real dup pair
+    assert(!pairs.exists(p => p._1 >= 100 && p._2 >= 100),
+      s"flood pairs leaked: ${pairs.count(p => p._1 >= 100)}")
+    // with the default (generous) cap the flood pairs ARE emitted
+    val uncapped = Dedup.minhashCandidates(all, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5).count()
+    assert(uncapped > 40000, s"uncapped $uncapped")
+  }
+
   test("simhashCandidates: banding is pigeonhole-complete to hamming ≤ bands-1") {
     import spark.implicits._
     // near-dup cluster (1,2), exact dup pair (4,5), an unrelated doc, and
