@@ -172,7 +172,8 @@ object Dedup {
       sigCol: String,
       bandBits: Int = 16,
       maxHamming: Int = 8,
-      dropZeroSig: Boolean = true): DataFrame = {
+      dropZeroSig: Boolean = true,
+      maxBucket: Long = 100000L): DataFrame = {
     val bands = 64 / bandBits
     val mask = (1L << bandBits) - 1
     // sig 0 is the empty-feature-set sentinel (null/blank text); those
@@ -188,6 +189,13 @@ object Dedup {
         explode(bandStructs).as("__bk"))
       .select(col("__id"), col("__sig"),
         col("__bk.band").as("__band"), col("__bk.bval").as("__bval"))
+      // same copy-flood guard as minhashCandidates: a mostly-duplicate
+      // corpus floods a few buckets and the self-join goes quadratic in
+      // the copy count; over-cap buckets belong to the exact-dedup tier
+      .withColumn("__bn", count(lit(1))
+        .over(Window.partitionBy(col("__band"), col("__bval"))))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     val a = banded.select(col("__band"), col("__bval"),
       col("__id").as("id_a"), col("__sig").as("sig_a"))
     val b = banded.select(col("__band"), col("__bval"),

@@ -148,6 +148,24 @@ class DedupSpec extends SparkSpec {
     assert(hits.head._3 == 12, hits.head.toString)
   }
 
+  test("simhashCandidates: over-cap buckets drop (copy-flood guard)") {
+    import spark.implicits._
+    val flood = (100L until 400L).map(i =>
+      (i, "identical boilerplate sentence repeated across the whole dump"))
+    val all = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      ++ flood).toDF("doc_id", "text")
+    val sigs = all.select(col("doc_id"),
+      Dedup.simhashFromHashes(
+        transform(TextFunctions.shingleHashes(col("text"), 2),
+          Dedup.widenHash62(_))).as("sig"))
+    val capped = Dedup.simhashCandidates(sigs, "doc_id", "sig",
+        maxHamming = 8, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 >= 100 && p._2 >= 100),
+      s"flood pairs leaked: ${capped.count(p => p._1 >= 100)}")
+    assert(capped.contains((4L, 5L)), capped.take(5).toString)
+  }
+
   test("native ShingleHashes expression ≡ the higher-order-function formulation") {
     val n = docs.select(
       TextFunctions.shingleHashes(col("text"), 3).as("a"),
