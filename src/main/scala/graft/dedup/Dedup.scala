@@ -220,17 +220,23 @@ object Dedup {
     * only (hash, id) pairs shuffle, never text. The eval side is
     * typically tiny (benchmarks), so Spark broadcasts it and the train
     * side never shuffles at all. Pick `n` large enough (8+ tokens) that
-    * boilerplate n-grams are rare; genuinely universal shingles skew the
-    * join key and should be pre-filtered by document frequency upstream
-    * at extreme corpus sizes. */
+    * boilerplate n-grams are rare; shingles appearing in more than
+    * `maxShingleDf` TRAIN documents (license headers, templated
+    * boilerplate) are dropped before the join — they would make the
+    * collision join quadratic in the boilerplate count and they carry no
+    * contamination signal (standard decontamination practice). */
   def decontaminate(
       train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String,
-      n: Int = 8, minShared: Long = 3L): DataFrame = {
+      n: Int = 8, minShared: Long = 3L,
+      maxShingleDf: Long = 100000L): DataFrame = {
     def side(df: DataFrame, out: String) = df
       .select(col(idCol).as(out),
         explode(TextFunctions.shingleHashes(col(textCol), n)).as("__h"))
     side(train, "train_id")
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
       .join(side(eval_, "eval_id"), "__h")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count_distinct(col("__h")).as("n_shared"))

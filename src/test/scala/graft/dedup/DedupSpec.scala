@@ -146,6 +146,17 @@ class DedupSpec extends SparkSpec {
     assert(hits.map(h => (h._1, h._2)).toSeq == Seq((101L, 9L)), hits.mkString(";"))
     // a 16-token eval doc has 12 distinct 5-gram shingles, all in doc 101
     assert(hits.head._3 == 12, hits.head.toString)
+
+    // boilerplate guard: the contaminated span pasted into 50 train docs
+    // exceeds maxShingleDf → its shingles drop, nothing is flagged; with
+    // the generous default all 50 are flagged
+    import spark.implicits._
+    val many = (200L until 250L).map(i =>
+      (i, s"doc $i header $evalSpan trailing")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(many, eval_, "doc_id", "text",
+      n = 5, minShared = 3, maxShingleDf = 10).count() == 0)
+    assert(Dedup.decontaminate(many, eval_, "doc_id", "text",
+      n = 5, minShared = 3).count() == 50)
   }
 
   test("simhashCandidates: over-cap buckets drop (copy-flood guard)") {
