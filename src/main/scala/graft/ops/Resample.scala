@@ -32,7 +32,8 @@ object Resample {
       tsf: TimeseriesFrame,
       centsCol: String,
       everySeconds: Long,
-      fill: String = "linear"): DataFrame = {
+      fill: String = "linear",
+      maxGridCellsPerSeries: Long = 10L * 1000 * 1000): DataFrame = {
     require(everySeconds > 0, s"everySeconds must be positive: $everySeconds")
     val tc = tsf.timeCol.getOrElse(
       throw new IllegalArgumentException("resample needs a time column"))
@@ -47,10 +48,21 @@ object Resample {
       .agg(sum(col("__cents")).cast("long").as("__cents_sum"),
         count(lit(1)).as("n_events"))
 
-    // complete per-series grid: explode the [min, max] bucket range
-    val grid = agg
+    // complete per-series grid: explode the [min, max] bucket range.
+    // Guard the explode first: a multi-year span at second resolution
+    // would make sequence() emit billions of elements from ONE row — an
+    // executor OOM with no useful message. The check is an aggregate
+    // over the (small) per-series extents, not the data.
+    val extents = agg
       .groupBy(keyCols: _*)
       .agg(min(col("bucket_s")).as("__lo"), max(col("bucket_s")).as("__hi"))
+    val worst = extents
+      .agg(max(expr(s"(__hi - __lo) div $everySeconds") + 1).as("m"))
+      .head().getLong(0)
+    require(worst <= maxGridCellsPerSeries,
+      s"resample grid would emit $worst cells for one series " +
+        s"(span/everySeconds); raise everySeconds or maxGridCellsPerSeries")
+    val grid = extents
       .select(keyCols :+ explode(
         sequence(col("__lo"), col("__hi"), lit(everySeconds))).as("bucket_s"): _*)
 
