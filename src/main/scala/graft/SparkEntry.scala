@@ -656,6 +656,17 @@ object SparkEntry {
           col("channels").cast("long").as("channels"),
           round(element_at(col("histogram"), 7), 6).as("hist6"))
     }),
+    "q74_frame_sample" -> ((s, dir) => {
+      // strided frame sampling over binary payloads (video-frame-style
+      // plumbing on the deterministic stub): 256-byte frames, stride 2 —
+      // partition-local explode, no shuffle; hist bin 6 hash-checked
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(d, "doc_id", "payload",
+          frameBytes = 256, stride = 2).toDF()
+        .select(col("id"), col("frameIndex").cast("long").as("frame_index"),
+          round(element_at(col("features"), 7), 6).as("hist6"))
+    }),
     "q36_sequence_calendar" -> ((s, dir) => {
       // implied-sequence synthesis with month-end clamping (leap year):
       // start 2020-01-31, monthly steps over customers in key order
@@ -1510,6 +1521,21 @@ object SparkEntry {
          |    AND (ft IS NULL OR abs(t - bt) <= abs(t - ft))
          |   THEN bv ELSE fv END, 6) AS asof_v
          |FROM b JOIN f USING (event_id)""".stripMargin,
+    // same char-code arithmetic as q35, per 256-byte chunk
+    "q74_frame_sample" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+        |f AS (SELECT doc_id, text,
+        |  unnest(generate_series(0, (L - 1) // 256)) AS fi
+        | FROM t WHERE L > 0),
+        |sel AS (SELECT doc_id, fi,
+        |  substr(text, CAST(fi * 256 + 1 AS INT), 256) AS chunk
+        | FROM f WHERE fi % 2 = 0)
+        |SELECT doc_id AS id, CAST(fi AS BIGINT) AS frame_index,
+        | round(len(list_filter(
+        |   list_transform(list_filter(string_split(chunk, ''), c -> c != ''),
+        |    c -> ascii(c)), a -> a // 16 = 6))::DOUBLE
+        |  / greatest(length(chunk), 1), 6) AS hist6
+        |FROM sel""".stripMargin,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),
