@@ -867,7 +867,7 @@ object SparkEntry {
         .toDF("step", "forecast", "ci_low", "ci_high")
     }),
     "q69_resample" -> ((s, dir) => {
-      // regular-grid resampling per user: 10-minute buckets (exact-cents
+      // regular-grid resampling per user: hourly buckets (exact-cents
       // means), COMPLETE grid via per-series sequence explode, linear
       // fill through the O(n) window carries; n_events=0 marks
       // interpolated points

@@ -39,8 +39,10 @@ object Quantiles {
       accuracy: Int = 10000) = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad ps: $ps")
     ps.map { p =>
-      val name = s"p${(p * 100).toInt}" + (if ((p * 1000).toInt % 10 != 0)
-        ((p * 1000).toInt % 10).toString else "")
+      // round, never truncate: (0.29 * 100).toInt is 28 in binary floats.
+      // One rounded per-mille integer derives both label parts.
+      val pm = math.round(p * 1000)
+      val name = s"p${pm / 10}" + (if (pm % 10 != 0) (pm % 10).toString else "")
       val c =
         if (exactAgg) percentile(col(valueCol), lit(p))
         else approx_percentile(col(valueCol), lit(p), lit(accuracy)).cast("double")

@@ -230,9 +230,15 @@ object Dedup {
       idCol: String, textCol: String,
       n: Int = 8, minShared: Long = 3L,
       maxShingleDf: Long = 100000L): DataFrame = {
+    // distinct BEFORE the df window: shingleHashes replays every n-gram
+    // occurrence, so a repetitive doc emits the same hash many times —
+    // the cap must count DOCUMENT frequency (distinct train docs per
+    // hash), as the oracle's list_distinct does, or one doc repeating a
+    // rare n-gram could push it over the cap and mask real contamination.
     def side(df: DataFrame, out: String) = df
       .select(col(idCol).as(out),
         explode(TextFunctions.shingleHashes(col(textCol), n)).as("__h"))
+      .distinct()
     side(train, "train_id")
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__df") <= maxShingleDf)

@@ -56,12 +56,17 @@ object Resample {
     val extents = agg
       .groupBy(keyCols: _*)
       .agg(min(col("bucket_s")).as("__lo"), max(col("bucket_s")).as("__hi"))
-    val worst = extents
+    val worstRow = extents
       .agg(max(expr(s"(__hi - __lo) div $everySeconds") + 1).as("m"))
-      .head().getLong(0)
-    require(worst <= maxGridCellsPerSeries,
-      s"resample grid would emit $worst cells for one series " +
-        s"(span/everySeconds); raise everySeconds or maxGridCellsPerSeries")
+      .head()
+    // max() over zero rows is null (empty input): skip the guard — the
+    // grid explode over empty extents is itself empty, schema intact.
+    if (!worstRow.isNullAt(0)) {
+      val worst = worstRow.getLong(0)
+      require(worst <= maxGridCellsPerSeries,
+        s"resample grid would emit $worst cells for one series " +
+          s"(span/everySeconds); raise everySeconds or maxGridCellsPerSeries")
+    }
     val grid = extents
       .select(keyCols :+ explode(
         sequence(col("__lo"), col("__hi"), lit(everySeconds))).as("bucket_s"): _*)

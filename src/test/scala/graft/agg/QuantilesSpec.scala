@@ -19,6 +19,17 @@ class QuantilesSpec extends SparkSpec {
     assert(r.getDouble(5) == 40.0)
   }
 
+  test("column labels round rather than truncate binary-float p*100") {
+    import spark.implicits._
+    val df = Seq(("g", 1L), ("g", 2L)).toDF("g", "v")
+    // 0.29*100 and 0.57*100 are 28.999…/56.999… in binary doubles —
+    // truncation would label them p28/p56 (and a ps like (0.28, 0.29)
+    // would then alias-collide). Third-decimal ps keep the digit suffix.
+    val names = Quantiles.exact(df, Seq("g"), "v",
+      Seq(0.29, 0.57, 0.125, 0.05, 1.0)).columns.toSeq
+    assert(names == Seq("g", "p29", "p57", "p125", "p5", "p100"), names)
+  }
+
   test("approx: rank error within sketch accuracy of exact, per group") {
     import spark.implicits._
     val df = (0 until 3).flatMap { g =>

@@ -157,6 +157,15 @@ class DedupSpec extends SparkSpec {
       n = 5, minShared = 3, maxShingleDf = 10).count() == 0)
     assert(Dedup.decontaminate(many, eval_, "doc_id", "text",
       n = 5, minShared = 3).count() == 50)
+
+    // the df cap counts DISTINCT train docs per shingle, not occurrences:
+    // ONE doc repeating the contaminated span 20 times must not push its
+    // shingles over a cap of 10 — contamination still flagged
+    val repetitive = Seq(
+      (301L, Seq.fill(20)(evalSpan).mkString(" filler "))).toDF("doc_id", "text")
+    val rep = Dedup.decontaminate(repetitive, eval_, "doc_id", "text",
+      n = 5, minShared = 3, maxShingleDf = 10).collect()
+    assert(rep.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((301L, 9L)))
   }
 
   test("simhashCandidates: over-cap buckets drop (copy-flood guard)") {

@@ -42,4 +42,12 @@ class ResampleSpec extends SparkSpec {
     assert((0 to 2).forall(i => out(("b", b0 + 60L * i))._2 == 1L))
     assert(out.keys.count(_._1 == "b") == 3)
   }
+
+  test("meanGrid: empty input yields empty output, not an NPE in the guard") {
+    val tsf = TimeseriesFrame(fixture.filter(col("k") === "nope"),
+      Some("ts"), Nil, Seq("k"))
+    val out = Resample.meanGrid(tsf, "cents", everySeconds = 60)
+    assert(out.count() == 0)
+    assert(out.columns.contains("value_mean") && out.columns.contains("n_events"))
+  }
 }

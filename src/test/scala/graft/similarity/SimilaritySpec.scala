@@ -33,6 +33,21 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("native dot expression matches the HOF twin bit-for-bit (differential)") {
+    // dotHof is the pre-native zip_with/aggregate formulation, kept as the
+    // independent oracle for the codegen'd VectorFunctions.dot expression:
+    // both are sequential left folds, so results must be IDENTICAL doubles.
+    val pairs = embeddings.limit(64)
+      .select(col("embedding").cast("array<double>").as("a"))
+      .crossJoin(broadcast(embeddings.limit(8)
+        .select(col("embedding").cast("array<double>").as("b"))))
+    val diff = pairs.select(
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
   test("stateful running stats fold across micro-batches (flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
