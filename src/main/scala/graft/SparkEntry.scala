@@ -272,24 +272,17 @@ object SparkEntry {
         .filter(col("est_jaccard") >= 0.5)),
     "q57_embedding_clusters" -> ((s, dir) => {
       // the embedding tier of dedup clustering: cosine-threshold graph →
-      // connected components. Brute-force pair generation is the
-      // correctness baseline (the scale path swaps in the LSH bucket
-      // join, q22 — components are agnostic to the pair source); sims
-      // round to 4 decimals BEFORE thresholding so both engines make
-      // identical boundary decisions
-      val e = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        // norms once per VECTOR, not per pair — the pair loop then costs
-        // one dot product instead of three (sqrt(dot(x,x)) is identical
-        // arithmetic either way, and sims round to 4dp before the
-        // threshold, so both engines still agree at the boundary)
-        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-      val pairs = a.crossJoin(b)
-        .filter(col("id_a") < col("id_b"))
-        .filter(round(
-          Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4) >= 0.42)
+      // connected components. Pair generation is the triangle-inequality-
+      // pruned cell join (recall 1 by geometry — the output is invariant
+      // to how k-means clusters, so the DuckDB brute-force oracle still
+      // hash-matches; no corpus×corpus cross join in the plan). Prune at
+      // 0.41995 because the keep predicate rounds to 4dp first; sims
+      // round BEFORE thresholding so both engines make identical
+      // boundary decisions
+      val pairs = Similarity.cosineCandidates(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.41995, nlist = 16)
+        .filter(round(col("sim"), 4) >= 0.42)
       Dedup.connectedComponents(pairs)
         .select(col("id").as("vec_id"), col("component"))
     }),

@@ -1,7 +1,9 @@
 package graft.ops
 
 /** Delaunay triangulation over INTEGER points (Bowyer–Watson) with exact
-  * arithmetic predicates — orientation in Long, incircle in BigInt — so
+  * arithmetic predicates — BigInt during triangulation (the super
+  * vertices are astronomically far, see [[triangulate]]), Long for the
+  * all-finite interpolation-time orientation tests — so
   * the heavily cocircular point sets this library feeds it (matrix cells
   * are an integer grid with holes, every unit square's corners are
   * cocircular) can never drive the incremental insertion into an
@@ -41,7 +43,20 @@ object Delaunay {
   }
 
   /** Triangles as CCW index triples into `pts`; empty when fewer than 3
-    * points or all collinear. */
+    * points or all collinear.
+    *
+    * The super-triangle is placed at distance 2¹²⁸ from the data — far
+    * enough to be PROVABLY outside every circumcircle of every real
+    * triple: integer points make the minimum non-collinear triangle area
+    * 1/2, so the circumradius R = abc/(4·area) of any real triple with
+    * |coords| ≤ 2³¹ is at most (2³³)³/2 < 2⁹⁸, while the super vertices
+    * sit at ~2¹²⁸. A fixed small multiple of the data span (the naive
+    * construction) has no such guarantee — near-collinear triples have
+    * circumradii that exceed any span multiple, a super vertex lands
+    * inside them, and Bowyer–Watson silently loses hull-adjacent
+    * triangles. Predicates run in BigInt throughout triangulation (exact
+    * at any magnitude); [[interpolate]] keeps the Long fast path since
+    * real points stay 32-bit. */
   def triangulate(pts: Array[(Int, Int)]): Array[(Int, Int, Int)] = {
     val n = pts.length
     if (n < 3) return Array.empty
@@ -49,24 +64,37 @@ object Delaunay {
     val xs = pts.map(_._1.toLong); val ys = pts.map(_._2.toLong)
     val (minX, maxX) = (xs.min, xs.max)
     val (minY, maxY) = (ys.min, ys.max)
-    val span = math.max(math.max(maxX - minX, maxY - minY), 1L) * 16 + 16
+    val far = BigInt(1) << 128 // > any real-triple circumradius (< 2^98)
     val sup = Array(
-      (minX - span, minY - span),
-      (minX + 3 * span, minY - span),
-      (minX - span, minY + 3 * span))
-    def px(i: Int): Long = if (i < n) pts(i)._1.toLong else sup(i - n)._1
-    def py(i: Int): Long = if (i < n) pts(i)._2.toLong else sup(i - n)._2
+      (BigInt(minX) - far, BigInt(minY) - far),
+      (BigInt(minX) + 3 * far, BigInt(minY) - far),
+      (BigInt(minX) - far, BigInt(minY) + 3 * far))
+    def px(i: Int): BigInt = if (i < n) BigInt(pts(i)._1) else sup(i - n)._1
+    def py(i: Int): BigInt = if (i < n) BigInt(pts(i)._2) else sup(i - n)._2
+    def orientB(ax: BigInt, ay: BigInt, bx: BigInt, by: BigInt,
+        cx: BigInt, cy: BigInt): BigInt =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    def inCircleB(ax: BigInt, ay: BigInt, bx: BigInt, by: BigInt,
+        cx: BigInt, cy: BigInt, px0: BigInt, py0: BigInt): BigInt = {
+      val (adx, ady) = (ax - px0, ay - py0)
+      val (bdx, bdy) = (bx - px0, by - py0)
+      val (cdx, cdy) = (cx - px0, cy - py0)
+      (adx * adx + ady * ady) * (bdx * cdy - bdy * cdx) -
+        (bdx * bdx + bdy * bdy) * (adx * cdy - ady * cdx) +
+        (cdx * cdx + cdy * cdy) * (adx * bdy - ady * bdx)
+    }
 
     def ccw(t: (Int, Int, Int)): (Int, Int, Int) = {
       val (a, b, c) = t
-      if (orient(px(a), py(a), px(b), py(b), px(c), py(c)) >= 0) t else (a, c, b)
+      if (orientB(px(a), py(a), px(b), py(b), px(c), py(c)).signum >= 0) t
+      else (a, c, b)
     }
     var tris = scala.collection.mutable.Set[(Int, Int, Int)](
       ccw((n, n + 1, n + 2)))
 
     for (p <- 0 until n) {
       val bad = tris.filter { case (a, b, c) =>
-        inCircle(px(a), py(a), px(b), py(b), px(c), py(c), px(p), py(p)) > 0
+        inCircleB(px(a), py(a), px(b), py(b), px(c), py(c), px(p), py(p)).signum > 0
       }
       if (bad.nonEmpty) {
         // polygon boundary = edges of the bad region appearing exactly once
@@ -82,7 +110,8 @@ object Delaunay {
           val t = ccw((u, v, p))
           // skip degenerate (collinear) fill triangles
           val (a, b, c) = t
-          if (orient(px(a), py(a), px(b), py(b), px(c), py(c)) != 0) tris += t
+          if (orientB(px(a), py(a), px(b), py(b), px(c), py(c)).signum != 0)
+            tris += t
         }
       }
     }

@@ -76,6 +76,97 @@ object Similarity {
   def lshBucket(vec: Column, numPlanes: Int, table: Int, dim: Int): Column =
     graft.functions.VectorFunctions.lshBucket(vec, numPlanes, table, dim)
 
+  /** EXACT cosine-threshold candidate pairs without the corpus×corpus
+    * cross join — the pair generator for embedding-tier dedup clustering
+    * (threshold graph → [[graft.dedup.Dedup.connectedComponents]]).
+    *
+    * Completeness is geometric, not probabilistic: on unit vectors,
+    * `cos(a,b) ≥ τ  ⇔  ‖û_a − û_b‖ ≤ √(2−2τ)`, so after coarse-quantizing
+    * the unit sphere (seeded k-means, the [[IvfIndex]] machinery) the
+    * triangle inequality bounds which CELL pairs can contain a qualifying
+    * vector pair: `d(c_i,c_j) ≤ √(2−2τ) + r_i + r_j` (r = cell radius).
+    * Every qualifying pair survives BY CONSTRUCTION — unlike hyperplane
+    * LSH, whose per-pair recall at moderate τ (near-threshold similarities
+    * ~0.4–0.5) cannot reach 1 at any subquadratic table count — so the
+    * output is invariant to how k-means happens to cluster; clustering
+    * quality only moves the candidate count between Θ(n²) (one blob) and
+    * ~Σ|cell|² (separated clusters, the realistic near-dup regime).
+    *
+    * Scale shape: one seeded k-means job; the only cross join is
+    * centroids×centroids (nlist² rows, broadcast-small by construction);
+    * candidates come from an equi-join of the corpus against itself ON THE
+    * CELL-PAIR LIST — a hash join keyed on cell ids, never a nested loop.
+    *
+    * `threshold` is used ONLY for pruning (a strict lower bound on what
+    * the caller keeps): the emitted `sim` is unfiltered exact cosine on the
+    * ORIGINAL vectors (same fold as [[cosinePre]], bit-identical to the
+    * brute-force baseline), so callers apply their own keep predicate —
+    * pass `threshold` slightly below it if they round first (a caller
+    * keeping `round(sim,4) ≥ 0.42` should prune at ≤ 0.41995). */
+  def cosineCandidates(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 64, seed: Long = 42L,
+      maxIter: Int = 20): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val spark = corpus.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // zero-norm vectors: cosine is defined 0 here (< any positive τ) —
+    // they can never pair, so drop them before normalizing
+    val raw = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0.0)
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+      .withColumn("features", array_to_vector(col("u")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(raw)
+    val assigned = model.transform(raw)
+      .select(col("id"), col("v"), col("nrm"), col("u"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val centRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toArray.toSeq) }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val centDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows.toSeq, 1), centSchema)
+    def dist(a: Column, b: Column): Column = sqrt(aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+    // per-cell radius in unit space (nlist rows)
+    val radii = assigned.join(broadcast(centDf), "cell")
+      .groupBy(col("cell"))
+      .agg(max(dist(col("u"), col("cv"))).as("r"))
+    val cells = centDf.join(radii, "cell")
+    // qualifying cell pairs, BOTH orientations so the id_a < id_b filter
+    // below sees each doc pair in exactly one of them; 1e-9 absorbs the
+    // unit-space rounding of the normalize + distance folds
+    val dCut = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+    val cpairs = broadcast(cells.select(
+        col("cell").as("cell_a"), col("cv").as("cva"), col("r").as("ra"))
+      .crossJoin(cells.select(
+        col("cell").as("cell_b"), col("cv").as("cvb"), col("r").as("rb")))
+      .filter(dist(col("cva"), col("cvb")) <= lit(dCut) + col("ra") + col("rb"))
+      .select(col("cell_a"), col("cell_b")))
+
+    val a = assigned.select(col("cell").as("cell_a"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell").as("cell_b"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(cpairs, "cell_a")
+      .join(b, "cell_b")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+  }
+
   /** LSH-bucketed ANN: multi-probe via `tables` independent bucket keys;
     * candidates are corpus rows sharing any bucket with the query, then
     * exact-rescored and top-k'd. Recall < 1 by construction; the bucket

@@ -40,6 +40,33 @@ class DelaunaySpec extends SparkSpec {
     }
   }
 
+  test("near-collinear triples: full hull coverage despite huge circumradii") {
+    // three almost-collinear points whose circumradius (~d²/8h ≈ 2³⁹)
+    // dwarfs any small multiple of the data span — the regression case
+    // for a finite span-scaled super-triangle, where a super vertex
+    // lands inside the circumcircle and hull triangles silently vanish.
+    val flat = Array((0, 0), (1 << 20, 1), (2 << 20, 0))
+    val t1 = Delaunay.triangulate(flat)
+    assert(t1.length == 1, s"expected the single real triangle, got ${t1.toSeq}")
+
+    // a strip of near-collinear points plus one apex: every in-hull grid
+    // probe along the strip must interpolate (brute hull test = the three
+    // orientation signs against each triangle, which interpolate() does;
+    // coverage means SOME triangle contains each probe)
+    val strip = (0 to 8).map(i => (i * 1000, (i % 2))).toArray :+ (4000, 500)
+    val z = strip.map(p => 0.001 * p._1 + 0.002 * p._2 + 1.0)
+    val tris = Delaunay.triangulate(strip)
+    // probes strictly inside the hull: along the apex's median line
+    for (x <- 500 to 7500 by 500) {
+      val y = 2 + (x - 500) / 50 * (if (x <= 4000) 1 else 0) -
+        (if (x > 4000) (x - 4000) / 50 else 0)
+      val got = Delaunay.interpolate(strip, z, tris, (x, math.max(y, 2)))
+      assert(got.isDefined, s"coverage hole at ($x, ${math.max(y, 2)})")
+      val want = 0.001 * x + 0.002 * math.max(y, 2) + 1.0
+      assert(math.abs(got.get - want) < 1e-9, s"($x): ${got.get} vs $want")
+    }
+  }
+
   test("triangulate: degenerate inputs — <3 points or collinear → empty") {
     assert(Delaunay.triangulate(Array((0, 0), (1, 1))).isEmpty)
     assert(Delaunay.triangulate(

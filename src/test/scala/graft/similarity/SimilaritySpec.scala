@@ -33,6 +33,36 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("cosineCandidates: triangle-pruned pairs == brute threshold graph, bit-for-bit") {
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (tau <- Seq(0.42, 0.45, 0.6)) {
+      val brute = toSet(a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Similarity.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+        .filter(col("sim") >= tau))
+      // completeness is geometric — it must hold for ANY nlist, including
+      // a deliberately bad quantization (k=3 over ~40 real clusters)
+      for (nlist <- Seq(3, 16)) {
+        val pruned = toSet(Similarity.cosineCandidates(e, "vec_id", "v",
+          threshold = tau, nlist = nlist).filter(col("sim") >= tau))
+        assert(pruned == brute,
+          s"tau=$tau nlist=$nlist: ${pruned.size} vs brute ${brute.size}")
+      }
+    }
+    // zero-norm vectors never pair (cosine defined 0 here), never NaN
+    val withZero = e.select(col("vec_id"), col("v"))
+      .union(Seq((9999L, Seq.fill(64)(0.0))).toDF("vec_id", "v"))
+    val z = Similarity.cosineCandidates(withZero, "vec_id", "v", threshold = 0.42)
+    assert(z.filter(col("id_a") === 9999L || col("id_b") === 9999L).count() == 0)
+  }
+
   test("native dot expression matches the HOF twin bit-for-bit (differential)") {
     // dotHof is the pre-native zip_with/aggregate formulation, kept as the
     // independent oracle for the codegen'd VectorFunctions.dot expression:
