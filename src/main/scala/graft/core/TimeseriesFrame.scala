@@ -77,10 +77,10 @@ final case class TimeseriesFrame(
 
   /** Reference `interp()` (`timeseries.py:274-299`): an interpolated copy
     * using the remembered settings, over `cols` or (default) every
-    * numeric non-axis column. The multivariate pre-pass applies for the
-    * 'nearest' method (the implemented griddata variant —
-    * `Interpolate.multivariateNearest`); a univariate pass always follows,
-    * as in the reference. */
+    * numeric non-axis column. The multivariate griddata pre-pass applies
+    * for all three reference variants ('nearest' / 'linear' / 'cubic' —
+    * `Interpolate.multivariate*`); a univariate pass always follows, as
+    * in the reference. */
   def interp(cols: Seq[String] = Nil): DataFrame = {
     val axis = timeCol.toSeq ++ tieBreak ++ seriesKeys
     val targets =
@@ -90,10 +90,15 @@ final case class TimeseriesFrame(
           f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
       }.toSeq
     val pre =
-      if (interpMultivariate && interpMethod == "nearest" && targets.size >= 3)
-        copy(df = graft.ops.Interpolate.multivariateNearest(this, targets))
-      else if (interpMultivariate && interpMethod == "linear" && targets.size >= 3)
-        copy(df = graft.ops.Interpolate.multivariateLinear(this, targets))
+      if (interpMultivariate && targets.size >= 3) interpMethod match {
+        case "nearest" =>
+          copy(df = graft.ops.Interpolate.multivariateNearest(this, targets))
+        case "linear" =>
+          copy(df = graft.ops.Interpolate.multivariateLinear(this, targets))
+        case "cubic" =>
+          copy(df = graft.ops.Interpolate.multivariateCubic(this, targets))
+        case _ => this
+      }
       else this
     graft.ops.Interpolate(pre, targets, interpMethod)
   }

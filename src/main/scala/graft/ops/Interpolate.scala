@@ -114,14 +114,7 @@ object Interpolate {
     * series. With `seriesKeys` set, each series is its own matrix (the
     * fill join carries the key columns, so fills never cross series);
     * series with fewer than 3 rows are left untouched, as in the
-    * reference.
-    *
-    * DESCOPED: the 'linear'/'cubic' griddata variants
-    * (`functions.py:300-318` with `method='linear'|'cubic'`) need a
-    * Delaunay triangulation of the scattered known cells and are NOT
-    * implemented — calling `withInterpolation(method, multivariate=true)`
-    * with those methods runs the univariate pass only. See README
-    * "Known gaps". */
+    * reference. */
   def multivariateNearest(tsf: TimeseriesFrame, cols: Seq[String],
       maxCells: Long = 10L * 1000 * 1000): DataFrame =
     multivariate(tsf, cols, "nearest", maxCells)
@@ -132,11 +125,20 @@ object Interpolate {
     * predicates, immune to the grid's pervasive cocircularity) and
     * barycentric-interpolate the NaN cells inside the hull; cells
     * outside the hull stay NaN for the univariate per-column pass, same
-    * as the reference's "do the 1d interpolation anyway" step.
-    * 'cubic' (Clough–Tocher) remains descoped — see README Known gaps. */
+    * as the reference's "do the 1d interpolation anyway" step. */
   def multivariateLinear(tsf: TimeseriesFrame, cols: Seq[String],
       maxCells: Long = 10L * 1000 * 1000): DataFrame =
     multivariate(tsf, cols, "linear", maxCells)
+
+  /** scipy-griddata-'cubic' analog (`functions.py:300-318`,
+    * `method='cubic'` → `CloughTocher2DInterpolator`): the same Delaunay
+    * pre-pass, filled with the C¹ reduced Hsieh–Clough–Tocher cubic
+    * ([[CloughTocher]] — the gradient-estimator divergence from scipy is
+    * documented there); out-of-hull cells stay NaN for the univariate
+    * pass. */
+  def multivariateCubic(tsf: TimeseriesFrame, cols: Seq[String],
+      maxCells: Long = 10L * 1000 * 1000): DataFrame =
+    multivariate(tsf, cols, "cubic", maxCells)
 
   private def multivariate(tsf: TimeseriesFrame, cols: Seq[String],
       method: String, maxCells: Long): DataFrame = {
@@ -184,6 +186,11 @@ object Interpolate {
               val tris = Delaunay.triangulate(known)
               (i, j) => Delaunay.interpolate(known, zs, tris, (i, j))
                 .getOrElse(Double.NaN)
+            case "cubic" =>
+              val zs = known.map { case (ii, jj) => vals(ii)(jj) }
+              val tris = Delaunay.triangulate(known)
+              val eval = CloughTocher.evaluator(known, zs, tris)
+              (i, j) => eval((i, j)).getOrElse(Double.NaN)
           }
           (0 until n).foreach { i =>
             val fills = Array.ofDim[java.lang.Double](k)
