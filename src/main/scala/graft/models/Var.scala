@@ -139,7 +139,7 @@ final class Var(
     * for bounded series ([[PerSeries]] fans it out across many series);
     * here the order is caller-fixed. Default 'c' trend only. */
   def fitDistributed(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
-      orderCol: String, lags: Int): Var = {
+      orderCol: String, lags: Int, numPartitions: Int = 32): Var = {
     import org.apache.spark.sql.functions._
     require(trend == "c", "fitDistributed supports the default 'c' trend")
     require(lags >= 1, "need at least one lag")
@@ -147,12 +147,13 @@ final class Var(
     k = lags
     val base = df.select(col(orderCol).as("__ord") +:
       cols.map(c => col(c).cast("double").as(c)): _*)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("__ord")
+    // lag design matrix via the range-partitioned boundary carry — a
+    // global Window.orderBy would funnel the whole series through ONE
+    // task, exactly the bottleneck this path exists to avoid
     val regNames = for (l <- 1 to lags; v <- cols) yield s"__l${l}_$v"
-    val lagged = (for (l <- 1 to lags; v <- cols) yield (l, v))
-      .foldLeft(base) { case (d, (l, v)) =>
-        d.withColumn(s"__l${l}_$v", lag(col(v), l).over(w))
-      }.na.drop(cols ++ regNames)
+    val lagged = graft.ops.RangeWindow.lagColumns(
+        base, Seq(col("__ord")), cols, lags, numPartitions)
+      .na.drop(cols ++ regNames)
 
     val fits = cols.map(y => DistributedOls.fit(lagged, y, regNames))
     coefs = (0 until lags).map { l =>

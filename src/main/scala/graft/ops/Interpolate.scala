@@ -140,6 +140,121 @@ object Interpolate {
       maxCells: Long = 10L * 1000 * 1000): DataFrame =
     multivariate(tsf, cols, "cubic", maxCells)
 
+  /** Per-series executor fan-out of the multivariate pre-pass — the
+    * many-series scale path: the driver variants above collect EVERY
+    * series' cells and triangulate serially (the reference's
+    * single-table semantics, measured ~5s at 5k cells — a wall at 10k
+    * series), while this one gathers each series into one grouped row
+    * (`sort_array(collect_list(...))` — map-side partials, one shuffle)
+    * and triangulates/fills on the executors, the
+    * [[graft.models.PerSeries]] "millions of models" recipe. Fill rows
+    * then hash-join back on (keys, row index) — no driver involvement
+    * per series, no broadcast of the (possibly large) fill set.
+    * Per-series matrices must fit an executor task (`maxCellsPerSeries`),
+    * the same bound every keyed gather in this library carries. */
+  def multivariateByKey(tsf: TimeseriesFrame, cols: Seq[String],
+      method: String = "linear",
+      maxCellsPerSeries: Long = 10L * 1000 * 1000): DataFrame = {
+    require(cols.size >= 3, "reference skips multivariate below 3 continuous columns")
+    require(tsf.seriesKeys.nonEmpty, "multivariateByKey needs seriesKeys " +
+      "(use multivariateNearest/Linear/Cubic for a single series)")
+    val keys = tsf.seriesKeys
+    val k = cols.size
+    val rn = row_number().over(tsf.window).cast("long").as("__rn")
+    val base = tsf.df.withColumn("__rn", rn)
+    val cell = struct(col("__rn") +: cols.map(c => nanToNull(col(c))): _*)
+    val gathered = base
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(cell)).as("__m"))
+
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keys.map(kn => gathered.schema(kn)))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keySchema.fields ++
+        (org.apache.spark.sql.types.StructField("__rn",
+          org.apache.spark.sql.types.LongType) +:
+          cols.map(c => org.apache.spark.sql.types.StructField(
+            s"__fill_$c", org.apache.spark.sql.types.DoubleType))))
+    val mIdx = keys.size
+    val fillRdd = gathered.rdd.flatMap { row =>
+      val series = row.getSeq[org.apache.spark.sql.Row](mIdx)
+      val n = series.length
+      require(n.toLong * k <= maxCellsPerSeries,
+        s"one series has ${n.toLong * k} cells > maxCellsPerSeries=$maxCellsPerSeries")
+      val vals = Array.tabulate(n, k)((i, j) =>
+        if (series(i).isNullAt(1 + j)) Double.NaN else series(i).getDouble(1 + j))
+      val keyVals = (0 until mIdx).map(row.get)
+      fillMatrix(vals, method).iterator.map { case (i, fills) =>
+        org.apache.spark.sql.Row.fromSeq(
+          keyVals ++ (series(i).getLong(0) +: fills.toSeq))
+      }
+    }
+    val fillDf = tsf.df.sparkSession.createDataFrame(fillRdd, outSchema)
+    val joined = base.join(fillDf, keys :+ "__rn", "left")
+    cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(nanToNull(col(c)), col(s"__fill_$c")))
+    }.drop("__rn" +: cols.map(c => s"__fill_$c"): _*)
+  }
+
+  /** [[multivariateByKey]] with the griddata-'linear' fill — the keyed
+    * twin of [[multivariateLinear]]. */
+  def multivariateLinearByKey(tsf: TimeseriesFrame, cols: Seq[String],
+      maxCellsPerSeries: Long = 10L * 1000 * 1000): DataFrame =
+    multivariateByKey(tsf, cols, "linear", maxCellsPerSeries)
+
+  /** Fill one series' (row × column) matrix: NaN cells → Some fill value
+    * per `method` ('nearest' | 'linear' | 'cubic'), returned as
+    * (rowIdx, fills) with nulls where the method leaves the cell (e.g.
+    * outside the Delaunay hull). Empty when nothing is fillable (fewer
+    * than 3 rows, no known cells, or no NaN cells) — pure matrix → fills,
+    * shared by the driver path and the per-series executor fan-out. */
+  private[ops] def fillMatrix(vals: Array[Array[Double]],
+      method: String): Seq[(Int, Array[java.lang.Double])] = {
+    val n = vals.length
+    if (n < 3) return Nil // reference skips matrices below 3 rows
+    val k = vals(0).length
+    val known = (for {
+      i <- (0 until n).iterator; j <- (0 until k).iterator
+      if !vals(i)(j).isNaN
+    } yield (i, j)).toArray
+    if (known.isEmpty || known.length == n * k) return Nil
+    val fillAt: (Int, Int) => Double = method match {
+      case "nearest" => (i, j) => {
+        var best = Long.MaxValue
+        var bv = Double.NaN
+        known.foreach { case (ii, jj) =>
+          val d = (ii - i).toLong * (ii - i) + (jj - j).toLong * (jj - j)
+          if (d < best) { best = d; bv = vals(ii)(jj) }
+        }
+        bv
+      }
+      case "linear" =>
+        val zs = known.map { case (ii, jj) => vals(ii)(jj) }
+        val tris = Delaunay.triangulate(known)
+        (i, j) => Delaunay.interpolate(known, zs, tris, (i, j))
+          .getOrElse(Double.NaN)
+      case "cubic" =>
+        val zs = known.map { case (ii, jj) => vals(ii)(jj) }
+        val tris = Delaunay.triangulate(known)
+        val eval = CloughTocher.evaluator(known, zs, tris)
+        (i, j) => eval((i, j)).getOrElse(Double.NaN)
+      case m => throw new IllegalArgumentException(s"unknown method: $m")
+    }
+    (0 until n).flatMap { i =>
+      val fills = Array.ofDim[java.lang.Double](k)
+      var any = false
+      (0 until k).foreach { j =>
+        if (vals(i)(j).isNaN) {
+          val v = fillAt(i, j)
+          // NaN = not fillable by this method (e.g. outside the Delaunay
+          // hull) → leave null for the univariate pass
+          if (!v.isNaN) { fills(j) = v; any = true }
+        }
+      }
+      if (any) Some((i, fills)) else None
+    }
+  }
+
   private def multivariate(tsf: TimeseriesFrame, cols: Seq[String],
       method: String, maxCells: Long): DataFrame = {
     require(cols.size >= 3, "reference skips multivariate below 3 continuous columns")
@@ -163,50 +278,11 @@ object Interpolate {
     val fillRows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     groups.foreach { case (keyVals, rows) =>
       val n = rows.length
-      if (n >= 3) { // reference skips matrices below 3 rows
-        val vals = Array.tabulate(n, k)((i, j) =>
-          if (rows(i).isNullAt(nk + 1 + j)) Double.NaN else rows(i).getDouble(nk + 1 + j))
-        val known = (for {
-          i <- (0 until n).iterator; j <- (0 until k).iterator
-          if !vals(i)(j).isNaN
-        } yield (i, j)).toArray
-        if (known.nonEmpty && known.length < n * k) {
-          val fillAt: (Int, Int) => Double = method match {
-            case "nearest" => (i, j) => {
-              var best = Long.MaxValue
-              var bv = Double.NaN
-              known.foreach { case (ii, jj) =>
-                val d = (ii - i).toLong * (ii - i) + (jj - j).toLong * (jj - j)
-                if (d < best) { best = d; bv = vals(ii)(jj) }
-              }
-              bv
-            }
-            case "linear" =>
-              val zs = known.map { case (ii, jj) => vals(ii)(jj) }
-              val tris = Delaunay.triangulate(known)
-              (i, j) => Delaunay.interpolate(known, zs, tris, (i, j))
-                .getOrElse(Double.NaN)
-            case "cubic" =>
-              val zs = known.map { case (ii, jj) => vals(ii)(jj) }
-              val tris = Delaunay.triangulate(known)
-              val eval = CloughTocher.evaluator(known, zs, tris)
-              (i, j) => eval((i, j)).getOrElse(Double.NaN)
-          }
-          (0 until n).foreach { i =>
-            val fills = Array.ofDim[java.lang.Double](k)
-            var any = false
-            (0 until k).foreach { j =>
-              if (vals(i)(j).isNaN) {
-                val v = fillAt(i, j)
-                // NaN = not fillable by this method (e.g. outside the
-                // Delaunay hull) → leave null for the univariate pass
-                if (!v.isNaN) { fills(j) = v; any = true }
-              }
-            }
-            if (any) fillRows += org.apache.spark.sql.Row.fromSeq(
-              keyVals ++ (rows(i).getLong(nk) +: fills.toSeq))
-          }
-        }
+      val vals = Array.tabulate(n, k)((i, j) =>
+        if (rows(i).isNullAt(nk + 1 + j)) Double.NaN else rows(i).getDouble(nk + 1 + j))
+      fillMatrix(vals, method).foreach { case (i, fills) =>
+        fillRows += org.apache.spark.sql.Row.fromSeq(
+          keyVals ++ (rows(i).getLong(nk) +: fills.toSeq))
       }
     }
     if (fillRows.isEmpty) return tsf.df

@@ -162,6 +162,87 @@ object RangeWindow {
     }
   }
 
+  /** Range-partitioned LAG columns — the scale path for building a lag
+    * design matrix over one globally ordered series (the
+    * [[graft.models.Var.fitDistributed]] regression columns): appends
+    * `__l{l}_{col}` for every (l ≤ lags, col), equal to
+    * `lag(col, l).over(Window.orderBy(orderCols))` but without the
+    * single-partition WindowExec a global window plans. Same recipe as
+    * [[slidingWindow]]: range repartition, one narrow job for the
+    * per-partition tail carry (P·lags·|cols| values), then an
+    * embarrassingly parallel mapPartitions with a ring of the previous
+    * `lags` row-vectors. Rows with fewer than `l` global predecessors get
+    * null, exactly like `lag()`. */
+  def lagColumns(
+      df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      valueCols: Seq[String],
+      lags: Int,
+      numPartitions: Int): DataFrame = {
+    require(lags >= 1, s"lags must be positive: $lags")
+    val ranged = df
+      .repartitionByRange(numPartitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val spark = df.sparkSession
+    val schema = ranged.schema
+    val getters = valueCols.map { c =>
+      val i = schema.fieldIndex(c)
+      typedGetter(schema(i).dataType, i)
+    }.toArray
+    val nV = getters.length
+
+    // pass 1: per-partition last `lags` row-vectors (the carry)
+    val tails: Map[Int, Array[Array[Double]]] = ranged.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val ring = Array.ofDim[Array[Double]](lags)
+        var n = 0L
+        it.foreach { r =>
+          ring((n % lags).toInt) = Array.tabulate(nV)(v => getters(v)(r))
+          n += 1
+        }
+        val k = math.min(n, lags.toLong).toInt
+        val out = Array.tabulate(k)(i => ring(((n - k + i) % lags).toInt))
+        Iterator.single(pid -> out)
+      }.collect().toMap
+    val maxPid = if (tails.isEmpty) -1 else tails.keys.max
+    val chained = scala.collection.mutable.Map[Int, Array[Array[Double]]]()
+    var acc = Array.empty[Array[Double]]
+    for (p <- 0 to maxPid) {
+      chained(p) = acc
+      acc = (acc ++ tails.getOrElse(p, Array.empty)).takeRight(lags)
+    }
+    val carry = spark.sparkContext.broadcast(chained.toMap)
+
+    // pass 2: ring of the previous `lags` row-vectors, carry prepended.
+    // The carry length IS the availability signal: it holds
+    // min(precedingRows, lags) rows, so `pushed >= l` after prepending it
+    // is exactly "this row has >= l global predecessors" — no absolute
+    // row numbering needed (ring offsets are relative).
+    val outSchema = StructType(schema.fields ++ (for (l <- 1 to lags; c <- valueCols)
+      yield StructField(s"__l${l}_$c", DoubleType)))
+    val outRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val ring = Array.ofDim[Array[Double]](lags)
+      var pushed = 0L
+      val pre = carry.value.getOrElse(pid, Array.empty[Array[Double]])
+      pre.foreach { v => ring((pushed % lags).toInt) = v; pushed += 1 }
+      it.map { r =>
+        val out = new Array[Any](r.length + lags * nV)
+        var i = 0
+        while (i < r.length) { out(i) = r.get(i); i += 1 }
+        for (l <- 1 to lags; v <- 0 until nV) {
+          val avail = pushed >= l
+          val value = if (avail) ring(((pushed - l) % lags).toInt)(v) else Double.NaN
+          out(r.length + (l - 1) * nV + v) =
+            if (!avail || value.isNaN) null else Double.box(value)
+        }
+        ring((pushed % lags).toInt) = Array.tabulate(nV)(v => getters(v)(r))
+        pushed += 1
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
   def slidingWindow(
       tsf: TimeseriesFrame,
       valueCol: String,

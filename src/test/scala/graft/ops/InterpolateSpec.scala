@@ -94,4 +94,40 @@ class InterpolateSpec extends SparkSpec {
     val tNearest = t.withInterpolation("nearest")
     assertSeqAlmost(col1(tNearest.interp(), "x", "t"), d(2, 2, 6, 6))
   }
+
+  test("multivariateByKey == driver multivariate, per series, all methods") {
+    import spark.implicits._
+    // 20 series x 15 rows x 4 cols with deterministic hash-holes; the
+    // executor fan-out must reproduce the driver path's fills EXACTLY
+    // (same fillMatrix on the same per-series matrix)
+    val rows = for (s <- 0 until 20; i <- 0 until 15) yield {
+      def v(j: Int): Double = {
+        val h = (s * 31 + i * 7 + j * 13) % 11
+        if (h == 0) Double.NaN else s + 2.0 * i - 3.0 * j + 0.1 * h
+      }
+      (s.toLong, i.toLong, v(0), v(1), v(2), v(3))
+    }
+    val df = rows.toDF("k", "t", "c0", "c1", "c2", "c3")
+    val tsf = TimeseriesFrame(df, Some("t"), Nil, Seq("k"))
+    val cols = Seq("c0", "c1", "c2", "c3")
+    for (method <- Seq("nearest", "linear", "cubic")) {
+      val driver = (method match {
+        case "nearest" => Interpolate.multivariateNearest(tsf, cols)
+        case "linear" => Interpolate.multivariateLinear(tsf, cols)
+        case "cubic" => Interpolate.multivariateCubic(tsf, cols)
+      }).orderBy("k", "t").collect()
+      val keyed =
+        (if (method == "linear") Interpolate.multivariateLinearByKey(tsf, cols)
+         else Interpolate.multivariateByKey(tsf, cols, method))
+        .orderBy("k", "t").collect()
+      driver.zip(keyed).foreach { case (a, b) =>
+        (0 until a.length).foreach { j =>
+          val (x, y) = (a.get(j), b.get(j))
+          assert(x == y || (x.isInstanceOf[Double] && y.isInstanceOf[Double] &&
+            (x.asInstanceOf[Double].isNaN && y.asInstanceOf[Double].isNaN ||
+              x == y)), s"$method row ${a.get(0)},${a.get(1)} col $j: $x vs $y")
+        }
+      }
+    }
+  }
 }

@@ -65,6 +65,41 @@ class RangeWindowSpec extends SparkSpec {
     }
   }
 
+  test("lagColumns == global-window lag, across boundaries and null values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val rows = (0L until 400L).map { i =>
+      (i,
+        if (rnd.nextInt(11) == 0) None else Some(rnd.nextInt(1000) / 8.0),
+        Some(rnd.nextInt(500) / 4.0))
+    }
+    val df = rows.toDF("t", "a", "b")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val global = (for (l <- 1 to 3; c <- Seq("a", "b")) yield (l, c))
+      .foldLeft(df) { case (d, (l, c)) =>
+        d.withColumn(s"g_l${l}_$c", lag(col(c), l).over(w)) }
+    val ranged = RangeWindow.lagColumns(df, Seq(col("t")), Seq("a", "b"),
+      lags = 3, numPartitions = 7)
+    val joined = global.join(ranged.select(
+      col("t") +: (for (l <- 1 to 3; c <- Seq("a", "b"))
+        yield col(s"__l${l}_$c")): _*), "t").orderBy("t").collect()
+    joined.foreach { r =>
+      for (l <- 1 to 3; c <- Seq("a", "b")) {
+        val g = r.getAs[Any](s"g_l${l}_$c")
+        val p = r.getAs[Any](s"__l${l}_$c")
+        assert(g == p, s"t=${r.getLong(0)} lag $l $c: global $g vs ranged $p")
+      }
+    }
+    // more partitions than rows: the carry chain still lines up
+    val tiny = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "a")
+    val out = RangeWindow.lagColumns(tiny, Seq(col("t")), Seq("a"), 2, 12)
+      .orderBy("t").collect()
+    assert(out.map(r => Option(r.getAs[Any]("__l1_a"))).toSeq ==
+      Seq(None, Some(1.0), Some(2.0)))
+    assert(out.map(r => Option(r.getAs[Any]("__l2_a"))).toSeq ==
+      Seq(None, None, Some(1.0)))
+  }
+
   test("typed getters: integer and decimal value columns work without string decode") {
     val df = spark.createDataFrame(Seq((1L, 10), (2L, 20), (3L, 30))).toDF("i", "x")
     val out = RangeWindow.slidingWindow(
