@@ -150,6 +150,72 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("id_a", "id_b")
   }
 
+  /** Streaming cluster keep-decision — the tier the batch pipeline gets
+    * from `connectedComponents` + canonical keep (survivor = smallest id
+    * per near-dup cluster): a watermark-bounded MIN-ID CARRY per LSH band
+    * bucket. Every arriving document lands in its `bands` deterministic
+    * band buckets (the same keys as [[streamingMinhashCandidates]] and
+    * the batch bucket join); each bucket's state is one long — the
+    * smallest id seen inside the event-time horizon — updated by
+    * `flatMapGroupsWithState` and expired by an event-time timeout, so
+    * state stays bounded on an unbounded corpus. A new canonical is
+    * emitted only when a bucket's min changes (Update mode), so the
+    * FINAL canonical of a bucket is the MIN over its emissions, and the
+    * survivor set is the distinct final canonicals — for a cluster whose
+    * members share a band bucket (near-dups share most bands by
+    * construction), that is exactly the batch rule: the smallest id
+    * survives, regardless of arrival order.
+    *
+    * Documented approximation vs batch: clusters connected only through
+    * CHAINS of pairwise-band-disjoint members (A~B, B~C, A and C sharing
+    * no bucket) can keep one survivor per sub-cluster — transitive
+    * closure needs the offline `connectedComponents` pass; this tier
+    * covers the common case (members of a near-dup cluster share
+    * buckets) incrementally. */
+  final case class KeepState(minId: Long)
+  final case class BucketCanonical(bucket: Long, canonicalId: Long)
+
+  def streamingCanonicalKeep(
+      stream: DataFrame,
+      timeCol: String,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      watermark: String = "1 hour"): Dataset[BucketCanonical] = {
+    import graft.dedup.Dedup
+    import graft.text.TextFunctions
+    val rowsPerBand = numHashes / bands
+    val params = Dedup.minhashParams(numHashes)
+    val banded = stream
+      .withColumn("__sig", Dedup.minhashSignature(
+        TextFunctions.shingleHashes(col(textCol), 3), params))
+      .select(col(timeCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("id"),
+        explode(Dedup.lshBandKeys(col("__sig"), bands, rowsPerBand)).as("bucket"))
+      .withWatermark("ts", watermark) // after the projection (see above)
+      .as(Encoders.product[(java.sql.Timestamp, Long, Long)])
+    banded
+      .groupByKey(_._3)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
+        (bucket: Long, rows: Iterator[(java.sql.Timestamp, Long, Long)],
+         state: GroupState[KeepState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.map(_.minId)
+            var mn = prev.getOrElse(Long.MaxValue)
+            rows.foreach { case (_, id, _) => if (id < mn) mn = id }
+            state.update(KeepState(mn))
+            // expire the bucket once the watermark passes its horizon
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + 1, watermark)
+            if (prev.contains(mn)) Iterator.empty
+            else Iterator.single(BucketCanonical(bucket, mn))
+          }
+        })(Encoders.product[KeepState], Encoders.product[BucketCanonical])
+  }
+
   /** Streaming sequence packing — the incremental form of
     * [[graft.pipeline.Packing.packSequences]]: per shard, an O(1) state
     * (the running token offset) lays each arriving document's tokens

@@ -228,4 +228,32 @@ class MultimodalStreamingSpec extends SparkSpec {
     // the straddling doc really does split across sequences
     assert(got.count(t => t._1 == 0L && t._2 == 3L) == 2)
   }
+
+  test("streaming canonical keep: 3-doc cluster across micro-batches -> one survivor (batch min-id rule)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val clusterText = "the quick brown fox jumps over the lazy dog near the river bank"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.streamingCanonicalKeep(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text")
+    val q = out.writeStream.format("memory")
+      .queryName("keep_test").outputMode("update").start()
+    // the cluster arrives over three micro-batches, min id in the MIDDLE
+    // batch — the survivor must still be the batch canonical (min id 7)
+    mem.addData((new Timestamp(base), 10L, clusterText))
+    q.processAllAvailable()
+    mem.addData((new Timestamp(base + 1000), 7L, clusterText),
+      (new Timestamp(base + 1500), 50L, "an unrelated singleton document about compilers"))
+    q.processAllAvailable()
+    mem.addData((new Timestamp(base + 2000), 23L, clusterText))
+    q.processAllAvailable()
+    // emissions per bucket are strictly decreasing → final canonical per
+    // bucket = MIN over emissions; survivors = distinct final canonicals
+    val survivors = spark.sql(
+      "select distinct m from (select bucket, min(canonicalId) m " +
+        "from keep_test group by bucket)").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(survivors == Set(7L, 50L), s"survivors: $survivors")
+  }
 }

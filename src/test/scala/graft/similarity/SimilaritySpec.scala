@@ -33,6 +33,36 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IVF partial probe: recall@10 >= 0.9 floor on a pinned clustered corpus") {
+    import spark.implicits._
+    // deterministic synthetic corpus: 40 compact topics x 50 vectors in
+    // 16 dims (hash-noise, no RNG state) — the production operating
+    // point nprobe << nlist must stay regression-proof, not just the
+    // full-probe exactness the q58 gate pins
+    def h(a: Long, b: Long): Double = {
+      var s = a * 6364136223846793005L + b * 1442695040888963407L + 99L
+      s ^= (s >>> 33); s *= 0xff51afd7ed558ccdL; s ^= (s >>> 33)
+      ((s >>> 11) % 100000L).toDouble / 50000.0 - 1.0
+    }
+    val corpus = (0L until 2000L).map { id =>
+      val t = id % 40
+      (id, Array.tabulate(16)(d => h(t, d) + 0.05 * h(id, d + 100)))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 20)
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nlist = 40, seed = 42L)
+    // nprobe = 4 of 40 cells — a 10x search-cost reduction
+    val approx = topk(IvfIndex.search(idx, queries, "vec_id", "embedding",
+      k = 10, nprobe = 4))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, f"recall@10 $recall%.3f below the 0.9 floor " +
+      s"(nlist=40, nprobe=4, seed=42, |exact|=${exact.size})")
+  }
+
   test("cosineCandidates: triangle-pruned pairs == brute threshold graph, bit-for-bit") {
     import spark.implicits._
     val e = embeddings.select(col("vec_id"),
