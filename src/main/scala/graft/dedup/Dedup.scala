@@ -285,7 +285,9 @@ object Dedup {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIter: Int = 20,
-      driverThreshold: Long = 500000L): DataFrame = {
+      driverThreshold: Long = 500000L,
+      ccSalt: Int = 16): DataFrame = {
+    require(ccSalt >= 1, s"ccSalt must be positive: $ccSalt")
     // both edge directions in ONE pass over the (possibly expensive) pair
     // plan — a union of two selects would evaluate it twice pre-persist
     val edges = pairs
@@ -343,10 +345,22 @@ object Dedup {
       val stepped = labels.join(nb, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("minNb"), col("label"))).as("label"))
-      // (2) pointer jump: label ← label(label) (labels are always node ids)
+      // (2) pointer jump: label ← label(label) (labels are always node ids).
+      // SALTED: this lookup keys on the label, and a giant component puts
+      // every member's row under ONE label key — the straggler reducer at
+      // scale. The parent side has exactly one row per label, so replicate
+      // it across `ccSalt` shards and route each member to its
+      // hash(id)-shard: per-reducer load is bounded by component/ccSalt
+      // while the replicated side only grows by #distinct-labels × salt
+      // (two longs each). Step (1) needs no salting — its min() aggregate
+      // combines map-side, and its join keys on node ids (unique build
+      // side), not labels.
+      val parents = stepped
+        .select(col("id").as("label"), col("label").as("parent"))
+        .withColumn("__s", explode(array((0 until ccSalt).map(lit): _*)))
       val jumped = stepped
-        .join(stepped.select(col("id").as("label"), col("label").as("parent")),
-          Seq("label"), "left")
+        .withColumn("__s", pmod(hash(col("id")), lit(ccSalt)))
+        .join(parents, Seq("label", "__s"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("parent"), col("label"))).as("label"))
         .localCheckpoint(true)

@@ -48,12 +48,18 @@ object OrangeCsv {
         .build()
       val typed = types(i) match {
         case "t" =>
-          // Orange TimeVariable accepts partial ISO dates ("1949-01");
-          // try_to_timestamp because ANSI to_timestamp throws on mismatch
+          // Orange TimeVariable accepts partial ISO dates ("1949-01"),
+          // bare years ("1949" — yeardt.csv), and unix epoch numerics
+          // (numericdt.csv); try_to_timestamp because ANSI to_timestamp
+          // throws on mismatch, and the 4-digit test keeps bare years ISO
+          // (Orange parses 4 digits as %Y, longer digit runs as epoch)
           coalesce(
             try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
             try_to_timestamp(c, lit("yyyy-MM-dd")),
             try_to_timestamp(concat(c, lit("-01")), lit("yyyy-MM-dd")),
+            when(c.rlike("^\\d{4}$"),
+              try_to_timestamp(concat(c, lit("-01-01")), lit("yyyy-MM-dd"))),
+            when(c.rlike("^\\d+(\\.\\d+)?$"), timestamp_seconds(c.cast("double"))),
             try_to_timestamp(c))
         case "c" => c.cast("double")
         case _   => c // discrete and string stay strings

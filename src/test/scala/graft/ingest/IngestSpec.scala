@@ -36,6 +36,61 @@ class IngestSpec extends SparkSpec {
     assert(overlapping.head == (0.0, 20.0) && overlapping.size == 5)
   }
 
+  test("TimeSlice edge datasets: day/month/year/numeric/dup/unsorted/constant (test_owtimeslice.py:22-63)") {
+    // transcribed widget smoke goldens: each edge-case dataset must parse,
+    // classify its step, and still yield a non-empty slice subset
+    import graft.core.{TimeDelta, TimeseriesFrame}
+    def csv(name: String, header: String, rows: Seq[String]): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"ts_$name")
+      val f = dir.resolve(s"$name.csv")
+      java.nio.file.Files.write(f,
+        (header.split('\n').toSeq ++ rows).mkString("\n").getBytes)
+      f.toString
+    }
+    def sliceAll(tsf: TimeseriesFrame): Long = {
+      val mm = tsf.df.agg(
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col(tsf.timeCol.get).cast("double")),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(tsf.timeCol.get).cast("double"))).head()
+      TimeSlice(tsf, mm.getDouble(0), mm.getDouble(1) + 1.0).count()
+    }
+    val hdr = "Month,Value\nt,c\n,class"
+    // multipleonsamedt.csv — duplicate timestamps (GH-115)
+    val dup = OrangeCsv.read(spark, csv("dup", hdr,
+      Seq("1949-01,112", "1949-02,118", "1949-03,132", "1949-03,137", "1949-04,129")))
+    assert(sliceAll(dup) == 5)
+    // numericdt.csv — epoch-second numeric time column (GH-110)
+    val num = OrangeCsv.read(spark, csv("num", "Second,Value\nt,c\n,class",
+      Seq("1594938042,112", "1594938043,118", "1594938044,132", "1594938045,137")))
+    assert(sliceAll(num) == 4)
+    assert(TimeDelta.infer(num.df, num.timeCol.get).intervalSeconds.contains(1.0))
+    // daydt.csv — day stepping
+    val day = OrangeCsv.read(spark, csv("day", "Day,Value\nt,c\n,class",
+      Seq("1949-01-01,112", "1949-01-02,118", "1949-01-03,132", "1949-01-04,137")))
+    assert(sliceAll(day) == 4)
+    assert(TimeDelta.infer(day.df, day.timeCol.get).intervalSeconds.contains(86400.0))
+    // airpassengers (month stepping): mixed month lengths → calendar delta
+    val mon = OrangeCsv.read(spark,
+      getClass.getResource("/airpassengers.csv").getPath)
+    assert(sliceAll(mon) > 0)
+    assert(TimeDelta.infer(mon.df, mon.timeCol.get).min.contains(Right((1, "month"))))
+    // yeardt.csv — year stepping
+    val yr = OrangeCsv.read(spark, csv("yr", "Year,Value\nt,c\n,class",
+      Seq("1949,112", "1950,118", "1951,132", "1952,137")))
+    assert(sliceAll(yr) == 4)
+    assert(TimeDelta.infer(yr.df, yr.timeCol.get).min.contains(Right((1, "year"))))
+    // unsortedts.csv — out-of-order input slices identically
+    val uns = OrangeCsv.read(spark, csv("uns", hdr,
+      Seq("1949-01,112", "1949-04,129", "1949-02,118", "1949-05,121", "1949-03,137")))
+    assert(sliceAll(uns) == 5)
+    // notddt.csv — ALL timestamps equal: no timedelta, slicing still works
+    val flat = OrangeCsv.read(spark, csv("flat", hdr,
+      Seq("1949-01,112", "1949-01,118", "1949-01,132", "1949-01,129", "1949-01,121")))
+    assert(sliceAll(flat) == 5)
+    assert(TimeDelta.infer(flat.df, flat.timeCol.get).deltas.isEmpty)
+  }
+
   test("OrangeCsv write → read round-trips values, roles, and time column") {
     val src = OrangeCsv.read(spark,
       getClass.getResource("/airpassengers.csv").getPath)

@@ -63,4 +63,85 @@ class SpiralogramSpec extends SparkSpec {
     val hours = picked.select(hour(col("ts"))).collect().map(_.getInt(0)).toSet
     assert(hours == Set(firstCell))
   }
+
+  // ------- transcribed widget goldens: test_owspiralogram.py:409-557 -------
+  // fixture (`:119-134`): 10 rows, a∈{0,1,2}, b∈{0..4}, c continuous,
+  // d = day offsets 0..8 plus 365+9 (epoch days)
+  private def widgetFixture = {
+    import spark.implicits._
+    val a = Seq(0, 0, 0, 0, 1, 1, 1, 1, 1, 2)
+    val b = Seq(0, 0, 0, 2, 0, 1, 2, 3, 4, 2)
+    val c = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 20.0)
+    val days = Seq(0L, 1, 2, 3, 4, 5, 6, 7, 8, 365L + 9)
+    (0 until 10).map(i =>
+      (i.toLong, a(i), b(i), c(i),
+        new java.sql.Timestamp(days(i) * 86400000L))).toDF("row", "a", "b", "c", "d")
+  }
+
+  test("widget golden: categorical grouping partitions rows by value (test_owspiralogram.py:417-424)") {
+    val t = TimeseriesFrame(widgetFixture, Some("d"))
+    val got = Spiralogram(t, Spiralogram.Categorical("b")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // blocks.indices {0:[0,1,2,4], 1:[5], 2:[3,6,9], 3:[7], 4:[8]}
+    assert(got == Map(0 -> 4L, 1 -> 1L, 2 -> 3L, 3 -> 1L, 4 -> 1L), got.toString)
+  }
+
+  test("widget golden: width-2 binning, last edge closed (test_owspiralogram.py:426-444)") {
+    val t = TimeseriesFrame(widgetFixture, Some("d"))
+    val got = Spiralogram(t, Spiralogram.Binned("c", 0.0, 20.0, 10)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c=1→bin0, {2,3}→bin1, {4,5}→bin2, {6,7}→bin3, {8,9}→bin4, 20→bin9
+    // (closed last edge); bins 5..8 are empty → absent here (the widget
+    // materializes them as empty index lists)
+    assert(got == Map(
+      "< 2.0000" -> 1L, "2.0000 - 4.0000" -> 2L, "4.0000 - 6.0000" -> 2L,
+      "6.0000 - 8.0000" -> 2L, "8.0000 - 10.0000" -> 2L, "≥ 18.0000" -> 1L),
+      got.toString)
+  }
+
+  test("widget golden: day-of-week grouping, Monday=0 (test_owspiralogram.py:446-456)") {
+    val t = TimeseriesFrame(widgetFixture, Some("d"))
+    val got = Spiralogram(t, Spiralogram.PeriodComponent("day_of_week")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // {0:[4], 1:[5], 2:[6], 3:[0,7], 4:[1,8], 5:[2], 6:[3,9]} — epoch day
+    // 0 is a Thursday (=3), and day 374 lands on Sunday (=6) with row 3
+    assert(got == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 2L, 4 -> 2L, 5 -> 1L,
+      6 -> 2L), got.toString)
+  }
+
+  test("widget golden: 2-D day-of-week x binned-c cells (test_owspiralogram.py:458-473)") {
+    val t = TimeseriesFrame(widgetFixture, Some("d"))
+    val got = Spiralogram(t, Spiralogram.PeriodComponent("day_of_week"),
+        Some(Spiralogram.Binned("c", 0.0, 20.0, 10))).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // non-empty cells {(0,2),(1,3),(2,3),(3,0),(3,4),(4,1),(4,4),(5,1),
+    // (6,2),(6,9)}, each holding exactly one row
+    def lbl(bin: Int) = bin match {
+      case 0 => "< 2.0000"
+      case 9 => "≥ 18.0000"
+      case k => f"${k * 2}%d.0000 - ${k * 2 + 2}%d.0000"
+    }
+    val want = Set((0, 2), (1, 3), (2, 3), (3, 0), (3, 4), (4, 1), (4, 4),
+      (5, 1), (6, 2), (6, 9)).map { case (x, r) => (x, lbl(r), 1L) }
+    assert(got == want, s"got $got")
+  }
+
+  test("widget golden: mean/var color aggregation values (test_owspiralogram.py:536-557)") {
+    import spark.implicits._
+    // the widget injects two blocks: rows 0-5 and rows 6-9; replicate with
+    // an explicit group key and pin count / mean / POPULATION variance
+    val df = widgetFixture.withColumn("g", when(col("row") < 6, 0).otherwise(1))
+    val t = TimeseriesFrame(df, Some("d"))
+    val mean = Spiralogram(t, Spiralogram.Categorical("g"),
+        colorAgg = Some("c" -> "mean"))
+      .orderBy("angular").collect()
+    assert(mean.map(_.getLong(1)).toSeq == Seq(6L, 4L)) // counts [6, 4]
+    assert(mean.map(_.getDouble(2)).toSeq == Seq(3.5, 11.0)) // np.mean
+    val vr = Spiralogram(t, Spiralogram.Categorical("g"),
+        colorAgg = Some("c" -> "var"))
+      .orderBy("angular").collect()
+    // np.var is POPULATION variance: var(1..6) = 35/12, var(7,8,9,20) = 27.5
+    assert(math.abs(vr(0).getDouble(2) - 35.0 / 12) < 1e-9, vr(0).toString)
+    assert(math.abs(vr(1).getDouble(2) - 27.5) < 1e-9, vr(1).toString)
+  }
 }
