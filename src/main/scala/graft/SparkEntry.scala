@@ -281,7 +281,7 @@ object SparkEntry {
       // boundary decisions
       val pairs = Similarity.cosineCandidates(
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.41995, nlist = 16)
+          threshold = 0.41995, nlist = 16, maxIter = 5)
         .filter(round(col("sim"), 4) >= 0.42)
       Dedup.connectedComponents(pairs)
         .select(col("id").as("vec_id"), col("component"))

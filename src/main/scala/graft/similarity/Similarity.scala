@@ -98,28 +98,77 @@ object Similarity {
     * CELL-PAIR LIST — a hash join keyed on cell ids, never a nested loop.
     *
     * `threshold` is used ONLY for pruning (a strict lower bound on what
-    * the caller keeps): the emitted `sim` is unfiltered exact cosine on the
-    * ORIGINAL vectors (same fold as [[cosinePre]], bit-identical to the
+    * the caller keeps): the emitted `sim` is exact cosine on the ORIGINAL
+    * vectors (same fold as [[cosinePre]], bit-identical to the
     * brute-force baseline), so callers apply their own keep predicate —
     * pass `threshold` slightly below it if they round first (a caller
-    * keeping `round(sim,4) ≥ 0.42` should prune at ≤ 0.41995). */
+    * keeping `round(sim,4) ≥ 0.42` should prune at ≤ 0.41995). The cell
+    * tier may emit candidates below `threshold` (cells prune by bound,
+    * not value); the driver micro-tier emits only pairs at/above it —
+    * both are supersets of every pair the caller keeps. */
   def cosineCandidates(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 64, seed: Long = 42L,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverThreshold: Long = 5000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val spark = corpus.sparkSession
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // zero-norm vectors: cosine is defined 0 here (< any positive τ) —
     // they can never pair, so drop them before normalizing
-    val raw = corpus.select(col(idCol).as("id"),
+    val base = corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0.0)
+
+    // adaptive micro-tier (the connectedComponents union-find pattern):
+    // the cell machinery below costs ~10 fixed Spark jobs (k-means fit,
+    // radii, cell pairs, join) — pure overhead when the corpus fits the
+    // driver. Below `driverThreshold` vectors, compute the pairs locally
+    // with the SAME sequential-fold arithmetic as the native expressions
+    // (bit-identical sims), emitting only pairs at/above the pruning
+    // threshold (callers filter to their keep predicate either way).
+    if (base.count() <= driverThreshold) {
+      val rows = base.orderBy(col("id")).collect()
+      val n = rows.length
+      val vecs = Array.tabulate(n)(i => rows(i).getSeq[Double](1).toArray)
+      val nrms = Array.tabulate(n)(i => rows(i).getDouble(2))
+      def dotLoop(a: Array[Double], b: Array[Double]): Double = {
+        val m = math.min(a.length, b.length)
+        var acc = 0.0; var i = 0
+        while (i < m) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val sim = dotLoop(vecs(i), vecs(j)) / (nrms(i) * nrms(j))
+          if (sim >= threshold)
+            out += org.apache.spark.sql.Row(rows(i).get(0), rows(j).get(0), sim)
+          j += 1
+        }
+        i += 1
+      }
+      val idType = base.schema("id").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", idType),
+        org.apache.spark.sql.types.StructField("id_b", idType),
+        org.apache.spark.sql.types.StructField("sim",
+          org.apache.spark.sql.types.DoubleType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, 1), schema)
+    }
+
+    val raw = base
       .withColumn("u", transform(col("v"), _ / col("nrm")))
       .withColumn("features", array_to_vector(col("u")))
+    // random init, not k-means||: init quality moves only the candidate
+    // count (correctness is geometric, see above), and the parallel init
+    // costs ~5 extra passes over the corpus
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(raw)
     val assigned = model.transform(raw)

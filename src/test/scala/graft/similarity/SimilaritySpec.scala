@@ -78,13 +78,20 @@ class SimilaritySpec extends SparkSpec {
           Similarity.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
         .filter(col("sim") >= tau))
       // completeness is geometric — it must hold for ANY nlist, including
-      // a deliberately bad quantization (k=3 over ~40 real clusters)
+      // a deliberately bad quantization (k=3 over ~40 real clusters);
+      // driverThreshold=0 forces the distributed cell tier
       for (nlist <- Seq(3, 16)) {
         val pruned = toSet(Similarity.cosineCandidates(e, "vec_id", "v",
-          threshold = tau, nlist = nlist).filter(col("sim") >= tau))
+            threshold = tau, nlist = nlist, driverThreshold = 0L)
+          .filter(col("sim") >= tau))
         assert(pruned == brute,
           s"tau=$tau nlist=$nlist: ${pruned.size} vs brute ${brute.size}")
       }
+      // the adaptive driver micro-tier (default threshold engages at 500
+      // rows) must produce the identical set, sims bit-for-bit
+      val micro = toSet(Similarity.cosineCandidates(e, "vec_id", "v",
+        threshold = tau).filter(col("sim") >= tau))
+      assert(micro == brute, s"tau=$tau micro: ${micro.size} vs ${brute.size}")
     }
     // zero-norm vectors never pair (cosine defined 0 here), never NaN
     val withZero = e.select(col("vec_id"), col("v"))
