@@ -482,6 +482,25 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
       TextFunctions.qualityFilter(d, "doc_id", "text")
     }),
+    "q75_pii_redact" -> ((s, dir) => {
+      // PII scrub stage: the synthetic corpus carries no PII, so the gate
+      // INJECTS a deterministic email/IP/phone/card per row (both engines
+      // build the same string) and hash-checks the redacted text plus the
+      // audit counts — the regex chain itself is what's under test
+      val d = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.2."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".77 call +1 555 01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+        lit(" 456 card 4111 1111 1111 1111 end"))
+      d.select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          TextFunctions.redactPii(col("t")).as("clean_text"),
+          TextFunctions.piiCount(col("t"), "email").as("n_emails"),
+          TextFunctions.piiCount(col("t"), "ip").as("n_ips"))
+    }),
     "q68_source_mix" -> ((s, dir) => {
       // per-source token budget + the equalizing sample weight (the data-
       // mixing knob sheet); exact integer token sums → deterministic shares
@@ -1176,6 +1195,28 @@ object SparkEntry {
         | CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
         |FROM n QUALIFY rank <= 500""".stripMargin,
     // threshold rules over the exact q12 signal replay
+    // same injection, same four-regex chain; DuckDB regexp_replace needs
+    // the 'g' flag (Spark's replaces all occurrences by default)
+    "q75_pii_redact" ->
+      """WITH inj AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example.com from 10.2.'
+        |    || (doc_id % 256) || '.77 call +1 555 01'
+        |    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |    || ' 456 card 4111 1111 1111 1111 end' AS t
+        | FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{4}([ -]\d{4}){3}\b', '<NUMBER>', 'g'),
+        |    '\+?\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{3,5}', '<PHONE>', 'g')
+        |    AS clean_text,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips
+        |FROM inj""".stripMargin,
     "q71_quality_filter" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks,

@@ -150,6 +150,40 @@ object TextFunctions {
   /** Polynomial rolling-hash document fingerprint over character codes:
     * `h = (h*31 + code) mod 1e9+7`. Stable across engines (pure integer
     * arithmetic), usable as a cheap content id for dedup joins. */
+  /** PII redaction — the standard scrub stage of public web-corpus
+    * pipelines (C4 removes lines with blocklisted tokens; Dolma/RefinedWeb
+    * regex-replace emails, IPs and phone-like digit runs before training):
+    * emails, dotted-quad IPs, card-like long digit runs, then phone-like
+    * digit groups, each replaced by a fixed tag. Scan-stage
+    * `regexp_replace` chain (codegen, no UDF) — order matters: emails
+    * first (their local part can contain digits), then IPs, then long
+    * digit runs, then the looser phone shape; tags carry no digits, so
+    * later passes never re-match earlier redactions. Patterns are plain
+    * POSIX-class regexes that behave identically under Java regex and
+    * RE2 (the DuckDB oracle replays the same chain). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
+    val ip = regexp_replace(email,
+      lit("\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"), lit("<IP>"))
+    val card = regexp_replace(ip,
+      lit("\\b\\d{4}([ -]\\d{4}){3}\\b"), lit("<NUMBER>"))
+    regexp_replace(card,
+      lit("\\+?\\d{1,3}[ -]\\d{3}[ -]\\d{3,4}[ -]\\d{3,5}"), lit("<PHONE>"))
+  }
+
+  /** Count of matches of one of the [[redactPii]] pattern families in the
+    * raw text — the audit column a scrub stage reports alongside the
+    * redacted corpus. */
+  def piiCount(text: Column, family: String): Column = {
+    val re = family match {
+      case "email" => "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      case "ip" => "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+      case f => throw new IllegalArgumentException(s"unknown family: $f")
+    }
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+  }
+
   def fingerprint(text: Column): Column = polyHash(text)
 
   /** The same polynomial char-code hash applied to any string column —

@@ -168,6 +168,29 @@ class DedupSpec extends SparkSpec {
     assert(rep.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((301L, 9L)))
   }
 
+  test("redactPii: emails/IPs/cards/phones replaced, clean text untouched") {
+    import spark.implicits._
+    val cases = Seq(
+      ("mail me at jane.doe+spam@sub.example.co.uk today",
+        "mail me at <EMAIL> today"),
+      ("server 192.168.001.7 and 10.0.0.255 up", "server <IP> and <IP> up"),
+      ("card 4111 1111 1111 1111 or 4242-4242-4242-4242 stolen",
+        "card <NUMBER> or <NUMBER> stolen"),
+      ("call +1 555 0123 456 now", "call <PHONE> now"),
+      // order: the email's digits must not be half-eaten by later passes
+      ("a1b2@x.io vs 1.2.3.4", "<EMAIL> vs <IP>"),
+      // no PII → byte-identical passthrough
+      ("the quick brown fox 7 times", "the quick brown fox 7 times"))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFunctions.redactPii(col("t"))).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"'$g'") }
+    // audit counts
+    val n = Seq("a@b.com c@d.org 1.2.3.4").toDF("t").select(
+      TextFunctions.piiCount(col("t"), "email"),
+      TextFunctions.piiCount(col("t"), "ip")).head()
+    assert(n.getLong(0) == 2 && n.getLong(1) == 1)
+  }
+
   test("simhashCandidates: over-cap buckets drop (copy-flood guard)") {
     import spark.implicits._
     val flood = (100L until 400L).map(i =>
