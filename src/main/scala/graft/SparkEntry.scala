@@ -723,6 +723,17 @@ object SparkEntry {
         .select(col("user_id"), round(col("period"), 6).as("period"),
           round(col("power"), 6).as("power"))
     }),
+    "q76_periodogram_by_key_poly" -> ((s, dir) => {
+      // grouped periodogram with the per-key QUADRATIC detrend — the
+      // moment-aggregate + executor-solve path (no single-series collect);
+      // the oracle replays the s∈[−1,1] conditioning and solves the 3×3
+      // normal equations by Cramer — both engines round the spectrum to
+      // 6dp, absorbing the solve-method and sum-order ulp differences
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      Periodogram.spectrumByKey(t, "value", "quadratic")
+        .select(col("user_id"), round(col("period"), 6).as("period"),
+          round(col("power"), 6).as("power"))
+    }),
     "q49_lomb_by_key" -> ((s, dir) => {
       // grouped Lomb-Scargle — per-key Δt-percentile frequency grids and
       // the 5-sum tau identity as one keyed hash aggregate
@@ -1499,6 +1510,7 @@ object SparkEntry {
     "q46_arima_d1_forecast_fixed" -> arimaD1ForecastFixedSql,
     "q47_eval_metrics_fixed" -> evalMetricsFixedSql,
     "q48_periodogram_by_key" -> periodogramByKeySql,
+    "q76_periodogram_by_key_poly" -> periodogramByKeyPolySql,
     "q49_lomb_by_key" -> lombByKeySql,
     "q50_dedup_clusters" -> dedupClustersSql,
     "q51_arimax_forecast_fixed" -> arimaxForecastFixedSql,
@@ -2354,6 +2366,51 @@ object SparkEntry {
       |  value - lag(value) OVER (PARTITION BY user_id ORDER BY rn) AS x,
       |  row_number() OVER (PARTITION BY user_id ORDER BY rn) - 2 AS i
       | FROM s QUALIFY x IS NOT NULL),
+      |params AS (SELECT user_id, count(*) AS m, count(*) // 2 AS half,
+      |  greatest(count(*) // 1000, 1) AS lo FROM xd GROUP BY 1),
+      |ks AS (SELECT unnest(generate_series(1, (SELECT max(half) FROM params))) AS k),
+      |spec AS (
+      | SELECT x.user_id, k.k,
+      |  sum(x.x * cos(2*pi() * k.k * x.i / p.m)) AS re,
+      |  sum(x.x * sin(2*pi() * k.k * x.i / p.m)) AS im,
+      |  max(p.m) AS m, max(p.half) AS half
+      | FROM xd x JOIN params p USING (user_id)
+      | JOIN ks k ON k.k BETWEEN p.lo AND p.half
+      | GROUP BY 1, 2)
+      |SELECT user_id, round(m / CAST(k AS DOUBLE), 6) AS period,
+      | round((re*re + im*im) / m
+      |   * (CASE WHEN k = half AND m % 2 = 0 THEN 1.0 ELSE 2.0 END), 6) AS power
+      |FROM spec""".stripMargin
+
+  /** Per-user periodogram with per-key quadratic detrend: index mapped to
+    * s∈[−1,1] per key, 3×3 normal equations solved by Cramer on the
+    * per-key moment sums, residual DFT as in [[periodogramByKeySql]]. */
+  private def periodogramByKeyPolySql: String =
+    """WITH s0 AS (SELECT user_id, value AS x,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+      |    AS DOUBLE) AS i,
+      |  count(*) OVER (PARTITION BY user_id) AS n
+      | FROM events),
+      |sc AS (SELECT user_id, x, i,
+      |  CASE WHEN n > 1 THEN i * 2.0 / (n - 1.0) - 1.0 ELSE 0.0 END AS s
+      | FROM s0),
+      |mom AS (SELECT user_id,
+      |  sum(pow(s, 0)) AS m0, sum(pow(s, 1)) AS m1, sum(pow(s, 2)) AS m2,
+      |  sum(pow(s, 3)) AS m3, sum(pow(s, 4)) AS m4,
+      |  sum(x * pow(s, 0)) AS c0, sum(x * pow(s, 1)) AS c1,
+      |  sum(x * pow(s, 2)) AS c2
+      | FROM sc GROUP BY 1),
+      |coef AS (SELECT user_id,
+      |  m0*(m2*m4 - m3*m3) - m1*(m1*m4 - m3*m2) + m2*(m1*m3 - m2*m2) AS det,
+      |  c0*(m2*m4 - m3*m3) - m1*(c1*m4 - m3*c2) + m2*(c1*m3 - m2*c2) AS d0,
+      |  m0*(c1*m4 - c2*m3) - c0*(m1*m4 - m3*m2) + m2*(m1*c2 - m2*c1) AS d1,
+      |  m0*(m2*c2 - m3*c1) - m1*(m1*c2 - c1*m2) + c0*(m1*m3 - m2*m2) AS d2
+      | FROM mom),
+      |xd AS (SELECT sc.user_id,
+      |  sc.x - (f.d0/f.det + sc.s*(f.d1/f.det) + sc.s*sc.s*(f.d2/f.det)) AS x,
+      |  CAST(row_number() OVER (PARTITION BY sc.user_id ORDER BY sc.i) - 1
+      |    AS DOUBLE) AS i
+      | FROM sc JOIN coef f USING (user_id)),
       |params AS (SELECT user_id, count(*) AS m, count(*) // 2 AS half,
       |  greatest(count(*) // 1000, 1) AS lo FROM xd GROUP BY 1),
       |ks AS (SELECT unnest(generate_series(1, (SELECT max(half) FROM params))) AS k),

@@ -75,6 +75,53 @@ object Periodogram {
     x - (0 to order).map(k => pow(s, k) * b(k)).reduce(_ + _)
   }
 
+  /** Per-key polynomial detrend residual (order 2 | 3) — the grouped twin
+    * of [[polyResidual]], closing the README "polynomial detrend is
+    * single-series" gap. Same conditioning trick (index affinely mapped
+    * to s∈[−1,1] PER KEY); the (order+1)² moment system is one
+    * map-side-combined aggregate per key, the ≤4×4 solves run on the
+    * executors over the one-row-per-key moment frame (Breeze LU — no
+    * driver collect), and the coefficients hash-join back on the keys.
+    * Series with ≤ order rows (or an exactly singular system) keep their
+    * values unchanged — the grouped degenerate-series rule used across
+    * this library. Input needs `x` and a per-key 0-based index `i`;
+    * output appends `__s` and the residual `__resid`. */
+  private def polyDetrendByKey(df: DataFrame, keys: Seq[String],
+      order: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val part = Window.partitionBy(keyCols: _*)
+    val n = count(lit(1)).over(part)
+    val s = when(n > 1, col("i") * 2.0 / (n - lit(1.0)) - 1.0).otherwise(lit(0.0))
+    val withS = df.withColumn("__s", s)
+    val momentCols = (0 to 2 * order).map(k => sum(pow(col("__s"), k)).as(s"m$k")) ++
+      (0 to order).map(k => sum(col("x") * pow(col("__s"), k)).as(s"c$k"))
+    val moments = withS.groupBy(keyCols: _*)
+      .agg(momentCols.head, momentCols.tail: _*)
+    val nk = keys.size
+    val coefSchema = org.apache.spark.sql.types.StructType(
+      keys.map(kn => moments.schema(kn)) ++ (0 to order).map(k =>
+        org.apache.spark.sql.types.StructField(s"__b$k",
+          org.apache.spark.sql.types.DoubleType)))
+    val coefRdd = moments.rdd.map { r =>
+      val zeros = Array.fill[Any](order + 1)(0.0)
+      val bs =
+        if (r.getDouble(nk) <= order) zeros // m0 = row count ≤ order
+        else try {
+          val a = breeze.linalg.DenseMatrix.tabulate(order + 1, order + 1)(
+            (j, k) => r.getDouble(nk + j + k))
+          val c = breeze.linalg.DenseVector.tabulate(order + 1)(
+            j => r.getDouble(nk + 2 * order + 1 + j))
+          (a \ c).toArray.map(x => x: Any)
+        } catch { case _: breeze.linalg.MatrixSingularException => zeros }
+      org.apache.spark.sql.Row.fromSeq((0 until nk).map(r.get) ++ bs)
+    }
+    val coefs = df.sparkSession.createDataFrame(coefRdd, coefSchema)
+    withS.join(coefs, keys)
+      .withColumn("__resid", col("x") -
+        (0 to order).map(k => pow(col("__s"), k) * col(s"__b$k")).reduce(_ + _))
+      .drop((0 to order).map(k => s"__b$k"): _*)
+  }
+
   /** Min-max scale + `order`-neighborhood local maxima over the period axis
     * (`_significant_periods`, `functions.py:63-73`) — all window
     * expressions over the (small) spectrum frame. With `keys` nonempty the
@@ -186,8 +233,14 @@ object Periodogram {
         val c = regr_intercept(col("x"), col("i")).over(part)
         idx.select(keyCols :+ (col("x") - (col("i") * k + c)).as("xd") :+
           col("i"): _*)
+      case "quadratic" | "cubic" =>
+        val order = if (detrend == "quadratic") 2 else 3
+        val idx = tsf.df.select(keyCols :+ x.as("x") :+
+          (row_number().over(w) - 1).cast("double").as("i"): _*)
+        polyDetrendByKey(idx, keys, order)
+          .select(keyCols :+ col("__resid").as("xd") :+ col("i"): _*)
       case m => throw new IllegalArgumentException(
-        s"grouped detrend supports diff|constant|linear, got: $m")
+        s"grouped detrend supports diff|constant|linear|quadratic|cubic, got: $m")
     }
     val withM = xd.withColumn("__m", count(lit(1)).over(part))
     // per-series frequency grid: k in [max(m/1000, 1), m/2]; an empty grid
@@ -252,8 +305,14 @@ object Periodogram {
         val c = regr_intercept(col("x"), col("i")).over(part)
         idx.select(keyCols :+ col("t") :+
           (col("x") - (col("i") * k + c)).as("x"): _*)
+      case "quadratic" | "cubic" =>
+        val order = if (detrend == "quadratic") 2 else 3
+        val idx = base.select(keyCols :+ col("t") :+ col("x") :+
+          (row_number().over(w) - 1).cast("double").as("i"): _*)
+        polyDetrendByKey(idx, keys, order)
+          .select(keyCols :+ col("t") :+ col("__resid").as("x"): _*)
       case m => throw new IllegalArgumentException(
-        s"grouped detrend supports diff|constant|linear, got: $m")
+        s"grouped detrend supports diff|constant|linear|quadratic|cubic, got: $m")
     }
     // per-key stats and Δt percentile grid bounds (one row per key)
     val stats = series.groupBy(keyCols: _*)

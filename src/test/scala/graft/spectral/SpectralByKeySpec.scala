@@ -28,6 +28,45 @@ class SpectralByKeySpec extends SparkSpec {
   private def single(key: String) =
     TimeseriesFrame(series.filter(col("k") === key), Some("t"))
 
+  test("spectrumByKey == per-key spectrum for quadratic/cubic poly detrends") {
+    // the per-key moment-solve path vs the single-series driver Breeze
+    // solve — same s∈[−1,1] conditioning, so the residuals agree to
+    // rounding and the spectra follow
+    for (detrend <- Seq("quadratic", "cubic")) {
+      val grouped = Periodogram.spectrumByKey(keyed, "x", detrend)
+      for (key <- Seq("a", "b", "c")) {
+        val g = grouped.filter(col("k") === key)
+        val s = Periodogram.spectrum(single(key), "x", detrend)
+        assert(g.count() == s.count(), s"$detrend/$key row count")
+        assertSeqAlmost(col1(g, "power", "period"), col1(s, "power", "period"),
+          tol = 1e-6)
+      }
+    }
+    // degenerate short series (n <= order): values pass through unchanged
+    import spark.implicits._
+    val tiny = TimeseriesFrame(
+      Seq(("z", 0.0, 4.0), ("z", 1.0, 9.0)).toDF("k", "t", "x"),
+      Some("t"), Nil, Seq("k"))
+    val out = Periodogram.spectrumByKey(tiny, "x", "cubic")
+    // n=2 ≤ order → zero coefficients, x passes through; m=2 yields the
+    // single k=1 frequency (the single-series path would throw here —
+    // grouped ops degrade gracefully instead)
+    assert(out.count() == 1)
+  }
+
+  test("lombScargleByKey == per-key lombScargle (quadratic detrend)") {
+    val grouped = Periodogram.lombScargleByKey(keyed, "x", nPeriods = 80,
+      detrend = "quadratic")
+    for (key <- Seq("a", "b", "c")) {
+      val g = grouped.filter(col("k") === key)
+      val s = Periodogram.lombScargle(single(key), "x", nPeriods = 80,
+        detrend = "quadratic")
+      assert(g.count() == s.count(), s"$key row count")
+      assertSeqAlmost(col1(g, "pgram", "period"), col1(s, "pgram", "period"),
+        tol = 1e-6)
+    }
+  }
+
   test("spectrumByKey == per-key spectrum for diff/constant/linear detrends") {
     for (detrend <- Seq("diff", "constant", "linear")) {
       val grouped = Periodogram.spectrumByKey(keyed, "x", detrend)
