@@ -256,9 +256,10 @@ object Dedup {
     when(union === 0.0, 0.0).otherwise(inter / union)
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
-    * random-hyperplane LSH to avoid the full cross join; see
-    * [[graft.similarity.Similarity]] for the primitives. */
+  /** Canonical keep-one-per-cluster: the first row of each `groupCol`
+    * group in `orderCol` order survives — the policy step after
+    * [[connectedComponents]] (group = component, order = id ⇒ the batch
+    * min-id rule the q72 pipeline and the streaming keep tier pin). */
   def keepFirstPerGroup(df: DataFrame, groupCol: String, orderCol: String): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")

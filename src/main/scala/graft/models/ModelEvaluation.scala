@@ -21,7 +21,6 @@ object ModelEvaluation {
   sealed trait Spec { def name: String }
   final case class ArimaSpec2(p: Int, d: Int, q: Int) extends Spec {
     def name = s"AR${if (d > 0) "I" else ""}MA($p,$d,$q)"
-    def maxOrder: Int = math.max(p, q)
   }
   final case class VarSpec(lags: Int) extends Spec {
     def name = s"VAR($lags)"

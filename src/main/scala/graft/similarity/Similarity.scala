@@ -63,12 +63,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component — one LCG step on
-    * the (table, plane, dim) index, mapped to [-1, 1). Pure 64-bit-safe
-    * integer arithmetic, reproduced exactly by the SQL oracle. */
-  private[similarity] def planeComponent(table: Int, plane: Int, dim: Int): Double =
-    graft.functions.VectorFunctions.lcgPlaneComponent(table, plane, dim)
-
   /** Sign bits of `numPlanes` random-hyperplane projections packed into one
     * long bucket key — a single native expression node
     * ([[graft.functions.LshBucketExpr]]). Cosine-similar vectors collide

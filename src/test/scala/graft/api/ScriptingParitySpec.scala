@@ -35,5 +35,11 @@ class ScriptingParitySpec extends SparkSpec {
       Seq(ModelEvaluation.ArimaSpec2(1, 1, 0), ModelEvaluation.VarSpec(1)),
       nFolds = 3, forecastSteps = 3)
     assert(scores.count() == 4) // 2 models × (cv + in-sample)
+
+    // the remaining facade functions the doctest flow does not reach
+    val pacf = partialAutocorrelation(data, "Air passengers").collect()
+    assert(pacf.nonEmpty && pacf.forall(r => math.abs(r.getDouble(1)) <= 1.0001))
+    val ls = periodogramNonequispaced(data, "Air passengers")
+    assert(ls.count() > 0)
   }
 }

@@ -168,6 +168,19 @@ class DedupSpec extends SparkSpec {
     assert(rep.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((301L, 9L)))
   }
 
+  test("charShingles and keepFirstPerGroup contracts") {
+    import spark.implicits._
+    val sh = Seq("abcd").toDF("t")
+      .select(TextFunctions.charShingles(col("t"), 2))
+      .head().getSeq[String](0)
+    assert(sh == Seq("ab", "bc", "cd"))
+    // canonical keep: first row per group in order — the post-CC policy
+    val df = Seq((1L, 10L), (1L, 3L), (2L, 7L), (1L, 5L)).toDF("comp", "id")
+    val kept = Dedup.keepFirstPerGroup(df, "comp", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 3L), (2L, 7L)))
+  }
+
   test("redactPii: emails/IPs/cards/phones replaced, clean text untouched") {
     import spark.implicits._
     val cases = Seq(

@@ -17,6 +17,9 @@ class IngestSpec extends SparkSpec {
   }
 
   test("Quandl URL format carries collapse/transform params (datasources.py:14-48)") {
+    val y = Finance.yahooUrl("AAPL", 1577836800L, 1609459200L)
+    assert(y.contains("AAPL") && y.contains("period1=1577836800") &&
+      y.contains("period2=1609459200"), y)
     val u = Finance.quandlUrl("WIKI/AAPL", "k3y", "2020-01-01", "2020-12-31",
       collapse = "monthly", transform = "rdiff")
     assert(u.startsWith("https://www.quandl.com/api/v3/datasets/WIKI/AAPL/data.csv?"))

@@ -75,6 +75,8 @@ class ArimaSpec extends SparkSpec {
     // AR(1) end-of-sample P converges to 1 after one update: se_1 = sigma
     assert(math.abs((hi(0) - f(0)) / 1.959963984540054 -
       math.sqrt(m.fittedSigma2)) < 1e-9)
+    // the accessor contract: fitFixed pins mu exactly
+    assert(m.fittedMu == 50.0 && m.fittedPhi.toSeq == Seq(0.7))
   }
 
   test("transformMa maps into the invertible region (roots outside unit circle)") {

@@ -33,6 +33,10 @@ class MultimodalStreamingSpec extends SparkSpec {
     // 2048/256 = 8 frames, stride 2 → frames 0,2,4,6
     assert(frames.map(_.frameIndex).sorted.toSeq == Seq(0, 2, 4, 6))
     assert(frames.forall(_.features.length == 16))
+    // audio metadata: duration = payload bytes / PCM byte rate
+    val dur = df.select(Multimodal.audioDurationSec(col("payload"), 1024))
+      .head().getDouble(0)
+    assert(dur == 2.0)
   }
 
   test("streaming sliding window over MemoryStream matches batch semantics") {
@@ -55,6 +59,13 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(got.forall(_.getLong(2) == 30))
     // first window mean = mean(0..29) = 14.5
     assert(math.abs(got.head.getDouble(3) - 14.5) < 1e-9)
+    // tumblingPeriodAgg(period) ≡ slidingWindowAgg(period, period) —
+    // checked in batch mode (Spark's unified semantics)
+    val batch = events.toDF("ts", "value")
+    val tumb = StreamingOps.tumblingPeriodAgg(batch, "ts", "value", "30 minutes")
+      .orderBy("window_start").collect()
+    assert(tumb.map(r => (r.getLong(2), r.getDouble(3))).toSeq ==
+      got.map(r => (r.getLong(2), r.getDouble(3))).toSeq)
   }
 
   test("streaming dedup: first document per digest/signature within watermark") {
