@@ -482,6 +482,15 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
       TextFunctions.qualityFilter(d, "doc_id", "text")
     }),
+    "q77_repeated_spans" -> ((s, dir) => {
+      // repeated-span removal (Lee et al.-style exact-substring dedup at
+      // n-gram granularity): every token covered by a 5-gram appearing in
+      // >= 2 documents is dropped; output is the surviving normalized
+      // token stream + the removed-token audit count
+      Dedup.removeRepeatedSpans(
+        tbl(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", n = 5, minDf = 2)
+    }),
     "q75_pii_redact" -> ((s, dir) => {
       // PII scrub stage: the synthetic corpus carries no PII, so the gate
       // INJECTS a deterministic email/IP/phone/card per row (both engines
@@ -1206,6 +1215,30 @@ object SparkEntry {
         | CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
         |FROM n QUALIFY rank <= 500""".stripMargin,
     // threshold rules over the exact q12 signal replay
+    // replays the positional shingle-hash stream (the q18 token/hash
+    // conventions), flags hashes in >= 2 docs, expands coverage to token
+    // indices, anti-joins, and rebuilds the surviving token stream
+    "q77_repeated_spans" ->
+      s"""WITH th AS ($tokHashSql),
+         |tk AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+         | FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, r.i - 1 AS pos,
+         |  list_reduce(list_slice(th, r.i, r.i + 4),
+         |    (a, c) -> (a * 1000003 + c) % 1000000007) AS h
+         | FROM th, unnest(range(1, len(th) - 3)) r(i)),
+         |rep AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT s.doc_id, u.ti
+         | FROM sh s JOIN rep USING (h), unnest(range(s.pos, s.pos + 5)) u(ti)),
+         |tp AS (SELECT doc_id, r.i - 1 AS ti, toks[r.i] AS tok
+         | FROM tk, unnest(range(1, len(toks) + 1)) r(i)),
+         |kept AS (SELECT tp.doc_id, tp.ti, tp.tok FROM tp
+         | ANTI JOIN cov ON cov.doc_id = tp.doc_id AND cov.ti = tp.ti),
+         |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+         |  count(*) AS kept FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+         | CAST(len(t.toks) - coalesce(reb.kept, 0) AS BIGINT) AS n_removed
+         |FROM tk t LEFT JOIN reb USING (doc_id)""".stripMargin,
     // same injection, same four-regex chain; DuckDB regexp_replace needs
     // the 'g' flag (Spark's replaces all occurrences by default)
     "q75_pii_redact" ->

@@ -249,6 +249,53 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Repeated-span removal — the n-gram-granular form of exact-substring
+    * deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": drop text spans that appear verbatim in
+    * more than one document; templated boilerplate, licenses, navigation
+    * chrome). Every token covered by an n-gram shingle whose DOCUMENT
+    * frequency is ≥ `minDf` is removed from every document; the output
+    * text is the surviving tokens of the SAME normalized (lowercased,
+    * whitespace-split) stream the dedup family hashes — the keep-one-copy
+    * variant is a policy layer on top, not this operator.
+    *
+    * Scale shape: positional shingle hashes are scan-stage
+    * ([[TextFunctions.shingleHashes]] + posexplode); the df pass is one
+    * map-side-combined count-distinct keyed on the hash (only (hash, id)
+    * pairs shuffle); coverage expands flagged positions to token indices
+    * (bounded by tokens per doc); the rebuild is a keyed anti-join +
+    * sorted-struct gather per doc. No driver involvement. */
+  def removeRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDf: Long = 2L): DataFrame = {
+    require(n >= 1 && minDf >= 2, s"need n >= 1 and minDf >= 2: $n, $minDf")
+    val base = df.select(col(idCol).as("id"),
+      filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"),
+      TextFunctions.shingleHashes(col(textCol), n).as("hs"))
+    val sh = base.select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val rep = sh.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("h"))
+    val covered = sh.join(rep, "h")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("ti"))
+      .distinct()
+    val toksPos = base.select(col("id"),
+      posexplode(col("toks")).as(Seq("ti", "tok")))
+    val rebuilt = toksPos.join(covered, Seq("id", "ti"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("ti"), col("tok")))),
+          _.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("__kept"))
+    base.select(col("id"), size(col("toks")).cast("long").as("__ntok"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__ntok") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -168,6 +168,27 @@ class DedupSpec extends SparkSpec {
     assert(rep.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((301L, 9L)))
   }
 
+  test("removeRepeatedSpans: cross-doc repeated n-grams drop, unique text survives") {
+    import spark.implicits._
+    val boiler = "all rights reserved unauthorized copying is strictly prohibited"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"one two three four five six seven $boiler"),
+      (3L, "entirely unique document with no shared spans at all here"),
+      // repeats an n-gram WITHIN one doc only — df counts documents, so
+      // it must survive (same rule as decontaminate's cap)
+      (4L, "self repeat self repeat self repeat self repeat self repeat xyz")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", n = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the 8-token boilerplate is fully covered by its 5-grams in both docs;
+    // the neighbors are NOT covered (their 5-grams are unique per doc)
+    assert(out(1L) == (("alpha beta gamma delta epsilon", 8L)), out(1L).toString)
+    assert(out(2L) == (("one two three four five six seven", 8L)), out(2L).toString)
+    assert(out(3L)._2 == 0L && out(3L)._1.startsWith("entirely unique"))
+    assert(out(4L)._2 == 0L, out(4L).toString)
+  }
+
   test("charShingles and keepFirstPerGroup contracts") {
     import spark.implicits._
     val sh = Seq("abcd").toDF("t")
