@@ -1215,18 +1215,32 @@ object SparkEntry {
         | CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
         |FROM n QUALIFY rank <= 500""".stripMargin,
     // threshold rules over the exact q12 signal replay
-    // replays the positional shingle-hash stream (the q18 token/hash
-    // conventions), flags hashes in >= 2 docs, expands coverage to token
-    // indices, anti-joins, and rebuilds the surviving token stream
+    // replays the positional WIDE shingle-hash stream (two independent
+    // polynomial chains combined — see ShingleSpanHashesExpr), flags
+    // hashes in >= 2 docs, expands coverage to token indices, anti-joins,
+    // and rebuilds the surviving token stream
     "q77_repeated_spans" ->
-      s"""WITH th AS ($tokHashSql),
-         |tk AS (SELECT doc_id,
+      s"""WITH tk AS (SELECT doc_id,
          |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
          | FROM documents WHERE text IS NOT NULL),
+         |th AS (SELECT doc_id,
+         |  list_transform(toks, t -> list_reduce(
+         |   list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(list_filter(string_split(t, ''), c -> c != ''),
+         |     c -> CAST(ascii(c) AS BIGINT))),
+         |   (a, c) -> (a * 31 + c) % 1000000007)) AS h1s,
+         |  list_transform(toks, t -> list_reduce(
+         |   list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(list_filter(string_split(t, ''), c -> c != ''),
+         |     c -> CAST(ascii(c) AS BIGINT))),
+         |   (a, c) -> (a * 37 + c) % 1000000009)) AS h2s
+         | FROM tk),
          |sh AS (SELECT doc_id, r.i - 1 AS pos,
-         |  list_reduce(list_slice(th, r.i, r.i + 4),
-         |    (a, c) -> (a * 1000003 + c) % 1000000007) AS h
-         | FROM th, unnest(range(1, len(th) - 3)) r(i)),
+         |  list_reduce(list_slice(h1s, r.i, r.i + 4),
+         |    (a, c) -> (a * 1000003 + c) % 1000000007) * 1000000009
+         |  + list_reduce(list_slice(h2s, r.i, r.i + 4),
+         |    (a, c) -> (a * 1000033 + c) % 1000000009) AS h
+         | FROM th, unnest(range(1, len(h1s) - 3)) r(i)),
          |rep AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
          |cov AS (SELECT DISTINCT s.doc_id, u.ti
          | FROM sh s JOIN rep USING (h), unnest(range(s.pos, s.pos + 5)) u(ti)),

@@ -230,11 +230,13 @@ object Dedup {
       idCol: String, textCol: String,
       n: Int = 8, minShared: Long = 3L,
       maxShingleDf: Long = 100000L): DataFrame = {
-    // distinct BEFORE the df window: shingleHashes replays every n-gram
-    // occurrence, so a repetitive doc emits the same hash many times —
-    // the cap must count DOCUMENT frequency (distinct train docs per
-    // hash), as the oracle's list_distinct does, or one doc repeating a
-    // rare n-gram could push it over the cap and mask real contamination.
+    // distinct BEFORE the df window: the cap must count DOCUMENT
+    // frequency (distinct train docs per hash), as the oracle's
+    // list_distinct does. ShingleHashesExpr already first-occurrence-
+    // dedups within a doc, so this is a defensive invariant (spec-pinned
+    // with a doc repeating the contaminated span 20x) rather than a
+    // load-bearing pass — it keeps the documented semantics true even if
+    // a caller feeds positional (non-distinct) hash streams.
     def side(df: DataFrame, out: String) = df
       .select(col(idCol).as(out),
         explode(TextFunctions.shingleHashes(col(textCol), n)).as("__h"))
@@ -259,19 +261,22 @@ object Dedup {
     * whitespace-split) stream the dedup family hashes — the keep-one-copy
     * variant is a policy layer on top, not this operator.
     *
-    * Scale shape: positional shingle hashes are scan-stage
-    * ([[TextFunctions.shingleHashes]] + posexplode); the df pass is one
-    * map-side-combined count-distinct keyed on the hash (only (hash, id)
-    * pairs shuffle); coverage expands flagged positions to token indices
-    * (bounded by tokens per doc); the rebuild is a keyed anti-join +
-    * sorted-struct gather per doc. No driver involvement. */
+    * Scale shape: positional WIDE shingle hashes are scan-stage
+    * ([[TextFunctions.shingleSpanHashes]] + posexplode — positional so
+    * coverage lands on true token indices even when a doc repeats a
+    * flagged span; ~60-bit so birthday collisions cannot flag innocent
+    * spans at corpus scale); the df pass is one map-side-combined
+    * count-distinct keyed on the hash (only (hash, id) pairs shuffle);
+    * coverage expands flagged positions to token indices (bounded by
+    * tokens per doc); the rebuild is a keyed anti-join + sorted-struct
+    * gather per doc. No driver involvement. */
   def removeRepeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDf: Long = 2L): DataFrame = {
     require(n >= 1 && minDf >= 2, s"need n >= 1 and minDf >= 2: $n, $minDf")
     val base = df.select(col(idCol).as("id"),
       filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"),
-      TextFunctions.shingleHashes(col(textCol), n).as("hs"))
+      TextFunctions.shingleSpanHashes(col(textCol), n).as("hs"))
     val sh = base.select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
     val rep = sh.groupBy(col("h"))
       .agg(count_distinct(col("id")).as("__df"))

@@ -23,6 +23,13 @@ object TextHash {
   val Mod: Long = 1000000007L
   val TokenCombine: Long = 1000003L
   val MinhashP: Long = 2147483647L
+  // second, independent chain for the WIDE positional hashes (span
+  // removal): ~10⁹ values saturate at ~10⁸ shingles (birthday), and a
+  // df-threshold consumer is collision-INTOLERANT — unlike minhash,
+  // where per-slot collisions only perturb one of 64 minima
+  val Mod2: Long = 1000000009L
+  val TokenMult2: Long = 37L
+  val TokenCombine2: Long = 1000033L
 
   /** `h = (h·31 + codePoint) mod 1e9+7` over the string's code points —
     * matches `ascii()`-per-char folds on any engine. */
@@ -42,6 +49,21 @@ object TextHash {
 
   def shingleHashes(c: Column, n: Int): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(c), n))
+
+  def shingleSpanHashes(c: Column, n: Int): Column =
+    Bridge.column(ShingleSpanHashesExpr(Bridge.expression(c), n))
+
+  /** Second-chain token hash: `h = (h·37 + codePoint) mod 1e9+9`. */
+  def hashString2(t: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      h = (h * TokenMult2 + cp) % Mod2
+      i += Character.charCount(cp)
+    }
+    h
+  }
 
   def minhashSig(shingleHashes: Column, params: Seq[(Long, Long)]): Column =
     Bridge.column(MinhashSigExpr(Bridge.expression(shingleHashes),
@@ -97,6 +119,57 @@ case class ShingleHashesExpr(child: Expression, n: Int)
     }
   }
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** POSITIONAL wide shingle hashes — one hash per n-gram START POSITION
+  * (no distinct: index i of the output IS token position i, the contract
+  * span removal needs to expand coverage), each ~60 bits: two
+  * independent polynomial chains combined as `h1·(1e9+9) + h2`, so a
+  * false span match needs a simultaneous collision in both ~10⁹ spaces
+  * (~10⁻¹⁸ per pair — a 2M-doc probe of the single-chain form produced
+  * 1.85M birthday-collision false positives; this form produced the
+  * exact planted count). */
+case class ShingleSpanHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val raw = s.split("\\s+")
+    val th = new Array[Long](raw.length)
+    val t2 = new Array[Long](raw.length)
+    var nt = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        th(nt) = TextHash.hashString(raw(i))
+        t2(nt) = TextHash.hashString2(raw(i))
+        nt += 1
+      }
+      i += 1
+    }
+    val m = nt - n + 1
+    if (m <= 0) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var h1 = th(i)
+        var h2 = t2(i)
+        var j = 1
+        while (j < n) {
+          h1 = (h1 * TextHash.TokenCombine + th(i + j)) % TextHash.Mod
+          h2 = (h2 * TextHash.TokenCombine2 + t2(i + j)) % TextHash.Mod2
+          j += 1
+        }
+        out(i) = h1 * TextHash.Mod2 + h2
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleSpanHashesExpr =
     copy(child = newChild)
 }
 

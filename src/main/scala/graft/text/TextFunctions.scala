@@ -198,6 +198,14 @@ object TextFunctions {
     * `h = (h·1000003 + next) mod 1e9+7`. Output is a set of longs —
     * cheaper to minhash than shingle strings and bit-identical across
     * engines. Native one-pass expression. */
+  /** One WIDE (~60-bit) hash per n-gram start POSITION — no distinct, so
+    * the output index is the token position (the [[graft.dedup.Dedup
+    * .removeRepeatedSpans]] coverage contract); see
+    * [[graft.functions.ShingleSpanHashesExpr]] for why the df-threshold
+    * consumer needs the wide form. */
+  def shingleSpanHashes(text: Column, n: Int): Column =
+    graft.functions.TextHash.shingleSpanHashes(text, n)
+
   def shingleHashes(text: Column, n: Int): Column =
     graft.functions.TextHash.shingleHashes(text, n)
 

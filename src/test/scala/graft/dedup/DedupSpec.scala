@@ -187,6 +187,18 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == (("one two three four five six seven", 8L)), out(2L).toString)
     assert(out(3L)._2 == 0L && out(3L)._1.startsWith("entirely unique"))
     assert(out(4L)._2 == 0L, out(4L).toString)
+
+    // positional coverage: a doc carrying the SAME flagged span twice must
+    // lose BOTH occurrences (the hash stream is positional, not distinct —
+    // a first-occurrence-distinct stream would miss the second copy)
+    val twice = Seq(
+      (10L, s"$boiler middle words here $boiler tail"),
+      (11L, s"unrelated prefix $boiler")
+    ).toDF("doc_id", "text")
+    val o2 = Dedup.removeRepeatedSpans(twice, "doc_id", "text", n = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(o2(10L) == (("middle words here tail", 16L)), o2(10L).toString)
+    assert(o2(11L) == (("unrelated prefix", 8L)), o2(11L).toString)
   }
 
   test("charShingles and keepFirstPerGroup contracts") {
