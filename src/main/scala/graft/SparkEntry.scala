@@ -1111,12 +1111,18 @@ object SparkEntry {
          |FROM t""".stripMargin,
     "q12_text_stats" -> textStatsSql,
     "q13_langid" -> langIdSql,
+    // wide fingerprint: two char chains combined (identity hashes must
+    // not birthday-collide at 1e8 docs — see ShingleSpanHashesExpr)
     "q14_fingerprint" ->
       """SELECT doc_id,
         | CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
         |   list_transform(list_filter(string_split(text, ''), c -> c != ''),
         |     c -> CAST(ascii(c) AS BIGINT)),
-        |   (a, c) -> (a * 31 + c) % 1000000007) END AS fp
+        |   (a, c) -> (a * 31 + c) % 1000000007) END * 1000000009
+        | + CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
+        |   list_transform(list_filter(string_split(text, ''), c -> c != ''),
+        |     c -> CAST(ascii(c) AS BIGINT)),
+        |   (a, c) -> (a * 37 + c) % 1000000009) END AS fp
         |FROM documents""".stripMargin,
     "q15_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
@@ -1220,21 +1226,8 @@ object SparkEntry {
     // hashes in >= 2 docs, expands coverage to token indices, anti-joins,
     // and rebuilds the surviving token stream
     "q77_repeated_spans" ->
-      s"""WITH tk AS (SELECT doc_id,
-         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
-         | FROM documents WHERE text IS NOT NULL),
-         |th AS (SELECT doc_id,
-         |  list_transform(toks, t -> list_reduce(
-         |   list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(list_filter(string_split(t, ''), c -> c != ''),
-         |     c -> CAST(ascii(c) AS BIGINT))),
-         |   (a, c) -> (a * 31 + c) % 1000000007)) AS h1s,
-         |  list_transform(toks, t -> list_reduce(
-         |   list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(list_filter(string_split(t, ''), c -> c != ''),
-         |     c -> CAST(ascii(c) AS BIGINT))),
-         |   (a, c) -> (a * 37 + c) % 1000000009)) AS h2s
-         | FROM tk),
+      s"""WITH th AS ($wideTokHashSql),
+         |tk AS (SELECT doc_id, toks FROM th),
          |sh AS (SELECT doc_id, r.i - 1 AS pos,
          |  list_reduce(list_slice(h1s, r.i, r.i + 4),
          |    (a, c) -> (a * 1000003 + c) % 1000000007) * 1000000009
@@ -1356,11 +1349,13 @@ object SparkEntry {
          |FROM events GROUP BY user_id""".stripMargin,
     // same tokHash base + 8-slice left-fold shingle recurrence
     "q66_decontaminate" ->
-      s"""WITH th AS ($tokHashSql),
+      s"""WITH th AS ($wideTokHashSql),
          |sh AS (SELECT doc_id,
-         |  CASE WHEN len(th) >= 8 THEN list_distinct(list_transform(range(1, len(th) - 6),
-         |    i -> list_reduce(list_slice(th, i, i + 7),
-         |      (a, b) -> (a*1000003 + b) % 1000000007)))
+         |  CASE WHEN len(h1s) >= 8 THEN list_distinct(list_transform(range(1, len(h1s) - 6),
+         |    i -> list_reduce(list_slice(h1s, i, i + 7),
+         |      (a, b) -> (a*1000003 + b) % 1000000007) * 1000000009
+         |     + list_reduce(list_slice(h2s, i, i + 7),
+         |      (a, b) -> (a*1000033 + b) % 1000000009)))
          |   ELSE [] END AS sh
          | FROM th),
          |f AS (SELECT doc_id, unnest(sh) AS h FROM sh)
@@ -2217,6 +2212,29 @@ object SparkEntry {
   /** Per-doc token polynomial hashes — the shared base of the minhash and
     * simhash oracles (mirrors `TextFunctions.polyHash` over
     * `tokensLower`). */
+  /** Per-token TWO-chain hashes (doc_id, toks, h1s, h2s) — the SQL replay
+    * base of the wide positional hashes (`ShingleSpanHashesExpr`): chain 1
+    * is the q18 convention (31 / 1e9+7), chain 2 is 37 / 1e9+9; consumers
+    * combine per-shingle as `h1·(1e9+9) + h2`. */
+  private val wideTokHashSql: String =
+    """SELECT doc_id,
+      | list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS toks,
+      | list_transform(
+      |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''),
+      |  t -> list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(list_filter(string_split(t, ''), c -> c != ''),
+      |     c -> CAST(ascii(c) AS BIGINT))),
+      |   (a, c) -> (a * 31 + c) % 1000000007)) AS h1s,
+      | list_transform(
+      |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''),
+      |  t -> list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(list_filter(string_split(t, ''), c -> c != ''),
+      |     c -> CAST(ascii(c) AS BIGINT))),
+      |   (a, c) -> (a * 37 + c) % 1000000009)) AS h2s
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   private val tokHashSql: String =
     """SELECT doc_id,
       | list_transform(

@@ -230,16 +230,18 @@ object Dedup {
       idCol: String, textCol: String,
       n: Int = 8, minShared: Long = 3L,
       maxShingleDf: Long = 100000L): DataFrame = {
+    // WIDE hashes: a contamination FLAG is collision-intolerant — on a
+    // ~10⁹ single chain, ~10⁸ distinct train shingles give every eval
+    // shingle a ~10% birthday chance of colliding with some unrelated
+    // train shingle, flooding n_shared with false collisions at corpus
+    // scale (the q77 probe demonstrated the failure class at 2M docs).
     // distinct BEFORE the df window: the cap must count DOCUMENT
     // frequency (distinct train docs per hash), as the oracle's
-    // list_distinct does. ShingleHashesExpr already first-occurrence-
-    // dedups within a doc, so this is a defensive invariant (spec-pinned
-    // with a doc repeating the contaminated span 20x) rather than a
-    // load-bearing pass — it keeps the documented semantics true even if
-    // a caller feeds positional (non-distinct) hash streams.
+    // list_distinct does — spec-pinned with a doc repeating the
+    // contaminated span 20x (the positional stream is per-occurrence).
     def side(df: DataFrame, out: String) = df
       .select(col(idCol).as(out),
-        explode(TextFunctions.shingleHashes(col(textCol), n)).as("__h"))
+        explode(TextFunctions.shingleSpanHashes(col(textCol), n)).as("__h"))
       .distinct()
     side(train, "train_id")
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))

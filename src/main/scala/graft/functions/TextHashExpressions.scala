@@ -47,6 +47,11 @@ object TextHash {
   def polyHash(c: Column): Column =
     Bridge.column(PolyHashExpr(Bridge.expression(c)))
 
+  /** Second-chain whole-string hash (see [[ShingleSpanHashesExpr]] for
+    * why collision-intolerant consumers combine two chains). */
+  def polyHash2(c: Column): Column =
+    Bridge.column(PolyHashExpr(Bridge.expression(c), TokenMult2, Mod2))
+
   def shingleHashes(c: Column, n: Int): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(c), n))
 
@@ -73,12 +78,23 @@ object TextHash {
     Bridge.column(SimhashBitsExpr(Bridge.expression(hashes), bits))
 }
 
-/** Whole-string polynomial hash (document fingerprint). */
-case class PolyHashExpr(child: Expression)
+/** Whole-string polynomial hash (document fingerprint); `mult`/`mod`
+  * select the chain (31 / 1e9+7 default, 37 / 1e9+9 second chain). */
+case class PolyHashExpr(child: Expression,
+    mult: Long = 31L, mod: Long = TextHash.Mod)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any =
-    TextHash.hashString(input.asInstanceOf[UTF8String].toString)
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      h = (h * mult + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
   override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
     copy(child = newChild)
 }

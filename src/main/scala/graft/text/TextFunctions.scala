@@ -184,7 +184,14 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
   }
 
-  def fingerprint(text: Column): Column = polyHash(text)
+  /** Document fingerprint: a WIDE (~60-bit) rolling char hash — two
+    * independent polynomial chains combined as `h1·(1e9+9) + h2`, because
+    * a fingerprint is document IDENTITY and a single ~10⁹ chain
+    * birthday-collides at ~10⁸ documents (false merges); same widening
+    * rationale as [[shingleSpanHashes]]. */
+  def fingerprint(text: Column): Column =
+    polyHash(text) * lit(graft.functions.TextHash.Mod2) +
+      graft.functions.TextHash.polyHash2(text)
 
   /** The same polynomial char-code hash applied to any string column —
     * the cross-engine-reproducible base hash for minhash/simhash features
@@ -193,19 +200,21 @@ object TextFunctions {
     * expression — one loop per row ([[graft.functions.TextHash]]). */
   def polyHash(s: Column): Column = graft.functions.TextHash.polyHash(s)
 
+  /** One WIDE (~60-bit) hash per n-gram start POSITION — no distinct, so
+    * the output index is the token position (the [[graft.dedup.Dedup
+    * .removeRepeatedSpans]] coverage contract); see
+    * [[graft.functions.ShingleSpanHashesExpr]] for why collision-
+    * intolerant consumers need the wide form. */
+  def shingleSpanHashes(text: Column, n: Int): Column =
+    graft.functions.TextHash.shingleSpanHashes(text, n)
+
   /** Deterministic word n-gram shingle HASHES (distinct): per-token
     * [[polyHash]] values combined across n consecutive tokens with
     * `h = (h·1000003 + next) mod 1e9+7`. Output is a set of longs —
     * cheaper to minhash than shingle strings and bit-identical across
-    * engines. Native one-pass expression. */
-  /** One WIDE (~60-bit) hash per n-gram start POSITION — no distinct, so
-    * the output index is the token position (the [[graft.dedup.Dedup
-    * .removeRepeatedSpans]] coverage contract); see
-    * [[graft.functions.ShingleSpanHashesExpr]] for why the df-threshold
-    * consumer needs the wide form. */
-  def shingleSpanHashes(text: Column, n: Int): Column =
-    graft.functions.TextHash.shingleSpanHashes(text, n)
-
+    * engines (the minhash/banding oracles replay this chain). Collision-
+    * TOLERANT consumers only (minhash, jaccard estimates); identity or
+    * df-threshold consumers use the wide forms. */
   def shingleHashes(text: Column, n: Int): Column =
     graft.functions.TextHash.shingleHashes(text, n)
 
