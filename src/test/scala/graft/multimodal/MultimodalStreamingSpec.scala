@@ -203,6 +203,18 @@ class MultimodalStreamingSpec extends SparkSpec {
     q.stop()
     assert(got(1L) == ((true, "")))
     assert(!got(2L)._1 && got(2L)._2.contains("too_short"))
+
+    // PII redaction is scan-stage too — streams with no adaptation
+    val mem2 = MemoryStream[(Long, String)]
+    val out2 = mem2.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.TextFunctions.redactPii(col("text")).as("t"))
+    val q2 = out2.writeStream.format("memory")
+      .queryName("pii_stream_test").outputMode("append").start()
+    mem2.addData((1L, "write to a@b.io from 10.0.0.1 thanks"))
+    q2.processAllAvailable()
+    val red = spark.sql("select t from pii_stream_test").head().getString(0)
+    q2.stop()
+    assert(red == "write to <EMAIL> from <IP> thanks", red)
   }
 
   test("streaming sequence packing ≡ batch packing across micro-batches") {
