@@ -91,6 +91,9 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 8,
       maxBucket: Long = 100000L): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes, bands=$bands)" +
+        " — silent truncation would drop signature slots")
     val rowsPerBand = numHashes / bands
     val params = minhashParams(numHashes)
     // materialize the shingle array once per row — inlining it into the
@@ -296,7 +299,10 @@ object Dedup {
           array_sort(collect_list(struct(col("ti"), col("tok")))),
           _.getField("tok"))).as("clean_text"),
         count(lit(1)).as("__kept"))
-    base.select(col("id"), size(col("toks")).cast("long").as("__ntok"))
+    // null text → toks is null → size() is null: coalesce the token count
+    // to 0 so the audit column is total (n_removed = 0, not null)
+    base.select(col("id"),
+        coalesce(size(col("toks")), lit(0)).cast("long").as("__ntok"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

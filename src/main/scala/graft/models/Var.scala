@@ -151,9 +151,9 @@ final class Var(
     // global Window.orderBy would funnel the whole series through ONE
     // task, exactly the bottleneck this path exists to avoid
     val regNames = for (l <- 1 to lags; v <- cols) yield s"__l${l}_$v"
-    val lagged = graft.ops.RangeWindow.lagColumns(
-        base, Seq(col("__ord")), cols, lags, numPartitions)
-      .na.drop(cols ++ regNames)
+    val (laggedRaw, releaseLagCache) = graft.ops.RangeWindow.lagColumnsManaged(
+      base, Seq(col("__ord")), cols, lags, numPartitions)
+    val lagged = laggedRaw.na.drop(cols ++ regNames)
 
     val fits = cols.map(y => DistributedOls.fit(lagged, y, regNames))
     coefs = (0 until lags).map { l =>
@@ -171,6 +171,7 @@ final class Var(
     val prods = for (i <- 0 until nVars; j <- i until nVars)
       yield sum(col(s"__e$i") * col(s"__e$j")).as(s"__s${i}_$j")
     val sr = lagged.select(residCols: _*).agg(prods.head, prods.tail: _*).head()
+    releaseLagCache() // all jobs over the lag columns have run
     val nobs = fits.head.n
     val dfResid = nobs - (nVars * lags + nTrend)
     sigmaU = DenseMatrix.zeros[Double](nVars, nVars)

@@ -178,15 +178,21 @@ object CloughTocher {
       tris: Array[(Int, Int, Int)]): ((Int, Int)) => Option[Double] = {
     val grads = estimateGradients(pts, z, tris)
     val cache = new Array[Array[Patch]](tris.length)
+    // grid-indexed point location: O(1) expected per query instead of the
+    // O(#triangles) scan (which made the fill #NaN-cells × #triangles)
+    val loc = new Delaunay.TriLocator(pts, tris)
     q =>
-      locate(pts, tris, q).map { case (t, u, v, w) =>
-        if (cache(t) == null) {
-          val (a, b, c) = tris(t)
-          cache(t) = macroPatches(pts, z, grads, a, b, c)
+      locateAmong(pts, tris,
+          loc.candidates(q._1.toDouble, q._2.toDouble),
+          (q._1.toDouble, q._2.toDouble))
+        .map { case (t, u, v, w) =>
+          if (cache(t) == null) {
+            val (a, b, c) = tris(t)
+            cache(t) = macroPatches(pts, z, grads, a, b, c)
+          }
+          val (pi, mu, mv, mw) = microOf(u, v, w)
+          cache(t)(pi).value(mu, mv, mw)
         }
-        val (pi, mu, mv, mw) = microOf(u, v, w)
-        cache(t)(pi).value(mu, mv, mw)
-      }
   }
 
   /** Interpolate `query`: Some(value) inside/on the hull, None outside —
@@ -227,11 +233,20 @@ object CloughTocher {
       q: (Int, Int)): Option[(Int, Double, Double, Double)] =
     locateD(pts, tris, (q._1.toDouble, q._2.toDouble))
 
+  /** One-off linear-scan location (public [[interpolate]] /
+    * [[interpolateWithGradient]] spec surface); the many-query
+    * [[evaluator]] path goes through the grid index instead. */
   private def locateD(pts: Array[(Int, Int)], tris: Array[(Int, Int, Int)],
-      q: (Double, Double)): Option[(Int, Double, Double, Double)] = {
+      q: (Double, Double)): Option[(Int, Double, Double, Double)] =
+    locateAmong(pts, tris, Array.range(0, tris.length), q)
+
+  /** Containment test restricted to candidate triangle indices `cand`. */
+  private def locateAmong(pts: Array[(Int, Int)], tris: Array[(Int, Int, Int)],
+      cand: Array[Int], q: (Double, Double)): Option[(Int, Double, Double, Double)] = {
     val (qx, qy) = q
-    var t = 0
-    while (t < tris.length) {
+    var ci = 0
+    while (ci < cand.length) {
+      val t = cand(ci)
       val (a, b, c) = tris(t)
       val (ax, ay) = (pts(a)._1.toDouble, pts(a)._2.toDouble)
       val (bx, by) = (pts(b)._1.toDouble, pts(b)._2.toDouble)
@@ -245,7 +260,7 @@ object CloughTocher {
         val area = oa + ob + oc
         return Some((t, oa / area, ob / area, oc / area))
       }
-      t += 1
+      ci += 1
     }
     None
   }

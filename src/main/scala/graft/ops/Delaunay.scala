@@ -120,26 +120,107 @@ object Delaunay {
       .map(ccw)
   }
 
+  /** Uniform-grid point-location index over a triangulation: each grid
+    * cell lists the triangles whose bounding box overlaps it, so a
+    * containment query tests only the triangles registered at the query's
+    * cell — O(1) expected per query on the near-uniform integer grids the
+    * matrix fill produces, vs the O(#triangles) linear scan that made the
+    * 'linear'/'cubic' fills O(#NaN-cells × #triangles). Exactness is
+    * untouched: the grid only PRUNES candidates (a containing triangle's
+    * bbox always covers the query cell), the callers' orientation tests
+    * still decide containment. */
+  final class TriLocator(pts: Array[(Int, Int)], tris: Array[(Int, Int, Int)]) {
+    private val nT = tris.length
+    private val g = math.max(1, math.sqrt(nT.toDouble).toInt)
+    private var minX = Long.MaxValue; private var maxX = Long.MinValue
+    private var minY = Long.MaxValue; private var maxY = Long.MinValue
+    tris.foreach { case (a, b, c) =>
+      Array(a, b, c).foreach { i =>
+        val (x, y) = (pts(i)._1.toLong, pts(i)._2.toLong)
+        if (x < minX) minX = x; if (x > maxX) maxX = x
+        if (y < minY) minY = y; if (y > maxY) maxY = y
+      }
+    }
+    private val spanX = math.max(1L, maxX - minX + 1)
+    private val spanY = math.max(1L, maxY - minY + 1)
+    private def ix(x: Long): Int =
+      math.min(g - 1L, math.max(0L, (x - minX) * g / spanX)).toInt
+    private def iy(y: Long): Int =
+      math.min(g - 1L, math.max(0L, (y - minY) * g / spanY)).toInt
+    private val buckets: Array[Array[Int]] = {
+      val tmp = Array.fill(g * g)(new scala.collection.mutable.ArrayBuffer[Int])
+      var t = 0
+      while (t < nT) {
+        val (a, b, c) = tris(t)
+        val bx0 = math.min(pts(a)._1, math.min(pts(b)._1, pts(c)._1)).toLong
+        val bx1 = math.max(pts(a)._1, math.max(pts(b)._1, pts(c)._1)).toLong
+        val by0 = math.min(pts(a)._2, math.min(pts(b)._2, pts(c)._2)).toLong
+        val by1 = math.max(pts(a)._2, math.max(pts(b)._2, pts(c)._2)).toLong
+        for (cx <- ix(bx0) to ix(bx1); cy <- iy(by0) to iy(by1))
+          tmp(cy * g + cx) += t
+        t += 1
+      }
+      tmp.map(_.toArray)
+    }
+    /** Triangle indices whose bbox cell covers (qx, qy); empty outside
+      * the triangulation's bounding box. */
+    def candidates(qx: Double, qy: Double): Array[Int] =
+      if (nT == 0 || qx < minX || qx > maxX || qy < minY || qy > maxY)
+        Array.emptyIntArray
+      else buckets(iy(math.floor(qy).toLong) * g + ix(math.floor(qx).toLong))
+  }
+
+  /** Containment + barycentric value of triangle `t` at (qx, qy), or
+    * None. Exact Long orientation decides containment. */
+  private def triValue(pts: Array[(Int, Int)], z: Array[Double],
+      tris: Array[(Int, Int, Int)], t: Int, qx: Long, qy: Long): Option[Double] = {
+    val (a, b, c) = tris(t)
+    val (ax, ay) = (pts(a)._1.toLong, pts(a)._2.toLong)
+    val (bx, by) = (pts(b)._1.toLong, pts(b)._2.toLong)
+    val (cx, cy) = (pts(c)._1.toLong, pts(c)._2.toLong)
+    val oa = orient(bx, by, cx, cy, qx, qy)
+    val ob = orient(cx, cy, ax, ay, qx, qy)
+    val oc = orient(ax, ay, bx, by, qx, qy)
+    if (oa >= 0 && ob >= 0 && oc >= 0) {
+      val area = orient(ax, ay, bx, by, cx, cy) // = oa + ob + oc > 0 (CCW)
+      Some((oa.toDouble * z(a) + ob.toDouble * z(b) +
+        oc.toDouble * z(c)) / area.toDouble)
+    } else None
+  }
+
   /** Barycentric-interpolate `query` against triangulated `pts` with
     * per-point values `z`: Some(value) when the query lies inside or on
     * the hull of some triangle, None outside (scipy griddata 'linear'
-    * leaves those NaN). Exact Long orientation decides containment. */
+    * leaves those NaN). Linear scan — fine for one-off queries; many-query
+    * fills should use [[interpolator]] (grid-indexed). */
   def interpolate(pts: Array[(Int, Int)], z: Array[Double],
       tris: Array[(Int, Int, Int)], query: (Int, Int)): Option[Double] = {
     val (qx, qy) = (query._1.toLong, query._2.toLong)
-    tris.foreach { case (a, b, c) =>
-      val (ax, ay) = (pts(a)._1.toLong, pts(a)._2.toLong)
-      val (bx, by) = (pts(b)._1.toLong, pts(b)._2.toLong)
-      val (cx, cy) = (pts(c)._1.toLong, pts(c)._2.toLong)
-      val oa = orient(bx, by, cx, cy, qx, qy)
-      val ob = orient(cx, cy, ax, ay, qx, qy)
-      val oc = orient(ax, ay, bx, by, qx, qy)
-      if (oa >= 0 && ob >= 0 && oc >= 0) {
-        val area = orient(ax, ay, bx, by, cx, cy) // = oa + ob + oc > 0 (CCW)
-        return Some((oa.toDouble * z(a) + ob.toDouble * z(b) +
-          oc.toDouble * z(c)) / area.toDouble)
-      }
+    var t = 0
+    while (t < tris.length) {
+      val v = triValue(pts, z, tris, t, qx, qy)
+      if (v.isDefined) return v
+      t += 1
     }
     None
+  }
+
+  /** Indexed form of [[interpolate]] for many-query fills: builds a
+    * [[TriLocator]] once, then each query tests only its grid cell's
+    * candidate triangles. Same results as [[interpolate]]. */
+  def interpolator(pts: Array[(Int, Int)], z: Array[Double],
+      tris: Array[(Int, Int, Int)]): ((Int, Int)) => Option[Double] = {
+    val loc = new TriLocator(pts, tris)
+    q => {
+      val (qx, qy) = (q._1.toLong, q._2.toLong)
+      val cand = loc.candidates(q._1.toDouble, q._2.toDouble)
+      var i = 0
+      var out: Option[Double] = None
+      while (out.isEmpty && i < cand.length) {
+        out = triValue(pts, z, tris, cand(i), qx, qy)
+        i += 1
+      }
+      out
+    }
   }
 }

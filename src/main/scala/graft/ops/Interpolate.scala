@@ -231,8 +231,8 @@ object Interpolate {
       case "linear" =>
         val zs = known.map { case (ii, jj) => vals(ii)(jj) }
         val tris = Delaunay.triangulate(known)
-        (i, j) => Delaunay.interpolate(known, zs, tris, (i, j))
-          .getOrElse(Double.NaN)
+        val interp = Delaunay.interpolator(known, zs, tris)
+        (i, j) => interp((i, j)).getOrElse(Double.NaN)
       case "cubic" =>
         val zs = known.map { case (ii, jj) => vals(ii)(jj) }
         val tris = Delaunay.triangulate(known)

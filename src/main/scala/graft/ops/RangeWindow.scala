@@ -172,17 +172,40 @@ object RangeWindow {
     * per-partition tail carry (P·lags·|cols| values), then an
     * embarrassingly parallel mapPartitions with a ring of the previous
     * `lags` row-vectors. Rows with fewer than `l` global predecessors get
-    * null, exactly like `lag()`. */
+    * null, exactly like `lag()`.
+    *
+    * The sorted input is PERSISTED and materialized by pass 1, so pass 2
+    * (and every downstream job over the result) reads the SAME cached
+    * partitions: with duplicate orderCols keys, sortWithinPartitions
+    * alone is not stable across jobs, and a re-sort between the passes
+    * could make the boundary carry disagree with pass-2 row order. The
+    * cache pins one arbitrary-but-consistent tie order (the residual
+    * caveat — recomputation after executor loss could re-tie — only
+    * matters for non-unique keys; Var's time index is unique). Release
+    * the cache via the handle returned by [[lagColumnsManaged]]; this
+    * convenience overload leaves it to Spark's LRU. */
   def lagColumns(
       df: DataFrame,
       orderCols: Seq[org.apache.spark.sql.Column],
       valueCols: Seq[String],
       lags: Int,
-      numPartitions: Int): DataFrame = {
+      numPartitions: Int): DataFrame =
+    lagColumnsManaged(df, orderCols, valueCols, lags, numPartitions)._1
+
+  /** [[lagColumns]] plus an unpersist handle for the internally cached
+    * sorted input — call it once every job over the returned frame has
+    * run ([[graft.models.Var.fitDistributed]] does). */
+  def lagColumnsManaged(
+      df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      valueCols: Seq[String],
+      lags: Int,
+      numPartitions: Int): (DataFrame, () => Unit) = {
     require(lags >= 1, s"lags must be positive: $lags")
     val ranged = df
       .repartitionByRange(numPartitions, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = df.sparkSession
     val schema = ranged.schema
     val getters = valueCols.map { c =>
@@ -240,7 +263,7 @@ object RangeWindow {
         Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    (spark.createDataFrame(outRdd, outSchema), () => { ranged.unpersist(); () })
   }
 
   def slidingWindow(

@@ -110,10 +110,14 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     // zero-norm vectors: cosine is defined 0 here (< any positive τ) —
     // they can never pair, so drop them before normalizing
+    // persisted: consumed by the tier-selecting count() plus (large tier)
+    // the k-means fit/transform passes — without the cache the scan+norm
+    // pipeline would run once per job
     val base = corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0.0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // adaptive micro-tier (the connectedComponents union-find pattern):
     // the cell machinery below costs ~10 fixed Spark jobs (k-means fit,
@@ -124,6 +128,7 @@ object Similarity {
     // threshold (callers filter to their keep predicate either way).
     if (base.count() <= driverThreshold) {
       val rows = base.orderBy(col("id")).collect()
+      base.unpersist()
       val n = rows.length
       val vecs = Array.tabulate(n)(i => rows(i).getSeq[Double](1).toArray)
       val nrms = Array.tabulate(n)(i => rows(i).getDouble(2))
@@ -203,11 +208,21 @@ object Similarity {
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cell").as("cell_b"), col("id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"))
-    a.join(cpairs, "cell_a")
+    // materialize the candidate edges eagerly (localCheckpoint): the
+    // canonical consumer (connectedComponents) iterates over them many
+    // times and would otherwise replay the whole k-means+join per round,
+    // and eager materialization is what lets the internal caches be
+    // RELEASED here instead of leaking across calls (ADVICE r5). The edge
+    // set is the operator's output — downstream reads it in full anyway.
+    val out = a.join(cpairs, "cell_a")
       .join(b, "cell_b")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+      .localCheckpoint(true)
+    assigned.unpersist()
+    base.unpersist()
+    out
   }
 
   /** LSH-bucketed ANN: multi-probe via `tables` independent bucket keys;

@@ -126,6 +126,9 @@ object StreamingOps {
       watermark: String = "1 hour"): DataFrame = {
     import graft.dedup.Dedup
     import graft.text.TextFunctions
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes, bands=$bands)" +
+        " — silent truncation would drop signature slots")
     val rowsPerBand = numHashes / bands
     val params = Dedup.minhashParams(numHashes)
     def side(sfx: String): DataFrame = stream
@@ -185,6 +188,9 @@ object StreamingOps {
       watermark: String = "1 hour"): Dataset[BucketCanonical] = {
     import graft.dedup.Dedup
     import graft.text.TextFunctions
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes, bands=$bands)" +
+        " — silent truncation would drop signature slots")
     val rowsPerBand = numHashes / bands
     val params = Dedup.minhashParams(numHashes)
     val banded = stream
