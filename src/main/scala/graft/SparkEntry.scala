@@ -603,31 +603,43 @@ object SparkEntry {
         .select(round(col("period"), 6).as("period"),
           round(col("pgram"), 6).as("pgram"))
     }),
-    // ---- §2.9 forecast models (rows-only: no SQL oracle exists) -------
+    // ---- §2.9 forecast models (golden-pinned gate: the iterative MLE
+    // fits have no ANSI-SQL oracle, so outputs are rounded to the spec
+    // tolerance and the oracle replays a checked-in expected table keyed
+    // by data scale — the fit NUMERICS are independently validated
+    // against statsmodels goldens in the model specs) -------------------
     "q31_arima_forecast" -> ((s, dir) => {
       val d = daily(s, dir)
       val y = ModelEvaluation.collectSeries(d, Seq("v")).map(_.head)
       val (fo, lo, hi) = new Arima(2, 1, 0).fit(y).predict(7)
       s.createDataFrame((0 until 7).map(i =>
         (i + 1L, fo(i), lo(i), hi(i)))).toDF("step", "forecast", "ci_low", "ci_high")
+        .select(col("step"), round(col("forecast"), 4).as("forecast"),
+          round(col("ci_low"), 4).as("ci_low"), round(col("ci_high"), 4).as("ci_high"))
     }),
     "q32_var_forecast" -> ((s, dir) => {
       val d = daily(s, dir)
       val m = ModelEvaluation.collectSeries(d, Seq("v", "c"))
       val (fo, lo, hi) = new Var(Some(2)).fit(m).predict(7)
-      s.createDataFrame((0 until 7).map(i =>
+      val raw = s.createDataFrame((0 until 7).map(i =>
         (i + 1L, fo(i)(0), lo(i)(0), hi(i)(0), fo(i)(1), lo(i)(1), hi(i)(1))))
         .toDF("step", "v_forecast", "v_lo", "v_hi", "c_forecast", "c_lo", "c_hi")
+      raw.select((col("step") +: raw.columns.tail.toIndexedSeq.map(c =>
+        round(col(c), 4).as(c))): _*)
     }),
     "q33_model_eval" -> ((s, dir) => {
       val d = daily(s, dir)
-      ModelEvaluation.evaluate(s, d, Seq("v"),
+      val raw = ModelEvaluation.evaluate(s, d, Seq("v"),
         Seq(ModelEvaluation.ArimaSpec2(1, 1, 0), ModelEvaluation.VarSpec(1)),
         nFolds = 3, forecastSteps = 3)
+      raw.select((col("model") +: raw.columns.tail.toIndexedSeq.map(c =>
+        round(col(c), 4).as(c))): _*)
     }),
     "q34_granger" -> ((s, dir) => {
       val d = daily(s, dir)
       Granger.causality(s, d, Seq("v", "c"), maxLag = 5, alpha = 0.5)
+        .select(col("lag"), round(col("p_value"), 4).as("p_value"),
+          col("antecedent"), col("consequent"))
     }),
     "q63_granger_lag1" -> ((s, dir) => {
       // the Granger F-test core under the hash gate: daily whole-unit
@@ -1547,6 +1559,10 @@ object SparkEntry {
          |FROM ci""".stripMargin,
     "q28_periodogram" -> periodogramSql,
     "q29_seasonal" -> seasonalSql,
+    "q31_arima_forecast" -> arimaForecastGoldenSql,
+    "q32_var_forecast" -> varForecastGoldenSql,
+    "q33_model_eval" -> modelEvalGoldenSql,
+    "q34_granger" -> grangerGoldenSql,
     "q43_arma_forecast_fixed" -> armaForecastFixedSql,
     "q45_var_forecast_fixed" -> varForecastFixedSql,
     "q46_arima_d1_forecast_fixed" -> arimaD1ForecastFixedSql,
@@ -1695,6 +1711,88 @@ object SparkEntry {
       | sum(CAST(round(value*100) AS BIGINT))/100.0/count(*) AS v,
       | CAST(count(*) AS DOUBLE) AS c
       |FROM events GROUP BY 1""".stripMargin
+
+  /** q31–q34 golden-output oracles: the iterative MLE cores have no
+    * ANSI-SQL oracle, so the oracle replays a CHECKED-IN expected table
+    * computed by this engine at the two gate scales and keyed by data
+    * scale (the events row count sniffs the SF: 10k → tag 1 = sf0.01,
+    * 100k → tag 2 = sf0.1). The numerics behind the goldens are pinned
+    * independently against statsmodels in ArimaSpec / ModelSuiteSpec at
+    * ~1e-5 on canonical datasets; the Spark queries round to 4 dp (the
+    * spec-tolerance hash discipline, same as q43) so the deterministic
+    * fits produce a run-to-run-stable hashed surface. */
+  private def sfTagSql: String =
+    "(SELECT CASE WHEN count(*) < 50000 THEN 1 ELSE 2 END FROM events)"
+
+  private def arimaForecastGoldenSql: String =
+    s"""SELECT CAST(step AS BIGINT) AS step, CAST(forecast AS DOUBLE) AS forecast,
+       | CAST(ci_low AS DOUBLE) AS ci_low, CAST(ci_high AS DOUBLE) AS ci_high
+       |FROM (VALUES
+       | (1, 1, 49.5486, 42.9291, 56.1681),
+       | (1, 2, 50.2096, 43.5101, 56.9091),
+       | (1, 3, 48.093, 40.7769, 55.4092),
+       | (1, 4, 49.5991, 41.4004, 57.7977),
+       | (1, 5, 49.2258, 40.7243, 57.7274),
+       | (1, 6, 48.9019, 39.8351, 57.9687),
+       | (1, 7, 49.3336, 39.7817, 58.8856),
+       | (2, 1, 50.1741, 48.494, 51.8543),
+       | (2, 2, 50.3342, 48.564, 52.1043),
+       | (2, 3, 50.1029, 48.2515, 51.9542),
+       | (2, 4, 50.1845, 48.0493, 52.3198),
+       | (2, 5, 50.2353, 47.9813, 52.4894),
+       | (2, 6, 50.1642, 47.8001, 52.5283),
+       | (2, 7, 50.1886, 47.6679, 52.7093)
+       |) AS g(sf, step, forecast, ci_low, ci_high)
+       |WHERE sf = $sfTagSql""".stripMargin
+
+  private def varForecastGoldenSql: String =
+    s"""SELECT CAST(step AS BIGINT) AS step,
+       | CAST(v_forecast AS DOUBLE) AS v_forecast, CAST(v_lo AS DOUBLE) AS v_lo,
+       | CAST(v_hi AS DOUBLE) AS v_hi, CAST(c_forecast AS DOUBLE) AS c_forecast,
+       | CAST(c_lo AS DOUBLE) AS c_lo, CAST(c_hi AS DOUBLE) AS c_hi
+       |FROM (VALUES
+       | (1, 1, 50.0927, 44.1545, 56.0309, 340.4694, 312.9349, 368.004),
+       | (1, 2, 49.8495, 43.4867, 56.2124, 327.0177, 299.3868, 354.6486),
+       | (1, 3, 49.4823, 43.1163, 55.8483, 333.4822, 304.4481, 362.5164),
+       | (1, 4, 49.6833, 43.3135, 56.0531, 331.8781, 302.6786, 361.0776),
+       | (1, 5, 49.6134, 43.2428, 55.984, 332.0294, 302.8227, 361.2361),
+       | (1, 6, 49.6276, 43.257, 55.9983, 332.1339, 302.9272, 361.3406),
+       | (1, 7, 49.6282, 43.2575, 55.9989, 332.0586, 302.8518, 361.2654),
+       | (2, 1, 49.7805, 48.1802, 51.3808, 3340.5989, 3226.8186, 3454.3791),
+       | (2, 2, 49.8858, 48.2686, 51.503, 3338.4944, 3224.6961, 3452.2928),
+       | (2, 3, 49.889, 48.2503, 51.5277, 3336.383, 3222.1752, 3450.5908),
+       | (2, 4, 49.8672, 48.2274, 51.507, 3336.759, 3222.5458, 3450.9723),
+       | (2, 5, 49.8685, 48.2281, 51.5088, 3336.6753, 3222.457, 3450.8935),
+       | (2, 6, 49.872, 48.2316, 51.5124, 3336.5872, 3222.3688, 3450.8056),
+       | (2, 7, 49.8713, 48.2309, 51.5117, 3336.5841, 3222.3655, 3450.8026)
+       |) AS g(sf, step, v_forecast, v_lo, v_hi, c_forecast, c_lo, c_hi)
+       |WHERE sf = $sfTagSql""".stripMargin
+
+  private def modelEvalGoldenSql: String =
+    s"""SELECT model, CAST(rmse AS DOUBLE) AS rmse, CAST(mae AS DOUBLE) AS mae,
+       | CAST(mape AS DOUBLE) AS mape, CAST(pocid AS DOUBLE) AS pocid,
+       | CAST(r2 AS DOUBLE) AS r2, CAST(aic AS DOUBLE) AS aic,
+       | CAST(bic AS DOUBLE) AS bic
+       |FROM (VALUES
+       | (1, 'ARIMA(1,1,0)', 4.148, 3.9901, 0.0775, 62.5, -1.3897, 162.6527, 165.3873),
+       | (1, 'ARIMA(1,1,0) (in-sample)', 3.6373, 2.7516, 0.0587, 31.0345, -0.6328, 162.6527, 165.3873),
+       | (1, 'VAR(1)', 2.8239, 1.8661, 0.0488, 87.5, -0.1075, 2.1565, 2.2508),
+       | (1, 'VAR(1) (in-sample)', 2.7436, 1.7817, 0.0435, 71.4286, 0.1016, 2.1565, 2.2508),
+       | (2, 'ARIMA(1,1,0)', 1.1836, 0.6507, 0.018, 37.5, -1.5373, 84.717, 87.4516),
+       | (2, 'ARIMA(1,1,0) (in-sample)', 0.953, 0.5972, 0.014, 31.0345, -0.689, 84.717, 87.4516),
+       | (2, 'VAR(1)', 0.8384, 0.556, 0.0123, 62.5, -0.2731, -0.4549, -0.3606),
+       | (2, 'VAR(1) (in-sample)', 0.7435, 0.5494, 0.0118, 71.4286, 0.006, -0.4549, -0.3606)
+       |) AS g(sf, model, rmse, mae, mape, pocid, r2, aic, bic)
+       |WHERE sf = $sfTagSql""".stripMargin
+
+  private def grangerGoldenSql: String =
+    s"""SELECT CAST(lag AS BIGINT) AS lag, CAST(p_value AS DOUBLE) AS p_value,
+       | antecedent, consequent
+       |FROM (VALUES
+       | (1, 1, 0.4699, 'v', 'c'),
+       | (2, 5, 0.2971, 'c', 'v')
+       |) AS g(sf, lag, p_value, antecedent, consequent)
+       |WHERE sf = $sfTagSql""".stripMargin
 
   /** ARMA(1,1) d=0 forecast/CI at fixed (φ=0.6, θ=0.3, μ=50): the Kalman
     * filter collapses to a scalar (a1, p11) recursion — p12=θ and p22=θ²
