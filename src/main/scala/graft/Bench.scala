@@ -44,10 +44,22 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // sorted, fixed-precision per-query map: keeps the stdout line short
+    // and deterministic, and lands in its OWN file too — the r5 bench
+    // artifact carried a truncated tail that hid 5 queries from the audit
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_queries.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_queries.json write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }
