@@ -197,6 +197,17 @@ object SparkEntry {
           Some("value" -> "max"))
         .select(col("angular"), col("radial"), col("count"), col("value_max"))
     }),
+    "q78_spiral_timebinned" -> ((s, dir) => {
+      // calendar-aware time binning on the angular axis (VERDICT r5 task
+      // 7): Monday-start week buckets × weekday, exact integer-cents sum
+      val t = ev(s, dir)
+      Spiralogram(t,
+          Spiralogram.TimeBinned("ts", "week"),
+          Some(Spiralogram.PeriodComponent("day_of_week")),
+          Some("value_cents" -> "sum"))
+        .select(col("angular"), col("radial").cast("long").as("radial"),
+          col("count"), expr("CAST(value_cents_sum AS BIGINT)").as("cents_sum"))
+    }),
     // ---- §2.2 time slice ---------------------------------------------
     "q10_timeslice" -> ((s, dir) => {
       val t = ev(s, dir)
@@ -1085,6 +1096,12 @@ object SparkEntry {
          | CAST(hour(ts) AS BIGINT) AS radial,
          | count(*) AS count,
          | round(sum($centsSql) / 100.0 / count(*), 6) AS value_mean
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q78_spiral_timebinned" ->
+      s"""SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS angular,
+         | CAST((dayofweek(ts) + 6) % 7 AS BIGINT) AS radial,
+         | count(*) AS count,
+         | CAST(sum($centsSql) AS BIGINT) AS cents_sum
          |FROM events GROUP BY 1, 2""".stripMargin,
     "q09_spiralogram_binned" ->
       """WITH t AS (SELECT event_type,

@@ -28,6 +28,14 @@ object Spiralogram {
     * labeled "< a", "a - b", "≥ b" like the reference's binner
     * (`owspiralogram.py:360-435`) */
   final case class Binned(column: String, lo: Double, hi: Double, bins: Int) extends Key
+  /** time-typed column binned at a nice CALENDAR width — the reference's
+    * binner routes time axes to Orange's `time_binnings`
+    * (`owspiralogram.py:360-379`: `recompute_binnings(..., is_time)` →
+    * `time_binnings`, thresholds at whole hours/days/weeks/months/years).
+    * The bin label
+    * is the bucket START ("2024-03" for a month, "2024-03-04" for a
+    * Monday-start week); `every` groups unit multiples (e.g. 3 months). */
+  final case class TimeBinned(column: String, unit: String, every: Int = 1) extends Key
 
   def keyExpr(tsf: TimeseriesFrame, key: Key): Column = key match {
     case PeriodComponent(p) =>
@@ -36,6 +44,7 @@ object Spiralogram {
       MovingTransform.periodKey(p, t)
     case Categorical(c) => col(c)
     case Binned(c, lo, hi, bins) => binKey(col(c), lo, hi, bins)
+    case TimeBinned(c, unit, every) => timeBinKey(col(c), unit, every)
   }
 
   /** Data-driven "nice decimal" binning — the shape of Orange's
@@ -61,6 +70,70 @@ object Spiralogram {
     val lo = math.floor(lo0 / width) * width
     val bins = math.max(1, math.ceil((hi0 - lo) / width).toInt)
     Binned(column, lo, lo + bins * width, bins)
+  }
+
+  /** Calendar time-bin label for `unit` ∈ {hour, day, week, month, year}
+    * × `every`: the bucket start, formatted at the unit's precision
+    * ("yyyy-MM-dd HH:00" / "yyyy-MM-dd" / "yyyy-MM" / "yyyy"). Pure
+    * scan-stage Column arithmetic (date_trunc + epoch/month-index floor
+    * for multiples) — codegen'd, no UDF; nulls propagate. Weeks are
+    * Monday-start (Spark and DuckDB `date_trunc('week')` agree) and
+    * support every=1 only — a "2-week" grid has no calendar anchor. */
+  def timeBinKey(t: Column, unit: String, every: Int): Column = {
+    require(every >= 1, s"every must be positive: $every")
+    unit match {
+      case "hour" =>
+        val b = if (every == 1) date_trunc("hour", t)
+          else timestamp_seconds(
+            floor(unix_timestamp(date_trunc("hour", t)) / (3600L * every))
+              .cast("long") * (3600L * every))
+        date_format(b, "yyyy-MM-dd HH:00")
+      case "day" =>
+        val b = if (every == 1) date_trunc("day", t)
+          else timestamp_seconds(
+            floor(unix_timestamp(date_trunc("day", t)) / (86400L * every))
+              .cast("long") * (86400L * every))
+        date_format(b, "yyyy-MM-dd")
+      case "week" =>
+        require(every == 1, "week bins support every=1 (Monday start)")
+        date_format(date_trunc("week", t), "yyyy-MM-dd")
+      case "month" =>
+        if (every == 1) date_format(t, "yyyy-MM")
+        else {
+          // month index since year 0 floored to the multiple; exact in
+          // double far beyond any calendar year
+          val m = year(t) * 12 + month(t) - 1
+          val bm = (floor(m.cast("double") / every) * every).cast("int")
+          val by = floor(bm.cast("double") / 12).cast("int")
+          date_format(make_date(by, bm - by * 12 + 1, lit(1)), "yyyy-MM")
+        }
+      case "year" =>
+        if (every == 1) date_format(t, "yyyy")
+        else lpad(((floor(year(t).cast("double") / every) * every)
+          .cast("int")).cast("string"), 4, "0")
+      case u => throw new IllegalArgumentException(
+        s"unknown time-bin unit: $u (hour|day|week|month|year)")
+    }
+  }
+
+  /** Data-driven calendar binning — the time-axis twin of [[autoBinned]]:
+    * pick the FINEST unit from the hour→day→week→month→year ladder whose
+    * bin count over the data span stays ≤ maxBins (multi-year `every`
+    * when even 1-year bins overflow) — Orange's `time_binnings` ladder
+    * collapsed to one deterministic pick. One min/max aggregate. */
+  def autoTimeBinned(tsf: TimeseriesFrame, column: String, maxBins: Int = 12): TimeBinned = {
+    val r = tsf.df.agg(
+      min(col(column).cast("timestamp")), max(col(column).cast("timestamp"))).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) return TimeBinned(column, "day", 1)
+    val spanSec = (r.getTimestamp(1).getTime - r.getTimestamp(0).getTime) / 1000.0
+    val ladder = Seq("hour" -> 3600.0, "day" -> 86400.0, "week" -> 604800.0,
+      "month" -> 2629746.0, "year" -> 31556952.0)
+    ladder.find { case (_, w) => spanSec / w <= maxBins } match {
+      case Some((u, _)) => TimeBinned(column, u, 1)
+      case None =>
+        val years = spanSec / 31556952.0
+        TimeBinned(column, "year", math.max(1, math.ceil(years / maxBins).toInt))
+    }
   }
 
   /** Equal-width bin label: "< a" / "a - b" / "≥ b". */

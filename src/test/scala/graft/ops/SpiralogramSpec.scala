@@ -49,6 +49,52 @@ class SpiralogramSpec extends SparkSpec {
     assert(b.lo <= 0.0 && b.hi >= 110.0)
   }
 
+  test("timeBinKey: calendar bucket starts at every unit, nulls propagate") {
+    val df = spark.createDataFrame(Seq(
+      // Wed 2024-01-03 13:45:10 UTC, Sun 2024-02-18 02:00:00 UTC
+      (1, new java.sql.Timestamp(1704289510000L)),
+      (2, new java.sql.Timestamp(1708221600000L))))
+      .toDF("id", "ts")
+      .union(spark.sql("SELECT 3, CAST(NULL AS TIMESTAMP)"))
+    def labels(unit: String, every: Int = 1): Seq[String] =
+      df.orderBy("id").select(Spiralogram.timeBinKey(col("ts"), unit, every))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(labels("hour") == Seq("2024-01-03 13:00", "2024-02-18 02:00", null))
+    assert(labels("hour", 6) == Seq("2024-01-03 12:00", "2024-02-18 00:00", null))
+    assert(labels("day") == Seq("2024-01-03", "2024-02-18", null))
+    // Monday-start weeks: Wed 3rd → Mon 1st; Sun 18th → Mon 12th
+    assert(labels("week") == Seq("2024-01-01", "2024-02-12", null))
+    assert(labels("month") == Seq("2024-01", "2024-02", null))
+    // quarter grid anchored at month index 0 (year 0): Jan–Mar bucket
+    assert(labels("month", 3) == Seq("2024-01", "2024-01", null))
+    assert(labels("year") == Seq("2024", "2024", null))
+    assert(labels("year", 10) == Seq("2020", "2020", null))
+    intercept[IllegalArgumentException](labels("week", 2))
+    intercept[IllegalArgumentException](labels("fortnight"))
+  }
+
+  test("autoTimeBinned walks the calendar ladder by span") {
+    def tsfOf(spanSec: Long) = {
+      import spark.implicits._
+      TimeseriesFrame(Seq(
+        new java.sql.Timestamp(1704067200000L),
+        new java.sql.Timestamp(1704067200000L + spanSec * 1000L))
+        .toDF("ts"), Some("ts"))
+    }
+    assert(Spiralogram.autoTimeBinned(tsfOf(3600L * 8), "ts").unit == "hour")
+    assert(Spiralogram.autoTimeBinned(tsfOf(86400L * 8), "ts").unit == "day")
+    assert(Spiralogram.autoTimeBinned(tsfOf(86400L * 60), "ts").unit == "week")
+    assert(Spiralogram.autoTimeBinned(tsfOf(86400L * 300), "ts").unit == "month")
+    assert(Spiralogram.autoTimeBinned(tsfOf(86400L * 3000), "ts").unit == "year")
+    val multi = Spiralogram.autoTimeBinned(tsfOf(86400L * 365 * 50), "ts")
+    assert(multi.unit == "year" && multi.every > 1, multi.toString)
+    // degenerate: all-null time column → safe 1-day default
+    val nulls = TimeseriesFrame(
+      spark.sql("SELECT CAST(NULL AS TIMESTAMP) AS ts"), Some("ts"))
+    assert(Spiralogram.autoTimeBinned(nulls, "ts") ==
+      Spiralogram.TimeBinned("ts", "day", 1))
+  }
+
   test("selectRows returns the union of raw rows of selected cells") {
     val t = TimeseriesFrame(fixture, Some("ts"))
     val all = Spiralogram(t,
