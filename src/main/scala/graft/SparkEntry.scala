@@ -691,6 +691,45 @@ object SparkEntry {
           round(col("f_stat"), 6).as("f_stat"))
     }),
     // ---- multimodal / ingest / multi-series / selection ---------------
+    "q79_media_decode" -> ((s, dir) => {
+      // REAL pure-JVM codecs under the hash gate (VERDICT r5 task 2):
+      // even doc_ids carry a planted PCM16 WAV, odd a PPM P6 image;
+      // parameters and content are closed-form in doc_id, so the DuckDB
+      // oracle replays the DECODED surface with integer arithmetic end
+      // to end — a wrong header walk, byte order, or sign convention in
+      // the decoder breaks the hash
+      import s.implicits._
+      val ids = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val payload =
+          if (id % 2 == 0) {
+            val rate = 8000 + (id % 3).toInt * 4000
+            val ch = if (id % 4 == 0) 2 else 1
+            val frames = 100 + (id % 50).toInt
+            val samples = Array.tabulate[Short](frames * ch)(k =>
+              (((id * 31 + k.toLong * 7) % 65536) - 32768).toShort)
+            Multimodal.encodeWavPcm16(rate, ch, samples)
+          } else {
+            val w = 4 + (id % 8).toInt
+            val h = 3 + (id % 5).toInt
+            val pix = Array.tabulate[Byte](w * h * 3)(k =>
+              ((id + k.toLong * 13) % 256).toByte)
+            Multimodal.encodePpmP6(w, h, 255, pix)
+          }
+        Multimodal.MediaRow(id, payload)
+      })
+      Multimodal.decodeMedia(media.toDF(), "id", "payload").toDF()
+        .select(col("id").as("doc_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("frames"),
+          expr("CASE WHEN sampleRate > 0 THEN CAST((frames * 1000000) DIV sampleRate AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+            .as("duration_us"),
+          col("contentSum").as("content_sum"))
+    }),
     "q35_multimodal_decode" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -1657,6 +1696,31 @@ object SparkEntry {
         |    c -> ascii(c)), a -> a // 16 = 6))::DOUBLE
         |  / greatest(length(chunk), 1), 6) AS hist6
         |FROM sel""".stripMargin,
+    "q79_media_decode" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+        |wav AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |  CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS channels,
+        |  100 + (doc_id % 50) AS frames
+        |  FROM d WHERE doc_id % 2 = 0),
+        |wavs AS (SELECT doc_id, 'wav' AS kind, 0 AS width, 0 AS height,
+        |  channels, sample_rate, frames,
+        |  (frames * 1000000) // sample_rate AS duration_us,
+        |  list_sum(list_transform(range(0, frames * channels),
+        |    i -> ((doc_id * 31 + i * 7) % 65536) - 32768)) AS content_sum
+        |  FROM wav),
+        |ppm AS (SELECT doc_id, 4 + (doc_id % 8) AS width, 3 + (doc_id % 5) AS height
+        |  FROM d WHERE doc_id % 2 = 1),
+        |ppms AS (SELECT doc_id, 'ppm' AS kind, width, height, 3 AS channels,
+        |  0 AS sample_rate, width * height AS frames, 0 AS duration_us,
+        |  list_sum(list_transform(range(0, width * height * 3),
+        |    i -> (doc_id + i * 13) % 256)) AS content_sum
+        |  FROM ppm)
+        |SELECT doc_id, kind, CAST(width AS BIGINT) AS width,
+        | CAST(height AS BIGINT) AS height, CAST(channels AS BIGINT) AS channels,
+        | CAST(sample_rate AS BIGINT) AS sample_rate, CAST(frames AS BIGINT) AS frames,
+        | CAST(duration_us AS BIGINT) AS duration_us,
+        | CAST(content_sum AS BIGINT) AS content_sum
+        |FROM (SELECT * FROM wavs UNION ALL SELECT * FROM ppms)""".stripMargin,
     "q35_multimodal_decode" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_filter(string_split(text, ''), c -> c != ''),

@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   * the JVM analogue of `mapInPandas` batch iteration: one iterator pull per
   * partition, bounded memory, partition-preserving).
   *
-  * DECODERS ARE DETERMINISTIC STUBS — the container has no image/audio
-  * codecs. The stub derives pseudo-metadata and a 16-bin byte histogram
-  * from the payload bytes, so the Spark-side contract (schema, batch
-  * iteration, partitioning, feature shapes) is real and testable; swapping
-  * in a real codec only replaces the pure `decodeBytes` function.
+  * Header-parseable formats get REAL pure-JVM codecs: WAV (RIFF PCM,
+  * 8/16-bit — chunk walk, fmt/data parse, per-sample stats) and PPM P6
+  * (token header with comment support, raw RGB stats), both spec'd by
+  * encode→decode round-trip and hash-gated against a closed-form oracle
+  * (q79). Formats the sandbox genuinely cannot decode (JPEG/MP3/video
+  * codecs) keep the DETERMINISTIC STUB `decodeBytes`: pseudo-metadata and
+  * a 16-bin byte histogram from the payload bytes, so the Spark-side
+  * contract (schema, batch iteration, partitioning, feature shapes) stays
+  * real and testable; swapping in a codec only replaces the pure decode
+  * function, as [[decodeMedia]]'s magic-byte dispatch shows.
   */
 object Multimodal {
 
@@ -81,4 +86,148 @@ object Multimodal {
   def audioDurationSec(binCol: org.apache.spark.sql.Column,
       bytesPerSec: Int = 16000): org.apache.spark.sql.Column =
     octet_length(binCol).cast("double") / bytesPerSec
+
+  // ---- real pure-JVM codecs (WAV RIFF/PCM, PPM P6) --------------------
+
+  final case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      frames: Long, sampleSum: Long)
+  final case class PpmMeta(width: Int, height: Int, maxVal: Int, pixelSum: Long)
+
+  /** Canonical 44-byte-header PCM16 WAV encoder (test/generator side of
+    * the round-trip; little-endian throughout, interleaved samples). */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels >= 1 && samples.length % channels == 0)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2) // byte rate
+    bb.putShort((channels * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Binary PPM (P6) encoder: ASCII token header + raw RGB. */
+  def encodePpmP6(width: Int, height: Int, maxVal: Int,
+      pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && maxVal > 0 && maxVal <= 255 &&
+      pixels.length == width * height * 3)
+    s"P6\n$width $height\n$maxVal\n".getBytes("US-ASCII") ++ pixels
+  }
+
+  /** Real WAV decoder: RIFF/WAVE chunk walk (odd-size padding honored,
+    * unknown chunks skipped), `fmt ` must declare integer PCM (format 1)
+    * at 8 or 16 bits; the `data` chunk is summed sample-by-sample (8-bit
+    * is unsigned-offset-128 per the spec). None on any malformed input —
+    * callers fall back to the stub tier. */
+  def decodeWavPcm(bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def str4(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (str4(0) != "RIFF" || str4(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
+    while (pos + 8 <= bytes.length) {
+      val cid = str4(pos)
+      val sz = bb.getInt(pos + 4)
+      if (sz < 0 || pos + 8 + sz > bytes.length) return None
+      if (cid == "fmt " && sz >= 16) {
+        fmt = Some((bb.getShort(pos + 8) & 0xffff, bb.getShort(pos + 10) & 0xffff,
+          bb.getInt(pos + 12), bb.getShort(pos + 22) & 0xffff))
+      } else if (cid == "data") {
+        fmt match {
+          case Some((1, ch, rate, bits))
+              if (bits == 8 || bits == 16) && ch >= 1 && rate > 0 =>
+            val bytesPer = bits / 8
+            val n = sz / bytesPer
+            var sum = 0L
+            var i = 0
+            while (i < n) {
+              val off = pos + 8 + i * bytesPer
+              sum += (if (bits == 16) bb.getShort(off).toLong
+                      else ((bytes(off) & 0xff) - 128).toLong)
+              i += 1
+            }
+            return Some(WavMeta(rate, ch, bits, n.toLong / ch, sum))
+          case _ => return None // data before fmt, or non-PCM
+        }
+      }
+      pos += 8 + sz + (sz & 1) // chunks pad to even length
+    }
+    None
+  }
+
+  /** Real PPM P6 decoder: whitespace-separated header tokens with `#`
+    * comment support, maxVal ≤ 255 (single-byte samples), exactly one
+    * whitespace byte before the raw RGB block. None on malformed input. */
+  def decodePpmP6(bytes: Array[Byte]): Option[PpmMeta] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var pos = 2
+    def nextToken(): String = {
+      while (pos < bytes.length &&
+          (Character.isWhitespace(bytes(pos)) || bytes(pos) == '#')) {
+        if (bytes(pos) == '#')
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val st = pos
+      while (pos < bytes.length && !Character.isWhitespace(bytes(pos))) pos += 1
+      new String(bytes, st, pos - st, "US-ASCII")
+    }
+    val (w, h, mv) =
+      try { (nextToken().toInt, nextToken().toInt, nextToken().toInt) }
+      catch { case _: NumberFormatException => return None }
+    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return None
+    pos += 1 // the single whitespace byte after maxVal
+    val n = w.toLong * h * 3
+    if (n > Int.MaxValue || pos + n > bytes.length) return None
+    var sum = 0L
+    var i = 0
+    while (i < n.toInt) { sum += bytes(pos + i) & 0xff; i += 1 }
+    Some(PpmMeta(w, h, mv, sum))
+  }
+
+  /** Unified decoded-media features: real fields where the codec applies,
+    * zero elsewhere; `contentSum` is the exact decoded-content checksum
+    * (WAV signed-sample sum / PPM pixel-byte sum / stub byte sum) — the
+    * closed-form surface the q79 oracle replays. */
+  final case class MediaFeatures(id: Long, kind: String, width: Int,
+      height: Int, channels: Int, sampleRate: Int, frames: Long,
+      durationSec: Double, contentSum: Long)
+
+  /** Magic-byte dispatch decode: RIFF/WAVE → real WAV parse, P6 → real
+    * PPM parse, anything else (or a malformed header) → the deterministic
+    * stub tier. Same mapPartitions batch shape as [[decodeImages]]. */
+  def decodeMedia(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+    val ds = df.select(col(idCol).cast("long").as("id"),
+      col(binCol).cast("binary").as("payload")).as(Encoders.product[MediaRow])
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        val wav = if (b.length >= 12 && b(0) == 'R' && b(1) == 'I')
+          decodeWavPcm(b) else None
+        lazy val ppm = if (b.length >= 2 && b(0) == 'P' && b(1) == '6')
+          decodePpmP6(b) else None
+        wav match {
+          case Some(m) => MediaFeatures(r.id, "wav", 0, 0, m.channels,
+            m.sampleRate, m.frames, m.frames.toDouble / m.sampleRate, m.sampleSum)
+          case None => ppm match {
+            case Some(m) => MediaFeatures(r.id, "ppm", m.width, m.height, 3,
+              0, m.width.toLong * m.height, 0.0, m.pixelSum)
+            case None =>
+              val (w, h, c, _) = decodeBytes(b)
+              var sum = 0L; var i = 0
+              while (i < b.length) { sum += b(i) & 0xff; i += 1 }
+              MediaFeatures(r.id, "stub", w, h, c, 0, 0L, 0.0, sum)
+          }
+        }
+      }
+    }(Encoders.product[MediaFeatures])
+  }
 }

@@ -39,6 +39,80 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(dur == 2.0)
   }
 
+  test("WAV codec: PCM16 round-trip, chunk skipping, 8-bit, malformed → None") {
+    val samples = Array.tabulate[Short](400)(i => ((i * 9173) % 65536 - 32768).toShort)
+    val wav = Multimodal.encodeWavPcm16(16000, 2, samples)
+    val m = Multimodal.decodeWavPcm(wav).get
+    assert(m.sampleRate == 16000 && m.channels == 2 && m.bitsPerSample == 16)
+    assert(m.frames == 200)
+    assert(m.sampleSum == samples.map(_.toLong).sum)
+
+    // an unknown ODD-sized chunk between fmt and data must be skipped
+    // with even padding — splice a 5-byte "LIST" chunk in
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = wav.take(36) ++ list ++ wav.drop(36)
+    // patch the RIFF size (not validated, but keep it honest)
+    val m2 = Multimodal.decodeWavPcm(spliced).get
+    assert(m2 == m)
+
+    // 8-bit PCM: unsigned bytes, offset 128
+    val hdr = Multimodal.encodeWavPcm16(8000, 1, Array.empty[Short])
+    val bb = java.nio.ByteBuffer.wrap(hdr.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(34, 8.toShort) // bitsPerSample = 8
+    val data8 = Array[Byte](0, 127.toByte, 128.toByte, 255.toByte)
+    bb.putInt(40, 4)
+    val wav8 = bb.array().take(44) ++ data8
+    val m8 = Multimodal.decodeWavPcm(wav8).get
+    assert(m8.bitsPerSample == 8 && m8.frames == 4)
+    assert(m8.sampleSum == (-128L) + (-1) + 0 + 127)
+
+    assert(Multimodal.decodeWavPcm("RIFFxxxxWAVX".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm(wav.take(30)).isEmpty) // truncated data
+    // non-PCM format code → None
+    val bad = wav.clone(); bad(20) = 3 // IEEE float
+    assert(Multimodal.decodeWavPcm(bad).isEmpty)
+  }
+
+  test("PPM codec: P6 round-trip, comments in header, malformed → None") {
+    val pix = Array.tabulate[Byte](6 * 4 * 3)(i => ((i * 37) % 256).toByte)
+    val ppm = Multimodal.encodePpmP6(6, 4, 255, pix)
+    val m = Multimodal.decodePpmP6(ppm).get
+    assert(m.width == 6 && m.height == 4 && m.maxVal == 255)
+    assert(m.pixelSum == pix.map(b => (b & 0xff).toLong).sum)
+
+    // header comments are legal PPM: P6 <comment> w h maxval
+    val commented = "P6\n# a comment line\n6 4\n# another\n255\n"
+      .getBytes("US-ASCII") ++ pix
+    assert(Multimodal.decodePpmP6(commented).contains(m))
+
+    assert(Multimodal.decodePpmP6("P5\n1 1\n255\n ".getBytes).isEmpty)
+    assert(Multimodal.decodePpmP6(ppm.take(20)).isEmpty) // truncated raster
+    assert(Multimodal.decodePpmP6("P6\n0 4\n255\n".getBytes).isEmpty)
+    assert(Multimodal.decodePpmP6("P6\nx 4\n255\n".getBytes).isEmpty)
+  }
+
+  test("decodeMedia dispatch: wav/ppm decode for real, everything else stubs") {
+    val wav = Multimodal.encodeWavPcm16(8000, 1,
+      Array.tabulate[Short](80)(_.toShort))
+    val ppm = Multimodal.encodePpmP6(2, 2, 255, Array.fill[Byte](12)(7))
+    val other = "just some text payload".getBytes("US-ASCII")
+    val df = spark.createDataFrame(Seq(
+      (1L, wav), (2L, ppm), (3L, other))).toDF("id", "payload")
+    val rows = Multimodal.decodeMedia(df, "id", "payload")
+      .collect().sortBy(_.id)
+    assert(rows.map(_.kind).toSeq == Seq("wav", "ppm", "stub"))
+    assert(rows(0).sampleRate == 8000 && rows(0).frames == 80 &&
+      rows(0).contentSum == (0 until 80).sum)
+    assert(rows(1).width == 2 && rows(1).height == 2 && rows(1).contentSum == 12L * 7)
+    assert(rows(2).contentSum == other.map(b => (b & 0xff).toLong).sum)
+    // a malformed WAV header falls back to the stub tier, not an error
+    val broken = wav.take(40)
+    val df2 = spark.createDataFrame(Seq((9L, broken))).toDF("id", "payload")
+    assert(Multimodal.decodeMedia(df2, "id", "payload").head().kind == "stub")
+  }
+
   test("streaming sliding window over MemoryStream matches batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
