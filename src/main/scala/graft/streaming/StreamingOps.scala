@@ -174,7 +174,10 @@ object StreamingOps {
     * no bucket) can keep one survivor per sub-cluster — transitive
     * closure needs the offline `connectedComponents` pass; this tier
     * covers the common case (members of a near-dup cluster share
-    * buckets) incrementally. */
+    * buckets) incrementally. [[compactKeepDecisions]] is that offline
+    * pass, packaged: run it periodically over the accumulated candidate
+    * pair store and the divergence closes (spec pins the two-band split
+    * case on both tiers). */
   final case class KeepState(minId: Long)
   final case class BucketCanonical(bucket: Long, canonicalId: Long)
 
@@ -220,6 +223,26 @@ object StreamingOps {
             else Iterator.single(BucketCanonical(bucket, mn))
           }
         })(Encoders.product[KeepState], Encoders.product[BucketCanonical])
+  }
+
+  /** Periodic COMPACTION for the streaming keep tier: batch transitive
+    * closure over the accumulated candidate-pair store (the sink of
+    * [[streamingMinhashCandidates]]) → (id, component, keep). This is
+    * the pass that closes [[streamingCanonicalKeep]]'s documented
+    * divergence: a cluster connected only through chains of
+    * band-disjoint members (A~B, B~C, A∩C buckets = ∅) collapses to ONE
+    * survivor under the batch min-id rule. Run it offline every N
+    * micro-batches (or at horizon expiry) over however much pair history
+    * the policy retains; between compactions the incremental tier's
+    * per-bucket decision stands. Scale shape is inherited from
+    * [[graft.dedup.Dedup.connectedComponents]] (salted min-label
+    * propagation + pointer jumping). */
+  def compactKeepDecisions(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame = {
+    graft.dedup.Dedup.connectedComponents(pairs, idACol, idBCol)
+      .withColumn("keep", col("id") === col("component"))
   }
 
   /** Streaming sequence packing — the incremental form of

@@ -353,4 +353,84 @@ class MultimodalStreamingSpec extends SparkSpec {
     q.stop()
     assert(survivors == Set(7L, 50L), s"survivors: $survivors")
   }
+
+  test("two-band split chain: per-bucket tier keeps extras (documented), compaction collapses to one") {
+    import graft.dedup.Dedup
+    import graft.text.TextFunctions
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val numHashes = 8; val bands = 4
+    // find a chain triple under THE REAL HASHES: variants a, c of a base
+    // text such that a and c each share a band bucket with base but none
+    // with each other — the exact shape the keep tier's scaladoc descopes
+    val baseWords = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon").split(" ")
+    val baseText = baseWords.mkString(" ")
+    val mutations = Seq("phi", "chi", "psi", "omega", "red", "blue", "green",
+      "gold", "iron", "salt", "wolf", "hawk", "fern", "moss", "rain", "snow",
+      "dusk", "dawn", "tide", "flame", "stone", "cloud", "ember", "frost")
+    // variants at graded edit strength: replace 1–3 words at varying
+    // positions — enough signature churn that some variants overlap the
+    // base in SOME bands only
+    val cands = baseText +: (for {
+      (w, wi) <- mutations.zipWithIndex
+      k <- 1 to 3
+    } yield baseWords.indices.map(i =>
+      if (i % 7 == wi % 7 && i / 7 < k) s"$w$i" else baseWords(i)).mkString(" "))
+    val params = Dedup.minhashParams(numHashes)
+    val bk = spark.createDataset(cands.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("i", "text")
+      .select(col("i"), Dedup.lshBandKeys(
+        Dedup.minhashSignature(TextFunctions.shingleHashes(col("text"), 3), params),
+        bands, numHashes / bands).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val chain = (for {
+      a <- 1 until cands.length; c <- (a + 1) until cands.length
+      if (bk(a) & bk(0)).nonEmpty && (bk(c) & bk(0)).nonEmpty &&
+        (bk(a) & bk(c)).isEmpty && bk(a) != bk(0) && bk(c) != bk(0)
+    } yield (a, c)).headOption
+    assert(chain.isDefined, "no band-disjoint chain triple among candidates")
+    val (ai, ci) = chain.get
+    val docs = Seq((1L, cands(0)), (2L, cands(ai)), (3L, cands(ci)))
+
+    // incremental tier: the transitive cluster {1,2,3} keeps MORE than
+    // one survivor — each variant owns band buckets the base is not in,
+    // so its own min survives there (the documented divergence)
+    val base = 1704067200000L
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.streamingCanonicalKeep(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+      numHashes = numHashes, bands = bands)
+    val q = out.writeStream.format("memory")
+      .queryName("split_keep").outputMode("update").start()
+    docs.zipWithIndex.foreach { case ((id, t), k) =>
+      mem.addData((new Timestamp(base + k * 1000), id, t)); q.processAllAvailable()
+    }
+    val streamSurvivors = spark.sql(
+      "select distinct m from (select bucket, min(canonicalId) m " +
+        "from split_keep group by bucket)").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(streamSurvivors == Set(1L, 2L, 3L), s"got: $streamSurvivors")
+
+    // compaction pass over the accumulated candidate-pair store (the
+    // band tier pairs 1~2 and 1~3, never 2~3): transitive closure
+    // collapses the chain to the ONE batch survivor
+    val pairs = Dedup.minhashCandidates(docs.toDF("doc_id", "text"),
+      "doc_id", "text", numHashes = numHashes, bands = bands)
+    val pairSet = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == Set((1L, 2L), (1L, 3L)), s"pairs: $pairSet")
+    val compacted = StreamingOps.compactKeepDecisions(pairs)
+    val kept = compacted.filter(col("keep")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"compacted survivors: $kept")
+    assert(compacted.collect().forall(_.getLong(1) == 1L)) // one component
+
+    // banding guard: bands must divide numHashes (no silent truncation)
+    intercept[IllegalArgumentException] {
+      StreamingOps.streamingCanonicalKeep(
+        mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+        numHashes = 10, bands = 4)
+    }
+  }
 }
