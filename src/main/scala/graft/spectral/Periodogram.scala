@@ -363,7 +363,6 @@ object Periodogram {
       throw new IllegalArgumentException("Lomb-Scargle needs a time column"))
     val base0 = tsf.df.select(col(tCol).cast("double").as("t"),
       col(xCol).cast("double").as("x"))
-    val tsfT = TimeseriesFrame(base0, Some("t"))
     // detrend inline, carrying t ('diff' drops the first time point,
     // `functions.py:152-153`; 'linear'/'constant' detrend vs the index)
     val wOrd = Window.orderBy(col("t"))

@@ -23,6 +23,18 @@ class AggRegistrySpec extends SparkSpec {
   private val x = Seq(Some(5.0), Some(2.0), Some(7.0), Some(8.0), Some(6.0),
     Some(4.0), Some(2.0), Some(3.0), None, Some(-1.0), Some(0.0))
 
+  test("countKeys aggs are integral (count_aggregate flag, owmovingtransform.py:560-562)") {
+    // the reference marks 'nonzero'/'defined' as count aggregates whose
+    // output is integral — ours produce BIGINT columns natively
+    val df = spark.createDataFrame(Seq((0.0, 1), (2.5, 2), (0.0, 3))).toDF("x", "i")
+    AggRegistry.countKeys.foreach { k =>
+      val out = df.agg(AggRegistry.block(k, col("x")).as("v"))
+      assert(out.schema("v").dataType ==
+        org.apache.spark.sql.types.LongType, s"$k not integral")
+    }
+    assert(AggRegistry.countKeys == Set("nonzero", "defined"))
+  }
+
   test("sliding mean (test_aggregate.py:262)") {
     assertSeqAlmost(sliding(x, "mean", 4),
       d(22 / 4.0, 23 / 4.0, 25 / 4.0, 20 / 4.0, 15 / 4.0, 9 / 3.0, 4 / 3.0, 2 / 3.0))
