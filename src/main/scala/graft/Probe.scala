@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness — the adversarial-corpus runs PLANS_r{N} records:
+  * `spanskew N` / `deconskew N` plant a boilerplate shingle in ~100% of an
+  * N-doc corpus and measure per-stage TASK SKEW (max/median task duration)
+  * on `removeRepeatedSpans`'s df pass + coverage join and
+  * `decontaminate`'s df-cap + collision join; `clean N` runs the q72 E2E
+  * corpus clean (minhash → CC → canonical keep → quality filter → split)
+  * at probe scale. Corpora are generated DISTRIBUTED (spark.range +
+  * column expressions — nothing driver-side), deterministic by id. */
+object Probe {
+
+  /** Collects per-stage task durations; reports the heaviest stages with
+    * their max/median ratio — the straggler signal the ccSalt fix was
+    * graded on. */
+  final class SkewListener extends SparkListener {
+    private val durs = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
+      if (te.taskInfo != null && te.taskInfo.successful)
+        durs.getOrElseUpdate(te.stageId,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += te.taskInfo.duration
+    }
+    def report(top: Int = 10): String = synchronized {
+      val rows = durs.toSeq.map { case (sid, ds) =>
+        val sorted = ds.toArray.sorted
+        (sid, sorted.last, sorted(sorted.length / 2), sorted.length)
+      }.sortBy(-_._2).take(top)
+      rows.map { case (sid, mx, med, n) =>
+        f"[probe]   stage $sid%5d: tasks=$n%5d max=${mx / 1000.0}%8.2fs " +
+          f"median=${med / 1000.0}%8.2fs ratio=${mx.toDouble / math.max(1L, med)}%6.1fx"
+      }.mkString("\n")
+    }
+    /** max/median over stages with enough tasks for a meaningful median. */
+    def worstRatio(minTasks: Int = 8): Double = synchronized {
+      val rs = durs.values.filter(_.size >= minTasks).map { ds =>
+        val sorted = ds.toArray.sorted
+        sorted.last.toDouble / math.max(1L, sorted(sorted.length / 2))
+      }
+      if (rs.isEmpty) 0.0 else rs.max
+    }
+  }
+
+  /** N docs, EVERY one carrying the same leading boilerplate (every pure
+    * boilerplate shingle has df = N — the worst-case hot key for any
+    * df-keyed aggregate/join; `headerTokens` must be ≥ the consumer's
+    * shingle width for the hot key to exist at all), ~25 unique filler
+    * tokens, and a shared 20-token carrier span in 1% of docs (the
+    * planted true positives). */
+  private def boilerplateCorpus(spark: SparkSession, n: Long,
+      headerTokens: Int = 5): DataFrame = {
+    val header = (0 until headerTokens).map(i => s"boiler$i").mkString("", " ", " ")
+    val filler = concat_ws(" ", (0 until 25).map(i =>
+      concat(lit("u"), pmod(hash(col("id") * 31 + lit(i)), lit(1000000000)))): _*)
+    val carrier = "carrier alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau"
+    spark.range(n).select(col("id"),
+      concat(
+        lit(header), filler,
+        when(col("id") % 100 === 0, lit(" " + carrier)).otherwise(lit(""))
+      ).as("text"))
+  }
+
+  /** Mostly-unique corpus with planted near-dup clusters of 3 (ids
+    * {300k, 300k+1, 300k+2} share a base text, one filler token varies)
+    * and a deterministic low-quality stratum — the q72 shape at scale. */
+  private def cleanCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val inCluster = col("id") % 300 < 3
+    val base = when(inCluster, col("id") - (col("id") % 300)).otherwise(col("id"))
+    // alphabetic pseudo-words (digits → letters) so the synthetic corpus
+    // PASSES the quality heuristics (token length 3–10, alpha ratio) —
+    // digit-heavy tokens made an earlier cut fail ~100% of the filter and
+    // the probe measured an empty tail
+    val filler = concat_ws(" ", (0 until 30).map(i =>
+      translate(concat(lit("w"), pmod(hash(base * 37 + lit(i)), lit(1000000))),
+        "0123456789", "abcdefghij")): _*)
+    val variant = when(inCluster,
+      concat(lit(" extra"), translate(col("id") % 300, "0123456789", "abcdefghij")))
+      .otherwise(lit(""))
+    // ~2% of docs degenerate to a short low-quality stub the filter drops
+    val text = when(col("id") % 50 === 7, lit("x x x x"))
+      .otherwise(concat(lit("the document begins here "), filler, variant))
+    spark.range(n).select(col("id").as("doc_id"), text.as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("spanskew")
+    val n = args.lift(1).map(_.toLong).getOrElse(2000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "128")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new SkewListener
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+
+    mode match {
+      case "spanskew" =>
+        val docs = boilerplateCorpus(spark, n)
+        val out = graft.dedup.Dedup.removeRepeatedSpans(docs, "id", "text",
+          n = 5, minDf = 2)
+        val agg = out.agg(sum("n_removed"), count(lit(1))).head()
+        println(s"[probe] spanskew n=$n removed_tokens=${agg.getLong(0)} docs=${agg.getLong(1)}")
+      case "deconskew" =>
+        // 12-token header so pure-boilerplate 8-gram shingles EXIST with
+        // df = n: the hottest key the df-cap window can see (the cap then
+        // drops them before the collision join — the designed guard)
+        val train = boilerplateCorpus(spark, n, headerTokens = 12)
+        // eval: 200 docs; even ids copy train doc 3·id's filler (planted
+        // contamination), odd ids are boilerplate + UNIQUE filler (their
+        // ids ≥ 5M never collide with train filler) — only the shared
+        // header links them, and the df cap must keep it out
+        val evalFiller = concat_ws(" ", (0 until 25).map(i => concat(lit("u"),
+          pmod(hash(col("id") * 3 * 31 + lit(i)), lit(1000000000)))): _*)
+        val evalUnique = concat_ws(" ", (0 until 25).map(i => concat(lit("q"),
+          pmod(hash((col("id") + 5000000L) * 131 + lit(i)), lit(1000000000)))): _*)
+        val header12 = (0 until 12).map(i => s"boiler$i").mkString("", " ", " ")
+        val evalDf = spark.range(200L).select(
+          (col("id") + 5000000L).as("id"),
+          concat(lit(header12),
+            when(col("id") % 2 === 0, evalFiller).otherwise(evalUnique)).as("text"))
+        val flagged = graft.dedup.Dedup.decontaminate(
+          train, evalDf, "id", "text", n = 8, minShared = 3)
+        println(s"[probe] deconskew n=$n flagged_pairs=${flagged.count()}")
+      case "clean" =>
+        import graft.dedup.Dedup
+        import graft.pipeline.Sampling
+        import graft.text.TextFunctions
+        val docs = cleanCorpus(spark, n)
+        val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+            shingleHashesOf = TextFunctions.shingleHashes(_, 3),
+            numHashes = 64, bands = 8)
+          .filter(col("est_jaccard") >= 0.5)
+        val clusters = Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("component"))
+        val canonical = docs.join(clusters, Seq("doc_id"), "left")
+          .filter(col("component").isNull || col("component") === col("doc_id"))
+        val verdicts = TextFunctions.qualityFilter(canonical, "doc_id", "text")
+        val out = Sampling.deterministicSplit(verdicts.filter(col("keep")),
+          "doc_id", Seq("train" -> 204, "val" -> 26, "test" -> 26))
+        val counts = out.groupBy("split").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+        println(s"[probe] clean n=$n survivors: $counts")
+      case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean)")
+    }
+
+    println(f"[probe] wall=${(System.nanoTime() - t0) / 1e9}%.1fs worstRatio=${listener.worstRatio()}%.1fx")
+    println(listener.report())
+    spark.stop()
+  }
+}
