@@ -34,12 +34,15 @@ object Probe {
           f"median=${med / 1000.0}%8.2fs ratio=${mx.toDouble / math.max(1L, med)}%6.1fx"
       }.mkString("\n")
     }
-    /** max/median over stages with enough tasks for a meaningful median. */
-    def worstRatio(minTasks: Int = 8): Double = synchronized {
-      val rs = durs.values.filter(_.size >= minTasks).map { ds =>
-        val sorted = ds.toArray.sorted
-        sorted.last.toDouble / math.max(1L, sorted(sorted.length / 2))
-      }
+    /** max/median over stages with enough tasks for a meaningful median
+      * AND a non-trivial max duration — without the floor, a sub-second
+      * stage whose median task is ~0ms (most tasks empty) reports a
+      * huge ratio that is noise, not a straggler (the 20M clean probe
+      * hit exactly that: 1.3s stage, 0.01s median, "187×"). */
+    def worstRatio(minTasks: Int = 8, minMaxMs: Long = 5000L): Double = synchronized {
+      val rs = durs.values.filter(_.size >= minTasks).map(_.toArray.sorted)
+        .filter(_.last >= minMaxMs)
+        .map(sorted => sorted.last.toDouble / math.max(1L, sorted(sorted.length / 2)))
       if (rs.isEmpty) 0.0 else rs.max
     }
   }
