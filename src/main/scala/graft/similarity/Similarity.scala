@@ -100,10 +100,17 @@ object Similarity {
     * tier may emit candidates below `threshold` (cells prune by bound,
     * not value); the driver micro-tier emits only pairs at/above it —
     * both are supersets of every pair the caller keeps. */
+  /** `knownCount`: pass the corpus size when the caller already has it
+    * (a pipeline that just counted or wrote the frame) to skip the
+    * tier-selecting count job — the one extra pass over the corpus this
+    * operator otherwise costs. An upper bound is safe (it can only
+    * steer a small corpus onto the distributed tier, never the driver
+    * tier onto too-large data). */
   def cosineCandidates(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 64, seed: Long = 42L,
-      maxIter: Int = 20, driverThreshold: Long = 5000L): DataFrame = {
+      maxIter: Int = 20, driverThreshold: Long = 5000L,
+      knownCount: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val spark = corpus.sparkSession
     import org.apache.spark.ml.clustering.KMeans
@@ -126,7 +133,7 @@ object Similarity {
     // with the SAME sequential-fold arithmetic as the native expressions
     // (bit-identical sims), emitting only pairs at/above the pruning
     // threshold (callers filter to their keep predicate either way).
-    if (base.count() <= driverThreshold) {
+    if (knownCount.getOrElse(base.count()) <= driverThreshold) {
       val rows = base.orderBy(col("id")).collect()
       base.unpersist()
       val n = rows.length

@@ -93,6 +93,15 @@ class SimilaritySpec extends SparkSpec {
         threshold = tau).filter(col("sim") >= tau))
       assert(micro == brute, s"tau=$tau micro: ${micro.size} vs ${brute.size}")
     }
+    // knownCount skips the tier-selecting count job; steering the tiny
+    // corpus onto the distributed tier via an upper-bound count must
+    // leave the kept set identical (the safe direction by design)
+    val viaKnown = toSet(Similarity.cosineCandidates(e, "vec_id", "v",
+        threshold = 0.42, nlist = 16, knownCount = Some(1000000L))
+      .filter(col("sim") >= 0.42))
+    val direct = toSet(Similarity.cosineCandidates(e, "vec_id", "v",
+      threshold = 0.42).filter(col("sim") >= 0.42))
+    assert(viaKnown == direct)
     // zero-norm vectors never pair (cosine defined 0 here), never NaN
     val withZero = e.select(col("vec_id"), col("v"))
       .union(Seq((9999L, Seq.fill(64)(0.0))).toDF("vec_id", "v"))
