@@ -1796,14 +1796,20 @@ object SparkEntry {
   /** q31–q34 golden-output oracles: the iterative MLE cores have no
     * ANSI-SQL oracle, so the oracle replays a CHECKED-IN expected table
     * computed by this engine at the two gate scales and keyed by data
-    * scale (the events row count sniffs the SF: 10k → tag 1 = sf0.01,
-    * 100k → tag 2 = sf0.1). The numerics behind the goldens are pinned
-    * independently against statsmodels in ArimaSpec / ModelSuiteSpec at
-    * ~1e-5 on canonical datasets; the Spark queries round to 4 dp (the
-    * spec-tolerance hash discipline, same as q43) so the deterministic
-    * fits produce a run-to-run-stable hashed surface. */
+    * scale. The sniff is by EXACT events row count (10000 → tag 1 =
+    * sf0.01, 100000 → tag 2 = sf0.1); any OTHER scale yields tag 0,
+    * which matches no golden rows — a loud empty-oracle failure instead
+    * of a confusing wrong-scale hash mismatch (ADVICE r6). The numerics
+    * behind the goldens are pinned independently against statsmodels in
+    * ArimaSpec / ModelSuiteSpec at ~1e-5 on canonical datasets, AND — on
+    * the gate series themselves — against from-scratch CSS / normal-
+    * equation estimators plus a likelihood local-max property in
+    * GoldenIndependenceSpec, which re-pins these same tables (VERDICT r6
+    * task 2). The Spark queries round to 4 dp (the spec-tolerance hash
+    * discipline, same as q43) so the deterministic fits produce a
+    * run-to-run-stable hashed surface. */
   private def sfTagSql: String =
-    "(SELECT CASE WHEN count(*) < 50000 THEN 1 ELSE 2 END FROM events)"
+    "(SELECT CASE count(*) WHEN 10000 THEN 1 WHEN 100000 THEN 2 ELSE 0 END FROM events)"
 
   private def arimaForecastGoldenSql: String =
     s"""SELECT CAST(step AS BIGINT) AS step, CAST(forecast AS DOUBLE) AS forecast,

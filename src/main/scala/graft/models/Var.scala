@@ -219,6 +219,18 @@ final class Var(
     this
   }
 
+  /** Fitted lag matrices A₁..A_k as [lag][equation][variable] (statsmodels
+    * `VARResults.coefs` layout). Read-only view for cross-checking the OLS
+    * against an independent normal-equations path (GoldenIndependenceSpec —
+    * closes the q32 golden circularity flagged in VERDICT r6). */
+  def coefMatrices: Array[Array[Array[Double]]] =
+    coefs.map(m => Array.tabulate(m.rows)(i => Array.tabulate(m.cols)(j => m(i, j))))
+
+  /** Per-equation trend constants (zero vector when trend='n'). */
+  def trendConstants: Array[Double] =
+    if (trendCoefs == null || trendCoefs.rows == 0) Array.fill(nVars)(0.0)
+    else Array.tabulate(nVars)(v => trendCoefs(0, v))
+
   /** Forecast recursion from the last k observations
     * (statsmodels `VARResults.forecast`). */
   def forecast(steps: Int): Array[Array[Double]] = {
