@@ -70,4 +70,54 @@ class TimeDeltaSpec extends SparkSpec {
     val td = TimeDelta.infer(df, "t")
     assert(td.isEquispaced && td.intervalSeconds.contains(10.0))
   }
+
+  test("global path plans NO single-partition WindowExec (VERDICT r6 task 4)") {
+    val df = spark.range(0, 1000).selectExpr("cast(id as double) * 3 as t")
+    val (deltas, release) = TimeDelta.deltaFrame(df, "t", Nil)
+    try {
+      val plan = deltas.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"global delta plan contains a window:\n$plan")
+    } finally release()
+    // the keyed path keeps a KEYED window (parallel by construction)
+    val keyed = spark.range(0, 100)
+      .selectExpr("id % 4 as k", "cast(id as double) as t")
+    val td = TimeDelta.infer(keyed, "t", Seq("k"))
+    assert(td.isEquispaced && td.intervalSeconds.contains(4.0))
+  }
+
+  test("a million distinct deltas: bounded driver state, exact min/gcd/equispaced") {
+    // t_i = i(i+1)/2 → delta_i = i: one MILLION distinct deltas. The old
+    // path collected them all after a global-window sort; the stats pass
+    // keeps only the smallest 65 plus three scalars per partition.
+    val n = 1000000L
+    val df = spark.range(0, n + 1)
+      .selectExpr("cast(id as double) * (cast(id as double) + 1) / 2 as t")
+      .repartition(8)
+    val td = TimeDelta.infer(df, "t")
+    assert(!td.isEquispaced && td.timeInterval.isEmpty)
+    assert(td.min.contains(Left(1.0)))
+    assert(td.gcd.contains(Left(1.0))) // gcd(1..n) — exact, aggregated
+    // deltas listing = the exact 64 smallest distinct deltas
+    assert(td.deltas.size == 64)
+    assert(td.deltas == (1 to 64).map(i => Left(i.toDouble)))
+  }
+
+  test("calendar deltas keep exact semantics through the capped stats pass") {
+    // 70 distinct deltas (over the 64 cap): 43200s plus 69 distinct
+    // multiples, with month-length deltas mixed in → overflow path with
+    // calendar present: gcd = gcd(numerics, 86400)
+    val halfDay = 43200.0
+    val nums = (1 to 69).map(i => halfDay * (2 * i + 1)) // odd multiples
+    val deltas = nums :+ 2592000.0 // a 30-day month delta
+    val ts = deltas.scanLeft(0.0)(_ + _)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(ts.map(org.apache.spark.sql.Row(_)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.DoubleType))))
+    val td = TimeDelta.infer(df, "t")
+    assert(!td.isEquispaced)
+    assert(td.min.contains(Left(halfDay * 3)))
+    assert(td.gcd.contains(Left(43200.0))) // gcd(odd·43200 ∪ {86400})
+  }
 }
