@@ -152,7 +152,29 @@ object Probe {
         val counts = out.groupBy("split").count().collect()
           .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
         println(s"[probe] clean n=$n survivors: $counts")
-      case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean)")
+      case "ivf" =>
+        // index lifecycle delta (VERDICT r6 task 5): one persisted build,
+        // successive query batches pay search-only cost. `n` is unused;
+        // reads the sf0.1 embeddings.
+        import graft.similarity.IvfIndex
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        def timed[A](f: => A): (A, Double) = {
+          val s = System.nanoTime(); val a = f; (a, (System.nanoTime() - s) / 1e9)
+        }
+        val (idx, tBuild) = timed {
+          IvfIndex.build(e, "vec_id", "embedding", nlist = 64).persist()
+        }
+        def batch(lo: Long, hi: Long): Long =
+          IvfIndex.search(idx, e.filter(col("vec_id") >= lo && col("vec_id") < hi),
+            "vec_id", "embedding", k = 10, nprobe = 8).count()
+        val (n1, t1) = timed(batch(0, 100))
+        val (n2, t2) = timed(batch(100, 200))
+        val (n3, t3) = timed(batch(200, 300))
+        idx.release()
+        println(f"[probe] ivf build+persist=$tBuild%.2fs batch1=$t1%.2fs ($n1 rows) " +
+          f"batch2=$t2%.2fs ($n2 rows) batch3=$t3%.2fs ($n3 rows)")
+      case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|ivf)")
     }
 
     println(f"[probe] wall=${(System.nanoTime() - t0) / 1e9}%.1fs worstRatio=${listener.worstRatio()}%.1fx")

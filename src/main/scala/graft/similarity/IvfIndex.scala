@@ -20,7 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  final case class Index(assigned: DataFrame, centroids: Array[Array[Double]])
+  /** A built index: the cell-assigned corpus plus the centroid table.
+    *
+    * Production lifecycle (VERDICT r6 task 5): an ANN index is built ONCE
+    * and serves many query batches, so the expensive parts must not replay
+    * per batch. The k-means fit already runs exactly once, inside
+    * [[build]]; [[Index.persist]] additionally pins and MATERIALIZES the
+    * assignment frame (corpus scan + transform + norms), after which every
+    * [[search]] call plans an in-memory table scan — search-only cost.
+    * Call [[Index.release]] when the index is retired. The plain
+    * unpersisted handle stays valid (the gate query q58 keeps end-to-end
+    * build+search semantics); persist is the opt-in for serving. */
+  final case class Index(assigned: DataFrame, centroids: Array[Array[Double]]) {
+    /** Pin + materialize the assignments; returns this handle. */
+    def persist(): Index = {
+      assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assigned.count()
+      this
+    }
+    /** Drop the pinned assignments (no-op if never persisted). */
+    def release(): Unit = { assigned.unpersist(); () }
+  }
 
   /** Assign every corpus vector to its nearest of `nlist` centroids. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,

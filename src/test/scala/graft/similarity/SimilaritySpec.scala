@@ -63,6 +63,36 @@ class SimilaritySpec extends SparkSpec {
       s"(nlist=40, nprobe=4, seed=42, |exact|=${exact.size})")
   }
 
+  test("IVF lifecycle: one persisted build serves successive query batches (r6 task 5)") {
+    val idx = IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+      .persist()
+    try {
+      // two successive batches against ONE handle
+      val b1 = IvfIndex.search(idx, embeddings.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      val r1 = b1.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b2 = IvfIndex.search(idx,
+        embeddings.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      val r2 = b2.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the batches really did reuse the materialized assignments: the
+      // search plan reads the in-memory table, not the parquet corpus
+      val plan = b2.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"second batch did not read the persisted index:\n$plan")
+      // and the handle answers exactly like a fresh unpersisted build
+      val fresh = IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+      def run(q: org.apache.spark.sql.DataFrame) =
+        IvfIndex.search(fresh, q, "vec_id", "embedding", k = 5, nprobe = 8)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(r1 == run(embeddings.filter(col("vec_id") < 10)))
+      assert(r2 == run(embeddings.filter(col("vec_id") >= 10 && col("vec_id") < 20)))
+    } finally idx.release()
+  }
+
   test("cosineCandidates: triangle-pruned pairs == brute threshold graph, bit-for-bit") {
     import spark.implicits._
     val e = embeddings.select(col("vec_id"),
