@@ -64,6 +64,84 @@ object CubicSpline {
     x
   }
 
+  /** Evaluate a solved knot table at `tv`: clamp outside the knot range,
+    * else the standard cubic-Hermite-from-second-derivatives form over the
+    * binary-searched interval. Shared by the driver UDF and the per-key
+    * executor fan-out. */
+  def evalAt(k: Array[(Double, Double, Double)], tv: Double): Double = {
+    if (tv <= k.head._1) k.head._2
+    else if (tv >= k.last._1) k.last._2
+    else {
+      var lo = 0; var hi = k.length - 1
+      while (hi - lo > 1) {
+        val mid = (lo + hi) / 2
+        if (k(mid)._1 <= tv) lo = mid else hi = mid
+      }
+      val (t0, y0, m0) = k(lo); val (t1, y1, m1) = k(hi)
+      val h = t1 - t0
+      val a = (t1 - tv) / h; val b = (tv - t0) / h
+      a * y0 + b * y1 +
+        ((a * a * a - a) * m0 + (b * b * b - b) * m1) * h * h / 6.0
+    }
+  }
+
+  /** Per-series executor fan-out of [[interpolate]] for grouped corpora
+    * (VERDICT r6 task 7; reference anchor `functions.py:319-345` — the
+    * reference is single-table, so this is the scale extension): each
+    * series is gathered into ONE grouped row (`sort_array(collect_list)`
+    * — map-side partials, one shuffle), the not-a-knot solve AND the
+    * evaluation run inside the executor task, and only the fill rows for
+    * null cells are hash-joined back on (keys, row index) — no driver
+    * involvement per series, the [[graft.models.PerSeries]] recipe.
+    * Series with fewer than 4 knots are left untouched, exactly like the
+    * driver path; per-series length is bounded by `maxRowsPerSeries`
+    * (must fit one executor task), the same bound every keyed gather in
+    * this library carries. */
+  def interpolateByKey(tsf: TimeseriesFrame, c: String,
+      maxRowsPerSeries: Long = 10L * 1000 * 1000): DataFrame = {
+    require(tsf.seriesKeys.nonEmpty,
+      "interpolateByKey needs seriesKeys (use interpolate for one series)")
+    val t = tsf.timeCol.getOrElse(
+      throw new IllegalArgumentException("cubic interpolation needs a time column"))
+    val keys = tsf.seriesKeys
+    val base = tsf.df.withColumn("__rn", row_number().over(tsf.window).cast("long"))
+    val cell = struct(col("__rn"),
+      col(t).cast("double").as("__t"), nanToNull(col(c)).as("__v"))
+    val gathered = base
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(cell)).as("__m"))
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keys.map(kn => gathered.schema(kn)))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keySchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("__rn",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__fill",
+          org.apache.spark.sql.types.DoubleType)))
+    val mIdx = keys.size
+    val fillRdd = gathered.rdd.flatMap { row =>
+      val series = row.getSeq[org.apache.spark.sql.Row](mIdx)
+      require(series.length <= maxRowsPerSeries,
+        s"one series has ${series.length} rows > maxRowsPerSeries=$maxRowsPerSeries")
+      val known = series.iterator.filterNot(_.isNullAt(2))
+        .map(r => (r.getDouble(1), r.getDouble(2))).toArray
+      if (known.length < 4) Iterator.empty // too few knots: untouched
+      else {
+        val knots = solveNotAKnot(known.map(_._1), known.map(_._2))
+        val keyVals = (0 until mIdx).map(row.get)
+        series.iterator.filter(_.isNullAt(2)).map { r =>
+          // box explicitly: Seq(long, double) would widen the Long to Double
+          org.apache.spark.sql.Row.fromSeq(keyVals ++
+            Seq[Any](Long.box(r.getLong(0)), Double.box(evalAt(knots, r.getDouble(1)))))
+        }
+      }
+    }
+    val fillDf = tsf.df.sparkSession.createDataFrame(fillRdd, outSchema)
+    base.join(fillDf, keys :+ "__rn", "left")
+      .withColumn(c, coalesce(nanToNull(col(c)), col("__fill")))
+      .drop("__rn", "__fill")
+  }
+
   /** Fill nulls in `c` with cubic-spline values over the time axis. */
   def interpolate(tsf: TimeseriesFrame, c: String): DataFrame = {
     val spark = tsf.df.sparkSession
@@ -79,24 +157,7 @@ object CubicSpline {
     val knots = solveNotAKnot(ts, ys)
     val bc = spark.sparkContext.broadcast(knots)
 
-    val fill = udf { (tv: Double) =>
-      val k = bc.value
-      if (tv <= k.head._1) k.head._2
-      else if (tv >= k.last._1) k.last._2
-      else {
-        // binary search for the interval
-        var lo = 0; var hi = k.length - 1
-        while (hi - lo > 1) {
-          val mid = (lo + hi) / 2
-          if (k(mid)._1 <= tv) lo = mid else hi = mid
-        }
-        val (t0, y0, m0) = k(lo); val (t1, y1, m1) = k(hi)
-        val h = t1 - t0
-        val a = (t1 - tv) / h; val b = (tv - t0) / h
-        a * y0 + b * y1 +
-          ((a * a * a - a) * m0 + (b * b * b - b) * m1) * h * h / 6.0
-      }
-    }
+    val fill = udf { (tv: Double) => evalAt(bc.value, tv) }
     tsf.df.withColumn(c,
       coalesce(nanToNull(col(c)), fill(col(t).cast("double"))))
   }

@@ -24,6 +24,44 @@ class CubicAndContractSpec extends SparkSpec {
     }
   }
 
+  test("cubicByKey: per-series fan-out ≡ independent driver splines per key (r6 task 7)") {
+    // 4 series with different shapes/gaps (one with < 4 knots → untouched);
+    // the differential: the grouped executor path must equal running the
+    // driver path independently on each key's sub-frame
+    def f(k: Long, t: Double) = math.sin(t / (k + 2.0)) * (k + 1) + 0.1 * t * t
+    val rows = for (k <- 0L until 4L; i <- 0 until (if (k == 3) 3 else 25)) yield {
+      val t = i * (1.0 + 0.1 * k)
+      val gap = (k != 3 && (i % 7 == 3 || i % 11 == 5)) || (k == 3 && i == 1)
+      (k, t, if (gap) null.asInstanceOf[java.lang.Double] else Double.box(f(k, t)))
+    }
+    val df = spark.createDataFrame(rows).toDF("k", "t", "x").repartition(4)
+    val grouped = TimeseriesFrame(df, Some("t"), seriesKeys = Seq("k"))
+    val got = CubicSpline.interpolateByKey(grouped, "x")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val expected = (0L until 4L).flatMap { k =>
+      CubicSpline.interpolate(
+          TimeseriesFrame(df.filter(col("k") === k), Some("t")), "x")
+        .orderBy("t").collect()
+        .map(r => (k, r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    }
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gk, gt, gv), (ek, et, ev)) =>
+      assert(gk == ek && math.abs(gt - et) < 1e-12, s"row order: ($gk,$gt) vs ($ek,$et)")
+      (gv, ev) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9,
+          s"series $gk t=$gt: byKey $a vs driver $b")
+        case (a, b) => assert(a == b, s"series $gk t=$gt: $a vs $b")
+      }
+    }
+    // the short gappy series (k=3: 2 knots < 4) stays untouched — its
+    // null survives both paths
+    assert(got.count(_._1 == 3L) == 3)
+    assert(got.filter(_._1 == 3L).count(_._3.isEmpty) == 1)
+  }
+
   test("discrete mode fill: most frequent value, smallest wins ties") {
     val df = spark.createDataFrame(Seq(
       (1L, "b"), (2L, null), (3L, "a"), (4L, "b"), (5L, null), (6L, "a")))
