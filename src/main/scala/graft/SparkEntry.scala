@@ -691,6 +691,24 @@ object SparkEntry {
           round(col("f_stat"), 6).as("f_stat"))
     }),
     // ---- multimodal / ingest / multi-series / selection ---------------
+    "q80_strided_positional_rangepart" -> ((s, dir) => {
+      // the POSITIONAL half of the 18-agg registry through the range-
+      // partitioned strided path (VERDICT r6 task 3): linear-MA weights
+      // are integers and value_cents is integral, so the weighted sum and
+      // its denominator are exact and order-independent under the parallel
+      // hash aggregate — one exact division each, hashable; cumsum rides
+      // the two-phase prefix scan (integer partials, order-independent);
+      // mean is the block-agg control column
+      val t = ev(s, dir)
+      MovingTransform.stridedRangePart(t,
+          Seq("value_cents" -> "lin_ma", "value_cents" -> "cumsum",
+            "value_cents" -> "mean"),
+          width = 40, shift = 15)
+        .select(col("window_index"),
+          round(col("value_cents_lin_ma") / 100.0, 6).as("v_lin_ma"),
+          round(col("value_cents_cumsum") / 100.0, 6).as("v_cumsum"),
+          round(col("value_cents_mean") / 100.0, 6).as("v_mean"))
+    }),
     "q79_media_decode" -> ((s, dir) => {
       // REAL pure-JVM codecs under the hash gate (VERDICT r5 task 2):
       // even doc_ids carry a planted PCM16 WAV, odd a PPM P6 image;
@@ -1118,6 +1136,29 @@ object SparkEntry {
          | min(value) AS value_min, max(value) AS value_max,
          | count(value) AS value_defined
          |FROM t GROUP BY block HAVING count(*) = 50""".stripMargin,
+    // q80: windows of 40 every 15 rows over the (ts, event_id) order.
+    // The membership join replays the explode (row i ∈ window j iff
+    // j*15 <= i < j*15+40, position p = i - j*15); lin_ma is the exact
+    // integer weighted sum over positions (weights 1..40, oldest first);
+    // cumsum is the full-prefix running sum sampled at window ends
+    // (np.nancumsum[width-1::shift], aggregate.py:86-92). Division order
+    // mirrors the Spark side exactly: (num/den)/100, (S/40)/100.
+    "q80_strided_positional_rangepart" ->
+      s"""WITH ord AS (SELECT row_number() OVER ($tsOrder) - 1 AS i,
+         |  $centsSql AS v FROM events),
+         |js AS (SELECT unnest(generate_series(0,
+         |  CAST(((SELECT count(*) FROM ord) - 40) / 15 AS BIGINT))) AS j),
+         |m AS (SELECT j, i - j * 15 AS p, v FROM js
+         |  JOIN ord ON i >= j * 15 AND i < j * 15 + 40),
+         |cs AS (SELECT i, sum(v) OVER (ORDER BY i
+         |  ROWS UNBOUNDED PRECEDING) AS run FROM ord),
+         |g AS (SELECT j AS window_index,
+         |  round(sum((p + 1) * v) * 1.0 / sum(p + 1) / 100.0, 6) AS v_lin_ma,
+         |  round(sum(v) / 40 / 100.0, 6) AS v_mean
+         | FROM m GROUP BY j HAVING count(*) = 40)
+         |SELECT g.window_index, g.v_lin_ma,
+         | round(cs.run / 100.0, 6) AS v_cumsum, g.v_mean
+         |FROM g JOIN cs ON cs.i = g.window_index * 15 + 39""".stripMargin,
     "q06_period_day" ->
       s"""SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
          | count(*) AS instance_count,

@@ -147,6 +147,21 @@ object AggRegistry {
     }
   }
 
+  /** Positional weighted mean for the EXPLODED window form — the hash-
+    * aggregate twin of [[weightedMA]] (`aggregate.py:50-70`): each exploded
+    * membership row carries its 0-based slot position `pos` (0 = oldest),
+    * so the weight is a literal-array lookup and the renormalization over
+    * non-null slots is two plain `sum`s — map-side combinable, no
+    * collect_list buffer, no window. All-null window → null. */
+  def positional(key: String, x: Column, pos: Column, width: Int): Column = {
+    val v = nanToNull(x)
+    val wArr = array(maWeights(key, width).map(lit): _*)
+    val wi = element_at(wArr, pos.cast("int") + 1)
+    val num = sum(when(v.isNotNull, wi * v).otherwise(0.0))
+    val den = sum(when(v.isNotNull, wi).otherwise(0.0))
+    safeDiv(num, den)
+  }
+
   // ---------------------------------------------------------------- block
 
   /** Whole-block aggregation of `x` for use inside `groupBy(...).agg(...)`

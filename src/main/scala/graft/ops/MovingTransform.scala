@@ -215,6 +215,9 @@ object MovingTransform {
     aggregateBlocks(indexed, Nil, specs, width, ref)
   }
 
+  private val CumulativeKeys = Set("cumsum", "cumprod")
+  private val WeightedKeys = Set("lin_ma", "exp_ma")
+
   /** Range-partitioned strided windows — the scale path for [[strided]]
     * when `shift` is within a small factor of `width`. Each global row
     * index `i` is a member of windows `j` with `j*shift <= i <
@@ -223,41 +226,163 @@ object MovingTransform {
     * hash aggregate on the window id — no global `WindowExec`. For
     * `shift == width` this is [[sequentialBlocksRangePart]] with zero
     * duplication; for `shift = 1` prefer `RangeWindow` (duplication factor
-    * `width`). Supports the block-form aggs ([[AggRegistry.blockKeys]]);
-    * positional aggs (weighted MAs, cumulatives) stay on [[strided]].
-    */
+    * `width`).
+    *
+    * FULL 18-agg registry (VERDICT r6 task 3 — the last per-operator scale
+    * descope):
+    *  - block-form aggs aggregate the exploded memberships directly;
+    *  - the positional weighted MAs ride the SAME exploded hash aggregate:
+    *    the membership row knows its slot position `i - j*shift`, so the
+    *    weight is a literal-array lookup and the non-null renormalization
+    *    is two plain sums ([[AggRegistry.positional]]);
+    *  - the cumulatives (`np.nancumsum/nancumprod` over the FULL prefix,
+    *    sampled at window-end rows — `aggregate.py:86-92`) use a two-phase
+    *    range-partitioned prefix scan: one narrow job for per-partition
+    *    (sum, product) carries, then a partition-parallel fold emitting
+    *    only the sampled rows — the [[graft.ops.RangeWindow]] recipe.
+    *
+    * With cumulative specs the globally-indexed input backs TWO passes and
+    * is persisted so both read one consistent sort (the lagColumnsManaged
+    * discipline); use [[stridedRangePartManaged]] and call the release
+    * handle after consuming the result. The convenience overload leaves
+    * that cache to LRU eviction — fine for one-shot gate/bench calls, a
+    * leak for long-lived sessions. Without cumulative specs there is no
+    * cache at all and the handle is a no-op. */
   def stridedRangePart(
       tsf: TimeseriesFrame,
       specs: Seq[(String, String)],
       width: Int,
-      shift: Int): DataFrame = {
+      shift: Int): DataFrame =
+    stridedRangePartManaged(tsf, specs, width, shift)._1
+
+  /** [[stridedRangePart]] plus the unpersist handle for the internally
+    * cached sorted-indexed input (no-op unless cumulative specs force the
+    * two-pass prefix scan). */
+  def stridedRangePartManaged(
+      tsf: TimeseriesFrame,
+      specs: Seq[(String, String)],
+      width: Int,
+      shift: Int): (DataFrame, () => Unit) = {
     require(width >= 1 && shift >= 1, "width and shift must be >= 1")
     require(tsf.seriesKeys.isEmpty,
       "range-partitioned strided windows are the single-series scale path")
     specs.foreach { case (_, a) =>
-      require(AggRegistry.blockKeys.contains(a), s"agg '$a' has no block form")
+      require(AggRegistry.keys.contains(a), s"unknown agg: '$a'")
     }
+    val (cumSpecs, winSpecs) = specs.partition(s => CumulativeKeys(s._2))
     val orderNames = tsf.timeCol.toSeq ++ tsf.tieBreak
     val kept = (orderNames ++ specs.map(_._1)).distinct
-    val indexed = globallyIndexed(tsf.df.select(kept.map(col): _*), tsf.orderCols)
-    val i = col("__gidx")
-    // window ids covering row i: ceil((i-width+1)/shift) .. floor(i/shift)
-    val jMin = greatest(lit(0L), -floor((lit(width.toLong - 1) - i) / shift))
-    val jMax = floor(i / shift)
-    // shift > width leaves gap rows with no window: sequence() would count
-    // DOWN for jMin > jMax, so emit an empty membership list instead
-    val memberships = when(jMin <= jMax, sequence(jMin, jMax))
-      .otherwise(array().cast("array<bigint>"))
-    val exploded = indexed
-      .withColumn("window_index", explode(memberships))
-      .drop("__gidx")
-    val aggs = specs.map { case (c, aggKey) =>
-      AggRegistry.block(aggKey, col(c)).as(s"${c}_$aggKey")
+    val indexed0 = globallyIndexed(tsf.df.select(kept.map(col): _*), tsf.orderCols)
+    val (indexed, release): (DataFrame, () => Unit) =
+      if (cumSpecs.isEmpty) (indexed0, () => ())
+      else {
+        val p = indexed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (p, () => { p.unpersist(); () })
+      }
+
+    val winAgg: Option[DataFrame] =
+      if (winSpecs.isEmpty && cumSpecs.nonEmpty) None
+      else {
+        val i = col("__gidx")
+        // window ids covering row i: ceil((i-width+1)/shift) .. floor(i/shift)
+        val jMin = greatest(lit(0L), -floor((lit(width.toLong - 1) - i) / shift))
+        val jMax = floor(i / shift)
+        // shift > width leaves gap rows with no window: sequence() would count
+        // DOWN for jMin > jMax, so emit an empty membership list instead
+        val memberships = when(jMin <= jMax, sequence(jMin, jMax))
+          .otherwise(array().cast("array<bigint>"))
+        val exploded = indexed
+          .withColumn("window_index", explode(memberships))
+          // 0-based slot position (0 = oldest) for the positional MAs
+          .withColumn("__pos", (i - col("window_index") * shift).cast("int"))
+          .drop("__gidx")
+        val aggs = winSpecs.map { case (c, aggKey) =>
+          val a =
+            if (WeightedKeys(aggKey))
+              AggRegistry.positional(aggKey, col(c), col("__pos"), width)
+            else AggRegistry.block(aggKey, col(c))
+          a.as(s"${c}_$aggKey")
+        }
+        Some(exploded.groupBy(col("window_index"))
+          .agg(count(lit(1)).as("__n"), aggs: _*)
+          .filter(col("__n") === width) // trailing partial windows dropped
+          .drop("__n"))
+      }
+
+    val out = (winAgg, cumSpecs) match {
+      case (Some(w), Nil) => w
+      case (None, _) => cumulativeAtWindowEnds(indexed, cumSpecs, width, shift)
+      // complete-window sets coincide (window j is complete iff its end row
+      // exists), so the inner join loses nothing
+      case (Some(w), cs) =>
+        w.join(cumulativeAtWindowEnds(indexed, cs, width, shift), Seq("window_index"))
     }
-    exploded.groupBy(col("window_index"))
-      .agg(count(lit(1)).as("__n"), aggs: _*)
-      .filter(col("__n") === width) // trailing partial windows dropped
-      .drop("__n")
+    (out, release)
+  }
+
+  /** `np.nancumsum`/`nancumprod` over the whole series, sampled at the
+    * strided window-end rows (`aggregate.py:86-92`): two-phase prefix scan
+    * over the globally-indexed frame. Pass 1 collects one (sum, product)
+    * pair per (partition, column) — P·|cols| scalars; pass 2 folds each
+    * partition from its broadcast exclusive offset and emits only rows
+    * where `__gidx` lands on a window end. Identities match the NaN rules:
+    * all-null prefix → 0 for sum (np.nancumsum), 1 for product. */
+  private def cumulativeAtWindowEnds(
+      indexed: DataFrame,
+      specs: Seq[(String, String)],
+      width: Int,
+      shift: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val cols = specs.map(_._1).distinct
+    val proj = indexed.select(col("__gidx") +:
+      cols.map(c => AggRegistry.nanToNull(col(c)).as(c)): _*)
+    val nC = cols.size
+    val partials = proj.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val s = Array.fill(nC)(0.0); val p = Array.fill(nC)(1.0)
+      it.foreach { r =>
+        var k = 0
+        while (k < nC) {
+          if (!r.isNullAt(k + 1)) { val v = r.getDouble(k + 1); s(k) += v; p(k) *= v }
+          k += 1
+        }
+      }
+      Iterator.single(pid -> (s, p))
+    }.collect().toMap
+    val maxPid = if (partials.isEmpty) -1 else partials.keys.max
+    val offsets = scala.collection.mutable.Map[Int, (Array[Double], Array[Double])]()
+    var accS = Array.fill(nC)(0.0); var accP = Array.fill(nC)(1.0)
+    for (pid <- 0 to maxPid) {
+      offsets(pid) = (accS.clone(), accP.clone())
+      partials.get(pid).foreach { case (s, p) =>
+        accS = Array.tabulate(nC)(k => accS(k) + s(k))
+        accP = Array.tabulate(nC)(k => accP(k) * p(k))
+      }
+    }
+    val bc = proj.sparkSession.sparkContext.broadcast(offsets.toMap)
+    val colIdx = cols.zipWithIndex.toMap
+    val outSchema = StructType(StructField("window_index", LongType) +:
+      specs.map { case (c, k) => StructField(s"${c}_$k", DoubleType) })
+    val w1 = width - 1L
+    val outRdd = proj.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (s, p) = bc.value.getOrElse(pid, (Array.fill(nC)(0.0), Array.fill(nC)(1.0)))
+      val runS = s.clone(); val runP = p.clone()
+      it.flatMap { r =>
+        var k = 0
+        while (k < nC) {
+          if (!r.isNullAt(k + 1)) { val v = r.getDouble(k + 1); runS(k) += v; runP(k) *= v }
+          k += 1
+        }
+        val gi = r.getLong(0)
+        if (gi >= w1 && (gi - w1) % shift == 0)
+          Some(Row.fromSeq(Long.box((gi - w1) / shift) +: specs.map { case (c, key) =>
+            val ki = colIdx(c)
+            Double.box(if (key == "cumsum") runS(ki) else runP(ki))
+          }))
+        else None
+      }
+    }
+    proj.sparkSession.createDataFrame(outRdd, outSchema)
   }
 
   /** Calendar period keys — the reference's `PeriodOptions` registry

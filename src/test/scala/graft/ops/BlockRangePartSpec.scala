@@ -60,6 +60,51 @@ class BlockRangePartSpec extends SparkSpec {
     }
   }
 
+  test("stridedRangePart covers the FULL 18-agg registry == strided (r6 task 3)") {
+    import graft.agg.AggRegistry
+    // positive corpus with nulls AND exact zeros: exercises the NaN
+    // renormalization of the weighted MAs, the zero/negative rules of
+    // harmonic/geometric, and zero-absorption of cumprod
+    val rnd = new scala.util.Random(11)
+    val xs = (0 until 211).map { _ =>
+      if (rnd.nextInt(7) == 0) None
+      else if (rnd.nextInt(11) == 0) Some(0.0)
+      else Some(rnd.nextDouble() * 100)
+    }
+    val specs = AggRegistry.keys.map(k => "x" -> k)
+    for ((width, shift) <- Seq((6, 2), (5, 5), (4, 7))) {
+      val tsf = TimeseriesFrame(seriesDF(xs), None, Seq("i"))
+      val a = MovingTransform.strided(tsf, specs, width, shift)
+      val (b, release) = MovingTransform.stridedRangePartManaged(tsf, specs, width, shift)
+      try {
+        assert(a.count() == b.count(), s"row count drift at ($width,$shift)")
+        AggRegistry.keys.foreach { k =>
+          assertSeqAlmost(col1(b, s"x_$k", "window_index"),
+            col1(a, s"x_$k", "window_index"), tol = 1e-9)
+        }
+      } finally release()
+    }
+  }
+
+  test("cumulative-only specs: prefix scan alone, no explode branch") {
+    // values near 1 keep long products finite across partition boundaries
+    val rnd = new scala.util.Random(3)
+    val xs = (0 until 300).map { _ =>
+      if (rnd.nextInt(9) == 0) None else Some(0.9 + rnd.nextDouble() * 0.2)
+    }
+    val tsf = TimeseriesFrame(seriesDF(xs), None, Seq("i"))
+    val specs = Seq("x" -> "cumsum", "x" -> "cumprod")
+    val a = MovingTransform.strided(tsf, specs, 4, 3)
+    val (b, release) = MovingTransform.stridedRangePartManaged(tsf, specs, 4, 3)
+    try {
+      assert(a.count() == b.count())
+      Seq("x_cumsum", "x_cumprod").foreach { c =>
+        assertSeqAlmost(col1(b, c, "window_index"), col1(a, c, "window_index"),
+          tol = 1e-9)
+      }
+    } finally release()
+  }
+
   test("width > n yields empty output on both paths") {
     val tsf = TimeseriesFrame(seriesDF(gappy(10)), None, Seq("i"))
     assert(MovingTransform.sequentialBlocksRangePart(tsf, Seq("x" -> "sum"), 11).count() == 0)
