@@ -426,6 +426,35 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(kept == Set(1L), s"compacted survivors: $kept")
     assert(compacted.collect().forall(_.getLong(1) == 1L)) // one component
 
+    // ... and the same compaction RUNNING INSIDE THE STREAMING LOOP
+    // (r6 task 6): candidate pairs stream through the foreachBatch sink,
+    // the store accumulates across micro-batches, and the periodic tick
+    // visibly corrects the divergent incremental keep set to {1}
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-pairstore").toString + "/pairs"
+    @volatile var lastKeep: Set[Long] = Set.empty
+    @volatile var ticks = 0
+    val mem2 = MemoryStream[(Timestamp, Long, String)]
+    val pairStream = StreamingOps.streamingMinhashCandidates(
+      mem2.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+      numHashes = numHashes, bands = bands)
+    val q2 = StreamingOps.compactingPairSink(pairStream, store,
+      compactEvery = 1, compacted => {
+        lastKeep = compacted.filter(col("keep")).select("id")
+          .collect().map(_.getLong(0)).toSet
+        ticks += 1
+      }).start()
+    docs.zipWithIndex.foreach { case ((id, t), k) =>
+      mem2.addData((new Timestamp(base + k * 1000), id, t)); q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(ticks >= 2, s"compaction ticks: $ticks")
+    // after the last in-loop tick the chain is one component, one survivor
+    assert(lastKeep == Set(1L), s"in-loop compacted survivors: $lastKeep")
+    val storeRows = spark.read.parquet(store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storeRows == Set((1L, 2L), (1L, 3L)), s"store: $storeRows")
+
     // banding guard: bands must divide numHashes (no silent truncation)
     intercept[IllegalArgumentException] {
       StreamingOps.streamingCanonicalKeep(
