@@ -181,20 +181,11 @@ object RangeWindow {
     * could make the boundary carry disagree with pass-2 row order. The
     * cache pins one arbitrary-but-consistent tie order (the residual
     * caveat — recomputation after executor loss could re-tie — only
-    * matters for non-unique keys; Var's time index is unique). Release
-    * the cache via the handle returned by [[lagColumnsManaged]]; this
-    * convenience overload leaves it to Spark's LRU. */
-  def lagColumns(
-      df: DataFrame,
-      orderCols: Seq[org.apache.spark.sql.Column],
-      valueCols: Seq[String],
-      lags: Int,
-      numPartitions: Int): DataFrame =
-    lagColumnsManaged(df, orderCols, valueCols, lags, numPartitions)._1
-
-  /** [[lagColumns]] plus an unpersist handle for the internally cached
-    * sorted input — call it once every job over the returned frame has
-    * run ([[graft.models.Var.fitDistributed]] does). */
+    * matters for non-unique keys; Var's time index is unique). Call the
+    * returned handle once every job over the returned frame has run
+    * ([[graft.models.Var.fitDistributed]] does) — there is deliberately
+    * NO handle-free overload: an unreleased cache per call leaks under
+    * long-lived sessions (ADVICE r6). */
   def lagColumnsManaged(
       df: DataFrame,
       orderCols: Seq[org.apache.spark.sql.Column],

@@ -81,6 +81,19 @@ object Spiralogram {
     * support every=1 only — a "2-week" grid has no calendar anchor. */
   def timeBinKey(t: Column, unit: String, every: Int): Column = {
     require(every >= 1, s"every must be positive: $every")
+    // the every>1 hour/day paths floor the UTC epoch; under a non-UTC
+    // session timezone those buckets would anchor to UTC boundaries while
+    // date_format labels in local time — mislabeling DST-shifted days.
+    // This library pins spark.sql.session.timeZone=UTC everywhere; make
+    // that precondition explicit instead of silent (ADVICE r6).
+    if (every > 1 && (unit == "hour" || unit == "day")) {
+      val tz = org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.sessionLocalTimeZone
+      require(Set("UTC", "Etc/UTC", "GMT", "Z").contains(tz),
+        s"multi-unit $unit bins require a UTC session timezone " +
+          s"(spark.sql.session.timeZone=$tz): epoch flooring anchors to " +
+          "UTC while date_format labels in session time")
+    }
     unit match {
       case "hour" =>
         val b = if (every == 1) date_trunc("hour", t)

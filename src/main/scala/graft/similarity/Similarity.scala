@@ -105,12 +105,24 @@ object Similarity {
     * tier-selecting count job — the one extra pass over the corpus this
     * operator otherwise costs. An upper bound is safe (it can only
     * steer a small corpus onto the distributed tier, never the driver
-    * tier onto too-large data). */
+    * tier onto too-large data).
+    *
+    * `materialize` (ADVICE r6): `true` (default) localCheckpoints the
+    * edge set — the distributed tier runs EAGERLY at call time and the
+    * checkpointed blocks are non-resilient (executor loss fails
+    * downstream jobs instead of recomputing), in exchange for iterating
+    * consumers (connectedComponents) never replaying the k-means + join
+    * and the internal caches being released before return. `false`
+    * preserves lazy, resilient lineage — internal caches are still
+    * released, so every downstream job replays the scan + assignment +
+    * cell join from source; choose it when running under executor churn
+    * or when the result may never be consumed. */
   def cosineCandidates(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 64, seed: Long = 42L,
       maxIter: Int = 20, driverThreshold: Long = 5000L,
-      knownCount: Option[Long] = None): DataFrame = {
+      knownCount: Option[Long] = None,
+      materialize: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val spark = corpus.sparkSession
     import org.apache.spark.ml.clustering.KMeans
@@ -221,12 +233,13 @@ object Similarity {
     // and eager materialization is what lets the internal caches be
     // RELEASED here instead of leaking across calls (ADVICE r5). The edge
     // set is the operator's output — downstream reads it in full anyway.
-    val out = a.join(cpairs, "cell_a")
+    // materialize=false keeps lineage instead (see scaladoc).
+    val joined = a.join(cpairs, "cell_a")
       .join(b, "cell_b")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
-      .localCheckpoint(true)
+    val out = if (materialize) joined.localCheckpoint(true) else joined
     assigned.unpersist()
     base.unpersist()
     out

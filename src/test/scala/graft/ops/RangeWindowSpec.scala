@@ -78,11 +78,12 @@ class RangeWindowSpec extends SparkSpec {
     val global = (for (l <- 1 to 3; c <- Seq("a", "b")) yield (l, c))
       .foldLeft(df) { case (d, (l, c)) =>
         d.withColumn(s"g_l${l}_$c", lag(col(c), l).over(w)) }
-    val ranged = RangeWindow.lagColumns(df, Seq(col("t")), Seq("a", "b"),
-      lags = 3, numPartitions = 7)
+    val (ranged, relRanged) = RangeWindow.lagColumnsManaged(df, Seq(col("t")),
+      Seq("a", "b"), lags = 3, numPartitions = 7)
     val joined = global.join(ranged.select(
       col("t") +: (for (l <- 1 to 3; c <- Seq("a", "b"))
         yield col(s"__l${l}_$c")): _*), "t").orderBy("t").collect()
+    relRanged()
     joined.foreach { r =>
       for (l <- 1 to 3; c <- Seq("a", "b")) {
         val g = r.getAs[Any](s"g_l${l}_$c")
@@ -91,9 +92,11 @@ class RangeWindowSpec extends SparkSpec {
       }
     }
     // more partitions than rows: the carry chain still lines up
-    val tiny = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "a")
-    val out = RangeWindow.lagColumns(tiny, Seq(col("t")), Seq("a"), 2, 12)
-      .orderBy("t").collect()
+    val (lagged, relTiny) = RangeWindow.lagColumnsManaged(
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "a"),
+      Seq(col("t")), Seq("a"), 2, 12)
+    val out = lagged.orderBy("t").collect()
+    relTiny()
     assert(out.map(r => Option(r.getAs[Any]("__l1_a"))).toSeq ==
       Seq(None, Some(1.0), Some(2.0)))
     assert(out.map(r => Option(r.getAs[Any]("__l2_a"))).toSeq ==

@@ -73,6 +73,25 @@ class SpiralogramSpec extends SparkSpec {
     intercept[IllegalArgumentException](labels("fortnight"))
   }
 
+  test("multi-unit hour/day bins assert the UTC session timezone precondition") {
+    // epoch flooring anchors to UTC; a non-UTC session would mislabel
+    // DST-shifted days via date_format — the precondition must be loud
+    val tzConf = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzConf)
+    try {
+      spark.conf.set(tzConf, "America/New_York")
+      intercept[IllegalArgumentException] {
+        Spiralogram.timeBinKey(col("d"), "day", 7)
+      }
+      intercept[IllegalArgumentException] {
+        Spiralogram.timeBinKey(col("d"), "hour", 6)
+      }
+    } finally spark.conf.set(tzConf, saved)
+    // every=1 and month/year paths are date_trunc/index-based — no assert
+    Spiralogram.timeBinKey(col("d"), "day", 1)
+    Spiralogram.timeBinKey(col("d"), "month", 3)
+  }
+
   test("autoTimeBinned walks the calendar ladder by span") {
     def tsfOf(spanSec: Long) = {
       import spark.implicits._
