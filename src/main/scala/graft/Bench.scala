@@ -36,21 +36,24 @@ object Bench {
       try fn(spark, sfDir).explain("formatted")
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
-    // Timing passes are INTERLEAVED: pass 1 runs every query once, then
-    // pass 2, and so on. A transient machine-load spike therefore taxes one
-    // pass of many queries instead of all trials of one query, and the
-    // min-over-passes recovers the uncontended time. (The r6 driver
-    // invocation — back-to-back trials — read a near-uniform ~1.1x over an
-    // idle min-of-3 of the SAME checkout: contention hit whole query
-    // windows at once. Temporally separated trials make that recoverable.)
+    // Per-query GROUPED repeats (trial 1..N back-to-back per query), the
+    // methodology of the whole BENCH series. An interleaved variant (pass
+    // 1 runs every query once, then pass 2, …) was measured in r7 and
+    // REJECTED: with ~80 queries' generated classes churning between a
+    // query's trials, every min-of-3 lands ~1.3x slower uniformly (code
+    // cache + scan buffer pollution) — it times a cold-cache regime and
+    // breaks round-over-round comparability. Sustained machine contention
+    // cannot be min'd away under either scheme; it is made VISIBLE
+    // instead, via the per-query spread artifact below.
     val names = selected.keys.toSeq.sorted
-    val passTimes = names.map(_ -> Vector.newBuilder[Double]).toMap
-    for (_ <- 1 to repeat; name <- names) {
-      val t0 = System.nanoTime()
-      try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => () }
-      passTimes(name) += (System.nanoTime() - t0) / 1e9
+    val results = names.map { name =>
+      val times = Vector.tabulate(repeat) { _ =>
+        val t0 = System.nanoTime()
+        try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times
     }
-    val results = names.map { n => n -> passTimes(n).result() }
     // Locale.ROOT: the f interpolator uses the default JVM locale, which can
     // emit a comma decimal separator and break the JSON artifact.
     def fmt(v: Double): String =
