@@ -220,19 +220,30 @@ object Dedup {
     * collisions are flagged for removal from the training side.
     *
     * Scale shape: one hash-partitioned equi-join on the shingle hash —
-    * only (hash, id) pairs shuffle, never text. The eval side is
-    * typically tiny (benchmarks), so Spark broadcasts it and the train
-    * side never shuffles at all. Pick `n` large enough (8+ tokens) that
-    * boilerplate n-grams are rare; shingles appearing in more than
-    * `maxShingleDf` TRAIN documents (license headers, templated
-    * boilerplate) are dropped before the join — they would make the
-    * collision join quadratic in the boilerplate count and they carry no
-    * contamination signal (standard decontamination practice). */
+    * only (hash, id) pairs shuffle, never text. With `prefilter` on
+    * (default), train shingles are first screened scan-stage against the
+    * broadcast distinct eval hash set with a left-semi join — since only
+    * hashes that also occur in eval can ever reach the output, the
+    * train-side distinct and df-cap shuffles then move the eval-matching
+    * sliver of the corpus instead of every train shingle. The screen is
+    * hash-deterministic (a hash's pairs all survive or all drop), so the
+    * per-hash document frequency the cap sees is unchanged and the output
+    * is identical to the unfiltered path (differentially spec-pinned).
+    * The eval side is typically tiny (benchmarks), so the broadcast is
+    * small; for an eval set beyond broadcast scale pass
+    * `prefilter = false` to get the symmetric shuffle path. Pick `n`
+    * large enough (8+ tokens) that boilerplate n-grams are rare; shingles
+    * appearing in more than `maxShingleDf` TRAIN documents (license
+    * headers, templated boilerplate) are dropped before the join — they
+    * would make the collision join quadratic in the boilerplate count and
+    * they carry no contamination signal (standard decontamination
+    * practice). */
   def decontaminate(
       train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String,
       n: Int = 8, minShared: Long = 3L,
-      maxShingleDf: Long = 100000L): DataFrame = {
+      maxShingleDf: Long = 100000L,
+      prefilter: Boolean = true): DataFrame = {
     // WIDE hashes: a contamination FLAG is collision-intolerant — on a
     // ~10⁹ single chain, ~10⁸ distinct train shingles give every eval
     // shingle a ~10% birthday chance of colliding with some unrelated
@@ -246,11 +257,20 @@ object Dedup {
       .select(col(idCol).as(out),
         explode(TextFunctions.shingleSpanHashes(col(textCol), n)).as("__h"))
       .distinct()
-    side(train, "train_id")
+    val evalPairs = side(eval_, "eval_id")
+    val trainPairs =
+      if (!prefilter) side(train, "train_id")
+      else train
+        .select(col(idCol).as("train_id"),
+          explode(TextFunctions.shingleSpanHashes(col(textCol), n)).as("__h"))
+        .join(broadcast(evalPairs.select(col("__h")).distinct()),
+          Seq("__h"), "left_semi")
+        .distinct()
+    trainPairs
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__df") <= maxShingleDf)
       .drop("__df")
-      .join(side(eval_, "eval_id"), "__h")
+      .join(evalPairs, "__h")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count_distinct(col("__h")).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -168,6 +168,40 @@ class DedupSpec extends SparkSpec {
     assert(rep.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((301L, 9L)))
   }
 
+  test("decontaminate: broadcast eval prefilter ≡ symmetric shuffle path") {
+    import spark.implicits._
+    val evalSpan = "quick brown foxes jump over seventeen lazy dogs while " +
+      "autumn rain falls on the quiet harbor town"
+    val boiler = "all rights reserved this document is provided as is " +
+      "without warranty of any kind either express"
+    // eval contains BOTH the contamination span and the boilerplate span,
+    // so the boilerplate hashes SURVIVE the prefilter and must still be
+    // dropped by the df cap — the cap/prefilter interaction under test
+    val eval_ = Seq((1L, evalSpan), (2L, boiler)).toDF("doc_id", "text")
+    val train = (
+      Seq((10L, s"prefix $evalSpan suffix $boiler"),
+          (11L, s"$evalSpan standalone"),
+          (12L, "wholly unrelated text about columnar engines and joins")) ++
+      // boilerplate in 30 docs > cap 10: its shingles drop in both paths
+      (100L until 130L).map(i => (i, s"doc $i $boiler"))
+    ).toDF("doc_id", "text")
+    def run(pf: Boolean) = Dedup.decontaminate(train, eval_, "doc_id",
+        "text", n = 5, minShared = 3, maxShingleDf = 10, prefilter = pf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val pre = run(pf = true)
+    assert(pre == run(pf = false), pre.mkString(";"))
+    // only the contamination span flags; boilerplate is capped out
+    assert(pre.map(t => (t._1, t._2)) == Seq((10L, 1L), (11L, 1L)), pre)
+
+    // the screen itself is a broadcast left-semi — scan-stage, no train
+    // shuffle ahead of it
+    val plan = Dedup.decontaminate(train, eval_, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("removeRepeatedSpans: cross-doc repeated n-grams drop, unique text survives") {
     import spark.implicits._
     val boiler = "all rights reserved unauthorized copying is strictly prohibited"
