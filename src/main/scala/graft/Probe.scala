@@ -19,11 +19,20 @@ object Probe {
     * graded on. */
   final class SkewListener extends SparkListener {
     private val durs = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    private var shufWrite = 0L
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
-      if (te.taskInfo != null && te.taskInfo.successful)
+      if (te.taskInfo != null && te.taskInfo.successful) {
         durs.getOrElseUpdate(te.stageId,
           scala.collection.mutable.ArrayBuffer.empty[Long]) += te.taskInfo.duration
+        if (te.taskMetrics != null)
+          shufWrite += te.taskMetrics.shuffleWriteMetrics.bytesWritten
+      }
     }
+    /** Cumulative shuffle bytes written across all completed tasks —
+      * snapshot before/after a phase to attribute shuffle volume to it.
+      * Listener events are delivered async; give the bus a moment to
+      * drain after the phase's action before reading. */
+    def shuffleWriteBytes: Long = synchronized(shufWrite)
     def report(top: Int = 10): String = synchronized {
       val rows = durs.toSeq.map { case (sid, ds) =>
         val sorted = ds.toArray.sorted
@@ -130,9 +139,25 @@ object Probe {
           (col("id") + 5000000L).as("id"),
           concat(lit(header12),
             when(col("id") % 2 === 0, evalFiller).otherwise(evalUnique)).as("text"))
-        val flagged = graft.dedup.Dedup.decontaminate(
-          train, evalDf, "id", "text", n = 8, minShared = 3)
-        println(s"[probe] deconskew n=$n flagged_pairs=${flagged.count()}")
+        // both join shapes at probe scale: the r7 broadcast eval screen
+        // (default) vs the symmetric shuffle path — wall + shuffle bytes
+        // quantify "the shuffles move the eval-matching sliver, not every
+        // train shingle" (same flagged_pairs is the correctness check;
+        // the differential spec pins exact equality at unit scale)
+        def phase(tag: String, pf: Boolean): Long = {
+          Thread.sleep(1000) // let the async listener bus drain
+          val b0 = listener.shuffleWriteBytes; val s0 = System.nanoTime()
+          val cnt = graft.dedup.Dedup.decontaminate(
+            train, evalDf, "id", "text", n = 8, minShared = 3, prefilter = pf).count()
+          Thread.sleep(1000) // drain before the post-phase snapshot
+          println(f"[probe] deconskew n=$n $tag flagged_pairs=$cnt " +
+            f"wall=${(System.nanoTime() - s0) / 1e9}%.1fs " +
+            f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f")
+          cnt
+        }
+        val cPre = phase("prefilter", pf = true)
+        val cSym = phase("symmetric", pf = false)
+        require(cPre == cSym, s"prefilter/symmetric diverge: $cPre vs $cSym")
       case "clean" =>
         import graft.dedup.Dedup
         import graft.pipeline.Sampling
