@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -17,7 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * minhash pipeline ~10⁸ interpreted expression evaluations per corpus
   * scan. The hash recurrences themselves are pure integer arithmetic, so
   * the DuckDB oracle reproduces them bit-for-bit (SparkEntry §minhashSql).
-  */
+  *
+  * Every expression here implements real `doGenCode` (a static call into
+  * the shared kernel — a top-level Scala object compiles to static
+  * forwarders Janino can link): `CollapseCodegenStages` refuses
+  * whole-stage codegen for any operator containing a `CodegenFallback`
+  * expression, so the earlier fallback forms silently knocked every
+  * corpus-scan projection out of its codegen span. Interpreted `eval`
+  * calls the SAME kernel, so both paths are one implementation. */
 object TextHash {
 
   val Mod: Long = 1000000007L
@@ -76,16 +83,12 @@ object TextHash {
 
   def simhashBits(hashes: Column, bits: Int): Column =
     Bridge.column(SimhashBitsExpr(Bridge.expression(hashes), bits))
-}
 
-/** Whole-string polynomial hash (document fingerprint); `mult`/`mod`
-  * select the chain (31 / 1e9+7 default, 37 / 1e9+9 second chain). */
-case class PolyHashExpr(child: Expression,
-    mult: Long = 31L, mod: Long = TextHash.Mod)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val t = input.asInstanceOf[UTF8String].toString
+  // ---- row kernels (shared by interpreted eval and generated code) ----
+
+  /** [[PolyHashExpr]] kernel. */
+  def polyHashRow(input: UTF8String, mult: Long, mod: Long): Long = {
+    val t = input.toString
     var h = 0L
     var i = 0
     while (i < t.length) {
@@ -95,24 +98,18 @@ case class PolyHashExpr(child: Expression,
     }
     h
   }
-  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
-    copy(child = newChild)
-}
 
-/** One-pass lowercase → whitespace-tokenize → per-token polyhash →
-  * n-gram combine → first-occurrence distinct. Equivalent to
-  * `array_distinct(zip-combine(transform(tokensLower(text), polyHash)))`. */
-case class ShingleHashesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+  /** [[ShingleHashesExpr]] kernel: one-pass lowercase → whitespace
+    * tokenize → per-token polyhash → n-gram combine → first-occurrence
+    * distinct. */
+  def shingleHashesRow(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toLowerCase.toString
     val raw = s.split("\\s+")
     val th = new Array[Long](raw.length)
     var nt = 0
     var i = 0
     while (i < raw.length) {
-      if (raw(i).nonEmpty) { th(nt) = TextHash.hashString(raw(i)); nt += 1 }
+      if (raw(i).nonEmpty) { th(nt) = hashString(raw(i)); nt += 1 }
       i += 1
     }
     val m = nt - n + 1
@@ -123,7 +120,7 @@ case class ShingleHashesExpr(child: Expression, n: Int)
       while (i < m) {
         var h = th(i)
         var j = 1
-        while (j < n) { h = (h * TextHash.TokenCombine + th(i + j)) % TextHash.Mod; j += 1 }
+        while (j < n) { h = (h * TokenCombine + th(i + j)) % Mod; j += 1 }
         seen.add(h)
         i += 1
       }
@@ -134,23 +131,11 @@ case class ShingleHashesExpr(child: Expression, n: Int)
       new GenericArrayData(out)
     }
   }
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
-    copy(child = newChild)
-}
 
-/** POSITIONAL wide shingle hashes — one hash per n-gram START POSITION
-  * (no distinct: index i of the output IS token position i, the contract
-  * span removal needs to expand coverage), each ~60 bits: two
-  * independent polynomial chains combined as `h1·(1e9+9) + h2`, so a
-  * false span match needs a simultaneous collision in both ~10⁹ spaces
-  * (~10⁻¹⁸ per pair — a 2M-doc probe of the single-chain form produced
-  * 1.85M birthday-collision false positives; this form produced the
-  * exact planted count). */
-case class ShingleSpanHashesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+  /** [[ShingleSpanHashesExpr]] kernel: positional ~60-bit two-chain
+    * hashes, one per n-gram start position, no distinct. */
+  def shingleSpanHashesRow(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toLowerCase.toString
     val raw = s.split("\\s+")
     val th = new Array[Long](raw.length)
     val t2 = new Array[Long](raw.length)
@@ -158,8 +143,8 @@ case class ShingleSpanHashesExpr(child: Expression, n: Int)
     var i = 0
     while (i < raw.length) {
       if (raw(i).nonEmpty) {
-        th(nt) = TextHash.hashString(raw(i))
-        t2(nt) = TextHash.hashString2(raw(i))
+        th(nt) = hashString(raw(i))
+        t2(nt) = hashString2(raw(i))
         nt += 1
       }
       i += 1
@@ -174,39 +159,29 @@ case class ShingleSpanHashesExpr(child: Expression, n: Int)
         var h2 = t2(i)
         var j = 1
         while (j < n) {
-          h1 = (h1 * TextHash.TokenCombine + th(i + j)) % TextHash.Mod
-          h2 = (h2 * TextHash.TokenCombine2 + t2(i + j)) % TextHash.Mod2
+          h1 = (h1 * TokenCombine + th(i + j)) % Mod
+          h2 = (h2 * TokenCombine2 + t2(i + j)) % Mod2
           j += 1
         }
-        out(i) = h1 * TextHash.Mod2 + h2
+        out(i) = h1 * Mod2 + h2
         i += 1
       }
       new GenericArrayData(out)
     }
   }
-  override protected def withNewChildInternal(
-      newChild: Expression): ShingleSpanHashesExpr =
-    copy(child = newChild)
-}
 
-/** MinHash signature: slot j = min over shingle hashes of
-  * `(a_j·h + b_j) mod 2³¹−1`; empty set → all-sentinel (2³¹−1). */
-case class MinhashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  @transient private lazy val aArr = as.toArray
-  @transient private lazy val bArr = bs.toArray
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** [[MinhashSigExpr]] kernel: slot j = min over shingle hashes of
+    * `(a_j·h + b_j) mod 2³¹−1`; empty set → all-sentinel. */
+  def minhashSigRow(arr: ArrayData, aArr: Array[Long], bArr: Array[Long]): ArrayData = {
     val k = aArr.length
-    val slots = Array.fill(k)(TextHash.MinhashP)
+    val slots = Array.fill(k)(MinhashP)
     var i = 0
     val nEl = arr.numElements()
     while (i < nEl) {
       val h = arr.getLong(i)
       var j = 0
       while (j < k) {
-        val v = (aArr(j) * h + bArr(j)) % TextHash.MinhashP
+        val v = (aArr(j) * h + bArr(j)) % MinhashP
         if (v < slots(j)) slots(j) = v
         j += 1
       }
@@ -214,17 +189,10 @@ case class MinhashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
     }
     new GenericArrayData(slots)
   }
-  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
-    copy(child = newChild)
-}
 
-/** SimHash bit voting over precomputed feature hashes: bit k of the
-  * result is set iff strictly more features have bit k set than clear. */
-case class SimhashBitsExpr(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** [[SimhashBitsExpr]] kernel: bit k set iff strictly more features
+    * have bit k set than clear. */
+  def simhashBitsRow(arr: ArrayData, bits: Int): Long = {
     val counts = new Array[Int](bits)
     var i = 0
     val nEl = arr.numElements()
@@ -245,6 +213,85 @@ case class SimhashBitsExpr(child: Expression, bits: Int)
     }
     sig
   }
+}
+
+/** Whole-string polynomial hash (document fingerprint); `mult`/`mod`
+  * select the chain (31 / 1e9+7 default, 37 / 1e9+9 second chain). */
+case class PolyHashExpr(child: Expression,
+    mult: Long = 31L, mod: Long = TextHash.Mod)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.polyHashRow(input.asInstanceOf[UTF8String], mult, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.polyHashRow($c, ${mult}L, ${mod}L)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
+/** One-pass lowercase → whitespace-tokenize → per-token polyhash →
+  * n-gram combine → first-occurrence distinct. Equivalent to
+  * `array_distinct(zip-combine(transform(tokensLower(text), polyHash)))`. */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingleHashesRow(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashesRow($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** POSITIONAL wide shingle hashes — one hash per n-gram START POSITION
+  * (no distinct: index i of the output IS token position i, the contract
+  * span removal needs to expand coverage), each ~60 bits: two
+  * independent polynomial chains combined as `h1·(1e9+9) + h2`, so a
+  * false span match needs a simultaneous collision in both ~10⁹ spaces
+  * (~10⁻¹⁸ per pair — a 2M-doc probe of the single-chain form produced
+  * 1.85M birthday-collision false positives; this form produced the
+  * exact planted count). */
+case class ShingleSpanHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingleSpanHashesRow(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleSpanHashesRow($c, $n)")
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleSpanHashesExpr =
+    copy(child = newChild)
+}
+
+/** MinHash signature: slot j = min over shingle hashes of
+  * `(a_j·h + b_j) mod 2³¹−1`; empty set → all-sentinel (2³¹−1). */
+case class MinhashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashSigRow(input.asInstanceOf[ArrayData], aArr, bArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.minhashSigRow($c, $aRef, $bRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+/** SimHash bit voting over precomputed feature hashes: bit k of the
+  * result is set iff strictly more features have bit k set than clear. */
+case class SimhashBitsExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhashBitsRow(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhashBitsRow($c, $bits)")
   override protected def withNewChildInternal(newChild: Expression): SimhashBitsExpr =
     copy(child = newChild)
 }

@@ -1,30 +1,27 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native dot product over two `array<double>` columns — a strict
   * sequential left-fold, so the result is bit-identical to both the
   * higher-order-function formulation (`aggregate(zip_with(...))`) and
   * DuckDB's `list_inner_product`. The HOF version interprets its lambda
   * per element and allocates an intermediate array per row (~90µs per
-  * 64-dim pair); this is one tight loop (~0.1µs). */
+  * 64-dim pair); this is one tight loop (~0.1µs), codegen'd as a static
+  * kernel call so the embedding-scan projections keep their whole-stage
+  * codegen span (CodegenFallback would evict the whole operator). */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-    acc
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorFunctions.dotRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorFunctions.dotRow($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
@@ -33,6 +30,15 @@ case class DotProductExpr(left: Expression, right: Expression)
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** [[DotProductExpr]] kernel (shared by eval and generated code). */
+  def dotRow(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
 
   /** The LCG hyperplane component shared by [[LshBucketExpr]], the Column
     * API, and the SQL oracle:
@@ -43,26 +49,12 @@ object VectorFunctions {
     ((1103515245L * s + 12345L) % 2147483648L).toDouble / 1073741824.0 - 1.0
   }
 
-  def lshBucket(vec: Column, numPlanes: Int, table: Int, dim: Int): Column =
-    Bridge.column(LshBucketExpr(Bridge.expression(vec), numPlanes, table, dim))
-}
-
-/** All `numPlanes` hyperplane sign bits in one expression node. The
-  * first-cut formulation built 2·numPlanes·dim literal nodes per side
-  * (plane arrays as literals feeding per-plane dot products), which cost
-  * ~8s of optimizer + Janino time per query — the hyperplanes are instead
-  * materialized once on the executor and the projection is a tight loop. */
-case class LshBucketExpr(child: Expression, numPlanes: Int, table: Int, dim: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-  @transient private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(numPlanes, dim)((p, i) => VectorFunctions.lcgPlaneComponent(table, p, i))
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** [[LshBucketExpr]] kernel: all hyperplane sign bits in one loop. */
+  def lshBucketRow(v: ArrayData, planes: Array[Array[Double]], dim: Int): Long = {
     val n = math.min(v.numElements(), dim)
     var bits = 0L
     var p = 0
-    while (p < numPlanes) {
+    while (p < planes.length) {
       val w = planes(p)
       var acc = 0.0
       var i = 0
@@ -71,6 +63,29 @@ case class LshBucketExpr(child: Expression, numPlanes: Int, table: Int, dim: Int
       p += 1
     }
     bits
+  }
+
+  def lshBucket(vec: Column, numPlanes: Int, table: Int, dim: Int): Column =
+    Bridge.column(LshBucketExpr(Bridge.expression(vec), numPlanes, table, dim))
+}
+
+/** All `numPlanes` hyperplane sign bits in one expression node. The
+  * first-cut formulation built 2·numPlanes·dim literal nodes per side
+  * (plane arrays as literals feeding per-plane dot products), which cost
+  * ~8s of optimizer + Janino time per query — the hyperplanes are instead
+  * materialized once on the executor (a codegen reference object) and the
+  * projection is a tight loop. */
+case class LshBucketExpr(child: Expression, numPlanes: Int, table: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim)((p, i) => VectorFunctions.lcgPlaneComponent(table, p, i))
+  override protected def nullSafeEval(input: Any): Any =
+    VectorFunctions.lshBucketRow(input.asInstanceOf[ArrayData], planes, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorFunctions.lshBucketRow($c, $pRef, $dim)")
   }
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
     copy(child = newChild)

@@ -1,0 +1,103 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.agg.WeightedMeanSlotsExpr
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.functions._
+
+/** The custom expressions implement real `doGenCode` (static kernel
+  * calls) rather than `CodegenFallback` — `CollapseCodegenStages`
+  * refuses whole-stage codegen for ANY operator containing a fallback
+  * expression, so the fallback forms evicted every corpus-scan
+  * projection from its codegen span. Pins: (a) generated and
+  * interpreted evaluation agree exactly on every expression, including
+  * null inputs and the weighted-mean null contract; (b) a projection
+  * built from these expressions actually plans inside
+  * WholeStageCodegen. */
+class CodegenPathSpec extends SparkSpec {
+
+  /** Collect `df` under forced-interpreted and default (codegen)
+    * expression evaluation and assert exact equality. */
+  private def bothPaths(mk: => DataFrame): Unit = {
+    val gen = mk.collect().map(_.toString).toSeq
+    val conf = spark.conf
+    val keys = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(mk.collect().map(_.toString).toSeq == gen)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  private def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "Wholly UNRELATED   text with   irregular    spacing"),
+      (4L, "tiny"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+  }
+
+  test("text-hash expressions: codegen ≡ interpreted, incl. nulls") {
+    val params = Seq((3L, 7L), (11L, 13L), (17L, 19L))
+    def q = docs.select(
+      col("id"),
+      TextHash.polyHash(col("text")).as("ph"),
+      TextHash.polyHash2(col("text")).as("ph2"),
+      TextHash.shingleHashes(col("text"), 3).as("sh"),
+      TextHash.shingleSpanHashes(col("text"), 3).as("ssh"),
+      TextHash.minhashSig(TextHash.shingleHashes(col("text"), 2), params).as("sig"),
+      TextHash.simhashBits(TextHash.shingleHashes(col("text"), 2), 16).as("simh"))
+    bothPaths(q)
+  }
+
+  test("vector expressions: codegen ≡ interpreted, incl. nulls") {
+    import spark.implicits._
+    def q = Seq(
+      (1L, Array(1.0, 2.0, 3.0, 4.0), Array(0.5, -1.0, 2.0, 0.25)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0, 1.0)),
+      (3L, null.asInstanceOf[Array[Double]], Array(1.0, 1.0, 1.0, 1.0))
+    ).toDF("id", "a", "b").select(
+      col("id"),
+      VectorFunctions.dot(col("a"), col("b")).as("dot"),
+      VectorFunctions.lshBucket(col("a"), 8, table = 2, dim = 4).as("bucket"))
+    bothPaths(q)
+  }
+
+  test("weighted-mean slots: codegen ≡ interpreted, null contract kept") {
+    import spark.implicits._
+    def q = Seq(
+      (1L, Seq(Some(1.0), Some(2.0), Some(3.0))),
+      (2L, Seq(Some(1.0), None, Some(3.0))),
+      (3L, Seq(None, None, None)),  // all-null window → null result
+      (4L, Seq(Some(5.0)))          // partial leading window
+    ).toDF("id", "xs")
+      .select(col("id"), transform(col("xs"), x => struct(x.as("v"))).as("slots"))
+      .select(col("id"),
+        WeightedMeanSlotsExpr(col("slots"), Seq(1.0, 2.0, 3.0)).as("wm"))
+    bothPaths(q)
+  }
+
+  test("hash projection plans INSIDE WholeStageCodegen (fallback evicted it)") {
+    // spark.range, not a local Seq: ConvertToLocalRelation evaluates
+    // projections over LocalRelation at optimize time, leaving only a
+    // LocalTableScan with no codegen stage to inspect
+    val q = spark.range(100)
+      .select(concat_ws(" ", lit("tok"), col("id"), lit("alpha beta gamma")).as("text"))
+      .select(
+      TextHash.shingleHashes(col("text"), 3).as("sh"),
+      TextHash.simhashBits(TextHash.shingleSpanHashes(col("text"), 2), 16).as("simh"))
+    val wsc = q.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w.toString
+    }
+    assert(wsc.exists(s => s.contains("shinglehashes") && s.contains("Project")),
+      q.queryExecution.executedPlan.toString.take(2000))
+  }
+}
