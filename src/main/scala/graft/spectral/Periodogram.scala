@@ -364,25 +364,36 @@ object Periodogram {
     val base0 = tsf.df.select(col(tCol).cast("double").as("t"),
       col(xCol).cast("double").as("x"))
     // detrend inline, carrying t ('diff' drops the first time point,
-    // `functions.py:152-153`; 'linear'/'constant' detrend vs the index)
+    // `functions.py:152-153`; 'linear'/'constant' detrend vs the index).
+    // The index/poly branches fit via a driver head BEFORE the two
+    // consuming actions below, so the indexed frame (whose single-
+    // partition ordering window is the expensive part of this chain) is
+    // persisted — one execution instead of one per action, values
+    // unchanged.
     val wOrd = Window.orderBy(col("t"))
+    var pinned: List[DataFrame] = Nil
+    def pin(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned ::= df
+      df
+    }
     val series: DataFrame = detrend match {
       case "diff" =>
-        base0.select(col("t"), (col("x") - lag(col("x"), 1).over(wOrd)).as("x"))
-          .filter(col("x").isNotNull)
+        pin(base0.select(col("t"), (col("x") - lag(col("x"), 1).over(wOrd)).as("x"))
+          .filter(col("x").isNotNull))
       case "constant" =>
         val mu = base0.agg(avg(col("x"))).head().getDouble(0)
         base0.select(col("t"), (col("x") - mu).as("x"))
       case "linear" =>
-        val idx = base0.select(col("t"), col("x"),
-          (row_number().over(wOrd) - 1).cast("double").as("i"))
+        val idx = pin(base0.select(col("t"), col("x"),
+          (row_number().over(wOrd) - 1).cast("double").as("i")))
         val fit = idx.agg(regr_slope(col("x"), col("i")).as("k"),
           regr_intercept(col("x"), col("i")).as("c")).head()
         idx.select(col("t"),
           (col("x") - (col("i") * fit.getDouble(0) + fit.getDouble(1))).as("x"))
       case "quadratic" | "cubic" =>
-        val idx = base0.select(col("t"), col("x"),
-          (row_number().over(wOrd) - 1).cast("double").as("i"))
+        val idx = pin(base0.select(col("t"), col("x"),
+          (row_number().over(wOrd) - 1).cast("double").as("i")))
         val order = if (detrend == "quadratic") 2 else 3
         idx.select(col("t"), polyResidual(idx, col("x"), col("i"), order).as("x"))
       case m => throw new IllegalArgumentException(s"unknown detrend: $m")
@@ -434,6 +445,7 @@ object Periodogram {
         Iterator.single(acc)
       }
       .collect()
+    pinned.foreach(_.unpersist(blocking = false))
     val tot = new Array[Double](m * 5)
     partials.foreach { p =>
       var i = 0
