@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same pin as Verify: q78's calendar binning asserts a UTC session
+      // timezone (loudly, by design) — without this, a non-UTC driver JVM
+      // would poison the bench artifact instead of measuring
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
