@@ -177,6 +177,30 @@ object Probe {
         val counts = out.groupBy("split").count().collect()
           .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
         println(s"[probe] clean n=$n survivors: $counts")
+      case "banding" =>
+        // native BandKeysExpr vs the interpreted HOF twin over the same
+        // signatures: the banding projection is a per-document scan stage,
+        // so the delta is pure expression-evaluation cost (plus the
+        // whole-stage codegen span the fallback form evicts)
+        import graft.dedup.Dedup
+        import graft.text.TextFunctions
+        val docs = cleanCorpus(spark, n)
+        val sigs = docs.select(col("doc_id"),
+          Dedup.minhashSignature(
+            TextFunctions.shingleHashes(col("text"), 3),
+            Dedup.minhashParams(64)).as("sig"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sigs.count() // materialize: time only the banding projection below
+        def phase(tag: String, keys: org.apache.spark.sql.Column): Unit = {
+          val s0 = System.nanoTime()
+          val nb = sigs.select(explode(keys).as("b")).agg(count(lit(1))).head().getLong(0)
+          println(f"[probe] banding n=$n $tag keys=$nb " +
+            f"wall=${(System.nanoTime() - s0) / 1e9}%.1fs")
+        }
+        phase("native", Dedup.lshBandKeys(col("sig"), 8, 8))
+        phase("hof", Dedup.lshBandKeysHof(col("sig"), 8, 8))
+        phase("native2", Dedup.lshBandKeys(col("sig"), 8, 8))
+        sigs.unpersist()
       case "ivf" =>
         // index lifecycle delta (VERDICT r6 task 5): one persisted build,
         // successive query batches pay search-only cost. `n` is unused;
@@ -199,7 +223,7 @@ object Probe {
         idx.release()
         println(f"[probe] ivf build+persist=$tBuild%.2fs batch1=$t1%.2fs ($n1 rows) " +
           f"batch2=$t2%.2fs ($n2 rows) batch3=$t3%.2fs ($n3 rows)")
-      case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|ivf)")
+      case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf)")
     }
 
     println(f"[probe] wall=${(System.nanoTime() - t0) / 1e9}%.1fs worstRatio=${listener.worstRatio()}%.1fx")

@@ -65,8 +65,14 @@ object Dedup {
   /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`
     * slots, each band folded to one bucket key
     * (`key = fold(acc·31 + slot) mod P`, seeded with the band index). Docs
-    * sharing any band key are candidate near-duplicates. */
+    * sharing any band key are candidate near-duplicates. Native
+    * single-loop expression ([[graft.functions.BandKeysExpr]]). */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    graft.functions.TextHash.bandKeys(signature, bands, rowsPerBand)
+
+  /** The HOF twin of [[lshBandKeys]], kept for differential testing
+    * (interprets the fold lambda per band per slot). */
+  def lshBandKeysHof(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => aggregate(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
         b.cast("long"), (acc, s) => (acc * 31L + s) % MinhashPrime))
@@ -126,8 +132,8 @@ object Dedup {
     val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
     pairs.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+        (graft.functions.TextHash.slotMatchCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard"))
   }
 
   /** SimHash over precomputed feature-hash values: `bits`-bit signature

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -83,6 +83,12 @@ object TextHash {
 
   def simhashBits(hashes: Column, bits: Int): Column =
     Bridge.column(SimhashBitsExpr(Bridge.expression(hashes), bits))
+
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    Bridge.column(BandKeysExpr(Bridge.expression(signature), bands, rowsPerBand))
+
+  def slotMatchCount(a: Column, b: Column): Column =
+    Bridge.column(SlotMatchCountExpr(Bridge.expression(a), Bridge.expression(b)))
 
   // ---- row kernels (shared by interpreted eval and generated code) ----
 
@@ -190,6 +196,43 @@ object TextHash {
     new GenericArrayData(slots)
   }
 
+  /** [[BandKeysExpr]] kernel: band b of the signature folded to one
+    * bucket key, `key = fold(acc·31 + slot) mod P` seeded with the band
+    * index. Mirrors the HOF `transform(sequence, aggregate(slice ...))`
+    * exactly, including slices truncated by a short signature. */
+  def bandKeysRow(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val nEl = sig.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var j = b * rowsPerBand
+      val end = math.min(j + rowsPerBand, nEl)
+      while (j < end) {
+        acc = (acc * 31L + sig.getLong(j)) % MinhashP
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[SlotMatchCountExpr]] kernel: number of positions where the two
+    * long arrays agree. Counted over the shorter length — identical to
+    * the HOF `size(filter(zip_with(a, b, ==), eq => eq))`, whose
+    * null-padded tail slots never satisfy the filter. */
+  def slotMatchCountRow(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** [[SimhashBitsExpr]] kernel: bit k set iff strictly more features
     * have bit k set than clear. */
   def simhashBitsRow(arr: ArrayData, bits: Int): Long = {
@@ -281,6 +324,38 @@ case class MinhashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
   }
   override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
     copy(child = newChild)
+}
+
+/** LSH band keys: the minhash signature split into `bands` bands of
+  * `rowsPerBand` slots, each folded to one bucket key (seeded with the
+  * band index so identical folds in different bands land in different
+  * key spaces). One loop per row instead of a `transform(sequence,
+  * aggregate(slice ...))` HOF tree interpreted per band per slot. */
+case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.bandKeysRow(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.bandKeysRow($c, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
+    copy(child = newChild)
+}
+
+/** Number of agreeing slot positions between two long arrays (signature
+  * agreement for the minhash Jaccard estimate). */
+case class SlotMatchCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.slotMatchCountRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHash.slotMatchCountRow($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SlotMatchCountExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** SimHash bit voting over precomputed feature hashes: bit k of the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native dot product over two `array<double>` columns — a strict
   * sequential left-fold, so the result is bit-identical to both the
@@ -40,6 +40,40 @@ object VectorFunctions {
     acc
   }
 
+  def l2sq(a: Column, b: Column): Column =
+    Bridge.column(L2SqExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** [[L2SqExpr]] kernel: strict sequential fold of squared element
+    * differences — the identical op order to the HOF
+    * `aggregate(zip_with(a, b, (x,y) => (x−y)·(x−y)), 0.0, acc+x)`, so
+    * results are bit-for-bit equal (equal-length arrays; like
+    * [[dotRow]], folds over the shorter length if they differ, where the
+    * HOF form would yield null). */
+  def l2sqRow(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  def arrayDiv(v: Column, s: Column): Column =
+    Bridge.column(ArrayDivExpr(Bridge.expression(v), Bridge.expression(s)))
+
+  /** [[ArrayDivExpr]] kernel: each element divided by the scalar — the
+    * per-element op of `transform(v, _ / s)`, one loop per row. */
+  def arrayDivRow(v: ArrayData, s: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = v.getDouble(i) / s; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** The LCG hyperplane component shared by [[LshBucketExpr]], the Column
     * API, and the SQL oracle:
     * `((1103515245·((t·7368787 + p·1000003 + i) mod 2³¹−1) + 12345)
@@ -67,6 +101,37 @@ object VectorFunctions {
 
   def lshBucket(vec: Column, numPlanes: Int, table: Int, dim: Int): Column =
     Bridge.column(LshBucketExpr(Bridge.expression(vec), numPlanes, table, dim))
+}
+
+/** Squared Euclidean distance between two `array<double>` columns —
+  * strict sequential fold, bit-identical to the HOF formulation (see
+  * [[VectorFunctions.l2sqRow]]). */
+case class L2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorFunctions.l2sqRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorFunctions.l2sqRow($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Element-wise divide of an `array<double>` by a double scalar (vector
+  * normalization) — one loop per row instead of an interpreted
+  * `transform` lambda per element. */
+case class ArrayDivExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any, s: Any): Any =
+    VectorFunctions.arrayDivRow(v.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) =>
+      s"graft.functions.VectorFunctions.arrayDivRow($v, $s)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDivExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** All `numPlanes` hyperplane sign bits in one expression node. The

@@ -78,9 +78,7 @@ object IvfIndex {
         org.apache.spark.sql.types.StructField("cv",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType)))))
-    val dist = aggregate(
-      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val dist = graft.functions.VectorFunctions.l2sq(col("qv"), col("cv"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
     val probes = q.crossJoin(broadcast(centDf))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"), dist.as("dist"))

@@ -180,7 +180,7 @@ object Similarity {
     }
 
     val raw = base
-      .withColumn("u", transform(col("v"), _ / col("nrm")))
+      .withColumn("u", graft.functions.VectorFunctions.arrayDiv(col("v"), col("nrm")))
       .withColumn("features", array_to_vector(col("u")))
     // random init, not k-means||: init quality moves only the candidate
     // count (correctness is geometric, see above), and the parallel init
@@ -203,9 +203,8 @@ object Similarity {
           org.apache.spark.sql.types.DoubleType))))
     val centDf = spark.createDataFrame(
       spark.sparkContext.parallelize(centRows.toSeq, 1), centSchema)
-    def dist(a: Column, b: Column): Column = sqrt(aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+    def dist(a: Column, b: Column): Column =
+      sqrt(graft.functions.VectorFunctions.l2sq(a, b))
 
     // per-cell radius in unit space (nlist rows)
     val radii = assigned.join(broadcast(centDf), "cell")

@@ -140,9 +140,8 @@ object StreamingOps {
         col(timeCol).cast("timestamp").as(s"ts$sfx"))
       .withWatermark(s"ts$sfx", watermark) // AFTER the projection — selecting
       // a cast mints a new attribute and would drop the watermark tag
-    val est = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-      eq => eq)).cast("double") / numHashes
+    val est = graft.functions.TextHash.slotMatchCount(col("sig_a"), col("sig_b"))
+      .cast("double") / numHashes
     side("_a").join(side("_b"),
       col("bucket_a") === col("bucket_b") && col("id_a") < col("id_b") &&
         col("ts_b") >= col("ts_a") - expr(s"INTERVAL $watermark") &&

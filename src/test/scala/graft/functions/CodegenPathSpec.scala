@@ -85,6 +85,42 @@ class CodegenPathSpec extends SparkSpec {
     bothPaths(q)
   }
 
+  test("band keys / slot match / l2sq / arrayDiv: native ≡ HOF twin, codegen ≡ interpreted") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    // signatures incl. a short one (truncated last band) and equal arrays
+    val sigs = Seq(
+      (1L, (1L to 64L).toArray, (1L to 64L).map(x => if (x % 3 == 0) x else x + 1).toArray),
+      (2L, Array.fill(64L.toInt)(7L), Array.fill(64)(7L)),
+      (3L, (1L to 60L).toArray, (1L to 64L).toArray) // short left side
+    ).toDF("id", "sig_a", "sig_b")
+    def native = sigs.select(col("id"),
+      Dedup.lshBandKeys(col("sig_a"), 8, 8).as("bk"),
+      graft.functions.TextHash.slotMatchCount(col("sig_a"), col("sig_b")).as("mc"))
+    val hof = sigs.select(col("id"),
+      Dedup.lshBandKeysHof(col("sig_a"), 8, 8).as("bk"),
+      (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        eq => eq))).as("mc"))
+    assert(native.collect().map(_.toString).toSeq ==
+      hof.collect().map(_.toString).toSeq)
+    bothPaths(native)
+
+    val vecs = Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(0.5, -1.5, 2.0), 2.0),
+      (2L, Array(0.1, 0.2, 0.3), Array(0.1, 0.2, 0.3), 0.374165738677394))
+      .toDF("id", "a", "b", "nrm")
+    def vNative = vecs.select(col("id"),
+      graft.functions.VectorFunctions.l2sq(col("a"), col("b")).as("d2"),
+      graft.functions.VectorFunctions.arrayDiv(col("a"), col("nrm")).as("u"))
+    val vHof = vecs.select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("d2"),
+      transform(col("a"), _ / col("nrm")).as("u"))
+    assert(vNative.collect().map(_.toString).toSeq ==
+      vHof.collect().map(_.toString).toSeq)
+    bothPaths(vNative)
+  }
+
   test("hash projection plans INSIDE WholeStageCodegen (fallback evicted it)") {
     // spark.range, not a local Seq: ConvertToLocalRelation evaluates
     // projections over LocalRelation at optimize time, leaving only a
