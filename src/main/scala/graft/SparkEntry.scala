@@ -376,8 +376,8 @@ object SparkEntry {
       // LEFT JOIN + coalesce(sig, 0) for docs its null filter removed
       d.select(col("doc_id"),
         Dedup.simhashFromHashes(
-          transform(TextFunctions.shingleHashes(coalesce(col("text"), lit("")), 2),
-            Dedup.widenHash62(_))).as("sig"))
+          Dedup.widenHash62All(
+            TextFunctions.shingleHashes(coalesce(col("text"), lit("")), 2))).as("sig"))
     }),
     // ---- similarity search --------------------------------------------
     "q20_cosine_pairs" -> ((s, dir) => {
@@ -429,8 +429,8 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
       val sigs = d.select(col("doc_id"),
         Dedup.simhashFromHashes(
-          transform(TextFunctions.shingleHashes(coalesce(col("text"), lit("")), 2),
-            Dedup.widenHash62(_))).as("sig"))
+          Dedup.widenHash62All(
+            TextFunctions.shingleHashes(coalesce(col("text"), lit("")), 2))).as("sig"))
       Dedup.simhashCandidates(sigs, "doc_id", "sig", bandBits = 16, maxHamming = 8)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),

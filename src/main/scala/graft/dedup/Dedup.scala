@@ -154,6 +154,12 @@ object Dedup {
   def widenHash62(h: Column): Column =
     ((h * 48271L) % MinhashPrime) * 2147483648L + h
 
+  /** [[widenHash62]] over every element of a hash array — native
+    * single-loop expression rather than a `transform` lambda
+    * ([[graft.functions.WidenHashes62Expr]]). */
+  def widenHash62All(hashes: Column): Column =
+    graft.functions.TextHash.widenHashes62(hashes)
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -306,7 +312,7 @@ object Dedup {
       n: Int = 5, minDf: Long = 2L): DataFrame = {
     require(n >= 1 && minDf >= 2, s"need n >= 1 and minDf >= 2: $n, $minDf")
     val base = df.select(col(idCol).as("id"),
-      filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"),
+      TextFunctions.tokensLower(col(textCol)).as("toks"),
       TextFunctions.shingleSpanHashes(col(textCol), n).as("hs"))
     val sh = base.select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
     val rep = sh.groupBy(col("h"))

@@ -87,6 +87,9 @@ object TextHash {
   def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     Bridge.column(BandKeysExpr(Bridge.expression(signature), bands, rowsPerBand))
 
+  def widenHashes62(hashes: Column): Column =
+    Bridge.column(WidenHashes62Expr(Bridge.expression(hashes)))
+
   def slotMatchCount(a: Column, b: Column): Column =
     Bridge.column(SlotMatchCountExpr(Bridge.expression(a), Bridge.expression(b)))
 
@@ -233,6 +236,22 @@ object TextHash {
     c
   }
 
+  /** [[WidenHashes62Expr]] kernel: each ~30-bit hash widened to 62
+    * well-mixed bits with one Lehmer step,
+    * `h62 = ((h·48271) mod 2³¹−1)·2³¹ + h` — the per-element op of
+    * [[graft.dedup.Dedup.widenHash62]]. */
+  def widenHashes62Row(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      out(i) = ((h * 48271L) % MinhashP) * 2147483648L + h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[SimhashBitsExpr]] kernel: bit k set iff strictly more features
     * have bit k set than clear. */
   def simhashBitsRow(arr: ArrayData, bits: Int): Long = {
@@ -340,6 +359,20 @@ case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextHash.bandKeysRow($c, $bands, $rowsPerBand)")
   override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
+    copy(child = newChild)
+}
+
+/** Per-element 62-bit Lehmer widening of a hash array (the simhash
+  * feature prep) — one loop per row instead of an interpreted
+  * `transform` lambda per element. */
+case class WidenHashes62Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.widenHashes62Row(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.widenHashes62Row($c)")
+  override protected def withNewChildInternal(newChild: Expression): WidenHashes62Expr =
     copy(child = newChild)
 }
 

@@ -93,8 +93,7 @@ object StreamingOps {
     stream
       .withColumn("__sig",
         Dedup.simhashFromHashes(
-          transform(TextFunctions.shingleHashes(col(textCol), 2),
-            Dedup.widenHash62(_))))
+          Dedup.widenHash62All(TextFunctions.shingleHashes(col(textCol), 2))))
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")

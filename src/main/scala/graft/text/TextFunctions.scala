@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens, empty slots dropped. */
+  /** Whitespace tokens, empty slots dropped. `array_remove` rather than
+    * a `filter` lambda: `split` never produces nulls so the two are
+    * equivalent, but `filter` is a higher-order function — interpreted
+    * per element AND it evicts the whole operator from whole-stage
+    * codegen — and this is the base primitive of every text query's
+    * scan stage. */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    array_remove(split(text, "\\s+"), "")
 
   /** Lowercased whitespace tokens. */
   def tokensLower(text: Column): Column = tokens(lower(text))
@@ -24,7 +29,7 @@ object TextFunctions {
     * counted separately (a cheap, deterministic stand-in for a tokenizer's
     * token count; ~chars/4 for English). */
   def subwordCountEstimate(text: Column): Column =
-    size(filter(split(text, "(?=[\\p{Punct}])|\\s+|(?<=[\\p{Punct}])"), t => t =!= ""))
+    size(array_remove(split(text, "(?=[\\p{Punct}])|\\s+|(?<=[\\p{Punct}])"), ""))
 
   /** Type-token ratio (lexical diversity). */
   def typeTokenRatio(text: Column): Column = {

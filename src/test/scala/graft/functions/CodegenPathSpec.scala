@@ -119,6 +119,31 @@ class CodegenPathSpec extends SparkSpec {
     assert(vNative.collect().map(_.toString).toSeq ==
       vHof.collect().map(_.toString).toSeq)
     bothPaths(vNative)
+
+    def wNative = sigs.select(col("id"),
+      Dedup.widenHash62All(col("sig_a")).as("w"))
+    val wHof = sigs.select(col("id"),
+      transform(col("sig_a"), Dedup.widenHash62(_)).as("w"))
+    assert(wNative.collect().map(_.toString).toSeq ==
+      wHof.collect().map(_.toString).toSeq)
+    bothPaths(wNative)
+  }
+
+  test("tokens via array_remove ≡ the filter-lambda formulation") {
+    import graft.text.TextFunctions
+    import spark.implicits._
+    val df = Seq("  leading and   trailing  ", "single", "", "a  b\tc\nd",
+      null.asInstanceOf[String]).toDF("text")
+    val both = df.select(
+      TextFunctions.tokens(col("text")).as("t"),
+      filter(split(col("text"), "\\s+"), t => t =!= "").as("t_hof"),
+      TextFunctions.subwordCountEstimate(col("text")).as("sw"),
+      size(filter(split(col("text"), "(?=[\\p{Punct}])|\\s+|(?<=[\\p{Punct}])"),
+        t => t =!= "")).as("sw_hof")).collect()
+    both.foreach { r =>
+      assert(r.get(0) == r.get(1), r.toString)
+      assert(r.get(2) == r.get(3), r.toString)
+    }
   }
 
   test("hash projection plans INSIDE WholeStageCodegen (fallback evicted it)") {
