@@ -89,6 +89,17 @@ object Dedup {
     * cap are dropped — their members are near-identical by construction
     * and the EXACT-dedup tier ([[exact]]/[[normalizedKey]], which is
     * linear) already groups them; banding is for the near-dup tail. */
+  /** `materialize` (the [[graft.similarity.Similarity.cosineCandidates]]
+    * contract): `true` (default) localCheckpoints the candidate set — the
+    * pipeline runs EAGERLY at call time and the checkpointed blocks are
+    * non-resilient (executor loss fails downstream jobs instead of
+    * recomputing), in exchange for iterating consumers
+    * ([[connectedComponents]]) never replaying the scan+hash+join and the
+    * internal signature cache being released before return. `false`
+    * preserves lazy, resilient lineage — the signature cache is still
+    * released, so each consuming job replays the scan+hash pipeline into
+    * its three internal consumers; choose it under executor churn or when
+    * the result may never be consumed. */
   def minhashCandidates(
       df: DataFrame,
       idCol: String,
@@ -96,7 +107,8 @@ object Dedup {
       shingleHashesOf: Column => Column = TextFunctions.shingleHashes(_, 3),
       numHashes: Int = 64,
       bands: Int = 8,
-      maxBucket: Long = 100000L): DataFrame = {
+      maxBucket: Long = 100000L,
+      materialize: Boolean = true): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands must divide numHashes (got numHashes=$numHashes, bands=$bands)" +
         " — silent truncation would drop signature slots")
@@ -130,10 +142,22 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
     val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
-    pairs.join(sa, "id_a").join(sb, "id_b")
+    val out = pairs.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         (graft.functions.TextHash.slotMatchCount(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes).as("est_jaccard"))
+    // release the signature cache on BOTH paths (the r6 lagColumns /
+    // cosineCandidates adjudication: an unmanaged persist per call leaks
+    // until LRU eviction): eagerly checkpointed, the result no longer
+    // needs it; lazy, the consuming job replays the scan instead
+    if (materialize) {
+      val m = out.localCheckpoint(true)
+      sigs.unpersist(blocking = false)
+      m
+    } else {
+      sigs.unpersist(blocking = false)
+      out
+    }
   }
 
   /** SimHash over precomputed feature-hash values: `bits`-bit signature

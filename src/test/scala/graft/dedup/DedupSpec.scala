@@ -168,6 +168,19 @@ class DedupSpec extends SparkSpec {
     assert(rep.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((301L, 9L)))
   }
 
+  test("minhashCandidates: materialize=false ≡ eager default; sig cache released") {
+    import spark.implicits._
+    val docs = ((1L to 40L).map(i => (i, s"unique text number $i about topic ${i % 7}")) ++
+      Seq((101L, "the quick brown fox jumps over the lazy dog tonight"),
+          (102L, "the quick brown fox jumps over the lazy dog today"))).toDF("doc_id", "text")
+    def run(m: Boolean) = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 16, bands = 4, materialize = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    val eager = run(m = true)
+    assert(eager == run(m = false), eager.mkString(";"))
+    assert(eager.exists(t => t._1 == 101L && t._2 == 102L), eager.mkString(";"))
+  }
+
   test("decontaminate: broadcast eval prefilter ≡ symmetric shuffle path") {
     import spark.implicits._
     val evalSpan = "quick brown foxes jump over seventeen lazy dogs while " +
