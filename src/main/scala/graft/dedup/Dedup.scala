@@ -66,7 +66,14 @@ object Dedup {
     * slots, each band folded to one bucket key
     * (`key = fold(acc·31 + slot) mod P`, seeded with the band index). Docs
     * sharing any band key are candidate near-duplicates. Native
-    * single-loop expression ([[graft.functions.BandKeysExpr]]). */
+    * single-loop expression ([[graft.functions.BandKeysExpr]]).
+    *
+    * NULL signature → null result (null-intolerant, like every hash
+    * expression here). The HOF twin instead yields an ARRAY of `bands`
+    * nulls (its outer `transform` iterates the non-null band sequence) —
+    * a representational difference only: exploded null buckets never
+    * match an equi-join, so both forms produce ZERO candidate pairs for
+    * a null signature (spec-pinned). */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     graft.functions.TextHash.bandKeys(signature, bands, rowsPerBand)
 

@@ -146,6 +146,58 @@ class CodegenPathSpec extends SparkSpec {
     }
   }
 
+  test("seeded-random differential: full native text pipeline ≡ HOF twins") {
+    import graft.dedup.Dedup
+    import graft.text.TextFunctions
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val seps = Array(" ", "  ", "\t", "\n", "   ")
+    def word(): String = {
+      val alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZäöüßéñ中日0123456789.,;!?"
+      (0 until (1 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    def doc(): String = {
+      val n = rnd.nextInt(30)
+      val body = (0 until n).map(_ => word()).mkString(seps(rnd.nextInt(seps.length)))
+      // random leading/trailing whitespace
+      (if (rnd.nextBoolean()) " " else "") + body + (if (rnd.nextBoolean()) "\t" else "")
+    }
+    val docs = (1L to 300L).map(i =>
+      (i, if (i % 37 == 0) null else if (i % 23 == 0) "" else doc())).toDF("id", "text")
+    val params = Dedup.minhashParams(16)
+    val native = docs.select(col("id"),
+      TextFunctions.tokens(col("text")).as("toks"),
+      TextFunctions.shingleHashes(col("text"), 2).as("sh"),
+      Dedup.widenHash62All(TextFunctions.shingleHashes(col("text"), 2)).as("wide"),
+      Dedup.minhashSignature(TextFunctions.shingleHashes(col("text"), 2), params).as("sig"),
+      Dedup.lshBandKeys(
+        Dedup.minhashSignature(TextFunctions.shingleHashes(col("text"), 2), params),
+        4, 4).as("bk"))
+    val hof = docs.select(col("id"),
+      filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"),
+      TextFunctions.shingleHashesHof(col("text"), 2).as("sh"),
+      transform(TextFunctions.shingleHashesHof(col("text"), 2),
+        Dedup.widenHash62(_)).as("wide"),
+      Dedup.minhashSignature(TextFunctions.shingleHashesHof(col("text"), 2), params).as("sig"),
+      Dedup.lshBandKeysHof(
+        Dedup.minhashSignature(TextFunctions.shingleHashesHof(col("text"), 2), params),
+        4, 4).as("bk"))
+    // null text: the bk column DIVERGES by representation — native is
+    // null (null-intolerant), the HOF twin is an array of nulls (its
+    // outer transform iterates the non-null band sequence). Exploded
+    // null buckets never equi-join, so the candidate-pair surface is
+    // identical; pin the divergence explicitly, compare the rest exactly.
+    val a = native.orderBy("id").collect()
+    val b = hof.orderBy("id").collect()
+    a.zip(b).foreach { case (x, y) =>
+      if (x.isNullAt(5)) { // null text row
+        assert(x.getLong(0) % 37 == 0, x.toString)
+        (1 to 4).foreach(i => assert(x.isNullAt(i) && y.isNullAt(i), s"col $i\n$x\n$y"))
+        assert(y.getSeq[Any](5) != null && y.getSeq[Any](5).forall(_ == null), y.toString)
+      } else assert(x.toString == y.toString, s"\n$x\n$y")
+    }
+  }
+
   test("hash projection plans INSIDE WholeStageCodegen (fallback evicted it)") {
     // spark.range, not a local Seq: ConvertToLocalRelation evaluates
     // projections over LocalRelation at optimize time, leaving only a
