@@ -49,15 +49,28 @@ object Bench {
     // breaks round-over-round comparability. Sustained machine contention
     // cannot be min'd away under either scheme; it is made VISIBLE
     // instead, via the per-query spread artifact below.
+    // A query that throws is recorded as an ERROR, excluded from every
+    // total, and fails the whole run (non-zero exit). Round 7's artifact
+    // silently timed 47 analysis errors as ~0.05s "successes" because this
+    // loop swallowed Throwable — never again: an errored bench must be
+    // visibly red in the artifact AND red to the driver.
     val names = selected.keys.toSeq.sorted
-    val results = names.map { name =>
+    val raw = names.map { name =>
+      var err: Option[String] = None
       val times = Vector.tabulate(repeat) { _ =>
         val t0 = System.nanoTime()
-        try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+        if (err.isEmpty)
+          try { selected(name)(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              err = Some(s"${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").replace('\n', ' ').take(300))
+          }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times
+      (name, times, err)
     }
+    val errors = raw.collect { case (n, _, Some(m)) => n -> m }
+    val results = raw.collect { case (n, ts, None) => n -> ts }
     // Locale.ROOT: the f interpolator uses the default JVM locale, which can
     // emit a comma decimal separator and break the JSON artifact.
     def fmt(v: Double): String =
@@ -68,9 +81,14 @@ object Bench {
     val qs = results
       .map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min) }
       .mkString("{", ",", "}")
+    def qstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errJson = errors
+      .map { case (k, m) => qstr(k) + ":" + qstr(m) }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""errors":$errJson,"err_count":${errors.size},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"), line + "\n")
     catch { case e: Throwable =>
@@ -88,7 +106,7 @@ object Bench {
       (if (ts.min > 0) ts.max / ts.min else 1.0, k)
     }.sortBy(-_._1).take(5)
     val dispLine =
-      s"""{"repeat":$repeat,"queries":$disp,"worst_spread":[${
+      s"""{"repeat":$repeat,"queries":$disp,"errors":$errJson,"worst_spread":[${
         worst.map { case (r, k) => "[\"" + k + "\"," + fmt(r) + "]" }.mkString(",")
       }]}"""
     try java.nio.file.Files.writeString(
@@ -98,5 +116,10 @@ object Bench {
     }
     println(line)
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (n, m) => System.err.println(s"[bench] ERR $n: $m") }
+      System.err.println(s"[bench] ${errors.size} queries errored — failing the run")
+      sys.exit(1)
+    }
   }
 }

@@ -32,19 +32,48 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
-    // long; normalize to a microsecond TimestampType column (values are
-    // µs-aligned, so `div 1000` is lossless integer arithmetic).
+  /** Single gate-table loader — EVERY read of the driver's parquet goes
+    * through here (tests included), so a physical-layout change in the
+    * environment shows up in exactly one place.
+    *
+    * The events table has shipped in two physical timestamp layouts over
+    * the build's lifetime (TIMESTAMP(NANOS), then plain TIMESTAMP_MICROS),
+    * so the loader sniffs the type it actually read instead of assuming
+    * one:
+    *  - `LongType` (nanos read under `nanosAsLong`, or a bare INT64
+    *    column): keep the raw long as `ts_ns_raw` — range predicates on it
+    *    are pushed to parquet row-group stats — and derive the µs-aligned
+    *    TimestampType `ts` (`div 1000` is lossless integer arithmetic).
+    *  - native `TimestampType`: use the column directly; predicates on a
+    *    plain timestamp attribute are already sargable (see TimeSlice), so
+    *    no raw long twin is needed.
+    * NTZ inference is disabled for the read so a µs column reads as
+    * session-tz TimestampType either way; with the UTC session pin this is
+    * value-identical to DuckDB's naive read of the same file. */
+  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // keep the raw nanos column: range predicates on it are sargable
-      // (pushed to parquet row-group stats), while predicates on the
-      // converted timestamp expression are not — see TimeSlice
-      df.withColumnRenamed("ts", "ts_ns_raw")
-        .withColumn("ts", timestamp_micros(expr("ts_ns_raw div 1000")))
-    else df
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val path = s"$dir/$name.parquet"
+    val df = s.read.parquet(path)
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumnRenamed("ts", "ts_ns_raw")
+          .withColumn("ts", timestamp_micros(expr("ts_ns_raw div 1000")))
+      case TimestampType => df
+      case TimestampNTZType =>
+        // A Spark-written NTZ file carries its catalyst schema in the
+        // footer, which overrides the inference flag. Re-read with an
+        // explicit user schema pinning ts to session-tz TimestampType
+        // (value-identity under the engine's UTC pin): the column stays a
+        // genuine scan attribute — predicates on it still push down —
+        // instead of becoming a non-sargable cast alias.
+        val fixed = StructType(df.schema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        s.read.schema(fixed).parquet(path)
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other — extend SparkEntry.tbl")
+    } else df
   }
 
   /** events as a TimeseriesFrame: time = ts, tie-break = event_id; adds an

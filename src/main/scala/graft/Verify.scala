@@ -18,6 +18,12 @@ object Verify {
     // dev knob (the driver sets none): restrict to a comma-separated query
     // subset for fast local gate iteration with tools/compare.py
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // An errored query leaves no parquet dir, so it must leave a
+    // machine-readable record instead: round 7's CORRECTNESS artifact
+    // silently shrank from 80 to 33 rows because failures went only to
+    // stderr. errors.json (query -> message) is written even when empty,
+    // so its absence/presence is itself meaningful to the driver.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -25,6 +31,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +51,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    // exit 0 even with failures: the driver must still collect the dumps
+    // that DID succeed; errors.json is the red signal it consumes.
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries failed — see errors.json")
   }
 }

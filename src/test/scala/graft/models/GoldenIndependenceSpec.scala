@@ -37,9 +37,11 @@ class GoldenIndependenceSpec extends SparkSpec {
   /** (v, c) daily gate series — the exact q31/q32 input (SparkEntry.daily:
     * exact integer-cents means, one row per day, ordered by day). */
   private def dailyVC(dir: String): (Array[Double], Array[Double]) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+    // gate data goes through the ONE schema-sniffing loader (r7 verdict
+    // task 3): a physical-layout change in the environment must not be
+    // able to break this spec and SparkEntry differently
+    val df = graft.SparkEntry.tbl(spark, dir, "events")
+      .withColumn("tsx", col("ts"))
     val rows = df.groupBy(date_trunc("day", col("tsx")).as("d"))
       .agg((sum(expr("CAST(round(value*100) AS BIGINT)")) / 100.0 /
         count(lit(1))).as("v"),
