@@ -305,10 +305,15 @@ object SparkEntry {
       // tokHashSql has WHERE text IS NOT NULL) — otherwise Spark's
       // null-intolerant hash expressions silently drop the doc while the
       // oracle's CASE gives it an all-sentinel signature
+      // materialize=false: this query consumes the candidate set exactly
+      // once, so the eager localCheckpoint (whose payoff is ITERATING
+      // consumers never replaying the scan+hash+join — see q50) is pure
+      // overhead here; r8 idle A/B vs the r6 checkout: 0.77s eager vs
+      // 0.61s r6-lazy on sf0.1
       Dedup.minhashCandidates(
         tbl(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text",
         shingleHashesOf = TextFunctions.shingleHashes(_, 3),
-        numHashes = 64, bands = 8)
+        numHashes = 64, bands = 8, materialize = false)
         .filter(col("est_jaccard") >= 0.5)),
     "q57_embedding_clusters" -> ((s, dir) => {
       // the embedding tier of dedup clustering: cosine-threshold graph →

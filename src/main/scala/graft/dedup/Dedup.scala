@@ -103,10 +103,14 @@ object Dedup {
     * recomputing), in exchange for iterating consumers
     * ([[connectedComponents]]) never replaying the scan+hash+join and the
     * internal signature cache being released before return. `false`
-    * preserves lazy, resilient lineage — the signature cache is still
-    * released, so each consuming job replays the scan+hash pipeline into
-    * its three internal consumers; choose it under executor churn or when
-    * the result may never be consumed. */
+    * keeps the RESULT lazy; the internal signature frame is a lazy
+    * localCheckpoint, so within the consuming action the scan+hash
+    * pipeline runs once (the first of the three internal consumers
+    * stores the blocks, the others read them) and the blocks are
+    * released by the ContextCleaner when the plan is dropped — no
+    * unmanaged persist. Both modes are non-resilient to executor loss
+    * (checkpoint blocks don't recompute); that is the price of not
+    * re-running the signature scan. */
   def minhashCandidates(
       df: DataFrame,
       idCol: String,
@@ -124,13 +128,17 @@ object Dedup {
     // materialize the shingle array once per row — inlining it into the
     // signature expression would re-evaluate the whole tokenize/distinct
     // pipeline for every one of the `numHashes` slots
-    // persist: the signature frame is consumed three times (banding + both
-    // sides of the pair-scoring join); without it the scan+hash pipeline
-    // runs three times
+    // lazy localCheckpoint: the signature frame is consumed three times
+    // (banding + both sides of the pair-scoring join); the first consumer
+    // computes and stores the blocks, the other two read them, and the
+    // ContextCleaner frees them when the plan is dropped — the r6 version
+    // used an unmanaged persist here (fast but leaked until LRU), the
+    // first r7 fix unpersisted at build time (no leak but the cache was
+    // never live, a 3x signature recompute)
     val sigs = df
       .select(col(idCol).as("id"),
         minhashSignature(shingleHashesOf(col(textCol)), params).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val banded0 = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
     // one keyed window pass drops over-cap buckets before the self-join
@@ -153,18 +161,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (graft.functions.TextHash.slotMatchCount(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes).as("est_jaccard"))
-    // release the signature cache on BOTH paths (the r6 lagColumns /
-    // cosineCandidates adjudication: an unmanaged persist per call leaks
-    // until LRU eviction): eagerly checkpointed, the result no longer
-    // needs it; lazy, the consuming job replays the scan instead
-    if (materialize) {
-      val m = out.localCheckpoint(true)
-      sigs.unpersist(blocking = false)
-      m
-    } else {
-      sigs.unpersist(blocking = false)
-      out
-    }
+    // eager: materialize the scored pairs now so iterating consumers
+    // (connectedComponents) never replay anything; lazy: hand back the
+    // un-run plan — the sig checkpoint above already guarantees the
+    // signature scan runs at most once per consuming action, and the
+    // ContextCleaner owns the block lifetime on both paths
+    if (materialize) out.localCheckpoint(true) else out
   }
 
   /** SimHash over precomputed feature-hash values: `bits`-bit signature

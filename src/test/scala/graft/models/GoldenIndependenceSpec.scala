@@ -265,5 +265,38 @@ class GoldenIndependenceSpec extends SparkSpec {
         }
       }
     }
+
+    test(s"q51 $name: ARIMAX fit is a strict local max over (φ, β, μ) jointly") {
+      // q51's gate row pins the fitFixed PREDICT surface; this pins the
+      // FIT itself (the one model estimator without an independent
+      // cross-check — r7 verdict task 7): on the q51 input shape (daily
+      // series, time-index regressor), perturbing ANY free parameter of
+      // the jointly-maximized concentrated likelihood by ±ε must strictly
+      // decrease it. A deterministic-but-wrong "optimum" that still
+      // hashes in the gate would fail here.
+      val y = series(tag)._1
+      val exog = Array.tabulate(y.length)(i => Array(i.toDouble))
+      val m = new Arimax(1, 0, 0).fit(y, exog)
+      val phi = m.arimaPart.fittedPhi
+      val beta = m.fittedBeta
+      val mu = m.arimaPart.fittedMu
+      def ll(ph: Array[Double], b: Array[Double], m0: Double): Double = {
+        val resid = y.indices.map { t =>
+          y(t) - b.indices.map(j => b(j) * exog(t)(j)).sum - m0
+        }.toArray
+        Arima.concentratedLogLik(resid, ph, Array.empty)
+      }
+      val ll0 = ll(phi, beta, mu)
+      for (eps <- Seq(0.02, -0.02)) {
+        assert(ll(Array(phi(0) + eps), beta, mu) < ll0,
+          s"loglik rose under φ+=$eps")
+        assert(ll(phi, beta, mu + eps) < ll0, s"loglik rose under μ+=$eps")
+        // β multiplies a regressor growing to n≈30, so a matched-scale
+        // nudge is ε/n — big enough to clear float noise, small enough
+        // to stay near the optimum
+        val bPert = Array(beta(0) + eps / y.length)
+        assert(ll(phi, bPert, mu) < ll0, s"loglik rose under β+=${eps / y.length}")
+      }
+    }
   }
 }
