@@ -108,15 +108,16 @@ object Similarity {
     * tier onto too-large data).
     *
     * `materialize` (ADVICE r6): `true` (default) localCheckpoints the
-    * edge set — the distributed tier runs EAGERLY at call time and the
-    * checkpointed blocks are non-resilient (executor loss fails
-    * downstream jobs instead of recomputing), in exchange for iterating
-    * consumers (connectedComponents) never replaying the k-means + join
-    * and the internal caches being released before return. `false`
-    * preserves lazy, resilient lineage — internal caches are still
-    * released, so every downstream job replays the scan + assignment +
-    * cell join from source; choose it when running under executor churn
-    * or when the result may never be consumed. */
+    * edge set — the distributed tier runs EAGERLY at call time, in
+    * exchange for iterating consumers (connectedComponents) never
+    * replaying the k-means + join. `false` keeps the EDGE SET lazy; the
+    * internal scan and assignment frames are lazy localCheckpoints
+    * either way, so a consuming action computes each of them at most
+    * once (first consumer stores the blocks, the rest read them) and
+    * the ContextCleaner frees the blocks when the plans are dropped —
+    * no unmanaged persist. Both modes are non-resilient to executor
+    * loss (checkpoint blocks don't recompute); that is the price of
+    * not re-running the k-means pipeline. */
   def cosineCandidates(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 64, seed: Long = 42L,
@@ -129,14 +130,17 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     // zero-norm vectors: cosine is defined 0 here (< any positive τ) —
     // they can never pair, so drop them before normalizing
-    // persisted: consumed by the tier-selecting count() plus (large tier)
-    // the k-means fit/transform passes — without the cache the scan+norm
-    // pipeline would run once per job
+    // lazy localCheckpoint: consumed by the tier-selecting count(), the
+    // k-means fit/transform passes, and (lazy path) the consuming action
+    // — the first consumer stores the blocks, the rest read them, and
+    // the ContextCleaner frees them when the plan is dropped (the old
+    // persist was unpersisted at build time on the lazy path, so the
+    // consuming action replayed the scan+norm pipeline uncached)
     val base = corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0.0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
     // adaptive micro-tier (the connectedComponents union-find pattern):
     // the cell machinery below costs ~10 fixed Spark jobs (k-means fit,
@@ -146,8 +150,9 @@ object Similarity {
     // (bit-identical sims), emitting only pairs at/above the pruning
     // threshold (callers filter to their keep predicate either way).
     if (knownCount.getOrElse(base.count()) <= driverThreshold) {
+      // micro-tier: ≤ driverThreshold rows of blocks; the ContextCleaner
+      // frees them once `base` goes out of scope
       val rows = base.orderBy(col("id")).collect()
-      base.unpersist()
       val n = rows.length
       val vecs = Array.tabulate(n)(i => rows(i).getSeq[Double](1).toArray)
       val nrms = Array.tabulate(n)(i => rows(i).getDouble(2))
@@ -189,9 +194,11 @@ object Similarity {
       .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(raw)
+    // lazy localCheckpoint, same rationale as `base`: radii + both join
+    // sides read the blocks instead of replaying the k-means transform
     val assigned = model.transform(raw)
       .select(col("id"), col("v"), col("nrm"), col("u"), col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
     val centRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       org.apache.spark.sql.Row(i, c.toArray.toSeq) }
@@ -238,10 +245,11 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
-    val out = if (materialize) joined.localCheckpoint(true) else joined
-    assigned.unpersist()
-    base.unpersist()
-    out
+    // eager: materialize the edge set now (iterating consumers replay
+    // nothing); lazy: hand back the un-run plan — the checkpoints above
+    // bound every internal frame to one computation per consuming action,
+    // and the ContextCleaner owns all block lifetimes
+    if (materialize) joined.localCheckpoint(true) else joined
   }
 
   /** LSH-bucketed ANN: multi-probe via `tables` independent bucket keys;
