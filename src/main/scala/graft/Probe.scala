@@ -223,7 +223,51 @@ object Probe {
         idx.release()
         println(f"[probe] ivf build+persist=$tBuild%.2fs batch1=$t1%.2fs ($n1 rows) " +
           f"batch2=$t2%.2fs ($n2 rows) batch3=$t3%.2fs ($n3 rows)")
-      case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf)")
+      case "timeseries" =>
+        // the events-family scale path: seriesKeys-partitioned windows.
+        // Gate data tops out at ~600k rows / 1 series; this drives the
+        // SAME operators over n rows spread across k independent series
+        // (the 100 TB shape — horizontal parallelism comes from keys, the
+        // per-series order from the keyed window), generated DISTRIBUTED
+        // and deterministic by id. Reports per-operator wall + shuffle
+        // bytes + the straggler ratio.
+        import graft.core.TimeseriesFrame
+        import graft.ops.{Interpolate, MovingTransform, Resample}
+        import graft.spectral.Correlation
+        val k = args.lift(2).map(_.toInt).getOrElse(2000)
+        val events = spark.range(n).select(
+          (col("id") % k).as("series"),
+          col("id").as("event_id"),
+          // one row per series per simulated minute, ±ms jitter by series
+          timestamp_micros(lit(1704067200000000L) +
+            expr(s"id div $k") * 60000000L + (col("id") % k) * 1234L).as("ts"),
+          when(col("id") % 37 === 0, lit(null).cast("double"))
+            .otherwise(round(sin(col("id") % 997 / 100.0) * 5000 + 5000) / 100.0)
+            .as("value"))
+          .withColumn("value_cents", round(col("value") * 100))
+          .localCheckpoint(false)
+        val tsf = TimeseriesFrame(events, Some("ts"),
+          tieBreak = Seq("event_id"), seriesKeys = Seq("series"))
+        def phase(tag: String)(f: => Long): Unit = {
+          Thread.sleep(1000)
+          val b0 = listener.shuffleWriteBytes; val s0 = System.nanoTime()
+          val rows = f
+          Thread.sleep(1000)
+          println(f"[probe] timeseries n=$n k=$k $tag rows=$rows " +
+            f"wall=${(System.nanoTime() - s0) / 1e9}%.1fs " +
+            f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f")
+        }
+        phase("materialize")(events.count())
+        phase("strided_w24_s12")(MovingTransform.strided(tsf,
+          Seq("value" -> "mean", "value" -> "max", "value" -> "std"),
+          width = 24, shift = 12).count())
+        phase("interpolate_linear")(
+          Interpolate(tsf, Seq("value"), "linear")
+            .agg(count(col("value"))).head().getLong(0))
+        phase("resample_5min")(Resample.meanGrid(tsf, "value_cents",
+          everySeconds = 300L).count())
+        phase("acf_by_key_24")(Correlation.acfByKey(tsf, "value", 24).count())
+      case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf|timeseries)")
     }
 
     println(f"[probe] wall=${(System.nanoTime() - t0) / 1e9}%.1fs worstRatio=${listener.worstRatio()}%.1fx")
