@@ -267,6 +267,23 @@ object Probe {
         phase("resample_5min")(Resample.meanGrid(tsf, "value_cents",
           everySeconds = 300L).count())
         phase("acf_by_key_24")(Correlation.acfByKey(tsf, "value", 24).count())
+        // millions-of-models shape at fixed size: k full MLE ARIMA(1,1,0)
+        // fits, each on its own 1000-point series, entirely executor-side
+        // (collect_list gather + narrow flatMap — one shuffle of the
+        // grouped values, zero driver math). Deliberately decoupled from
+        // n so the per-fit cost stays constant while k carries the scale.
+        val mEvents = spark.range(k.toLong * 1000).select(
+          (col("id") % k).as("series"),
+          col("id").as("event_id"),
+          timestamp_micros(lit(1704067200000000L) +
+            expr(s"id div $k") * 60000000L).as("ts"),
+          (round(sin(col("id") % 997 / 100.0) * 5000 + 5000) / 100.0
+            + (col("id") % 13)).as("value"))
+        val mTsf = TimeseriesFrame(mEvents, Some("ts"),
+          tieBreak = Seq("event_id"), seriesKeys = Seq("series"))
+        phase(s"arima_mle_${k}_series_x1000")(
+          graft.models.PerSeries.arimaForecastByKey(
+            mTsf, "value", p = 1, d = 1, q = 0, steps = 3).count())
       case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf|timeseries)")
     }
 

@@ -95,7 +95,17 @@ object Dedup {
     * ~2·10⁹ candidate pairs and spills the cluster). Buckets above the
     * cap are dropped — their members are near-identical by construction
     * and the EXACT-dedup tier ([[exact]]/[[normalizedKey]], which is
-    * linear) already groups them; banding is for the near-dup tail. */
+    * linear) already groups them; banding is for the near-dup tail.
+    *
+    * SIZE THE CAP IN PAIRS, NOT MEMBERS: a bucket of m members emits
+    * m(m−1)/2 pairs, so the join cost a cap admits is quadratic in it —
+    * the original 100000 default let one just-under-cap bucket emit
+    * 5·10⁹ pairs (r8 measured: a 2M-doc corpus whose 2% identical-stub
+    * stratum formed 40k-member buckets — UNDER that cap — wrote >50 GB
+    * of shuffle before dying; the same corpus at 20M docs sailed past
+    * because 400k-member buckets were over it). The 2000 default bounds
+    * any bucket to ≤2·10⁶ pairs; raise it only with a matching pair
+    * budget: maxBucket ≈ sqrt(2 × affordable_pairs_per_bucket). */
   /** `materialize` (the [[graft.similarity.Similarity.cosineCandidates]]
     * contract): `true` (default) localCheckpoints the candidate set — the
     * pipeline runs EAGERLY at call time and the checkpointed blocks are
@@ -118,7 +128,7 @@ object Dedup {
       shingleHashesOf: Column => Column = TextFunctions.shingleHashes(_, 3),
       numHashes: Int = 64,
       bands: Int = 8,
-      maxBucket: Long = 100000L,
+      maxBucket: Long = 2000L,
       materialize: Boolean = true): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands must divide numHashes (got numHashes=$numHashes, bands=$bands)" +
@@ -221,7 +231,7 @@ object Dedup {
       bandBits: Int = 16,
       maxHamming: Int = 8,
       dropZeroSig: Boolean = true,
-      maxBucket: Long = 100000L): DataFrame = {
+      maxBucket: Long = 2000L): DataFrame = {
     val bands = 64 / bandBits
     val mask = (1L << bandBits) - 1
     // sig 0 is the empty-feature-set sentinel (null/blank text); those
@@ -237,9 +247,10 @@ object Dedup {
         explode(bandStructs).as("__bk"))
       .select(col("__id"), col("__sig"),
         col("__bk.band").as("__band"), col("__bk.bval").as("__bval"))
-      // same copy-flood guard as minhashCandidates: a mostly-duplicate
-      // corpus floods a few buckets and the self-join goes quadratic in
-      // the copy count; over-cap buckets belong to the exact-dedup tier
+      // same copy-flood guard as minhashCandidates (same pair-budget
+      // sizing rule — see its scaladoc): a mostly-duplicate corpus floods
+      // a few buckets and the self-join goes quadratic in the copy
+      // count; over-cap buckets belong to the exact-dedup tier
       .withColumn("__bn", count(lit(1))
         .over(Window.partitionBy(col("__band"), col("__bval"))))
       .filter(col("__bn") <= maxBucket)
