@@ -165,9 +165,13 @@ object Periodogram {
     val spark = tsf.df.sparkSession
     // the detrend index comes from a single-partition window; without an
     // explicit repartition the DFT cross join + partial aggregation would
-    // inherit that ONE partition and run single-threaded
+    // inherit that ONE partition and run single-threaded. Lazy
+    // localCheckpoint so the sizing count() below and the DFT aggregate
+    // share ONE execution of that window (ContextCleaner frees the blocks
+    // when the plan is dropped).
     val xd = detrended(tsf, xCol, detrend).select(col("xd"), col("i"))
       .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(false)
     val m = xd.count().toInt
     val half = m / 2
     // HACK preserved from the reference: drop the first len//1000 bins
@@ -355,7 +359,17 @@ object Periodogram {
   /** Lomb–Scargle for non-equispaced series (`functions.py:109-174`):
     * frequency grid from the 5th/80th percentiles of Δt (`:154-162`),
     * classic tau-shifted power via the 5-sum identity, normalized by
-    * `2/(n·var(x))` (`:168-171`), same scale-and-peaks output. */
+    * `2/(n·var(x))` (`:168-171`), same scale-and-peaks output.
+    *
+    * Plan shape: ONE single-partition ordering window computes the
+    * positional index, the lagged value (for 'diff') and Δt together,
+    * is fanned back out and lazily localCheckpointed; the detrend fit,
+    * the series stats, and BOTH Δt percentiles then come out of ONE
+    * map-side-combined aggregate over it (the 'linear' residual variance
+    * via the exact OLS identity var(x) − cov²/var(i)), and the 5-sum
+    * fold is the second and final pass over the data. The previous shape
+    * paid four actions, including a second full sort just for the Δt
+    * percentiles. */
   def lombScargle(tsf: TimeseriesFrame, xCol: String,
       nPeriods: Int = 1000, detrend: String = "linear"): DataFrame = {
     val spark = tsf.df.sparkSession
@@ -363,54 +377,69 @@ object Periodogram {
       throw new IllegalArgumentException("Lomb-Scargle needs a time column"))
     val base0 = tsf.df.select(col(tCol).cast("double").as("t"),
       col(xCol).cast("double").as("x"))
-    // detrend inline, carrying t ('diff' drops the first time point,
-    // `functions.py:152-153`; 'linear'/'constant' detrend vs the index).
-    // The index/poly branches fit via a driver head BEFORE the two
-    // consuming actions below, so the indexed frame (whose single-
-    // partition ordering window is the expensive part of this chain) is
-    // persisted — one execution instead of one per action, values
-    // unchanged.
     val wOrd = Window.orderBy(col("t"))
-    var pinned: List[DataFrame] = Nil
-    def pin(df: DataFrame): DataFrame = {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned ::= df
-      df
+    val indexed = base0.select(col("t"), col("x"),
+      (row_number().over(wOrd) - 1).cast("double").as("i"),
+      lag(col("x"), 1).over(wOrd).as("xl"),
+      (col("t") - lag(col("t"), 1).over(wOrd)).as("dt"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(false)
+    val pctCols = Seq(percentile(col("dt"), lit(0.05)).as("p5"),
+      percentile(col("dt"), lit(0.80)).as("p80"))
+    def aggRow(cols: Seq[Column]) = {
+      val all = cols ++ pctCols
+      indexed.agg(all.head, all.tail: _*).head()
     }
-    val series: DataFrame = detrend match {
+
+    // (n, var(detrended x), detrended-x expression over t/x/i/xl, p5, p80);
+    // 'diff' drops the first time point (`functions.py:152-153`), the
+    // index/poly fits regress on the 0-based position as statsmodels does.
+    val (n, variance, resid, periodLow, p80) = detrend match {
       case "diff" =>
-        pin(base0.select(col("t"), (col("x") - lag(col("x"), 1).over(wOrd)).as("x"))
-          .filter(col("x").isNotNull))
+        val xd = col("x") - col("xl")
+        val r = aggRow(Seq(count(xd), var_pop(xd)))
+        (r.getLong(0), r.getDouble(1), xd, r.getDouble(2), r.getDouble(3))
       case "constant" =>
-        val mu = base0.agg(avg(col("x"))).head().getDouble(0)
-        base0.select(col("t"), (col("x") - mu).as("x"))
+        val r = aggRow(Seq(count(lit(1)), avg(col("x")), var_pop(col("x"))))
+        (r.getLong(0), r.getDouble(2), col("x") - r.getDouble(1),
+          r.getDouble(3), r.getDouble(4))
       case "linear" =>
-        val idx = pin(base0.select(col("t"), col("x"),
-          (row_number().over(wOrd) - 1).cast("double").as("i")))
-        val fit = idx.agg(regr_slope(col("x"), col("i")).as("k"),
-          regr_intercept(col("x"), col("i")).as("c")).head()
-        idx.select(col("t"),
-          (col("x") - (col("i") * fit.getDouble(0) + fit.getDouble(1))).as("x"))
+        val r = aggRow(Seq(count(lit(1)),
+          regr_slope(col("x"), col("i")), regr_intercept(col("x"), col("i")),
+          var_pop(col("x")), covar_pop(col("x"), col("i")), var_pop(col("i"))))
+        val (k, c) = (r.getDouble(1), r.getDouble(2))
+        val vi = r.getDouble(5)
+        val v = if (vi > 0) r.getDouble(3) - r.getDouble(4) * r.getDouble(4) / vi
+                else r.getDouble(3)
+        (r.getLong(0), v, col("x") - (col("i") * k + c),
+          r.getDouble(6), r.getDouble(7))
       case "quadratic" | "cubic" =>
-        val idx = pin(base0.select(col("t"), col("x"),
-          (row_number().over(wOrd) - 1).cast("double").as("i")))
         val order = if (detrend == "quadratic") 2 else 3
-        idx.select(col("t"), polyResidual(idx, col("x"), col("i"), order).as("x"))
+        val nn = indexed.count() // cheap: reads the checkpoint blocks
+        require(nn > order, s"polynomial detrend of order $order needs > $order rows")
+        val scale = if (nn > 1) (nn - 1).toDouble else 1.0
+        val s = col("i") * lit(2.0 / scale) - lit(1.0)
+        val r = aggRow((0 to 2 * order).map(k => sum(pow(s, k))) ++
+          (0 to order).map(k => sum(col("x") * pow(s, k))) :+
+          sum(col("x") * col("x")))
+        val a = breeze.linalg.DenseMatrix.tabulate(order + 1, order + 1)(
+          (j, k) => r.getDouble(j + k))
+        val cv = breeze.linalg.DenseVector.tabulate(order + 1)(
+          j => r.getDouble(2 * order + 1 + j))
+        val b = a \ cv
+        // residual variance from the same moments: the fit includes a
+        // constant term so Σr = 0 and var = Σr²/n with
+        // Σr² = Σx² − 2·bᵀc + bᵀM b
+        val sse = r.getDouble(3 * order + 2) -
+          2.0 * (0 to order).map(k => b(k) * r.getDouble(2 * order + 1 + k)).sum +
+          (for (j <- 0 to order; k <- 0 to order)
+            yield b(j) * b(k) * r.getDouble(j + k)).sum
+        (nn, sse / nn,
+          col("x") - (0 to order).map(k => pow(s, k) * b(k)).reduce(_ + _),
+          r.getDouble(3 * order + 3), r.getDouble(3 * order + 4))
       case m => throw new IllegalArgumentException(s"unknown detrend: $m")
     }
-
-    val stats = series.agg(
-      count(lit(1)).as("n"), var_pop(col("x")).as("v")).head()
-    val n = stats.getLong(0)
-    val variance = stats.getDouble(1)
-
-    val dts = base0.select((col("t") -
-      lag(col("t"), 1).over(Window.orderBy(col("t")))).as("dt"))
-      .filter(col("dt").isNotNull)
-    val pct = dts.agg(percentile(col("dt"), lit(0.05)).as("p5"),
-      percentile(col("dt"), lit(0.80)).as("p80")).head()
-    val periodLow = pct.getDouble(0)
-    val periodHigh = math.max(200 * periodLow, pct.getDouble(1))
+    val periodHigh = math.max(200 * periodLow, p80)
     val periods = (0 until nPeriods).map(j =>
       periodHigh + (periodLow - periodHigh) * j / (nPeriods - 1.0))
     val omegas: Array[Double] = periods.map(p => 2.0 * math.Pi / p).toArray
@@ -418,13 +447,12 @@ object Periodogram {
     // The 5 tau-identity sums per ω, folded per partition (treeAggregate
     // shape): each task keeps a 200×5 local matrix and loops the frequency
     // grid per row — no 120M-row cross-join materialization, no hash-agg
-    // probe per (row, ω). The detrended series comes out of a
-    // single-partition window, so fan back out first.
+    // probe per (row, ω). Reads the already-fanned-out checkpoint blocks.
     import spark.implicits._
     val m = omegas.length
-    val partials = series
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("t"), col("x"))
+    val partials = indexed
+      .select(col("t"), resid.as("x"))
+      .filter(col("x").isNotNull)
       .mapPartitions { it =>
         val acc = new Array[Double](m * 5)
         while (it.hasNext) {
@@ -445,7 +473,6 @@ object Periodogram {
         Iterator.single(acc)
       }
       .collect()
-    pinned.foreach(_.unpersist(blocking = false))
     val tot = new Array[Double](m * 5)
     partials.foreach { p =>
       var i = 0
