@@ -267,6 +267,13 @@ object Probe {
         phase("resample_5min")(Resample.meanGrid(tsf, "value_cents",
           everySeconds = 300L).count())
         phase("acf_by_key_24")(Correlation.acfByKey(tsf, "value", 24).count())
+        // per-series spectrum at n/k rows per series: the gathered-FFT
+        // scale path (the explode-DFT twin is O(m²) per series — at
+        // m=25k/series it would push ~m/2 grid rows per input row through
+        // the hash aggregate; the FFT pays one gather shuffle + m log m)
+        phase("periodogram_fft_by_key")(
+          graft.spectral.Periodogram.spectrumByKeyFft(
+            tsf, "value", "diff").count())
         // millions-of-models shape at fixed size: k full MLE ARIMA(1,1,0)
         // fits, each on its own 1000-point series, entirely executor-side
         // (collect_list gather + narrow flatMap — one shuffle of the

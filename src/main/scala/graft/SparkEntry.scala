@@ -846,6 +846,17 @@ object SparkEntry {
         .select(col("user_id"), round(col("period"), 6).as("period"),
           round(col("power"), 6).as("power"))
     }),
+    "q81_periodogram_by_key_fft" -> ((s, dir) => {
+      // the LONG-series spectral scale path under the hash gate: per-key
+      // gather (sort_array collect_list) + executor-side mixed-radix real
+      // FFT — O(m log m) per series vs the explode-DFT's O(m²/2) — must
+      // reproduce q48's spectrum exactly (same oracle SQL: the DuckDB DFT
+      // replay checks the FFT cross-engine AND cross-algorithm)
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      Periodogram.spectrumByKeyFft(t, "value", "diff")
+        .select(col("user_id"), round(col("period"), 6).as("period"),
+          round(col("power"), 6).as("power"))
+    }),
     "q76_periodogram_by_key_poly" -> ((s, dir) => {
       // grouped periodogram with the per-key QUADRATIC detrend — the
       // moment-aggregate + executor-solve path (no single-series collect);
@@ -1701,6 +1712,7 @@ object SparkEntry {
     "q48_periodogram_by_key" -> periodogramByKeySql,
     "q76_periodogram_by_key_poly" -> periodogramByKeyPolySql,
     "q49_lomb_by_key" -> lombByKeySql,
+    "q81_periodogram_by_key_fft" -> periodogramByKeySql,
     "q50_dedup_clusters" -> dedupClustersSql,
     "q51_arimax_forecast_fixed" -> arimaxForecastFixedSql,
     "q52_arma_forecast_by_key" -> armaForecastFixedByKeySql,

@@ -267,6 +267,135 @@ object Periodogram {
             1.0).otherwise(2.0)).as("power")): _*)
   }
 
+  /** Executor-side detrend for the FFT path — the same residual math as
+    * [[detrended]]/[[polyDetrendByKey]] on a gathered series: 'diff'
+    * drops the first point; index fits use the s∈[−1,1] affine map and a
+    * local Breeze solve; series with ≤ order rows pass through unchanged
+    * (the grouped degenerate-series rule). */
+  private def detrendLocal(x: Array[Double], method: String): Array[Double] =
+    method match {
+      case "diff" =>
+        if (x.length < 2) Array.empty
+        else Array.tabulate(x.length - 1)(j => x(j + 1) - x(j))
+      case "constant" =>
+        val mu = x.sum / x.length
+        x.map(_ - mu)
+      case "linear" | "quadratic" | "cubic" =>
+        val order = method match {
+          case "linear" => 1; case "quadratic" => 2; case _ => 3
+        }
+        val n = x.length
+        if (n <= order) x.clone()
+        else {
+          val scale = if (n > 1) 2.0 / (n - 1) else 0.0
+          val s = Array.tabulate(n)(i => i * scale - 1.0)
+          val mom = new Array[Double](2 * order + 1)
+          val rhs = new Array[Double](order + 1)
+          var i = 0
+          while (i < n) {
+            var p = 1.0
+            var k = 0
+            while (k <= 2 * order) {
+              mom(k) += p
+              if (k <= order) rhs(k) += x(i) * p
+              p *= s(i); k += 1
+            }
+            i += 1
+          }
+          val a = breeze.linalg.DenseMatrix.tabulate(order + 1, order + 1)(
+            (j, k) => mom(j + k))
+          val c = breeze.linalg.DenseVector(rhs)
+          val b =
+            try (a \ c).toArray
+            catch { case _: breeze.linalg.MatrixSingularException =>
+              new Array[Double](order + 1) }
+          Array.tabulate(n) { j =>
+            var fit = 0.0; var p = 1.0; var k = 0
+            while (k <= order) { fit += b(k) * p; p *= s(j); k += 1 }
+            x(j) - fit
+          }
+        }
+      case m => throw new IllegalArgumentException(s"unknown detrend: $m")
+    }
+
+  /** Executor-side FFT twin of [[spectrumByKey]] — the LONG-series scale
+    * path. The explode-DFT form is shuffle-parallel in rows and
+    * frequencies but inherently O(m²) work per series (m/2 grid points ×
+    * m rows each); past a few thousand rows per series the asymptotic,
+    * not the parallelism, is the bill. Here each series is gathered in
+    * time order (`sort_array` of (time, tiebreak..., x) structs — one
+    * map-side-combined shuffle, the [[graft.models.PerSeries]] recipe: at
+    * 100 TB each series is small even when the table is not) and
+    * transformed with a mixed-radix real FFT (JTransforms, shipped with
+    * Spark MLlib) in O(m log m), emitting the identical
+    * (keys..., period, power) surface: same per-series grid
+    * k ∈ [max(m/1000,1), m/2], same one-sided doubling, same detrends.
+    * Differential-spec'd against the explode form; the gate hash-checks
+    * it against the DuckDB DFT oracle — cross-engine AND cross-algorithm. */
+  def spectrumByKeyFft(tsf: TimeseriesFrame, xCol: String,
+      detrend: String = "diff"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    require(tsf.seriesKeys.nonEmpty, "spectrumByKeyFft needs seriesKeys")
+    val spark = tsf.df.sparkSession
+    val keys = tsf.seriesKeys
+    val tCol = tsf.timeCol.getOrElse(
+      throw new IllegalArgumentException("spectrumByKeyFft needs a time column"))
+    val orderStruct = struct(
+      (col(tCol).cast("double") +: tsf.tieBreak.map(c => col(c).cast("double")))
+        :+ col(xCol).cast("double"): _*)
+    // null x rows are dropped BEFORE the gather (a gap series belongs to
+    // the interpolation family first; the explode form's null-skipping
+    // sums index across gaps, which is not a spectrum either)
+    val gathered = tsf.df.filter(col(xCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(orderStruct)).as("__series"))
+    val keySchema = StructType(keys.map(k => gathered.schema(k)))
+    val outSchema = StructType(keySchema.fields ++ Seq(
+      StructField("period", DoubleType), StructField("power", DoubleType)))
+    val xField = tsf.tieBreak.size + 1 // x's slot within the order struct
+    val outRdd = gathered.rdd.flatMap { row =>
+      val raw = row.getSeq[Row](row.length - 1).map(_.getDouble(xField)).toArray
+      val xd = detrendLocal(raw, detrend)
+      val m = xd.length
+      val lo = math.max(m / 1000, 1)
+      val hi = m / 2
+      if (hi < lo) Iterator.empty
+      else {
+        val keyVals = (0 until row.length - 1).map(row.get)
+        // realForwardFull: full complex spectrum in-place over 2m slots —
+        // Re[k] = buf(2k), Im[k] = buf(2k+1); power uses Re²+Im², so
+        // JTransforms' e^{-iθ} sign convention is immaterial
+        val buf = java.util.Arrays.copyOf(xd, 2 * m)
+        new org.jtransforms.fft.DoubleFFT_1D(m).realForwardFull(buf)
+        (lo to hi).iterator.map { k =>
+          val re = buf(2 * k); val im = buf(2 * k + 1)
+          val dbl = if (m % 2 == 0 && k == hi) 1.0 else 2.0
+          Row.fromSeq(keyVals ++ Seq[Any](m.toDouble / k,
+            (re * re + im * im) / m * dbl))
+        }
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** Single-series FFT spectrum — [[spectrumByKeyFft]] under a constant
+    * key, for LONG single series where [[spectrum]]'s cross-join DFT is
+    * O(m²/2): one gather into one executor task (an m-point series is
+    * ~8m bytes — tens of millions of points fit a task comfortably; past
+    * that, a single undivisible series is the data's own limit, not the
+    * plan's), then the O(m log m) transform. Same grid, doubling, and
+    * detrend semantics as [[spectrum]]; differentially pinned in
+    * SpectralByKeySpec. */
+  def spectrumFft(tsf: TimeseriesFrame, xCol: String,
+      detrend: String = "diff"): DataFrame = {
+    require(tsf.seriesKeys.isEmpty,
+      "spectrumFft is the single-series form; use spectrumByKeyFft with seriesKeys")
+    val keyed = tsf.copy(df = tsf.df.withColumn("__k", lit(1)),
+      seriesKeys = Seq("__k"))
+    spectrumByKeyFft(keyed, xCol, detrend).drop("__k")
+  }
+
   /** Grouped per-series Lomb–Scargle: per-key Δt percentiles build each
     * series its OWN `nPeriods`-point frequency grid, the 5 tau-identity
     * sums are one map-side-combined hash aggregate over the exploded

@@ -80,6 +80,44 @@ class SpectralByKeySpec extends SparkSpec {
     }
   }
 
+  test("spectrumByKeyFft == spectrumByKey for every detrend") {
+    // the O(m log m) gathered-FFT scale path against the explode-DFT
+    // form: identical per-series grid, doubling rule, and detrend math —
+    // only the transform algorithm differs, so spectra agree to FP noise
+    for (detrend <- Seq("diff", "constant", "linear", "quadratic", "cubic")) {
+      val fft = Periodogram.spectrumByKeyFft(keyed, "x", detrend)
+      val dft = Periodogram.spectrumByKey(keyed, "x", detrend)
+      for (key <- Seq("a", "b", "c")) {
+        val f = fft.filter(col("k") === key)
+        val d = dft.filter(col("k") === key)
+        assert(f.count() == d.count(), s"$detrend/$key row count")
+        assertSeqAlmost(col1(f, "period", "period"), col1(d, "period", "period"))
+        assertSeqAlmost(col1(f, "power", "period"), col1(d, "power", "period"),
+          tol = 1e-8)
+      }
+    }
+    // degenerate rules carry over: one-row series → empty; n ≤ order under
+    // a poly detrend → pass-through residuals, not a throw
+    import spark.implicits._
+    val tiny = TimeseriesFrame(
+      Seq(("z", 0.0, 4.0), ("z", 1.0, 9.0), ("w", 3.0, 1.0))
+        .toDF("k", "t", "x"), Some("t"), Nil, Seq("k"))
+    val out = Periodogram.spectrumByKeyFft(tiny, "x", "cubic")
+    assert(out.filter(col("k") === "z").count() == 1)
+    assert(out.filter(col("k") === "w").count() == 0)
+  }
+
+  test("spectrumFft == spectrum (single series, diff + linear)") {
+    for (detrend <- Seq("diff", "linear"); key <- Seq("a", "c")) {
+      val f = Periodogram.spectrumFft(single(key), "x", detrend)
+      val d = Periodogram.spectrum(single(key), "x", detrend)
+      assert(f.count() == d.count(), s"$detrend/$key row count")
+      assertSeqAlmost(col1(f, "period", "period"), col1(d, "period", "period"))
+      assertSeqAlmost(col1(f, "power", "period"), col1(d, "power", "period"),
+        tol = 1e-8)
+    }
+  }
+
   test("periodogramByKey peaks == per-key periodogram peaks") {
     val grouped = Periodogram.periodogramByKey(keyed, "x")
     for (key <- Seq("a", "b", "c")) {
