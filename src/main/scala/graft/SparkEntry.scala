@@ -629,6 +629,15 @@ object SparkEntry {
         .select(round(col("period"), 6).as("period"),
           round(col("power"), 6).as("power"))
     }),
+    "q82_periodogram_fft" -> ((s, dir) => {
+      // single-series FFT twin under q28's DFT oracle: the gathered
+      // mixed-radix FFT (constant-key spectrumByKeyFft) must reproduce
+      // the cross-join DFT spectrum on the daily series
+      val d = daily(s, dir)
+      Periodogram.spectrumFft(d, "v", detrend = "diff")
+        .select(round(col("period"), 6).as("period"),
+          round(col("power"), 6).as("power"))
+    }),
     "q29_seasonal" -> ((s, dir) => {
       val d = daily(s, dir)
       SeasonalDecompose(d, Seq("v"), period = 7, model = "additive")
@@ -1713,6 +1722,7 @@ object SparkEntry {
     "q76_periodogram_by_key_poly" -> periodogramByKeyPolySql,
     "q49_lomb_by_key" -> lombByKeySql,
     "q81_periodogram_by_key_fft" -> periodogramByKeySql,
+    "q82_periodogram_fft" -> periodogramSql,
     "q50_dedup_clusters" -> dedupClustersSql,
     "q51_arimax_forecast_fixed" -> arimaxForecastFixedSql,
     "q52_arma_forecast_by_key" -> armaForecastFixedByKeySql,

@@ -107,6 +107,39 @@ class SpectralByKeySpec extends SparkSpec {
     assert(out.filter(col("k") === "w").count() == 0)
   }
 
+  test("property: FFT == DFT spectrum over random series incl. prime/odd lengths") {
+    // seeded-random lengths hit the mixed-radix FFT's awkward cases (prime
+    // m → Bluestein, odd m → no Nyquist bin, even m → undoubled Nyquist);
+    // the two engines share no transform code, so agreement is a real check
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val lengths = Seq(7, 16, 31, 53, 97, 128) ++ Seq.fill(3)(8 + rnd.nextInt(150))
+    val rows = lengths.zipWithIndex.flatMap { case (len, ki) =>
+      (0 until len).map(i => (s"s$ki", i.toDouble,
+        rnd.nextDouble() * 10 + 4 * math.sin(i / (1.0 + ki))))
+    }
+    val tsf = TimeseriesFrame(rows.toDF("k", "t", "x"), Some("t"), Nil, Seq("k"))
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(t => (t._2, t._3)).toSeq).toMap
+    for (detrend <- Seq("diff", "constant", "linear")) {
+      val f = grouped(Periodogram.spectrumByKeyFft(tsf, "x", detrend))
+      val d = grouped(Periodogram.spectrumByKey(tsf, "x", detrend))
+      assert(f.keySet == d.keySet, s"$detrend key sets")
+      for (k <- f.keySet) {
+        val (fv, dv) = (f(k), d(k))
+        assert(fv.size == dv.size, s"$detrend/$k row count")
+        fv.zip(dv).foreach { case ((fp, fpow), (dp, dpow)) =>
+          assert(math.abs(fp - dp) < 1e-9, s"$detrend/$k period $fp vs $dp")
+          assert(math.abs(fpow - dpow) < 1e-7 * (1 + math.abs(dpow)),
+            s"$detrend/$k power@$fp: $fpow vs $dpow")
+        }
+      }
+    }
+  }
+
   test("spectrumFft == spectrum (single series, diff + linear)") {
     for (detrend <- Seq("diff", "linear"); key <- Seq("a", "c")) {
       val f = Periodogram.spectrumFft(single(key), "x", detrend)
