@@ -267,6 +267,12 @@ object Probe {
         phase("resample_5min")(Resample.meanGrid(tsf, "value_cents",
           everySeconds = 300L).count())
         phase("acf_by_key_24")(Correlation.acfByKey(tsf, "value", 24).count())
+        // full-lag ACF (the reference default nlags = 0.9·m) per series:
+        // at m = n/k rows/series the windowed-lag form is O(m²·0.9) work
+        // per series — infeasible; the gathered Wiener–Khinchin FFT pays
+        // one gather shuffle + m log m per series
+        phase("acf_full_lag_fft_by_key")(
+          Correlation.acfByKeyFft(tsf, "value").count())
         // per-series spectrum at n/k rows per series: the gathered-FFT
         // scale path (the explode-DFT twin is O(m²) per series — at
         // m=25k/series it would push ~m/2 grid rows per input row through

@@ -845,6 +845,16 @@ object SparkEntry {
       Correlation.acfByKey(t, "value", maxLag = 6)
         .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"))
     }),
+    "q83_acf_by_key_fft" -> ((s, dir) => {
+      // the full-lag ACF scale twin under the hash gate: gathered
+      // Wiener–Khinchin FFT (every lag's product sum at once, O(m log m))
+      // must reproduce the windowed-lag acfByKey estimator exactly — same
+      // oracle SQL as q39 (DuckDB replays the direct lag self-join, so
+      // the FFT is checked cross-engine AND cross-algorithm)
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      Correlation.acfByKeyFft(t, "value", maxLag = 6)
+        .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"))
+    }),
     "q48_periodogram_by_key" -> ((s, dir) => {
       // grouped periodogram — per-series frequency grids, per-key DFT as
       // one hash aggregate, no single-partition stage; the oracle replays
@@ -1663,21 +1673,8 @@ object SparkEntry {
          |  coalesce(v, CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
          |   WHEN tt - pt <= nt - tt THEN pv ELSE nv END) END AS value_nearest
          |FROM t""".stripMargin,
-    "q39_acf_by_key" ->
-      """WITH s AS (SELECT user_id, value,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-        |  avg(value) OVER (PARTITION BY user_id) AS mu
-        | FROM events),
-        |c AS (SELECT user_id, rn, value - mu AS xc FROM s),
-        |den AS (SELECT user_id, sum(xc*xc) AS s0 FROM c GROUP BY 1)
-        |SELECT a.user_id, lg.lag AS lag,
-        | round(sum(a.xc*b.xc) / max(d.s0), 6) AS acf
-        |FROM range(1, 7) lg(lag)
-        |JOIN c a ON a.rn > lg.lag
-        |JOIN c b ON b.user_id = a.user_id AND b.rn = a.rn - lg.lag
-        |JOIN den d ON d.user_id = a.user_id
-        |WHERE d.s0 != 0
-        |GROUP BY 1, 2""".stripMargin,
+    "q39_acf_by_key" -> acfByKeySql,
+    "q83_acf_by_key_fft" -> acfByKeySql,
     "q54_acf_distributed" ->
       s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
          |mu AS (SELECT avg(value) AS mu FROM s),
@@ -2339,6 +2336,25 @@ object SparkEntry {
        | round((reg + uf) - 1.959963984540054*se, 6) AS ci_low,
        | round((reg + uf) + 1.959963984540054*se, 6) AS ci_high
        |FROM out""".stripMargin
+
+  /** Direct per-user lag self-join ACF — shared by q39 (windowed-lag
+    * acfByKey) and q83 (gathered-FFT acfByKeyFft): one oracle, two
+    * algorithms. */
+  private def acfByKeySql: String =
+    """WITH s AS (SELECT user_id, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |  avg(value) OVER (PARTITION BY user_id) AS mu
+      | FROM events),
+      |c AS (SELECT user_id, rn, value - mu AS xc FROM s),
+      |den AS (SELECT user_id, sum(xc*xc) AS s0 FROM c GROUP BY 1)
+      |SELECT a.user_id, lg.lag AS lag,
+      | round(sum(a.xc*b.xc) / max(d.s0), 6) AS acf
+      |FROM range(1, 7) lg(lag)
+      |JOIN c a ON a.rn > lg.lag
+      |JOIN c b ON b.user_id = a.user_id AND b.rn = a.rn - lg.lag
+      |JOIN den d ON d.user_id = a.user_id
+      |WHERE d.s0 != 0
+      |GROUP BY 1, 2""".stripMargin
 
   private def periodogramSql: String =
     s"""WITH daily AS ($dailySql),

@@ -199,6 +199,80 @@ object Correlation {
       .select(keyCols :+ col("la.lag").as("lag") :+ col("la.acf").as("acf"): _*)
   }
 
+  /** All autocovariance lag-product sums Σᵢ xc_i·xc_{i+k} at once via
+    * Wiener–Khinchin: zero-pad to 2m (kills circular wrap-around), |FFT|²,
+    * inverse FFT — O(m log m) for every lag together where the direct form
+    * pays O(m) PER lag. */
+  private def acovSumsFft(xc: Array[Double], nlags: Int): Array[Double] = {
+    val m = xc.length
+    val L = 2 * m
+    val buf = new Array[Double](2 * L)
+    System.arraycopy(xc, 0, buf, 0, m)
+    val fft = new org.jtransforms.fft.DoubleFFT_1D(L)
+    fft.realForwardFull(buf)
+    var k = 0
+    while (k < L) {
+      val re = buf(2 * k); val im = buf(2 * k + 1)
+      buf(2 * k) = re * re + im * im; buf(2 * k + 1) = 0.0
+      k += 1
+    }
+    fft.complexInverse(buf, true)
+    Array.tabulate(math.min(nlags, m - 1) + 1)(j => buf(2 * j))
+  }
+
+  /** Grouped ACF via gathered FFT — the FULL-LAG scale twin of
+    * [[acfByKey]]. The window form is O(m·maxLag) work per series: right
+    * for bounded correlogram lag counts, quadratic at the reference's
+    * DEFAULT `nlags = 0.9·len(x)` (`functions.py:215-216` — which also
+    * passes `fft=True` to statsmodels, so FFT is the reference's own
+    * semantics, not an approximation). This form gathers each series in
+    * time order (`sort_array collect_list`, the
+    * [[graft.models.PerSeries]] recipe) and computes every lag's product
+    * sum at once via [[acovSumsFft]]. Estimator identical to
+    * [[acfByKey]]: per-series demean, denominator s0 = Σxc² (computed
+    * directly, so the constant-series drop stays exact); null x rows are
+    * dropped before the gather. `maxLag < 0` → the reference default
+    * ⌊0.9·m⌋ per series. Output (keys..., lag, acf), gate-checked under
+    * q39's oracle (q83) and differentially pinned to [[acfByKey]]. */
+  def acfByKeyFft(tsf: TimeseriesFrame, xCol: String,
+      maxLag: Int = -1): DataFrame = {
+    require(tsf.seriesKeys.nonEmpty, "acfByKeyFft needs seriesKeys")
+    val spark = tsf.df.sparkSession
+    val keys = tsf.seriesKeys
+    val ordNames = tsf.timeCol.toSeq ++ tsf.tieBreak
+    require(ordNames.nonEmpty, "acfByKeyFft needs a time column or tieBreak order")
+    val orderStruct = struct(
+      ordNames.map(c => col(c).cast("double")) :+ col(xCol).cast("double"): _*)
+    val gathered = tsf.df.filter(col(xCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(orderStruct)).as("__series"))
+    val keySchema = StructType(keys.map(k => gathered.schema(k)))
+    val outSchema = StructType(keySchema.fields ++ Seq(
+      StructField("lag", LongType, nullable = false),
+      StructField("acf", DoubleType)))
+    val xField = ordNames.size
+    val outRdd = gathered.rdd.flatMap { row =>
+      val x = row.getSeq[Row](row.length - 1).map(_.getDouble(xField)).toArray
+      val m = x.length
+      if (m < 2) Iterator.empty
+      else {
+        val mu = x.sum / m
+        val xc = x.map(_ - mu)
+        val s0 = xc.map(v => v * v).sum
+        if (s0 == 0.0) Iterator.empty // constant series: no ACF (as acfByKey)
+        else {
+          val nl = if (maxLag < 0) math.min((0.9 * m).toInt, m - 1)
+                   else math.min(maxLag, m - 1)
+          val r = acovSumsFft(xc, nl)
+          val keyVals = (0 until row.length - 1).map(row.get)
+          (1 to nl).iterator.map(k =>
+            Row.fromSeq(keyVals ++ Seq[Any](k.toLong, r(k) / s0)))
+        }
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
   /** Local maxima of |values| with `order`-neighborhood strict dominance —
     * scipy `argrelextrema(np.greater, order)` with clipped borders
     * (`_significant_acf`, `functions.py:177-189`). Returns (index, value). */

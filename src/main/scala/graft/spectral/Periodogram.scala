@@ -339,11 +339,11 @@ object Periodogram {
     require(tsf.seriesKeys.nonEmpty, "spectrumByKeyFft needs seriesKeys")
     val spark = tsf.df.sparkSession
     val keys = tsf.seriesKeys
-    val tCol = tsf.timeCol.getOrElse(
-      throw new IllegalArgumentException("spectrumByKeyFft needs a time column"))
+    val ordNames = tsf.timeCol.toSeq ++ tsf.tieBreak
+    require(ordNames.nonEmpty,
+      "spectrumByKeyFft needs a time column or tieBreak order")
     val orderStruct = struct(
-      (col(tCol).cast("double") +: tsf.tieBreak.map(c => col(c).cast("double")))
-        :+ col(xCol).cast("double"): _*)
+      ordNames.map(c => col(c).cast("double")) :+ col(xCol).cast("double"): _*)
     // null x rows are dropped BEFORE the gather (a gap series belongs to
     // the interpolation family first; the explode form's null-skipping
     // sums index across gaps, which is not a spectrum either)
@@ -353,7 +353,7 @@ object Periodogram {
     val keySchema = StructType(keys.map(k => gathered.schema(k)))
     val outSchema = StructType(keySchema.fields ++ Seq(
       StructField("period", DoubleType), StructField("power", DoubleType)))
-    val xField = tsf.tieBreak.size + 1 // x's slot within the order struct
+    val xField = ordNames.size // x's slot within the order struct
     val outRdd = gathered.rdd.flatMap { row =>
       val raw = row.getSeq[Row](row.length - 1).map(_.getDouble(xField)).toArray
       val xd = detrendLocal(raw, detrend)

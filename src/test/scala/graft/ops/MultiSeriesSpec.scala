@@ -53,6 +53,42 @@ class MultiSeriesSpec extends SparkSpec {
     }
   }
 
+  test("acfByKeyFft == acfByKey, and full-lag default == per-key acfVector") {
+    val df = twoSeries
+    val tsf = TimeseriesFrame(df, None, Seq("i"), Seq("k"))
+    // bounded lags: FFT form must reproduce the window form exactly
+    val win = Correlation.acfByKey(tsf, "x", maxLag = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fft = Correlation.acfByKeyFft(tsf, "x", maxLag = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(win.keySet == fft.keySet)
+    win.foreach { case (key, v) =>
+      assert(math.abs(fft(key) - v) < 1e-9, s"$key: ${fft(key)} vs $v")
+    }
+    // reference-default lag depth (0.9·m per series) against the direct
+    // single-series vector at the same depth
+    val full = Correlation.acfByKeyFft(tsf, "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((key, m) <- Seq(("a", 28), ("b", 21))) {
+      val nl = (0.9 * m).toInt
+      assert(full.keys.count(_._1 == key) == nl, s"$key default lag depth")
+      val vec = Correlation.acfVector(
+        TimeseriesFrame(df.filter(col("k") === key), None, Seq("i")), "x", nl)
+      (1 to nl).foreach { k =>
+        assert(math.abs(full((key, k.toLong)) - vec(k)) < 1e-9,
+          s"$key lag $k: ${full((key, k.toLong))} vs ${vec(k)}")
+      }
+    }
+    // constant series drop carries over
+    import spark.implicits._
+    val flat = ((0 until 20).map(i => ("v", i.toLong, math.sin(i * 0.7))) ++
+      (0 until 20).map(i => ("f", i.toLong, 5.0))).toDF("k", "i", "x")
+    val keys = Correlation.acfByKeyFft(
+        TimeseriesFrame(flat, None, Seq("i"), Seq("k")), "x", maxLag = 3)
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(keys == Set("v"))
+  }
+
   test("grouped ACF drops constant series instead of aborting (ANSI /0)") {
     import spark.implicits._
     val df = ((0 until 20).map(i => ("varies", i.toLong, math.sin(i * 0.7))) ++
