@@ -273,6 +273,12 @@ object Probe {
         // one gather shuffle + m log m per series
         phase("acf_full_lag_fft_by_key")(
           Correlation.acfByKeyFft(tsf, "value").count())
+        // grouped PACF at the reference default depth m/2−1: FFT ACF +
+        // executor-side Levinson–Durbin (the LD recursion is O(nl²) per
+        // series — the quadratic lives in the tiny per-series solve, not
+        // in any shuffle)
+        phase("pacf_default_depth_by_key")(
+          Correlation.pacfByKeyFft(tsf, "value").count())
         // per-series spectrum at n/k rows per series: the gathered-FFT
         // scale path (the explode-DFT twin is O(m²) per series — at
         // m=25k/series it would push ~m/2 grid rows per input row through

@@ -855,6 +855,15 @@ object SparkEntry {
       Correlation.acfByKeyFft(t, "value", maxLag = 6)
         .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"))
     }),
+    "q84_pacf_by_key_fft" -> ((s, dir) => {
+      // grouped PACF under the hash gate: gathered FFT ACF + the exact
+      // pacfVector Levinson–Durbin per key on the executors; the oracle
+      // replays the recursion as a PER-KEY recursive CTE over the direct
+      // lag self-join ACF (q27's single-series oracle, partitioned)
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      Correlation.pacfByKeyFft(t, "value", maxLag = 8)
+        .select(col("user_id"), col("lag"), round(col("pacf"), 6).as("pacf"))
+    }),
     "q48_periodogram_by_key" -> ((s, dir) => {
       // grouped periodogram — per-series frequency grids, per-key DFT as
       // one hash aggregate, no single-partition stage; the oracle replays
@@ -1675,6 +1684,7 @@ object SparkEntry {
          |FROM t""".stripMargin,
     "q39_acf_by_key" -> acfByKeySql,
     "q83_acf_by_key_fft" -> acfByKeySql,
+    "q84_pacf_by_key_fft" -> pacfByKeySql,
     "q54_acf_distributed" ->
       s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
          |mu AS (SELECT avg(value) AS mu FROM s),
@@ -2678,6 +2688,39 @@ object SparkEntry {
        |  $kk
        | FROM ld, acfv WHERE k < 48)
        |SELECT CAST(k AS BIGINT) AS lag, round(pacf, 6) AS pacf FROM ld""".stripMargin
+  }
+
+  /** q27's Levinson–Durbin recursive CTE, partitioned per user: the
+    * recursion state (phi list, innovation variance e) advances one row
+    * per key per step, over the per-key direct lag self-join ACF. */
+  private def pacfByKeySql: String = {
+    val kk = "((r[k+2] - list_sum(list_transform(range(1, k + 1), " +
+      "j2 -> phi[j2]*r[k+2-j2]))) / e)"
+    s"""WITH RECURSIVE s AS (SELECT user_id, value,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |  avg(value) OVER (PARTITION BY user_id) AS mu
+       | FROM events),
+       |c AS (SELECT user_id, rn, value - mu AS xc FROM s),
+       |den AS (SELECT user_id, sum(xc*xc) AS s0 FROM c GROUP BY 1),
+       |acfv AS (SELECT user_id, list_prepend(1.0, list(a ORDER BY lag)) AS r FROM (
+       | SELECT a.user_id, lg.lag AS lag, sum(a.xc*b.xc) / max(d.s0) AS a
+       | FROM range(1, 9) lg(lag)
+       | JOIN c a ON a.rn > lg.lag
+       | JOIN c b ON b.user_id = a.user_id AND b.rn = a.rn - lg.lag
+       | JOIN den d ON d.user_id = a.user_id
+       | WHERE d.s0 != 0
+       | GROUP BY 1, 2) GROUP BY user_id),
+       |ld AS (
+       | SELECT user_id, 1 AS k, [r[2]] AS phi, 1.0 - r[2]*r[2] AS e, r[2] AS pacf
+       | FROM acfv
+       | UNION ALL
+       | SELECT ld.user_id, k + 1,
+       |  list_append(list_transform(range(1, k + 1),
+       |    j -> phi[j] - $kk * phi[k + 1 - j]), $kk),
+       |  e * (1.0 - $kk * $kk),
+       |  $kk
+       | FROM ld JOIN acfv USING (user_id) WHERE k < 8)
+       |SELECT user_id, CAST(k AS BIGINT) AS lag, round(pacf, 6) AS pacf FROM ld""".stripMargin
   }
 
   private def lombScargleSql: String =

@@ -235,12 +235,41 @@ object Correlation {
     * ⌊0.9·m⌋ per series. Output (keys..., lag, acf), gate-checked under
     * q39's oracle (q83) and differentially pinned to [[acfByKey]]. */
   def acfByKeyFft(tsf: TimeseriesFrame, xCol: String,
-      maxLag: Int = -1): DataFrame = {
-    require(tsf.seriesKeys.nonEmpty, "acfByKeyFft needs seriesKeys")
+      maxLag: Int = -1): DataFrame =
+    gatherAcf(tsf, xCol, "acf",
+      m => if (maxLag < 0) math.min((0.9 * m).toInt, m - 1)
+           else math.min(maxLag, m - 1))(
+      (acf, _) => acf)
+
+  /** Grouped PACF — the per-key form the single-series [[pacfVector]]
+    * lacks, at the reference's default depth
+    * nlags = min(m/2 − 1, m − 1) (`functions.py:244-245`): per-series ACF
+    * via the gathered Wiener–Khinchin FFT, then Levinson–Durbin
+    * executor-side on the (nl+1)-vector (the exact [[pacfVector]]
+    * recursion — reused, not reimplemented). Output (keys..., lag, pacf);
+    * the gate replays the recursion as a per-key recursive CTE (q84). */
+  def pacfByKeyFft(tsf: TimeseriesFrame, xCol: String,
+      maxLag: Int = -1): DataFrame =
+    gatherAcf(tsf, xCol, "pacf",
+      m => if (maxLag < 0) math.min(m / 2 - 1, m - 1)
+           else math.min(maxLag, m - 1))(
+      (acf, _) => pacfVector(acf))
+
+  /** Shared gather → per-series (FFT) ACF shell for the grouped
+    * correlation family: sorts each series by (timeCol, tieBreak) into one
+    * grouped row (map-side-combined shuffle), demeans, computes the
+    * lag-product sums via [[acovSumsFft]], and hands the normalized ACF
+    * vector (index 0 = 1.0) to `transform` for the final per-lag values.
+    * Constant and sub-2-row series are dropped, as in [[acfByKey]]. */
+  private def gatherAcf(tsf: TimeseriesFrame, xCol: String, outCol: String,
+      lagDepth: Int => Int)(
+      transform: (Array[Double], Int) => Array[Double]): DataFrame = {
+    require(tsf.seriesKeys.nonEmpty, s"${outCol}ByKeyFft needs seriesKeys")
     val spark = tsf.df.sparkSession
     val keys = tsf.seriesKeys
     val ordNames = tsf.timeCol.toSeq ++ tsf.tieBreak
-    require(ordNames.nonEmpty, "acfByKeyFft needs a time column or tieBreak order")
+    require(ordNames.nonEmpty,
+      s"${outCol}ByKeyFft needs a time column or tieBreak order")
     val orderStruct = struct(
       ordNames.map(c => col(c).cast("double")) :+ col(xCol).cast("double"): _*)
     val gathered = tsf.df.filter(col(xCol).isNotNull)
@@ -249,7 +278,7 @@ object Correlation {
     val keySchema = StructType(keys.map(k => gathered.schema(k)))
     val outSchema = StructType(keySchema.fields ++ Seq(
       StructField("lag", LongType, nullable = false),
-      StructField("acf", DoubleType)))
+      StructField(outCol, DoubleType)))
     val xField = ordNames.size
     val outRdd = gathered.rdd.flatMap { row =>
       val x = row.getSeq[Row](row.length - 1).map(_.getDouble(xField)).toArray
@@ -259,14 +288,15 @@ object Correlation {
         val mu = x.sum / m
         val xc = x.map(_ - mu)
         val s0 = xc.map(v => v * v).sum
-        if (s0 == 0.0) Iterator.empty // constant series: no ACF (as acfByKey)
+        val nl = lagDepth(m)
+        if (s0 == 0.0 || nl < 1) Iterator.empty // constant series: no ACF
         else {
-          val nl = if (maxLag < 0) math.min((0.9 * m).toInt, m - 1)
-                   else math.min(maxLag, m - 1)
           val r = acovSumsFft(xc, nl)
+          val acf = Array.tabulate(nl + 1)(k => if (k == 0) 1.0 else r(k) / s0)
+          val out = transform(acf, m)
           val keyVals = (0 until row.length - 1).map(row.get)
           (1 to nl).iterator.map(k =>
-            Row.fromSeq(keyVals ++ Seq[Any](k.toLong, r(k) / s0)))
+            Row.fromSeq(keyVals ++ Seq[Any](k.toLong, out(k))))
         }
       }
     }

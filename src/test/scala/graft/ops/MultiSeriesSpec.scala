@@ -89,6 +89,25 @@ class MultiSeriesSpec extends SparkSpec {
     assert(keys == Set("v"))
   }
 
+  test("pacfByKeyFft == per-key Levinson-Durbin over acfVector") {
+    val df = twoSeries
+    val tsf = TimeseriesFrame(df, None, Seq("i"), Seq("k"))
+    val grouped = Correlation.pacfByKeyFft(tsf, "x", maxLag = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (key <- Seq("a", "b")) {
+      val vec = Correlation.pacfVector(Correlation.acfVector(
+        TimeseriesFrame(df.filter(col("k") === key), None, Seq("i")), "x", 5))
+      (1 to 5).foreach { k =>
+        assert(math.abs(grouped((key, k.toLong)) - vec(k)) < 1e-9,
+          s"$key lag $k: ${grouped((key, k.toLong))} vs ${vec(k)}")
+      }
+    }
+    // reference default depth min(m/2 − 1, m − 1) per series
+    val full = Correlation.pacfByKeyFft(tsf, "x")
+    assert(full.filter(col("k") === "a").count() == 13) // m=28
+    assert(full.filter(col("k") === "b").count() == 9)  // m=21
+  }
+
   test("grouped ACF drops constant series instead of aborting (ANSI /0)") {
     import spark.implicits._
     val df = ((0 until 20).map(i => ("varies", i.toLong, math.sin(i * 0.7))) ++
