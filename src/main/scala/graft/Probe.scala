@@ -273,6 +273,11 @@ object Probe {
         // one gather shuffle + m log m per series
         phase("acf_full_lag_fft_by_key")(
           Correlation.acfByKeyFft(tsf, "value").count())
+        // grouped seasonal decomposition (period 24 on the minute grid):
+        // centered-MA trend + phase means per series, all keyed windows
+        phase("seasonal_decompose_by_key")(
+          graft.ops.SeasonalDecompose(tsf, Seq("value"), period = 24,
+            model = "additive").agg(count(lit(1))).head().getLong(0))
         // grouped PACF at the reference default depth m/2−1: FFT ACF +
         // executor-side Levinson–Durbin (the LD recursion is O(nl²) per
         // series — the quadratic lives in the tiny per-series solve, not
