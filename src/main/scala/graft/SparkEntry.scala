@@ -855,6 +855,16 @@ object SparkEntry {
       Correlation.acfByKeyFft(t, "value", maxLag = 6)
         .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"))
     }),
+    "q85_acf_confint_by_key" -> ((s, dir) => {
+      // q26's ACF+Bartlett-band surface per series: FFT ACF + executor-
+      // side acfConfint; the oracle partitions q26's Bartlett window SQL
+      // by user
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      Correlation.acfConfintByKey(t, "value", alpha = 0.05, maxLag = 6)
+        .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"),
+          round(col("ci_low"), 6).as("ci_low"),
+          round(col("ci_high"), 6).as("ci_high"))
+    }),
     "q84_pacf_by_key_fft" -> ((s, dir) => {
       // grouped PACF under the hash gate: gathered FFT ACF + the exact
       // pacfVector Levinson–Durbin per key on the executors; the oracle
@@ -1685,6 +1695,7 @@ object SparkEntry {
     "q39_acf_by_key" -> acfByKeySql,
     "q83_acf_by_key_fft" -> acfByKeySql,
     "q84_pacf_by_key_fft" -> pacfByKeySql,
+    "q85_acf_confint_by_key" -> acfConfintByKeySql,
     "q54_acf_distributed" ->
       s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
          |mu AS (SELECT avg(value) AS mu FROM s),
@@ -2689,6 +2700,34 @@ object SparkEntry {
        | FROM ld, acfv WHERE k < 48)
        |SELECT CAST(k AS BIGINT) AS lag, round(pacf, 6) AS pacf FROM ld""".stripMargin
   }
+
+  /** q26's Bartlett confidence bands partitioned per user: the band
+    * window (cumulative Σ acf² over earlier lags) runs PER KEY, n is the
+    * per-user row count. */
+  private def acfConfintByKeySql: String =
+    """WITH s AS (SELECT user_id, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |  avg(value) OVER (PARTITION BY user_id) AS mu
+      | FROM events),
+      |c AS (SELECT user_id, rn, value - mu AS xc FROM s),
+      |den AS (SELECT user_id, sum(xc*xc) AS s0 FROM c GROUP BY 1),
+      |nn AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |acf AS (SELECT a.user_id, lg.lag AS lag,
+      |  sum(a.xc*b.xc) / max(d.s0) AS acf
+      | FROM range(1, 7) lg(lag)
+      | JOIN c a ON a.rn > lg.lag
+      | JOIN c b ON b.user_id = a.user_id AND b.rn = a.rn - lg.lag
+      | JOIN den d ON d.user_id = a.user_id
+      | WHERE d.s0 != 0
+      | GROUP BY 1, 2),
+      |ci AS (SELECT acf.user_id, lag, acf,
+      |  1.959963984540054 * sqrt((1 + 2 * coalesce(sum(acf*acf) OVER
+      |    (PARTITION BY acf.user_id ORDER BY lag
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) / nn.n) AS iv
+      | FROM acf JOIN nn USING (user_id))
+      |SELECT user_id, lag, round(acf, 6) AS acf,
+      | round(acf - iv, 6) AS ci_low, round(acf + iv, 6) AS ci_high
+      |FROM ci""".stripMargin
 
   /** q27's Levinson–Durbin recursive CTE, partitioned per user: the
     * recursion state (phi list, innovation variance e) advances one row

@@ -236,10 +236,29 @@ object Correlation {
     * q39's oracle (q83) and differentially pinned to [[acfByKey]]. */
   def acfByKeyFft(tsf: TimeseriesFrame, xCol: String,
       maxLag: Int = -1): DataFrame =
-    gatherAcf(tsf, xCol, "acf",
+    gatherAcf(tsf, xCol, "acfByKeyFft",
+      Seq(StructField("acf", DoubleType)),
       m => if (maxLag < 0) math.min((0.9 * m).toInt, m - 1)
            else math.min(maxLag, m - 1))(
-      (acf, _) => acf)
+      (acf, _) => acf.map(v => Seq[Any](v)))
+
+  /** Grouped ACF with Bartlett confidence bands — q26's surface
+    * (statsmodels `acf(alpha=)`) per series: the FFT ACF plus the exact
+    * [[acfConfint]] band math (se_k² = (1 + 2Σ_{j<k} r_j²)/n) computed on
+    * the executors. Output (keys..., lag, acf, ci_low, ci_high);
+    * hash-gated per key (q85) against a PARTITIONed replay of q26's
+    * Bartlett window SQL. */
+  def acfConfintByKey(tsf: TimeseriesFrame, xCol: String,
+      alpha: Double = 0.05, maxLag: Int = -1): DataFrame =
+    gatherAcf(tsf, xCol, "acfConfintByKey",
+      Seq(StructField("acf", DoubleType), StructField("ci_low", DoubleType),
+        StructField("ci_high", DoubleType)),
+      m => if (maxLag < 0) math.min((0.9 * m).toInt, m - 1)
+           else math.min(maxLag, m - 1))(
+      (acf, m) => {
+        val ci = acfConfint(acf, m, alpha)
+        acf.indices.map(k => Seq[Any](acf(k), ci(k)._1, ci(k)._2)).toArray
+      })
 
   /** Grouped PACF — the per-key form the single-series [[pacfVector]]
     * lacks, at the reference's default depth
@@ -250,10 +269,11 @@ object Correlation {
     * the gate replays the recursion as a per-key recursive CTE (q84). */
   def pacfByKeyFft(tsf: TimeseriesFrame, xCol: String,
       maxLag: Int = -1): DataFrame =
-    gatherAcf(tsf, xCol, "pacf",
+    gatherAcf(tsf, xCol, "pacfByKeyFft",
+      Seq(StructField("pacf", DoubleType)),
       m => if (maxLag < 0) math.min(m / 2 - 1, m - 1)
            else math.min(maxLag, m - 1))(
-      (acf, _) => pacfVector(acf))
+      (acf, _) => pacfVector(acf).map(v => Seq[Any](v)))
 
   /** Shared gather → per-series (FFT) ACF shell for the grouped
     * correlation family: sorts each series by (timeCol, tieBreak) into one
@@ -261,24 +281,22 @@ object Correlation {
     * lag-product sums via [[acovSumsFft]], and hands the normalized ACF
     * vector (index 0 = 1.0) to `transform` for the final per-lag values.
     * Constant and sub-2-row series are dropped, as in [[acfByKey]]. */
-  private def gatherAcf(tsf: TimeseriesFrame, xCol: String, outCol: String,
-      lagDepth: Int => Int)(
-      transform: (Array[Double], Int) => Array[Double]): DataFrame = {
-    require(tsf.seriesKeys.nonEmpty, s"${outCol}ByKeyFft needs seriesKeys")
+  private def gatherAcf(tsf: TimeseriesFrame, xCol: String, opName: String,
+      outFields: Seq[StructField], lagDepth: Int => Int)(
+      transform: (Array[Double], Int) => Array[Seq[Any]]): DataFrame = {
+    require(tsf.seriesKeys.nonEmpty, s"$opName needs seriesKeys")
     val spark = tsf.df.sparkSession
     val keys = tsf.seriesKeys
     val ordNames = tsf.timeCol.toSeq ++ tsf.tieBreak
-    require(ordNames.nonEmpty,
-      s"${outCol}ByKeyFft needs a time column or tieBreak order")
+    require(ordNames.nonEmpty, s"$opName needs a time column or tieBreak order")
     val orderStruct = struct(
       ordNames.map(c => col(c).cast("double")) :+ col(xCol).cast("double"): _*)
     val gathered = tsf.df.filter(col(xCol).isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(orderStruct)).as("__series"))
     val keySchema = StructType(keys.map(k => gathered.schema(k)))
-    val outSchema = StructType(keySchema.fields ++ Seq(
-      StructField("lag", LongType, nullable = false),
-      StructField(outCol, DoubleType)))
+    val outSchema = StructType(keySchema.fields ++
+      (StructField("lag", LongType, nullable = false) +: outFields))
     val xField = ordNames.size
     val outRdd = gathered.rdd.flatMap { row =>
       val x = row.getSeq[Row](row.length - 1).map(_.getDouble(xField)).toArray
@@ -296,7 +314,7 @@ object Correlation {
           val out = transform(acf, m)
           val keyVals = (0 until row.length - 1).map(row.get)
           (1 to nl).iterator.map(k =>
-            Row.fromSeq(keyVals ++ Seq[Any](k.toLong, out(k))))
+            Row.fromSeq(keyVals ++ (k.toLong +: out(k))))
         }
       }
     }

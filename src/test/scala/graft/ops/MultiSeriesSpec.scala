@@ -108,6 +108,25 @@ class MultiSeriesSpec extends SparkSpec {
     assert(full.filter(col("k") === "b").count() == 9)  // m=21
   }
 
+  test("acfConfintByKey == per-key acfConfint over acfVector") {
+    val df = twoSeries
+    val tsf = TimeseriesFrame(df, None, Seq("i"), Seq("k"))
+    val grouped = Correlation.acfConfintByKey(tsf, "x", alpha = 0.05, maxLag = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for ((key, m) <- Seq(("a", 28L), ("b", 21L))) {
+      val vec = Correlation.acfVector(
+        TimeseriesFrame(df.filter(col("k") === key), None, Seq("i")), "x", 5)
+      val ci = Correlation.acfConfint(vec, m, 0.05)
+      (1 to 5).foreach { k =>
+        val (a, lo, hi) = grouped((key, k.toLong))
+        assert(math.abs(a - vec(k)) < 1e-9, s"$key acf lag $k")
+        assert(math.abs(lo - ci(k)._1) < 1e-9, s"$key ci_low lag $k")
+        assert(math.abs(hi - ci(k)._2) < 1e-9, s"$key ci_high lag $k")
+      }
+    }
+  }
+
   test("grouped ACF drops constant series instead of aborting (ANSI /0)") {
     import spark.implicits._
     val df = ((0 until 20).map(i => ("varies", i.toLong, math.sin(i * 0.7))) ++
