@@ -993,6 +993,18 @@ object SparkEntry {
           r6(Metrics.r2(t, pr)))
       }).toDF("model", "rmse", "mae", "mape", "pocid", "r2")
     }),
+    "q86_eval_naive_drift_by_key" -> ((s, dir) => {
+      // the model-evaluation scoring surface per series: rolling-origin
+      // naive/drift fold pools + all five reference metrics computed
+      // executor-side per user; the oracle replays q47's whole pipeline
+      // PARTITIONed by user (per-user n, folds, pooled windows)
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      val raw = ModelEvaluation.evaluateNaiveDriftByKey(t, "value",
+        nFolds = 3, steps = 3)
+      raw.select(col("user_id") +: col("model") +:
+        Seq("rmse", "mae", "mape", "pocid", "r2").map(c =>
+          round(col(c), 6).as(c)): _*)
+    }),
     "q52_arma_forecast_by_key" -> ((s, dir) => {
       // the millions-of-models fan-out under the HASH gate: one
       // fixed-parameter ARMA(1,1) per user, fitted and forecast entirely
@@ -1696,6 +1708,7 @@ object SparkEntry {
     "q83_acf_by_key_fft" -> acfByKeySql,
     "q84_pacf_by_key_fft" -> pacfByKeySql,
     "q85_acf_confint_by_key" -> acfConfintByKeySql,
+    "q86_eval_naive_drift_by_key" -> evalNaiveDriftByKeySql,
     "q54_acf_distributed" ->
       s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
          |mu AS (SELECT avg(value) AS mu FROM s),
@@ -2180,6 +2193,61 @@ object SparkEntry {
     * `ModelEvaluation.evaluate`, scored with the reference's definitions
     * (`functions.py:21-49`) — RMSE, MEDIAN absolute error, mean-normalized
     * MAPE, POCID over pooled direction changes, R². */
+  /** q47's rolling-origin naive/drift scoring pipeline partitioned per
+    * user: per-user n and fold origins, pooled (yt, yp) pairs in the same
+    * (fold, h) order, and the five metrics grouped by (user, model). */
+  private def evalNaiveDriftByKeySql: String =
+    """WITH s AS (SELECT user_id, CAST(value AS DOUBLE) AS y,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      | FROM events),
+      |n AS (SELECT user_id, count(*) AS n FROM s GROUP BY 1),
+      |y1 AS (SELECT user_id, y AS y0 FROM s WHERE rn = 1),
+      |folds AS (SELECT n.user_id, fold, n.n - fold*3 AS te
+      |  FROM n CROSS JOIN (VALUES (1),(2),(3)) t(fold)
+      |  WHERE n.n - 9 >= 2),
+      |hs AS (SELECT h FROM (VALUES (0),(1),(2)) t(h)),
+      |base AS (
+      |  SELECT fo.user_id, fo.fold, hs.h, (fo.fold-1)*3 + hs.h AS seq,
+      |    ty.y AS yt, tr.y AS ylast, fo.te
+      |  FROM folds fo CROSS JOIN hs
+      |  JOIN s ty ON ty.user_id = fo.user_id AND ty.rn = fo.te + hs.h + 1
+      |  JOIN s tr ON tr.user_id = fo.user_id AND tr.rn = fo.te),
+      |pairs AS (
+      |  SELECT user_id, 'naive' AS model, seq, yt, ylast AS yp FROM base
+      |  UNION ALL
+      |  SELECT b.user_id, 'drift', seq, yt,
+      |    ylast + (h+1) * (ylast - y1.y0) / (te - 1)
+      |  FROM base b JOIN y1 ON y1.user_id = b.user_id),
+      |scored AS (
+      |  SELECT user_id, model,
+      |    sqrt(sum((yt-yp)*(yt-yp))/9) AS rmse,
+      |    median(abs(yt-yp)) AS mae,
+      |    (sum(abs(yt-yp))/9) / (sum(abs(yt))/9) AS mape,
+      |    sum(yt)/9 AS mu,
+      |    sum((yt-yp)*(yt-yp)) AS sse
+      |  FROM pairs GROUP BY 1, 2),
+      |r2t AS (
+      |  SELECT p.user_id, p.model,
+      |    1 - s.sse / sum((p.yt - s.mu)*(p.yt - s.mu)) AS r2
+      |  FROM pairs p
+      |  JOIN scored s ON s.user_id = p.user_id AND s.model = p.model
+      |  GROUP BY p.user_id, p.model, s.sse),
+      |pocidt AS (
+      |  SELECT user_id, model,
+      |    100.0 * sum(CASE WHEN (ytn - yt)*(ypn - yp) > 0 THEN 1 ELSE 0 END)
+      |      / count(*) AS pocid
+      |  FROM (SELECT user_id, model, seq, yt, yp,
+      |          lead(yt) OVER (PARTITION BY user_id, model ORDER BY seq) AS ytn,
+      |          lead(yp) OVER (PARTITION BY user_id, model ORDER BY seq) AS ypn
+      |        FROM pairs)
+      |  WHERE ytn IS NOT NULL GROUP BY 1, 2)
+      |SELECT s.user_id, s.model, round(s.rmse, 6) AS rmse,
+      | round(s.mae, 6) AS mae, round(s.mape, 6) AS mape,
+      | round(p.pocid, 6) AS pocid, round(r.r2, 6) AS r2
+      |FROM scored s
+      |JOIN r2t r ON r.user_id = s.user_id AND r.model = s.model
+      |JOIN pocidt p ON p.user_id = s.user_id AND p.model = s.model""".stripMargin
+
   private def evalMetricsFixedSql: String =
     s"""WITH daily AS ($dailySql),
        |idx AS (SELECT CAST(v AS DOUBLE) AS y,

@@ -107,6 +107,67 @@ object ModelEvaluation {
         StructField("aic", DoubleType), StructField("bic", DoubleType))))
   }
 
+  /** Rolling-origin naive/drift evaluation PER SERIES — the grouped scale
+    * form of the fixed-prediction scoring surface (gate q47's pooling and
+    * the five reference metrics, `functions.py:21-49`): each series is
+    * gathered in time order ([[PerSeries]] recipe), its nFolds×steps fold
+    * pairs pooled in the same (fold, h) order as [[evaluate]], and the
+    * metrics computed on the executors. naive predicts the train fold's
+    * last value; drift extrapolates the first→last slope. Output one row
+    * per (keys..., model). Series shorter than nFolds·steps + 2 are
+    * skipped (drift needs a ≥2-point train fold). Gate q86 replays the
+    * whole pipeline per user in SQL. */
+  def evaluateNaiveDriftByKey(tsf: TimeseriesFrame, xCol: String,
+      nFolds: Int = 3, steps: Int = 3): DataFrame = {
+    require(tsf.seriesKeys.nonEmpty, "evaluateNaiveDriftByKey needs seriesKeys")
+    val spark = tsf.df.sparkSession
+    val keys = tsf.seriesKeys
+    val ordNames = tsf.timeCol.toSeq ++ tsf.tieBreak
+    require(ordNames.nonEmpty,
+      "evaluateNaiveDriftByKey needs a time column or tieBreak order")
+    val orderStruct = struct(
+      ordNames.map(c => col(c).cast("double")) :+ col(xCol).cast("double"): _*)
+    val gathered = tsf.df.filter(col(xCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(orderStruct)).as("__series"))
+    val keySchema = StructType(keys.map(k => gathered.schema(k)))
+    val outSchema = StructType(keySchema.fields ++ Seq(
+      StructField("model", StringType),
+      StructField("rmse", DoubleType), StructField("mae", DoubleType),
+      StructField("mape", DoubleType), StructField("pocid", DoubleType),
+      StructField("r2", DoubleType)))
+    val xField = ordNames.size
+    val outRdd = gathered.rdd.flatMap { row =>
+      val y = row.getSeq[Row](row.length - 1).map(_.getDouble(xField)).toArray
+      val m = y.length
+      if (m - nFolds * steps < 2) Iterator.empty
+      else {
+        val keyVals = (0 until row.length - 1).map(row.get)
+        def pool(pred: (Int, Int) => Double): (Array[Double], Array[Double]) = {
+          val t = new Array[Double](nFolds * steps)
+          val p = new Array[Double](nFolds * steps)
+          var i = 0
+          for (fold <- 1 to nFolds; h <- 0 until steps) {
+            val te = m - fold * steps
+            t(i) = y(te + h); p(i) = pred(te, h); i += 1
+          }
+          (t, p)
+        }
+        val specs = Seq(
+          "naive" -> ((te: Int, h: Int) => y(te - 1)),
+          "drift" -> ((te: Int, h: Int) =>
+            y(te - 1) + (h + 1) * (y(te - 1) - y(0)) / (te - 1)))
+        specs.iterator.map { case (name, pred) =>
+          val (t, p) = pool(pred)
+          Row.fromSeq(keyVals ++ Seq[Any](name, Metrics.rmse(t, p),
+            Metrics.mae(t, p), Metrics.mape(t, p), Metrics.pocid(t, p),
+            Metrics.r2(t, p)))
+        }
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
   private def fitFull(spec: Spec, series: Array[Array[Double]]): (Double, Double) =
     try {
       spec match {

@@ -51,4 +51,44 @@ class PerSeriesSpec extends SparkSpec {
     val out = PerSeries.arimaForecastByKey(tsf, "x", 1, 0, 0, steps = 3)
     assert(out.count() == 0)
   }
+
+  test("evaluateNaiveDriftByKey == independent per-key fold pooling") {
+    import spark.implicits._
+    val df = twoArSeries
+    val tsf = TimeseriesFrame(df, Some("t"), Nil, Seq("k"))
+    val grouped = ModelEvaluation.evaluateNaiveDriftByKey(tsf, "x",
+        nFolds = 3, steps = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(grouped.size == 4) // 2 series × {naive, drift}
+    for (key <- Seq("a", "b")) {
+      val y = df.filter(col("k") === key).orderBy("t")
+        .select(col("x")).collect().map(_.getDouble(0))
+      val m = y.length
+      def pool(pred: (Int, Int) => Double) = {
+        val pairs = for (fold <- 1 to 3; h <- 0 until 3) yield {
+          val te = m - fold * 3
+          (y(te + h), pred(te, h))
+        }
+        (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      }
+      for ((name, pred) <- Seq[(String, (Int, Int) => Double)](
+          "naive" -> ((te, _) => y(te - 1)),
+          "drift" -> ((te, h) => y(te - 1) + (h + 1) * (y(te - 1) - y(0)) / (te - 1)))) {
+        val (t, p) = pool(pred)
+        val expected = Seq(Metrics.rmse(t, p), Metrics.mae(t, p),
+          Metrics.mape(t, p), Metrics.pocid(t, p), Metrics.r2(t, p))
+        grouped((key, name)).zip(expected).zipWithIndex.foreach {
+          case ((got, exp), i) =>
+            assert(math.abs(got - exp) < 1e-9, s"$key/$name metric $i: $got vs $exp")
+        }
+      }
+    }
+    // a 10-row series cannot host 3×3 folds with a 2-point train floor
+    val tiny = (0 until 10).map(i => ("t10", i.toLong, i * 1.0)).toDF("k", "t", "x")
+    assert(ModelEvaluation.evaluateNaiveDriftByKey(
+      TimeseriesFrame(tiny, Some("t"), Nil, Seq("k")), "x").count() == 0)
+  }
 }
