@@ -962,6 +962,33 @@ object SparkEntry {
         .toDF("step", "v_forecast", "v_lo", "v_hi",
           "c_forecast", "c_lo", "c_hi")
     }),
+    "q87_var_forecast_by_key" -> ((s, dir) => {
+      // q45's fixed-parameter VAR predict surface fanned out per user:
+      // per-user daily bivariate series (exact-cents mean, count), one
+      // executor-side fitFixed+predict per key; the oracle steps q45's
+      // residual-covariance and Ψ-CI recursions for every user
+      // simultaneously (the q52 pattern)
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      val dailyByUser = MovingTransform.timePeriods(t, "days",
+          Seq("value_cents" -> "sum"))
+        .select(col("user_id"), col("days").as("d"),
+          (col("value_cents_sum") / 100.0 / col("instance_count")).as("v"),
+          col("instance_count").cast("double").as("c"))
+      val byUser = TimeseriesFrame(dailyByUser, Some("d"), Nil, Seq("user_id"))
+      // long-decimal coefficients + 4dp rounding: short coefficients (0.5,
+      // 0.1, …) times exact-cents data TERMINATE at ≤8 decimals, so step-3
+      // forecasts land exactly ON 6dp rounding boundaries (…x5 halves),
+      // where the engines' round() systematically disagree — observed on
+      // 2–3 of 150 users. 10-decimal coefficients push the first possible
+      // boundary hit to ~1e-10 probability per value.
+      val a1 = breeze.linalg.DenseMatrix(
+        (0.4973181273, 0.0127348291), (0.0981734629, 0.3016428751))
+      PerSeries.varForecastFixedByKey(byUser, Seq("v", "c"), a1,
+          Array(19.3741829, 4.8123467), steps = 5)
+        .select(col("user_id") +: col("step") +:
+          Seq("v_forecast", "v_lo", "v_hi", "c_forecast", "c_lo", "c_hi")
+            .map(c => round(col(c), 4).as(c)): _*)
+    }),
     "q47_eval_metrics_fixed" -> ((s, dir) => {
       // the model-evaluation SCORING half at fixed predictions: rolling-
       // origin naive and drift forecasts are SQL-expressible, so the
@@ -1709,6 +1736,7 @@ object SparkEntry {
     "q84_pacf_by_key_fft" -> pacfByKeySql,
     "q85_acf_confint_by_key" -> acfConfintByKeySql,
     "q86_eval_naive_drift_by_key" -> evalNaiveDriftByKeySql,
+    "q87_var_forecast_by_key" -> varForecastFixedByKeySql,
     "q54_acf_distributed" ->
       s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
          |mu AS (SELECT avg(value) AS mu FROM s),
@@ -2247,6 +2275,84 @@ object SparkEntry {
       |FROM scored s
       |JOIN r2t r ON r.user_id = s.user_id AND r.model = s.model
       |JOIN pocidt p ON p.user_id = s.user_id AND p.model = s.model""".stripMargin
+
+  /** q45's fixed-(A₁,c) VAR recursions with every user stepped
+    * simultaneously: the residual-covariance scan walks each user's
+    * per-day bivariate series (one row per user per recursion step), the
+    * forecast/Ψ-CI recursion steps all users together, per-user n in the
+    * covariance divisor. Users with < 8 days are skipped (the Spark
+    * minRows guard). */
+  private def varForecastFixedByKeySql: String =
+    """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0/count(*) AS v,
+      |  CAST(count(*) AS DOUBLE) AS c
+      | FROM events GROUP BY 1, 2),
+      |params AS (SELECT CAST(0.4973181273 AS DOUBLE) AS a11,
+      |  CAST(0.0127348291 AS DOUBLE) AS a12,
+      |  CAST(0.0981734629 AS DOUBLE) AS a21,
+      |  CAST(0.3016428751 AS DOUBLE) AS a22,
+      |  CAST(19.3741829 AS DOUBLE) AS c1, CAST(4.8123467 AS DOUBLE) AS c2),
+      |idx AS (SELECT user_id, CAST(v AS DOUBLE) AS y1, CAST(c AS DOUBLE) AS y2,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM daily),
+      |n AS (SELECT user_id, count(*) AS n FROM idx
+      |  GROUP BY 1 HAVING count(*) >= 8),
+      |res AS (
+      |  SELECT i.user_id, 1 AS rn, CAST(0 AS DOUBLE) AS s11,
+      |    CAST(0 AS DOUBLE) AS s12, CAST(0 AS DOUBLE) AS s22,
+      |    i.y1 AS py1, i.y2 AS py2
+      |  FROM idx i JOIN n ON n.user_id = i.user_id WHERE i.rn = 1
+      |  UNION ALL
+      |  SELECT i.user_id, i.rn,
+      |    r.s11 + (i.y1 - (p.c1 + (p.a11*r.py1 + p.a12*r.py2)))
+      |          * (i.y1 - (p.c1 + (p.a11*r.py1 + p.a12*r.py2))),
+      |    r.s12 + (i.y1 - (p.c1 + (p.a11*r.py1 + p.a12*r.py2)))
+      |          * (i.y2 - (p.c2 + (p.a21*r.py1 + p.a22*r.py2))),
+      |    r.s22 + (i.y2 - (p.c2 + (p.a21*r.py1 + p.a22*r.py2)))
+      |          * (i.y2 - (p.c2 + (p.a21*r.py1 + p.a22*r.py2))),
+      |    i.y1, i.y2
+      |  FROM res r JOIN idx i ON i.user_id = r.user_id AND i.rn = r.rn + 1
+      |  CROSS JOIN params p
+      |),
+      |sig AS (SELECT r.user_id, r.s11/(n.n - 4) AS s11, r.s12/(n.n - 4) AS s12,
+      |  r.s22/(n.n - 4) AS s22, r.py1 AS ylast1, r.py2 AS ylast2
+      | FROM res r JOIN n ON n.user_id = r.user_id AND r.rn = n.n),
+      |fc AS (
+      |  SELECT s.user_id, 1 AS step,
+      |    p.c1 + (p.a11*s.ylast1 + p.a12*s.ylast2) AS f1,
+      |    p.c2 + (p.a21*s.ylast1 + p.a22*s.ylast2) AS f2,
+      |    CAST(1 AS DOUBLE) AS phi11, CAST(0 AS DOUBLE) AS phi12,
+      |    CAST(0 AS DOUBLE) AS phi21, CAST(1 AS DOUBLE) AS phi22,
+      |    s.s11 AS m1, s.s22 AS m2
+      |  FROM sig s CROSS JOIN params p
+      |  UNION ALL
+      |  SELECT f.user_id, f.step + 1,
+      |    p.c1 + (p.a11*f.f1 + p.a12*f.f2),
+      |    p.c2 + (p.a21*f.f1 + p.a22*f.f2),
+      |    f.phi11*p.a11 + f.phi12*p.a21, f.phi11*p.a12 + f.phi12*p.a22,
+      |    f.phi21*p.a11 + f.phi22*p.a21, f.phi21*p.a12 + f.phi22*p.a22,
+      |    f.m1 + ((f.phi11*p.a11 + f.phi12*p.a21)*s.s11
+      |            + (f.phi11*p.a12 + f.phi12*p.a22)*s.s12)
+      |             *(f.phi11*p.a11 + f.phi12*p.a21)
+      |         + ((f.phi11*p.a11 + f.phi12*p.a21)*s.s12
+      |            + (f.phi11*p.a12 + f.phi12*p.a22)*s.s22)
+      |             *(f.phi11*p.a12 + f.phi12*p.a22),
+      |    f.m2 + ((f.phi21*p.a11 + f.phi22*p.a21)*s.s11
+      |            + (f.phi21*p.a12 + f.phi22*p.a22)*s.s12)
+      |             *(f.phi21*p.a11 + f.phi22*p.a21)
+      |         + ((f.phi21*p.a11 + f.phi22*p.a21)*s.s12
+      |            + (f.phi21*p.a12 + f.phi22*p.a22)*s.s22)
+      |             *(f.phi21*p.a12 + f.phi22*p.a22)
+      |  FROM fc f JOIN sig s ON s.user_id = f.user_id CROSS JOIN params p
+      |  WHERE f.step < 5
+      |)
+      |SELECT user_id, CAST(step AS BIGINT) AS step,
+      | round(f1, 4) AS v_forecast,
+      | round(f1 - 1.959963984540054*sqrt(m1), 4) AS v_lo,
+      | round(f1 + 1.959963984540054*sqrt(m1), 4) AS v_hi,
+      | round(f2, 4) AS c_forecast,
+      | round(f2 - 1.959963984540054*sqrt(m2), 4) AS c_lo,
+      | round(f2 + 1.959963984540054*sqrt(m2), 4) AS c_hi
+      |FROM fc""".stripMargin
 
   private def evalMetricsFixedSql: String =
     s"""WITH daily AS ($dailySql),

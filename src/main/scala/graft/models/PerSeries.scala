@@ -81,6 +81,66 @@ object PerSeries {
     forecastByKey(tsf, valueCol, steps, minRows)(series =>
       new Arima(p, d, q).fit(series).predict(steps, alpha))
 
+  /** Per-series VAR(1) forecast at FIXED (A₁, c) — q45's predict surface
+    * (residual covariance, forecast recursion, Ψ-matrix CI accumulation)
+    * as a millions-of-models fan-out: each key's multivariate series is
+    * gathered in time order and [[Var.fitFixed]]/predict run on the
+    * executors. Because everything downstream of the fixed parameters is
+    * deterministic linear algebra, the whole fan-out sits under the
+    * DuckDB hash gate (q87: q45's recursive CTEs with every user stepped
+    * simultaneously, the q52 pattern). Output: (seriesKeys..., step,
+    * then per value column forecast/lo/hi). Series shorter than
+    * `minRows` are skipped. */
+  def varForecastFixedByKey(
+      tsf: TimeseriesFrame,
+      valueCols: Seq[String],
+      a1: breeze.linalg.DenseMatrix[Double],
+      trendConst: Array[Double],
+      steps: Int,
+      alpha: Double = 0.05,
+      minRows: Int = 8): DataFrame = {
+    require(tsf.seriesKeys.nonEmpty, "varForecastFixedByKey needs seriesKeys")
+    require(valueCols.size == a1.rows && valueCols.size == trendConst.length,
+      "valueCols, A1 and trendConst dimensions must agree")
+    val spark = tsf.df.sparkSession
+    val keys = tsf.seriesKeys
+    val ordNames = tsf.timeCol.toSeq ++ tsf.tieBreak
+    require(ordNames.nonEmpty,
+      "varForecastFixedByKey needs a time column or tieBreak order")
+    val orderStruct = struct(
+      ordNames.map(c => col(c).cast("double")) ++
+        valueCols.map(c => col(c).cast("double")): _*)
+    val gathered = tsf.df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(orderStruct)).as("__series"))
+    val keySchema = StructType(keys.map(k => gathered.schema(k)))
+    val outSchema = StructType(keySchema.fields ++
+      (StructField("step", LongType, nullable = false) +:
+        valueCols.flatMap(c => Seq(
+          StructField(s"${c}_forecast", DoubleType),
+          StructField(s"${c}_lo", DoubleType),
+          StructField(s"${c}_hi", DoubleType)))))
+    val base = ordNames.size
+    val nv = valueCols.size
+    val outRdd = gathered.rdd.flatMap { row =>
+      val series = row.getSeq[Row](row.length - 1)
+        .map(s => Array.tabulate(nv)(j => s.getDouble(base + j))).toArray
+      if (series.length < minRows) Iterator.empty
+      else {
+        val keyVals = (0 until row.length - 1).map(row.get)
+        try {
+          val fit = new Var().fitFixed(series, Array(a1), trendConst)
+          val (fo, lo, hi) = fit.predict(steps, alpha)
+          (0 until steps).iterator.map { h =>
+            val vals = (0 until nv).flatMap(j =>
+              Seq[Any](fo(h)(j), lo(h)(j), hi(h)(j)))
+            Row.fromSeq(keyVals ++ (Seq[Any]((h + 1).toLong) ++ vals))
+          }
+        } catch { case _: Exception => Iterator.empty }
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
   /** Per-series ARMA forecast at FIXED (φ, θ, μ) — the fan-out path at
     * known parameters. Unlike [[arimaForecastByKey]] (iterative MLE per
     * key, rows-only checkable), every per-key output here is a

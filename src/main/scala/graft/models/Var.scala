@@ -213,11 +213,38 @@ final class Var(
     val s = DenseMatrix.zeros[Double](nVars, nVars)
     for (t <- k until n) {
       val e = DenseVector.tabulate(nVars)(i => data(t)(i) - fv(t - k)(i))
-      s += e * e.t
+      var i = 0
+      while (i < nVars) {
+        var j = 0
+        while (j < nVars) { s(i, j) += e(i) * e(j); j += 1 }
+        i += 1
+      }
     }
     sigmaU = s / dfResid.toDouble
     this
   }
+
+  /** Plain-scalar mat-vec / mat-mat used on every predict surface instead
+    * of BLAS: native gemv/gemm may fuse multiply-add (FMA), which rounds
+    * differently from the oracle SQL's separate `*` then `+` — with
+    * thousands of per-key rounded outputs (q87) the ulp drift flips 6dp
+    * roundings. Explicit left-to-right loops are bit-reproducible against
+    * the recursive-CTE oracles on any JVM/BLAS combination. */
+  private def matVec(a: DenseMatrix[Double], x: DenseVector[Double]): DenseVector[Double] =
+    DenseVector.tabulate(a.rows) { i =>
+      var s = 0.0
+      var j = 0
+      while (j < a.cols) { s += a(i, j) * x(j); j += 1 }
+      s
+    }
+
+  private def matMul(a: DenseMatrix[Double], b: DenseMatrix[Double]): DenseMatrix[Double] =
+    DenseMatrix.tabulate(a.rows, b.cols) { (i, j) =>
+      var s = 0.0
+      var l = 0
+      while (l < a.cols) { s += a(i, l) * b(l, j); l += 1 }
+      s
+    }
 
   /** Fitted lag matrices A₁..A_k as [lag][equation][variable] (statsmodels
     * `VARResults.coefs` layout). Read-only view for cross-checking the OLS
@@ -244,7 +271,7 @@ final class Var(
       if (nTrend >= 3) {
         out += trendCoefs(c, ::).t * math.pow(nobsFit + h + 1.0, 2); c += 1
       }
-      for (l <- 1 to k) out += coefs(l - 1) * hist(hist.length - l)
+      for (l <- 1 to k) out += matVec(coefs(l - 1), hist(hist.length - l))
       hist.append(out)
       out.toArray
     }.toArray
@@ -256,11 +283,11 @@ final class Var(
     phis(0) = DenseMatrix.eye[Double](nVars)
     for (i <- 1 until steps) {
       for (j <- 1 to math.min(i, k))
-        phis(i) += phis(i - j) * coefs(j - 1)
+        phis(i) += matMul(phis(i - j), coefs(j - 1))
     }
     val acc = DenseMatrix.zeros[Double](nVars, nVars)
     (0 until steps).map { i =>
-      acc += phis(i) * sigmaU * phis(i).t
+      acc += matMul(matMul(phis(i), sigmaU), phis(i).t)
       diag(acc).toArray.clone()
     }.toArray
   }
@@ -288,7 +315,7 @@ final class Var(
       if (nTrend >= 1) { out += trendCoefs(c, ::).t; c += 1 }
       if (nTrend >= 2) { out += trendCoefs(c, ::).t * (t - k + 1).toDouble; c += 1 }
       if (nTrend >= 3) { out += trendCoefs(c, ::).t * math.pow(t - k + 1.0, 2); c += 1 }
-      for (l <- 1 to k) out += coefs(l - 1) * DenseVector(data(t - l))
+      for (l <- 1 to k) out += matVec(coefs(l - 1), DenseVector(data(t - l)))
       out.toArray
     }.toArray
   }

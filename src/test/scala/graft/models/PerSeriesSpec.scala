@@ -52,6 +52,43 @@ class PerSeriesSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("varForecastFixedByKey == independent per-key fitFixed runs") {
+    import spark.implicits._
+    val rows = (0 until 40).flatMap { i =>
+      Seq(("a", i.toLong, 10.0 + math.sin(i * 0.4) * 3 + (i % 5) * 0.2,
+            4.0 + math.cos(i * 0.3)),
+          ("b", i.toLong, 50.0 - i * 0.1, 7.0 + (i % 3) * 0.5))
+    }.toDF("k", "t", "y1", "y2")
+    val tsf = TimeseriesFrame(rows, Some("t"), Nil, Seq("k"))
+    val a1 = breeze.linalg.DenseMatrix((0.4, 0.02), (0.05, 0.35))
+    val cVec = Array(6.0, 3.0)
+    val grouped = PerSeries.varForecastFixedByKey(tsf, Seq("y1", "y2"),
+        a1, cVec, steps = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (0 until 6).map(j => r.getDouble(2 + j))).toMap
+    assert(grouped.size == 8) // 2 series × 4 steps
+    for (key <- Seq("a", "b")) {
+      val m = rows.filter(col("k") === key).orderBy("t")
+        .select(col("y1"), col("y2")).collect()
+        .map(r => Array(r.getDouble(0), r.getDouble(1)))
+      val (fo, lo, hi) = new Var().fitFixed(m, Array(a1), cVec).predict(4)
+      (0 until 4).foreach { h =>
+        val got = grouped((key, h + 1L))
+        val expected = Seq(fo(h)(0), lo(h)(0), hi(h)(0), fo(h)(1), lo(h)(1), hi(h)(1))
+        got.zip(expected).foreach { case (g, e) =>
+          assert(math.abs(g - e) < 1e-9, s"$key step ${h + 1}: $g vs $e")
+        }
+      }
+    }
+    // short series skipped
+    val tiny = (0 until 5).map(i => ("t5", i.toLong, 1.0, 2.0))
+      .toDF("k", "t", "y1", "y2")
+    assert(PerSeries.varForecastFixedByKey(
+      TimeseriesFrame(tiny, Some("t"), Nil, Seq("k")), Seq("y1", "y2"),
+      a1, cVec, steps = 2).count() == 0)
+  }
+
   test("evaluateNaiveDriftByKey == independent per-key fold pooling") {
     import spark.implicits._
     val df = twoArSeries
