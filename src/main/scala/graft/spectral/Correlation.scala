@@ -409,7 +409,23 @@ object Correlation {
       maxLag: Option[Int] = None, alpha: Option[Double] = None): DataFrame = {
     val n = tsf.df.count()
     val k = maxLag.getOrElse((0.9 * n).toInt)
-    val vec = acfVector(tsf, xCol, k)
+    // the ring-buffer fold is O(n·k): right for bounded correlogram
+    // depths, quadratic at the reference default k = 0.9·n on a long
+    // series — past a bounded depth, gather the (single) series under a
+    // constant key and take the O(n log n) Wiener–Khinchin path instead
+    // (statsmodels acf's own fft=True route); estimator identical
+    val vec =
+      if (k <= 4096) acfVector(tsf, xCol, k)
+      else {
+        val keyed = tsf.copy(
+          df = tsf.df.withColumn("__k", org.apache.spark.sql.functions.lit(1)),
+          seriesKeys = Seq("__k"))
+        val rows = acfByKeyFft(keyed, xCol, k).collect()
+        val out = new Array[Double](k + 1)
+        out(0) = 1.0
+        rows.foreach(r => out(r.getLong(1).toInt) = r.getDouble(2))
+        out
+      }
     peaksFrame(spark, "acf", vec, n, alpha.map(a => acfConfint(vec, n, a)))
   }
 

@@ -127,6 +127,23 @@ class MultiSeriesSpec extends SparkSpec {
     }
   }
 
+  test("acf routes deep lag counts through the FFT path with equal values") {
+    import spark.implicits._
+    val n = 4500
+    val df = (0 until n).map(i =>
+      (i.toLong, math.sin(i * 0.05) * 10 + (i % 7))).toDF("i", "x")
+    val tsf = TimeseriesFrame(df, None, Seq("i"))
+    // maxLag 4200 > the 4096 routing threshold → constant-key FFT path
+    val deep = Correlation.acf(spark, tsf, "x", maxLag = Some(4200))
+      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    val direct = Correlation.significantPeaks(
+      Correlation.acfVector(tsf, "x", 4200), order = 3).filter(_._1 > 0).toMap
+    assert(deep.keySet == direct.keySet, "peak sets differ between paths")
+    deep.foreach { case (lag, v) =>
+      assert(math.abs(v - direct(lag)) < 1e-9, s"lag $lag: $v vs ${direct(lag)}")
+    }
+  }
+
   test("grouped ACF drops constant series instead of aborting (ANSI /0)") {
     import spark.implicits._
     val df = ((0 until 20).map(i => ("varies", i.toLong, math.sin(i * 0.7))) ++
