@@ -409,25 +409,29 @@ object Correlation {
       maxLag: Option[Int] = None, alpha: Option[Double] = None): DataFrame = {
     val n = tsf.df.count()
     val k = maxLag.getOrElse((0.9 * n).toInt)
-    // the ring-buffer fold is O(n·k): right for bounded correlogram
-    // depths, quadratic at the reference default k = 0.9·n on a long
-    // series — past a bounded depth, gather the (single) series under a
-    // constant key and take the O(n log n) Wiener–Khinchin path instead
-    // (statsmodels acf's own fft=True route); estimator identical
-    val vec =
-      if (k <= 4096) acfVector(tsf, xCol, k)
-      else {
-        val keyed = tsf.copy(
-          df = tsf.df.withColumn("__k", org.apache.spark.sql.functions.lit(1)),
-          seriesKeys = Seq("__k"))
-        val rows = acfByKeyFft(keyed, xCol, k).collect()
-        val out = new Array[Double](k + 1)
-        out(0) = 1.0
-        rows.foreach(r => out(r.getLong(1).toInt) = r.getDouble(2))
-        out
-      }
+    val vec = acfVectorAuto(tsf, xCol, k)
     peaksFrame(spark, "acf", vec, n, alpha.map(a => acfConfint(vec, n, a)))
   }
+
+  /** ACF vector with depth-based routing: the ring-buffer fold is O(n·k)
+    * — right for bounded correlogram depths, quadratic at the reference
+    * defaults (0.9·n for ACF, n/2−1 for PACF) on a long series. Past a
+    * bounded depth, gather the (single) series under a constant key and
+    * take the O(n log n) Wiener–Khinchin path instead (statsmodels acf's
+    * own fft=True route); estimator identical, differential-pinned. */
+  private def acfVectorAuto(tsf: TimeseriesFrame, xCol: String,
+      k: Int): Array[Double] =
+    if (k <= 4096) acfVector(tsf, xCol, k)
+    else {
+      val keyed = tsf.copy(
+        df = tsf.df.withColumn("__k", org.apache.spark.sql.functions.lit(1)),
+        seriesKeys = Seq("__k"))
+      val rows = acfByKeyFft(keyed, xCol, k).collect()
+      val out = new Array[Double](k + 1)
+      out(0) = 1.0
+      rows.foreach(r => out(r.getLong(1).toInt) = r.getDouble(2))
+      out
+    }
 
   /** Levinson–Durbin recursion over the biased ACF — statsmodels
     * `pacf(method='ldb')` (`functions.py:221-246`). Driver-side on the tiny
@@ -470,7 +474,10 @@ object Correlation {
       maxLag: Option[Int] = None, alpha: Option[Double] = None): DataFrame = {
     val n = tsf.df.count()
     val k = maxLag.getOrElse(math.min(n.toInt / 2 - 1, n.toInt - 1))
-    val vec = pacfVector(acfVector(tsf, xCol, k))
+    // deep depths route the ACF through the FFT (acfVectorAuto); the
+    // Levinson–Durbin solve stays O(k²) local — statsmodels 'ldb' pays
+    // the same, and it is primitive-loop arithmetic after the de-boxing
+    val vec = pacfVector(acfVectorAuto(tsf, xCol, k))
     peaksFrame(spark, "pacf", vec, n, alpha.map(a => pacfConfint(vec, n, a)))
   }
 }
