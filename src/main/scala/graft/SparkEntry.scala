@@ -962,6 +962,25 @@ object SparkEntry {
         .toDF("step", "v_forecast", "v_lo", "v_hi",
           "c_forecast", "c_lo", "c_hi")
     }),
+    "q88_arimax_forecast_by_key" -> ((s, dir) => {
+      // q51's regression-with-AR(1)-errors predict surface fanned out per
+      // user: exog is the per-user 0-based day index (future exog known),
+      // the residual Kalman/forecast/CI recursions run executor-side; the
+      // oracle steps q51's CTE chain for every user simultaneously.
+      // Long-decimal params + 4dp rounding (the q87 boundary rule).
+      val t = ev(s, dir).withSeriesKeys("user_id")
+      val dailyByUser = MovingTransform.timePeriods(t, "days",
+          Seq("value_cents" -> "sum"))
+        .select(col("user_id"), col("days").as("d"),
+          (col("value_cents_sum") / 100.0 / col("instance_count")).as("v"))
+      val byUser = TimeseriesFrame(dailyByUser, Some("d"), Nil, Seq("user_id"))
+      PerSeries.arimaxTimeRegForecastFixedByKey(byUser, "v",
+          beta = 0.0213467291, phi = 0.4871236459, mu = 47.3182937, steps = 5)
+        .select(col("user_id"), col("step"),
+          round(col("forecast"), 4).as("forecast"),
+          round(col("ci_low"), 4).as("ci_low"),
+          round(col("ci_high"), 4).as("ci_high"))
+    }),
     "q87_var_forecast_by_key" -> ((s, dir) => {
       // q45's fixed-parameter VAR predict surface fanned out per user:
       // per-user daily bivariate series (exact-cents mean, count), one
@@ -1737,6 +1756,7 @@ object SparkEntry {
     "q85_acf_confint_by_key" -> acfConfintByKeySql,
     "q86_eval_naive_drift_by_key" -> evalNaiveDriftByKeySql,
     "q87_var_forecast_by_key" -> varForecastFixedByKeySql,
+    "q88_arimax_forecast_by_key" -> arimaxForecastFixedByKeySql,
     "q54_acf_distributed" ->
       s"""WITH s AS (SELECT value, row_number() OVER ($tsOrder) AS rn FROM events),
          |mu AS (SELECT avg(value) AS mu FROM s),
@@ -2275,6 +2295,61 @@ object SparkEntry {
       |FROM scored s
       |JOIN r2t r ON r.user_id = s.user_id AND r.model = s.model
       |JOIN pocidt p ON p.user_id = s.user_id AND p.model = s.model""".stripMargin
+
+  /** q51's fixed-(β, φ, μ) ARIMAX recursions (residual centering, AR(1)
+    * Kalman, u-forecast, time-index regression contribution, CI) with
+    * every user stepped simultaneously; per-user n and day index. Users
+    * with < 8 days are skipped (the Spark minRows guard). */
+  private def arimaxForecastFixedByKeySql: String =
+    """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0/count(*) AS v
+      | FROM events GROUP BY 1, 2),
+      |params AS (SELECT CAST(0.4871236459 AS DOUBLE) AS phi,
+      |  CAST(0.0213467291 AS DOUBLE) AS beta,
+      |  CAST(47.3182937 AS DOUBLE) AS mu),
+      |idx AS (SELECT user_id, CAST(v AS DOUBLE) AS y,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM daily),
+      |n AS (SELECT user_id, count(*) AS n FROM idx
+      |  GROUP BY 1 HAVING count(*) >= 8),
+      |cent AS (SELECT i.user_id, i.rn,
+      |  (i.y - pr.beta*CAST(i.rn - 1 AS DOUBLE)) - pr.mu AS x
+      | FROM idx i JOIN n ON n.user_id = i.user_id CROSS JOIN params pr),
+      |kf AS (
+      |  SELECT n.user_id, 0 AS rn, CAST(0 AS DOUBLE) AS a,
+      |    1/(1 - pr.phi*pr.phi) AS p,
+      |    CAST(0 AS DOUBLE) AS cumv2f, CAST(0 AS DOUBLE) AS lastx
+      |  FROM n CROSS JOIN params pr
+      |  UNION ALL
+      |  SELECT kf.user_id, i.rn,
+      |    pr.phi*kf.a + ((pr.phi*kf.p)/kf.p)*(i.x - kf.a),
+      |    ((pr.phi*kf.p)*pr.phi + 1)
+      |      - (((pr.phi*kf.p)/kf.p)*((pr.phi*kf.p)/kf.p))*kf.p,
+      |    kf.cumv2f + ((i.x - kf.a)*(i.x - kf.a))/kf.p,
+      |    i.x
+      |  FROM kf JOIN cent i ON i.user_id = kf.user_id AND i.rn = kf.rn + 1
+      |  CROSS JOIN params pr
+      |),
+      |fin AS (SELECT kf.user_id, kf.p, kf.lastx, kf.cumv2f/n.n AS s2
+      | FROM kf JOIN n ON n.user_id = kf.user_id AND kf.rn = n.n),
+      |fc AS (
+      |  SELECT f.user_id, 1 AS step, pr.phi*f.lastx AS fw, f.p AS ph
+      |  FROM fin f CROSS JOIN params pr
+      |  UNION ALL
+      |  SELECT f.user_id, f.step + 1, pr.phi*f.fw, (pr.phi*f.ph)*pr.phi + 1
+      |  FROM fc f CROSS JOIN params pr WHERE f.step < 5
+      |),
+      |out AS (SELECT f.user_id, f.step,
+      |  f.fw + pr.mu AS uf,
+      |  ((f.fw + pr.mu + 1.959963984540054*sqrt(fi.s2*f.ph))
+      |   - (f.fw + pr.mu)) / 1.959963984540054 AS se,
+      |  pr.beta * CAST(n.n + f.step - 1 AS DOUBLE) AS reg
+      | FROM fc f JOIN fin fi ON fi.user_id = f.user_id
+      | JOIN n ON n.user_id = f.user_id CROSS JOIN params pr)
+      |SELECT user_id, CAST(step AS BIGINT) AS step,
+      | round(reg + uf, 4) AS forecast,
+      | round((reg + uf) - 1.959963984540054*se, 4) AS ci_low,
+      | round((reg + uf) + 1.959963984540054*se, 4) AS ci_high
+      |FROM out""".stripMargin
 
   /** q45's fixed-(A₁,c) VAR recursions with every user stepped
     * simultaneously: the residual-covariance scan walks each user's

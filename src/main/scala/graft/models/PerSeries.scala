@@ -81,6 +81,28 @@ object PerSeries {
     forecastByKey(tsf, valueCol, steps, minRows)(series =>
       new Arima(p, d, q).fit(series).predict(steps, alpha))
 
+  /** Per-series ARIMAX forecast at FIXED (β, φ, μ) with the TIME-INDEX
+    * regressor — q51's regression-with-AR(1)-errors predict surface as a
+    * fan-out: exog is each series' 0-based position (so future exog is
+    * known without a second gather), the regression residuals' scalar
+    * Kalman filter and forecast run executor-side via
+    * [[Arimax.fitFixed]]/predict. Gate q88 replays q51's recursive CTEs
+    * per user. Output (seriesKeys..., step, forecast, ci_low, ci_high). */
+  def arimaxTimeRegForecastFixedByKey(
+      tsf: TimeseriesFrame,
+      valueCol: String,
+      beta: Double, phi: Double, mu: Double,
+      steps: Int,
+      alpha: Double = 0.05,
+      minRows: Int = 8): DataFrame =
+    forecastByKey(tsf, valueCol, steps, minRows) { y =>
+      val n = y.length
+      val exog = Array.tabulate(n)(i => Array(i.toDouble))
+      new Arimax(1, 0, 0)
+        .fitFixed(y, exog, Array(beta), Array(phi), Array(), mu)
+        .predict(Array.tabulate(steps)(h => Array((n + h).toDouble)), alpha)
+    }
+
   /** Per-series VAR(1) forecast at FIXED (A₁, c) — q45's predict surface
     * (residual covariance, forecast recursion, Ψ-matrix CI accumulation)
     * as a millions-of-models fan-out: each key's multivariate series is

@@ -89,6 +89,37 @@ class PerSeriesSpec extends SparkSpec {
       a1, cVec, steps = 2).count() == 0)
   }
 
+  test("arimaxTimeRegForecastFixedByKey == independent per-key fitFixed runs") {
+    import spark.implicits._
+    val rows = (0 until 30).flatMap { i =>
+      Seq(("a", i.toLong, 40.0 + 0.3 * i + math.sin(i * 0.8) * 2),
+          ("b", i.toLong, 10.0 + 0.1 * i + math.cos(i * 0.5)))
+    }.toDF("k", "t", "x")
+    val tsf = TimeseriesFrame(rows, Some("t"), Nil, Seq("k"))
+    val (beta, phi, mu) = (0.25, 0.4, 42.0)
+    val grouped = PerSeries.arimaxTimeRegForecastFixedByKey(
+        tsf, "x", beta, phi, mu, steps = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(grouped.size == 8)
+    for (key <- Seq("a", "b")) {
+      val y = rows.filter(col("k") === key).orderBy("t")
+        .select(col("x")).collect().map(_.getDouble(0))
+      val n = y.length
+      val exog = Array.tabulate(n)(i => Array(i.toDouble))
+      val (fo, lo, hi) = new Arimax(1, 0, 0)
+        .fitFixed(y, exog, Array(beta), Array(phi), Array(), mu)
+        .predict(Array.tabulate(4)(h => Array((n + h).toDouble)))
+      (0 until 4).foreach { h =>
+        val (gf, gl, gh) = grouped((key, h + 1L))
+        assert(math.abs(gf - fo(h)) < 1e-9, s"$key step ${h + 1} forecast")
+        assert(math.abs(gl - lo(h)) < 1e-9, s"$key step ${h + 1} ci_low")
+        assert(math.abs(gh - hi(h)) < 1e-9, s"$key step ${h + 1} ci_high")
+      }
+    }
+  }
+
   test("evaluateNaiveDriftByKey == independent per-key fold pooling") {
     import spark.implicits._
     val df = twoArSeries
