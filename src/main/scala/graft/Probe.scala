@@ -308,6 +308,22 @@ object Probe {
         phase(s"arima_mle_${k}_series_x1000")(
           graft.models.PerSeries.arimaForecastByKey(
             mTsf, "value", p = 1, d = 1, q = 0, steps = 3).count())
+        // fixed-parameter model fan-outs on the same k×1000 frame: the
+        // gather dominates (the per-series predict is closed-form), so
+        // these measure the millions-of-models floor without MLE cost
+        phase(s"arimax_fixed_${k}_series_x1000")(
+          graft.models.PerSeries.arimaxTimeRegForecastFixedByKey(
+            mTsf, "value", beta = 0.02, phi = 0.5, mu = 50.0, steps = 3)
+            .count())
+        val mBi = mEvents.withColumn("value2",
+          round(cos(col("event_id") % 883 / 70.0) * 300 + 700) / 100.0)
+        val mBiTsf = graft.core.TimeseriesFrame(mBi, Some("ts"),
+          tieBreak = Seq("event_id"), seriesKeys = Seq("series"))
+        phase(s"var_fixed_${k}_series_x1000")(
+          graft.models.PerSeries.varForecastFixedByKey(mBiTsf,
+            Seq("value", "value2"),
+            breeze.linalg.DenseMatrix((0.5, 0.01), (0.1, 0.3)),
+            Array(20.0, 5.0), steps = 3).count())
       case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf|timeseries)")
     }
 
