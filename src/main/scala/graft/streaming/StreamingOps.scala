@@ -352,4 +352,145 @@ object StreamingOps {
             if (st.n == 0) Double.NaN else st.m2 / st.n))
         })(Encoders.product[RunningState], Encoders.product[RunningStats])
   }
+
+  /** Per-key incremental fixed-parameter ARMA forecasting — the streaming
+    * twin of [[graft.models.PerSeries.armaForecastFixedByKey]] (the q52
+    * fan-out): the scalar Kalman filter behind `Arima.fitFixed` has O(m²)
+    * state per key — (a, P, Σv²/F, n) plus the last p observations and
+    * the last q innovations — so it folds across micro-batches via
+    * `flatMapGroupsWithState` with NO refit per batch. After each batch
+    * every touched key emits its `steps`-ahead forecast/CI from the
+    * post-batch state, matching a from-scratch batch `fitFixed` on the
+    * accumulated prefix (differential spec, 1e-9). The stationary P₀ is
+    * computed once on the driver (it depends only on (φ, θ)); all
+    * executor-side updates are plain scalar loops (no BLAS — the q87 FMA
+    * determinism rule). d = 0, the q52 surface. */
+  final case class ArmaKfState(a: Array[Double], pMat: Array[Double],
+      sumV2F: Double, n: Long, lastW: Array[Double], lastE: Array[Double])
+  final case class ArmaForecastRow(key: Long, n: Long, step: Int,
+      forecast: Double, ciLow: Double, ciHigh: Double)
+
+  def streamingArmaForecastFixed(
+      stream: DataFrame,
+      keyCol: String, timeCol: String, valueCol: String,
+      phi: Array[Double], theta: Array[Double], mu: Double,
+      steps: Int, alpha: Double = 0.05): Dataset[ArmaForecastRow] = {
+    val p = phi.length; val q = theta.length
+    val m = math.max(p, q + 1)
+    // row-major state-space matrices; P0 from (I − T⊗T)⁻¹vec(RR) exactly
+    // as Arima.logLikAndSigma2 builds it (RR symmetric → layout-agnostic)
+    val tMat = Array.ofDim[Double](m * m)
+    for (i <- 0 until p) tMat(i * m) = phi(i)
+    for (i <- 0 until m - 1) tMat(i * m + i + 1) = 1.0
+    val rVec = Array.ofDim[Double](m)
+    rVec(0) = 1.0
+    for (j <- 0 until q) rVec(j + 1) = theta(j)
+    val rr = Array.tabulate(m * m)(ix => rVec(ix / m) * rVec(ix % m))
+    val p0: Array[Double] = {
+      val m2 = m * m
+      val kron = breeze.linalg.DenseMatrix.zeros[Double](m2, m2)
+      for (i <- 0 until m; j <- 0 until m; k <- 0 until m; l <- 0 until m)
+        kron(i * m + k, j * m + l) = tMat(i * m + j) * tMat(k * m + l)
+      val lhs = breeze.linalg.DenseMatrix.eye[Double](m2) - kron
+      val vecP = breeze.linalg.inv(lhs) * breeze.linalg.DenseVector(rr.clone())
+      val pm = new breeze.linalg.DenseMatrix(m, m, vecP.toArray)
+      Array.tabulate(m * m)(ix => pm(ix / m, ix % m))
+    }
+    val z = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+      .inverseCumulativeProbability(1 - alpha / 2)
+
+    def matMulRM(a: Array[Double], b: Array[Double]): Array[Double] =
+      Array.tabulate(m * m) { ix =>
+        val i = ix / m; val j = ix % m
+        var s = 0.0; var l = 0
+        while (l < m) { s += a(i * m + l) * b(l * m + j); l += 1 }
+        s
+      }
+    def matMulRMt(a: Array[Double], b: Array[Double]): Array[Double] =
+      Array.tabulate(m * m) { ix =>
+        val i = ix / m; val j = ix % m
+        var s = 0.0; var l = 0
+        while (l < m) { s += a(i * m + l) * b(j * m + l); l += 1 }
+        s
+      }
+
+    val typed = stream.select(
+      col(keyCol).cast("long").as("key"),
+      col(timeCol).cast("double").as("t"),
+      col(valueCol).cast("double").as("v"))
+      .as(Encoders.product[(Long, Double, Double)])
+    typed
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Double, Double)],
+         state: GroupState[ArmaKfState]) => {
+          var st = state.getOption.getOrElse(ArmaKfState(
+            new Array[Double](m), p0.clone(), 0.0, 0L,
+            new Array[Double](math.max(p, 1)), new Array[Double](math.max(q, 1))))
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, raw) =>
+            val x = raw - mu
+            val a = st.a; val pm = st.pMat
+            val v = x - a(0)
+            val bigF = pm(0)
+            if (bigF > 0 && !bigF.isNaN) {
+              val kVec = Array.tabulate(m) { i =>
+                var s = 0.0; var j = 0
+                while (j < m) { s += tMat(i * m + j) * pm(j * m); j += 1 }
+                s / bigF
+              }
+              val a2 = Array.tabulate(m) { i =>
+                var s = 0.0; var j = 0
+                while (j < m) { s += tMat(i * m + j) * a(j); j += 1 }
+                s + kVec(i) * v
+              }
+              val tpt = matMulRMt(matMulRM(tMat, pm), tMat)
+              val p2 = Array.tabulate(m * m)(ix =>
+                tpt(ix) + rr(ix) - kVec(ix / m) * kVec(ix % m) * bigF)
+              // newest-first rings of the last p observations / q innovations
+              val lw =
+                if (p == 0) st.lastW
+                else (x +: st.lastW.toSeq.take(p - 1)).toArray
+              val le =
+                if (q == 0) st.lastE
+                else (v +: st.lastE.toSeq.take(q - 1)).toArray
+              st = ArmaKfState(a2, p2, st.sumV2F + v * v / bigF, st.n + 1, lw, le)
+            }
+          }
+          state.update(st)
+          if (st.n == 0) Iterator.empty
+          else {
+            // h-step difference equation on the rings (Arima.predict's
+            // recursion: absent history and future innovations are 0)
+            val fw = new Array[Double](steps)
+            for (h <- 0 until steps) {
+              var v = 0.0
+              for (i <- 1 to p) {
+                val back = i - h // back-th most recent observation (1-based)
+                v += phi(i - 1) * (
+                  if (back <= 0) fw(h - i)
+                  else if (back <= math.min(st.n, p.toLong)) st.lastW(back - 1)
+                  else 0.0)
+              }
+              for (j <- 1 to q) {
+                val back = j - h
+                v += theta(j - 1) * (
+                  if (back >= 1 && back <= math.min(st.n, q.toLong)) st.lastE(back - 1)
+                  else 0.0)
+              }
+              fw(h) = v
+            }
+            val sigma2 = st.sumV2F / st.n
+            var ph = st.pMat
+            val out = (0 until steps).map { h =>
+              val se = math.sqrt(sigma2 * ph(0))
+              val next = matMulRMt(matMulRM(tMat, ph), tMat)
+              ph = Array.tabulate(m * m)(ix => next(ix) + rr(ix))
+              val f = fw(h) + mu
+              ArmaForecastRow(key, st.n, h + 1, f, f - z * se, f + z * se)
+            }
+            out.iterator
+          }
+        })(Encoders.product[ArmaKfState], Encoders.product[ArmaForecastRow])
+  }
 }
