@@ -60,6 +60,45 @@ class StreamingArmaSpec extends SparkSpec {
     assert(seen == prefixes.size * 2 * steps)
   }
 
+  test("property: any micro-batch split yields the same final forecasts") {
+    // seeded-random batch boundaries: the state fold must make the final
+    // emissions invariant to HOW the prefix was chopped into batches
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(77)
+    val n = 60
+    val (phi, theta, mu) = (Array(0.5), Array(-0.2), 51.0)
+    val series = (0 until n).map(i => value(3, i)).toArray
+    val (fo, lo, hi) = new Arima(1, 0, 1)
+      .fitFixed(series, phi, theta, mu).predict(2)
+    for (trial <- 0 until 3) {
+      val cuts = (Seq(0, n) ++ Seq.fill(3)(1 + rnd.nextInt(n - 1)))
+        .distinct.sorted
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val out = StreamingOps.streamingArmaForecastFixed(
+        mem.toDF().toDF("key", "ts", "value"),
+        "key", "ts", "value", phi, theta, mu, steps = 2)
+      val name = s"arma_split_$trial"
+      val query = out.writeStream.format("memory")
+        .queryName(name).outputMode("update").start()
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        mem.addData((a until b).map(i =>
+          (3L, new Timestamp(base + i * 60000L), value(3, i))): _*)
+        query.processAllAvailable()
+      }
+      val got = spark.sql(s"select * from $name where n = $n order by step")
+        .collect()
+      query.stop()
+      assert(got.length == 2, s"trial $trial (cuts $cuts)")
+      (0 until 2).foreach { h =>
+        assert(math.abs(got(h).getDouble(3) - fo(h)) < 1e-9,
+          s"trial $trial step ${h + 1} forecast")
+        assert(math.abs(got(h).getDouble(4) - lo(h)) < 1e-9)
+        assert(math.abs(got(h).getDouble(5) - hi(h)) < 1e-9)
+      }
+    }
+  }
+
   test("pure AR and pure MA edges match batch on one prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
