@@ -119,30 +119,21 @@ object ModelEvaluation {
     * whole pipeline per user in SQL. */
   def evaluateNaiveDriftByKey(tsf: TimeseriesFrame, xCol: String,
       nFolds: Int = 3, steps: Int = 3): DataFrame = {
-    require(tsf.seriesKeys.nonEmpty, "evaluateNaiveDriftByKey needs seriesKeys")
     val spark = tsf.df.sparkSession
-    val keys = tsf.seriesKeys
-    val ordNames = tsf.timeCol.toSeq ++ tsf.tieBreak
-    require(ordNames.nonEmpty,
-      "evaluateNaiveDriftByKey needs a time column or tieBreak order")
-    val orderStruct = struct(
-      ordNames.map(c => col(c).cast("double")) :+ col(xCol).cast("double"): _*)
-    val gathered = tsf.df.filter(col(xCol).isNotNull)
-      .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(orderStruct)).as("__series"))
-    val keySchema = StructType(keys.map(k => gathered.schema(k)))
-    val outSchema = StructType(keySchema.fields ++ Seq(
+    val g = graft.core.SeriesGather.gather(tsf, Seq(xCol),
+      "evaluateNaiveDriftByKey", dropNulls = true)
+    val outSchema = StructType(g.keySchema.fields ++ Seq(
       StructField("model", StringType),
       StructField("rmse", DoubleType), StructField("mae", DoubleType),
       StructField("mape", DoubleType), StructField("pocid", DoubleType),
       StructField("r2", DoubleType)))
-    val xField = ordNames.size
-    val outRdd = gathered.rdd.flatMap { row =>
-      val y = row.getSeq[Row](row.length - 1).map(_.getDouble(xField)).toArray
+    val xField = g.xField
+    val outRdd = g.df.rdd.flatMap { row =>
+      val y = graft.core.SeriesGather.values(row, xField)
       val m = y.length
       if (m - nFolds * steps < 2) Iterator.empty
       else {
-        val keyVals = (0 until row.length - 1).map(row.get)
+        val keyVals = graft.core.SeriesGather.keyVals(row)
         def pool(pred: (Int, Int) => Double): (Array[Double], Array[Double]) = {
           val t = new Array[Double](nFolds * steps)
           val p = new Array[Double](nFolds * steps)

@@ -31,31 +31,20 @@ object PerSeries {
       minRows: Int)(
       predictOf: Array[Double] => (Array[Double], Array[Double], Array[Double]))
       : DataFrame = {
-    require(tsf.seriesKeys.nonEmpty, "per-series forecasting needs seriesKeys")
     val spark = tsf.df.sparkSession
-    val keys = tsf.seriesKeys
-    val tCol = tsf.timeCol.getOrElse(
-      throw new IllegalArgumentException("needs a time column"))
-    val orderStruct = struct(
-      (col(tCol).cast("double") +: tsf.tieBreak.map(c => col(c).cast("double")))
-        :+ col(valueCol).cast("double"): _*)
-    val gathered = tsf.df
-      .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(orderStruct)).as("__series"))
-
-    val keySchema = StructType(keys.map(k => gathered.schema(k)))
-    val outSchema = StructType(keySchema.fields ++ Seq(
+    val g = graft.core.SeriesGather.gather(tsf, Seq(valueCol),
+      "per-series forecasting")
+    val outSchema = StructType(g.keySchema.fields ++ Seq(
       StructField("step", LongType, nullable = false),
       StructField("forecast", DoubleType),
       StructField("ci_low", DoubleType),
       StructField("ci_high", DoubleType)))
-    val nField = tsf.tieBreak.size + 2 // time + tieBreaks + value
-    val outRdd = gathered.rdd.flatMap { row =>
-      val series = row.getSeq[Row](row.length - 1)
-        .map(s => s.getDouble(nField - 1)).toArray
+    val xField = g.xField
+    val outRdd = g.df.rdd.flatMap { row =>
+      val series = graft.core.SeriesGather.values(row, xField)
       if (series.length < minRows) Iterator.empty
       else {
-        val keyVals = (0 until row.length - 1).map(row.get)
+        val keyVals = graft.core.SeriesGather.keyVals(row)
         try {
           val (fo, lo, hi) = predictOf(series)
           (0 until steps).iterator.map(h =>
@@ -121,34 +110,24 @@ object PerSeries {
       steps: Int,
       alpha: Double = 0.05,
       minRows: Int = 8): DataFrame = {
-    require(tsf.seriesKeys.nonEmpty, "varForecastFixedByKey needs seriesKeys")
     require(valueCols.size == a1.rows && valueCols.size == trendConst.length,
       "valueCols, A1 and trendConst dimensions must agree")
     val spark = tsf.df.sparkSession
-    val keys = tsf.seriesKeys
-    val ordNames = tsf.timeCol.toSeq ++ tsf.tieBreak
-    require(ordNames.nonEmpty,
-      "varForecastFixedByKey needs a time column or tieBreak order")
-    val orderStruct = struct(
-      ordNames.map(c => col(c).cast("double")) ++
-        valueCols.map(c => col(c).cast("double")): _*)
-    val gathered = tsf.df.groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(orderStruct)).as("__series"))
-    val keySchema = StructType(keys.map(k => gathered.schema(k)))
-    val outSchema = StructType(keySchema.fields ++
+    val g = graft.core.SeriesGather.gather(tsf, valueCols,
+      "varForecastFixedByKey")
+    val outSchema = StructType(g.keySchema.fields ++
       (StructField("step", LongType, nullable = false) +:
         valueCols.flatMap(c => Seq(
           StructField(s"${c}_forecast", DoubleType),
           StructField(s"${c}_lo", DoubleType),
           StructField(s"${c}_hi", DoubleType)))))
-    val base = ordNames.size
+    val base = g.xField
     val nv = valueCols.size
-    val outRdd = gathered.rdd.flatMap { row =>
-      val series = row.getSeq[Row](row.length - 1)
-        .map(s => Array.tabulate(nv)(j => s.getDouble(base + j))).toArray
+    val outRdd = g.df.rdd.flatMap { row =>
+      val series = graft.core.SeriesGather.valueRows(row, base, nv)
       if (series.length < minRows) Iterator.empty
       else {
-        val keyVals = (0 until row.length - 1).map(row.get)
+        val keyVals = graft.core.SeriesGather.keyVals(row)
         try {
           val fit = new Var().fitFixed(series, Array(a1), trendConst)
           val (fo, lo, hi) = fit.predict(steps, alpha)

@@ -284,22 +284,14 @@ object Correlation {
   private def gatherAcf(tsf: TimeseriesFrame, xCol: String, opName: String,
       outFields: Seq[StructField], lagDepth: Int => Int)(
       transform: (Array[Double], Int) => Array[Seq[Any]]): DataFrame = {
-    require(tsf.seriesKeys.nonEmpty, s"$opName needs seriesKeys")
     val spark = tsf.df.sparkSession
-    val keys = tsf.seriesKeys
-    val ordNames = tsf.timeCol.toSeq ++ tsf.tieBreak
-    require(ordNames.nonEmpty, s"$opName needs a time column or tieBreak order")
-    val orderStruct = struct(
-      ordNames.map(c => col(c).cast("double")) :+ col(xCol).cast("double"): _*)
-    val gathered = tsf.df.filter(col(xCol).isNotNull)
-      .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(orderStruct)).as("__series"))
-    val keySchema = StructType(keys.map(k => gathered.schema(k)))
-    val outSchema = StructType(keySchema.fields ++
+    val g = graft.core.SeriesGather.gather(tsf, Seq(xCol), opName,
+      dropNulls = true)
+    val outSchema = StructType(g.keySchema.fields ++
       (StructField("lag", LongType, nullable = false) +: outFields))
-    val xField = ordNames.size
-    val outRdd = gathered.rdd.flatMap { row =>
-      val x = row.getSeq[Row](row.length - 1).map(_.getDouble(xField)).toArray
+    val xField = g.xField
+    val outRdd = g.df.rdd.flatMap { row =>
+      val x = graft.core.SeriesGather.values(row, xField)
       val m = x.length
       if (m < 2) Iterator.empty
       else {
@@ -312,7 +304,7 @@ object Correlation {
           val r = acovSumsFft(xc, nl)
           val acf = Array.tabulate(nl + 1)(k => if (k == 0) 1.0 else r(k) / s0)
           val out = transform(acf, m)
-          val keyVals = (0 until row.length - 1).map(row.get)
+          val keyVals = graft.core.SeriesGather.keyVals(row)
           (1 to nl).iterator.map(k =>
             Row.fromSeq(keyVals ++ (k.toLong +: out(k))))
         }

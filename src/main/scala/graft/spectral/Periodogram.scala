@@ -336,33 +336,24 @@ object Periodogram {
       detrend: String = "diff"): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
-    require(tsf.seriesKeys.nonEmpty, "spectrumByKeyFft needs seriesKeys")
     val spark = tsf.df.sparkSession
-    val keys = tsf.seriesKeys
-    val ordNames = tsf.timeCol.toSeq ++ tsf.tieBreak
-    require(ordNames.nonEmpty,
-      "spectrumByKeyFft needs a time column or tieBreak order")
-    val orderStruct = struct(
-      ordNames.map(c => col(c).cast("double")) :+ col(xCol).cast("double"): _*)
     // null x rows are dropped BEFORE the gather (a gap series belongs to
     // the interpolation family first; the explode form's null-skipping
     // sums index across gaps, which is not a spectrum either)
-    val gathered = tsf.df.filter(col(xCol).isNotNull)
-      .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(orderStruct)).as("__series"))
-    val keySchema = StructType(keys.map(k => gathered.schema(k)))
-    val outSchema = StructType(keySchema.fields ++ Seq(
+    val g = graft.core.SeriesGather.gather(tsf, Seq(xCol), "spectrumByKeyFft",
+      dropNulls = true)
+    val outSchema = StructType(g.keySchema.fields ++ Seq(
       StructField("period", DoubleType), StructField("power", DoubleType)))
-    val xField = ordNames.size // x's slot within the order struct
-    val outRdd = gathered.rdd.flatMap { row =>
-      val raw = row.getSeq[Row](row.length - 1).map(_.getDouble(xField)).toArray
+    val xField = g.xField
+    val outRdd = g.df.rdd.flatMap { row =>
+      val raw = graft.core.SeriesGather.values(row, xField)
       val xd = detrendLocal(raw, detrend)
       val m = xd.length
       val lo = math.max(m / 1000, 1)
       val hi = m / 2
       if (hi < lo) Iterator.empty
       else {
-        val keyVals = (0 until row.length - 1).map(row.get)
+        val keyVals = graft.core.SeriesGather.keyVals(row)
         // realForwardFull: full complex spectrum in-place over 2m slots —
         // Re[k] = buf(2k), Im[k] = buf(2k+1); power uses Re²+Im², so
         // JTransforms' e^{-iθ} sign convention is immaterial
