@@ -113,12 +113,12 @@ object Dedup {
     * recomputing), in exchange for iterating consumers
     * ([[connectedComponents]]) never replaying the scan+hash+join and the
     * internal signature cache being released before return. `false`
-    * keeps the RESULT lazy; the internal signature frame is a lazy
-    * localCheckpoint, so within the consuming action the scan+hash
-    * pipeline runs once (the first of the three internal consumers
-    * stores the blocks, the others read them) and the blocks are
-    * released by the ContextCleaner when the plan is dropped — no
-    * unmanaged persist. Both modes are non-resilient to executor loss
+    * keeps the RESULT lazy; the internal signature frame is an EAGER
+    * localCheckpoint either way (see the deadlock note at the call
+    * site), so the scan+hash pipeline runs exactly once (all three
+    * internal consumers read the blocks) and the blocks are released by
+    * the ContextCleaner when the plan is dropped — no unmanaged
+    * persist. Both modes are non-resilient to executor loss
     * (checkpoint blocks don't recompute); that is the price of not
     * re-running the signature scan. */
   def minhashCandidates(
@@ -138,17 +138,24 @@ object Dedup {
     // materialize the shingle array once per row — inlining it into the
     // signature expression would re-evaluate the whole tokenize/distinct
     // pipeline for every one of the `numHashes` slots
-    // lazy localCheckpoint: the signature frame is consumed three times
-    // (banding + both sides of the pair-scoring join); the first consumer
-    // computes and stores the blocks, the other two read them, and the
-    // ContextCleaner frees them when the plan is dropped — the r6 version
-    // used an unmanaged persist here (fast but leaked until LRU), the
-    // first r7 fix unpersisted at build time (no leak but the cache was
-    // never live, a 3x signature recompute)
+    // EAGER localCheckpoint: the signature frame is consumed three times
+    // (banding + both sides of the pair-scoring join); the blocks store
+    // once and the ContextCleaner frees them when the plan is dropped —
+    // the r6 version used an unmanaged persist here (fast but leaked
+    // until LRU), the first r7 fix unpersisted at build time (cache never
+    // live, a 3x signature recompute). Eager rather than lazy because a
+    // LAZY checkpoint consumed under AQE is a deadlock hazard: a
+    // broadcast-exchange thread materializing a small join side whose
+    // lineage contains the unmaterialized checkpoint runs doCheckpoint
+    // (global RDDCheckpointData$ lock) while the dag-scheduler computes
+    // partitions of the same RDDs (RDD monitor) — the lock-order
+    // inversion observed as a hard JVM deadlock in cosineCandidates'
+    // equivalent shape. Eager costs one synchronous job at build time;
+    // the signature scan itself still runs exactly once either way.
     val sigs = df
       .select(col(idCol).as("id"),
         minhashSignature(shingleHashesOf(col(textCol)), params).as("sig"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val banded0 = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
     // one keyed window pass drops over-cap buckets before the self-join

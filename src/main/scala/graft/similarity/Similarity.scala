@@ -208,26 +208,56 @@ object Similarity {
       org.apache.spark.sql.types.StructField("cv",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType))))
+    // LOCAL relation (no parallelize): the broadcast of this table then
+    // ships rows straight from the driver with no RDD job behind it
     val centDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(centRows.toSeq, 1), centSchema)
+      java.util.Arrays.asList(centRows: _*), centSchema)
     def dist(a: Column, b: Column): Column =
       sqrt(graft.functions.VectorFunctions.l2sq(a, b))
 
-    // per-cell radius in unit space (nlist rows)
-    val radii = assigned.join(broadcast(centDf), "cell")
+    // Per-cell radius in unit space — ≤ nlist rows, COLLECTED, and the
+    // qualifying cell-pair table is then built driver-side and broadcast
+    // as a local relation. This is both the better plan (nlist² distance
+    // checks beat a Spark cross-join stage over nlist-row frames) and a
+    // DEADLOCK FIX: the earlier shape put `radii` — whose lineage
+    // contains the lazy `assigned` checkpoint — under a broadcast
+    // exchange, so the broadcast-exchange thread could run the
+    // checkpoint's doCheckpoint (holding the global RDDCheckpointData$
+    // lock) while the dag-scheduler computed partitions of the same RDD
+    // graph for the probe side (holding the RDD monitor) — a lock-order
+    // inversion observed as a hard JVM deadlock under the full test
+    // suite. This collect is also deliberately the FIRST action over
+    // `assigned`: its blocks materialize synchronously on the calling
+    // thread before any concurrently-executing consumer exists.
+    val radii: Map[Int, Double] = assigned.join(broadcast(centDf), "cell")
       .groupBy(col("cell"))
       .agg(max(dist(col("u"), col("cv"))).as("r"))
-    val cells = centDf.join(radii, "cell")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     // qualifying cell pairs, BOTH orientations so the id_a < id_b filter
     // below sees each doc pair in exactly one of them; 1e-9 absorbs the
-    // unit-space rounding of the normalize + distance folds
+    // unit-space rounding of the normalize + distance folds. Same
+    // sequential-fold distance arithmetic as the expression form (only
+    // the pruning superset depends on it; completeness is geometric).
     val dCut = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
-    val cpairs = broadcast(cells.select(
-        col("cell").as("cell_a"), col("cv").as("cva"), col("r").as("ra"))
-      .crossJoin(cells.select(
-        col("cell").as("cell_b"), col("cv").as("cvb"), col("r").as("rb")))
-      .filter(dist(col("cva"), col("cvb")) <= lit(dCut) + col("ra") + col("rb"))
-      .select(col("cell_a"), col("cell_b")))
+    def distLoop(a: Array[Double], b: Array[Double]): Double = {
+      val m = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < m) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    val cents = model.clusterCenters.map(_.toArray)
+    val livePairs = for {
+      ca <- radii.keys.toSeq.sorted
+      cb <- radii.keys.toSeq.sorted
+      if distLoop(cents(ca), cents(cb)) <= dCut + radii(ca) + radii(cb)
+    } yield org.apache.spark.sql.Row(ca, cb)
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell_a",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cell_b",
+        org.apache.spark.sql.types.IntegerType)))
+    val cpairs = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(livePairs: _*), pairSchema))
 
     val a = assigned.select(col("cell").as("cell_a"), col("id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
