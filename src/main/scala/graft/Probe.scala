@@ -223,6 +223,57 @@ object Probe {
         idx.release()
         println(f"[probe] ivf build+persist=$tBuild%.2fs batch1=$t1%.2fs ($n1 rows) " +
           f"batch2=$t2%.2fs ($n2 rows) batch3=$t3%.2fs ($n3 rows)")
+      case "pq" =>
+        // IVF-PQ at generated scale: n vectors × 64 dims (deterministic,
+        // clustered — 512 centers + id-hash jitter so both the coarse
+        // quantizer and the codebooks have real structure), k-means
+        // codebooks from a bounded sample, encoded index persisted, then
+        // ADC-only and refine query batches + recall@10 vs exact.
+        import graft.similarity.{IvfIndex, ProductQuantizer, Similarity}
+        val dim = 64
+        def timed[A](f: => A): (A, Double) = {
+          val s = System.nanoTime(); val a = f; (a, (System.nanoTime() - s) / 1e9)
+        }
+        val corpus = spark.range(n).select(col("id"),
+          expr(s"""transform(sequence(0, ${dim - 1}), d ->
+            sin((id % 512) * 0.7 + d * 0.31) +
+            cast((id * 2654435761 + d * 40503) % 1000 as double) / 2500.0)""")
+            .as("embedding"))
+          .localCheckpoint(false)
+        val (idx, tBuild) = timed(
+          IvfIndex.build(corpus, "id", "embedding", nlist = 64).persist())
+        val nv = idx.assigned.withColumn("nv",
+          graft.functions.VectorFunctions.arrayDiv(col("v"), col("nrm")))
+        val (cb, tTrain) = timed(ProductQuantizer.trainKMeans(
+          nv, "id", "nv", m = 8, ksub = 256, sampleN = 20000))
+        val (enc, tEnc) = timed {
+          val e = ProductQuantizer.encodeIndex(idx, cb)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          e.count(); e
+        }
+        def qs(lo: Long, hi: Long) =
+          corpus.filter(col("id") >= lo && col("id") < hi)
+        def batch(lo: Long, hi: Long, refine: Int): Long =
+          ProductQuantizer.search(idx, enc, qs(lo, hi), "id", "embedding", cb,
+            k = 10, nprobe = 8, refine = refine).count()
+        val (r1, tA1) = timed(batch(0, 100, 0))
+        val (r2, tA2) = timed(batch(100, 200, 0))
+        val (r3, tR1) = timed(batch(200, 300, 2))
+        val (r4, tR2) = timed(batch(300, 400, 2))
+        val exact = Similarity.bruteForceTopK(corpus, "id", "embedding",
+            qs(0, 50), "id", "embedding", k = 10)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = ProductQuantizer.search(idx, enc, qs(0, 50), "id",
+            "embedding", cb, k = 10, nprobe = 8, refine = 2)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (exact intersect got).size.toDouble / exact.size
+        enc.unpersist(); idx.release()
+        println(f"[probe] pq n=$n build=$tBuild%.1fs train=$tTrain%.1fs " +
+          f"encode=$tEnc%.1fs adc_batches=$tA1%.2f/$tA2%.2fs " +
+          f"refine_batches=$tR1%.2f/$tR2%.2fs rows=$r1/$r2/$r3/$r4 " +
+          f"recall@10(refine2,nprobe8)=$recall%.3f")
       case "timeseries" =>
         // the events-family scale path: seriesKeys-partitioned windows.
         // Gate data tops out at ~600k rows / 1 series; this drives the
@@ -324,7 +375,7 @@ object Probe {
             Seq("value", "value2"),
             breeze.linalg.DenseMatrix((0.5, 0.01), (0.1, 0.3)),
             Array(20.0, 5.0), steps = 3).count())
-      case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf|timeseries)")
+      case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf|pq|timeseries)")
     }
 
     println(f"[probe] wall=${(System.nanoTime() - t0) / 1e9}%.1fs worstRatio=${listener.worstRatio()}%.1fx")

@@ -1,0 +1,253 @@
+package graft.similarity
+
+import graft.functions.{PqFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., TPAMI 2011) — the compression tier
+  * of the ANN stack. [[IvfIndex]] prunes WHICH candidates are scored; PQ
+  * shrinks WHAT each candidate costs: a d-dim float vector becomes `m`
+  * small codes (subspace-wise nearest-centroid ids), and scoring a
+  * candidate is `m` table lookups against a per-query LUT instead of a
+  * d-element dot product over raw floats.
+  *
+  * Scale shape (the 100 TB story): the encoded corpus is ~16–64 bytes per
+  * vector instead of ~3 KB, so the candidate side of an ANN shuffle drops
+  * by two orders of magnitude and a billion-vector index fits executor
+  * memory. Codebooks are tiny (m·ksub·dsub doubles) and ride to executors
+  * as codegen reference objects; encoding and scoring are scan-stage
+  * native expressions ([[graft.functions.PqEncodeExpr]] etc.), never
+  * UDFs. Training collects only a BOUNDED sample (FAISS practice: a few
+  * 10⁴–10⁵ vectors regardless of corpus size).
+  *
+  * Reference anchor: the reference has no ANN surface at all
+  * (orangecontrib/timeseries covers §2 analytics only); this module is
+  * part of the training-data-pipeline family the task brief adds
+  * (embedding similarity search at scale).
+  */
+object ProductQuantizer {
+
+  /** Trained codebooks: `m` subspaces × `ksub` centroids × `dsub` dims,
+    * flattened `[(s·ksub + j)·dsub + d]` (the layout every kernel and the
+    * SQL oracle share). */
+  final case class Codebooks(m: Int, dsub: Int, ksub: Int, flat: Array[Double]) {
+    require(flat.length == m * ksub * dsub, s"codebook layout mismatch")
+  }
+
+  /** Deterministic data-row codebook: the `ksub` lowest-`idCol` vectors,
+    * each split into its `m` subvectors. Quantization quality is below a
+    * trained codebook's, but the construction is exactly reproducible in
+    * ANSI SQL (a filter + slice), which makes the ENTIRE
+    * encode → LUT → ADC → rank pipeline hash-checkable cross-engine — the
+    * same pluggable-trainer trick as `Arima.fitFixed` / full-probe IVF
+    * (gate q58). Production uses [[trainKMeans]]. */
+  def fromRows(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): Codebooks = {
+    val rows = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy("id").limit(ksub).collect()
+    require(rows.length == ksub, s"need $ksub codebook rows, got ${rows.length}")
+    val dim = rows.head.getSeq[Double](1).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val flat = new Array[Double](m * ksub * dsub)
+    var j = 0
+    while (j < ksub) {
+      val v = rows(j).getSeq[Double](1)
+      var s = 0
+      while (s < m) {
+        var d = 0
+        while (d < dsub) {
+          flat((s * ksub + j) * dsub + d) = v(s * dsub + d)
+          d += 1
+        }
+        s += 1
+      }
+      j += 1
+    }
+    Codebooks(m, dsub, ksub, flat)
+  }
+
+  /** Production trainer: per-subspace Lloyd's k-means on a bounded,
+    * deterministically-chosen sample (rows ordered by `xxhash64(id)` —
+    * a seedless shuffle that is stable across runs and partitionings).
+    * Only `sampleN` vectors are ever collected, independent of corpus
+    * size. Ties and empty clusters resolve deterministically (lowest
+    * centroid id wins; empty clusters keep their previous centroid), so
+    * the same data always yields the same codebooks. */
+  def trainKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, sampleN: Int = 65536, maxIter: Int = 10): Codebooks = {
+    val sample = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val n = sample.length
+    require(n >= ksub, s"need at least ksub=$ksub sample vectors, got $n")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val flat = new Array[Double](m * ksub * dsub)
+    var s = 0
+    while (s < m) {
+      // init: evenly-spaced rows of the hash-shuffled sample
+      val cents = Array.tabulate(ksub, dsub)((j, d) =>
+        sample((j.toLong * n / ksub).toInt)(s * dsub + d))
+      val assign = new Array[Int](n)
+      var it = 0
+      while (it < maxIter) {
+        var i = 0
+        while (i < n) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < ksub) {
+            var acc = 0.0
+            var d = 0
+            while (d < dsub) {
+              val diff = sample(i)(s * dsub + d) - cents(j)(d)
+              acc += diff * diff
+              d += 1
+            }
+            if (acc < bestD) { bestD = acc; best = j }
+            j += 1
+          }
+          assign(i) = best
+          i += 1
+        }
+        val sums = Array.ofDim[Double](ksub, dsub)
+        val counts = new Array[Int](ksub)
+        i = 0
+        while (i < n) {
+          val j = assign(i)
+          counts(j) += 1
+          var d = 0
+          while (d < dsub) { sums(j)(d) += sample(i)(s * dsub + d); d += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < ksub) {
+          if (counts(j) > 0) {
+            var d = 0
+            while (d < dsub) { cents(j)(d) = sums(j)(d) / counts(j); d += 1 }
+          }
+          j += 1
+        }
+        it += 1
+      }
+      var j = 0
+      while (j < ksub) {
+        var d = 0
+        while (d < dsub) { flat((s * ksub + j) * dsub + d) = cents(j)(d); d += 1 }
+        j += 1
+      }
+      s += 1
+    }
+    Codebooks(m, dsub, ksub, flat)
+  }
+
+  /** Mean squared quantization error of a codebook over a vector column —
+    * the k-means training objective, exposed for quality monitoring. */
+  def quantizationError(df: DataFrame, vecCol: String, cb: Codebooks): Double = {
+    val v = col(vecCol).cast("array<double>")
+    val code = PqFunctions.pqEncode(v, cb.m, cb.dsub, cb.ksub, cb.flat)
+    // decode-and-diff via LUT identity: |v - q(v)|² = |v|² - 2·adc(lut(v), code) + |q(v)|²
+    val lut = PqFunctions.pqLut(v, cb.m, cb.dsub, cb.ksub, cb.flat)
+    val cNorms: Array[Double] = {
+      val out = new Array[Double](cb.m * cb.ksub)
+      var i = 0
+      while (i < out.length) {
+        var acc = 0.0
+        var d = 0
+        while (d < cb.dsub) { val x = cb.flat(i * cb.dsub + d); acc += x * x; d += 1 }
+        out(i) = acc
+        i += 1
+      }
+      out
+    }
+    val cn = typedLit(cNorms.toSeq)
+    val err = VectorFunctions.dot(v, v) -
+      lit(2.0) * PqFunctions.pqAdc(lut, code, cb.ksub) +
+      PqFunctions.pqAdc(cn, code, cb.ksub)
+    df.select(avg(err)).head().getDouble(0)
+  }
+
+  def encode(vec: Column, cb: Codebooks): Column =
+    PqFunctions.pqEncode(vec, cb.m, cb.dsub, cb.ksub, cb.flat)
+
+  def lut(qvec: Column, cb: Codebooks): Column =
+    PqFunctions.pqLut(qvec, cb.m, cb.dsub, cb.ksub, cb.flat)
+
+  def adc(lutCol: Column, codeCol: Column, cb: Codebooks): Column =
+    PqFunctions.pqAdc(lutCol, codeCol, cb.ksub)
+
+  /** [[IvfIndex.Index.assigned]] + a PQ `code` column over the NORMALIZED
+    * vector (PQ-for-cosine encodes unit vectors so ADC approximates the
+    * cosine directly). The result is the servable IVF-PQ index: persist it
+    * and the raw floats are touched only by an optional refine stage. */
+  def encodeIndex(index: IvfIndex.Index, cb: Codebooks): DataFrame =
+    index.assigned.withColumn("code",
+      encode(VectorFunctions.arrayDiv(col("v"), col("nrm")), cb))
+
+  /** Top-k cosine ANN over an IVF-PQ index: probe the `nprobe` nearest
+    * cells (same coarse stage as [[IvfIndex.search]]), score candidates by
+    * ADC lookups only, and — when `refine > 0` — exactly rescore the top
+    * `refine·k` ADC survivors per query with the stored raw vectors
+    * (FAISS's IndexRefineFlat shape). `refine = 0` returns pure ADC
+    * scores; ranking ties break on `neighbor_id`. */
+  def search(index: IvfIndex.Index, encoded: DataFrame, queries: DataFrame,
+      queryId: String, queryVec: String, cb: Codebooks,
+      k: Int, nprobe: Int, refine: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = index.centroids
+    val q = queries.select(col(queryId).as("query_id"),
+        col(queryVec).cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .withColumn("lut", lut(VectorFunctions.arrayDiv(col("qv"), col("qn")), cb))
+
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }
+    val centDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val dist = VectorFunctions.l2sq(col("qv"), col("cv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("qv"), col("qn"), col("lut"), col("cell"),
+        dist.as("dist"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("lut"), col("cell"))
+
+    val cand = probes.join(encoded, "cell")
+      .filter(col("id") =!= col("query_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    if (refine <= 0) {
+      cand.select(col("query_id"), col("id").as("neighbor_id"),
+          adc(col("lut"), col("code"), cb).as("score"))
+        .withColumn("rank", row_number().over(wAdc))
+        .filter(col("rank") <= k)
+    } else {
+      val shortlist = cand.select(col("query_id"), col("id").as("neighbor_id"),
+          adc(col("lut"), col("code"), cb).as("score"),
+          col("qv"), col("qn"), col("v"), col("nrm"))
+        .withColumn("rank", row_number().over(wAdc))
+        .filter(col("rank") <= refine.toLong * k)
+      val wExact = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      shortlist.select(col("query_id"), col("neighbor_id"),
+          Similarity.cosinePre(col("qv"), col("v"), col("qn"), col("nrm")).as("sim"))
+        .withColumn("rank", row_number().over(wExact))
+        .filter(col("rank") <= k)
+    }
+  }
+}

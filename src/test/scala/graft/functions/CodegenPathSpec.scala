@@ -198,6 +198,37 @@ class CodegenPathSpec extends SparkSpec {
     }
   }
 
+  test("PQ expressions: codegen ≡ interpreted, incl. nulls; encode plans in codegen") {
+    import graft.similarity.ProductQuantizer
+    import spark.implicits._
+    val base = (0L until 12L).map(i =>
+      (i, Array.tabulate(8)(d => (((i * 13 + d) * 2654435761L) % 997L).toDouble / 500.0)))
+      .toDF("id", "v")
+    val cb = ProductQuantizer.fromRows(base, "id", "v", m = 2, ksub = 4)
+    def q = (base.union(Seq((99L, null.asInstanceOf[Array[Double]])).toDF("id", "v")))
+      .select(col("id"),
+        ProductQuantizer.encode(col("v"), cb).as("code"),
+        ProductQuantizer.lut(col("v"), cb).as("lut"),
+        ProductQuantizer.adc(
+          ProductQuantizer.lut(col("v"), cb),
+          ProductQuantizer.encode(col("v"), cb), cb).as("adc"))
+    bothPaths(q)
+
+    // the encode projection must live inside a WholeStageCodegen span —
+    // the vector is built from array(cast...) columns, NOT a transform()
+    // HOF: higher-order functions are CodegenFallback and would evict the
+    // collapsed projection regardless of the PQ expression
+    val planQ = spark.range(64)
+      .select(array((0 until 8).map(d =>
+        (col("id") + d).cast("double")): _*).as("v"))
+      .select(ProductQuantizer.encode(col("v"), cb).as("code"))
+    val wsc = planQ.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w.toString
+    }
+    assert(wsc.exists(s => s.contains("pqencode") && s.contains("Project")),
+      planQ.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("hash projection plans INSIDE WholeStageCodegen (fallback evicted it)") {
     // spark.range, not a local Seq: ConvertToLocalRelation evaluates
     // projections over LocalRelation at optimize time, leaving only a
