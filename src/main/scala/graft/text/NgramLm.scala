@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language model with stupid backoff (Brants et al.,
+  * "Large Language Models in Machine Translation", EMNLP 2007) — the
+  * CCNet-style perplexity quality signal for corpus filtering: documents
+  * whose token transitions are improbable under the corpus's own
+  * statistics (boilerplate, lexicon soup, OCR noise) score a high
+  * perplexity and can be thresholded out.
+  *
+  * Scale shape: training is two exploded map-side-combined counts
+  * (unigrams, bigrams) with a frequency prune — the canonical
+  * shuffle-light shape at any corpus size. Scoring never collects the
+  * model: document bigrams join the count tables on their keys (Spark
+  * broadcasts automatically when the pruned model fits, and falls back to
+  * a shuffle join when a 100 TB corpus's model doesn't), then one
+  * per-document aggregate folds log-probabilities. Everything is
+  * DataFrame-declarative — Catalyst sees every join key and filter.
+  *
+  * Score definition (deterministic, SQL-replicable):
+  *   S(w2|w1) = c(w1,w2)/c(w1)      if the bigram survived the prune
+  *            = α · S(w2)            otherwise (backoff)
+  *   S(w2)    = c(w2)/N             if w2 seen, else 1/N
+  *   doc_logp = mean over the doc's bigram positions of ln S
+  *   ppl      = exp(−doc_logp)
+  */
+object NgramLm {
+
+  /** A trained model: pruned bigram counts, full unigram counts, and the
+    * corpus token total. The count frames are plain DataFrames — persist
+    * them for repeated scoring, or write them out as the model artifact. */
+  final case class Model(unigrams: DataFrame, bigrams: DataFrame, totalTokens: Long)
+
+  /** Tokens of `textCol`, lowercased — identical to the vocabulary
+    * surface (q70): whitespace split, empties dropped. */
+  private def toks(textCol: String) = TextFunctions.tokens(lower(col(textCol)))
+
+  /** Adjacent-pair view of a document: one row per bigram position
+    * (single explode over a transform — no positional self-join). */
+  private def bigramsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), toks(textCol).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+
+  /** Train on a corpus: unigram counts, bigram counts pruned to
+    * `minBigramCount`, and the token total. */
+  def train(docs: DataFrame, textCol: String, minBigramCount: Long = 2L): Model = {
+    val uni = docs.select(explode(toks(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = bigramsOf(docs.withColumn("__id", lit(0L)), "__id", textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minBigramCount)
+    val total = uni.agg(sum("c1")).head().getLong(0)
+    Model(uni, bi, total)
+  }
+
+  /** Per-document stupid-backoff log-probability and perplexity.
+    * Output: (idCol, n_bigrams, avg_logp, ppl) for every document with at
+    * least one bigram. */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+      model: Model, alpha: Double = 0.4): DataFrame = {
+    val n = model.totalTokens.toDouble
+    val pairs = bigramsOf(docs, idCol, textCol)
+    val scored = pairs
+      .join(model.bigrams.withColumnRenamed("c2", "cBi"), Seq("w1", "w2"), "left")
+      .join(model.unigrams.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c1", "cW1"), Seq("w1"), "left")
+      .join(model.unigrams.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c1", "cW2"), Seq("w2"), "left")
+      .withColumn("logp",
+        when(col("cBi").isNotNull && col("cW1").isNotNull,
+          log(col("cBi") / col("cW1")))
+        .otherwise(log(lit(alpha) * coalesce(col("cW2"), lit(1L)) / lit(n))))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
+
+  /** Keep/drop verdict at a perplexity ceiling: documents scoring above
+    * `maxPpl` (or too short to score) are dropped. */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      model: Model, maxPpl: Double, alpha: Double = 0.4): DataFrame = {
+    val scores = perplexity(docs, idCol, textCol, model, alpha)
+      .select(col(idCol), col("ppl"))
+    docs.join(scores, Seq(idCol), "left")
+      .withColumn("keep", col("ppl").isNotNull && col("ppl") <= maxPpl)
+  }
+}
