@@ -163,6 +163,86 @@ object Multimodal {
     None
   }
 
+  /** Decoded, channel-averaged, [-1, 1]-normalized WAV samples — the
+    * input surface for audio feature extraction ([[audioSpectrogram]]).
+    * Runs the SAME chunk walk as [[decodeWavPcm]] (format/bits/bounds
+    * rules identical) but materializes the mono mix instead of the
+    * checksum: x[t] = mean over channels of s/32768 (16-bit) or
+    * (u−128)/128 (8-bit). None on any malformed input. */
+  def decodeWavSamplesMono(bytes: Array[Byte]): Option[(WavMeta, Array[Double])] =
+    decodeWavPcm(bytes).map { meta =>
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def str4(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      // re-locate the data chunk (decodeWavPcm validated the walk)
+      var pos = 12
+      var dataOff = -1
+      while (dataOff < 0) {
+        val sz = bb.getInt(pos + 4)
+        if (str4(pos) == "data") dataOff = pos + 8
+        else pos += 8 + sz + (sz & 1)
+      }
+      val ch = meta.channels
+      val bytesPer = meta.bitsPerSample / 8
+      val n = meta.frames.toInt
+      val x = new Array[Double](n)
+      var t = 0
+      while (t < n) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = dataOff + (t * ch + c) * bytesPer
+          acc += (if (meta.bitsPerSample == 16) bb.getShort(off) / 32768.0
+                  else ((bytes(off) & 0xff) - 128) / 128.0)
+          c += 1
+        }
+        x(t) = acc / ch
+        t += 1
+      }
+      (meta, x)
+    }
+
+  final case class SpectrogramRow(id: Long, frame: Int, bin: Int, mag: Double)
+
+  /** STFT magnitude spectrogram over PCM WAV payloads — the audio
+    * feature-extraction stage of a multimodal training pipeline (speech
+    * data curation computes exactly this before any learned featurizer).
+    * Rectangular window of `win` samples every `hop`; output one row per
+    * (payload, frame, bin 0..win/2) with |X[bin]| of the channel-averaged
+    * normalized signal. Scan-shaped: decode + FFT run per partition with
+    * no shuffle ([[decodeMedia]]'s batch contract); the FFT is
+    * O(win log win) per frame via JTransforms (the [[graft.spectral]]
+    * scale path applied to audio). Non-WAV or shorter-than-window
+    * payloads yield no rows. */
+  def audioSpectrogram(df: DataFrame, idCol: String, binCol: String,
+      win: Int = 64, hop: Int = 32): DataFrame = {
+    require(win >= 2 && win % 2 == 0 && hop > 0, s"bad win=$win hop=$hop")
+    val ds = df.select(col(idCol).cast("long").as("id"),
+      col(binCol).cast("binary").as("payload")).as(Encoders.product[MediaRow])
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWavSamplesMono(r.payload) match {
+          case Some((_, x)) if x.length >= win =>
+            val nf = (x.length - win) / hop + 1
+            val fft = new org.jtransforms.fft.DoubleFFT_1D(win)
+            (0 until nf).iterator.flatMap { f =>
+              // realForwardFull: full complex spectrum in-place over
+              // 2·win slots (buf[2j]=re, buf[2j+1]=im)
+              val buf = new Array[Double](2 * win)
+              var t = 0
+              while (t < win) { buf(t) = x(f * hop + t); t += 1 }
+              fft.realForwardFull(buf)
+              (0 to win / 2).iterator.map { j =>
+                SpectrogramRow(r.id, f, j,
+                  math.sqrt(buf(2 * j) * buf(2 * j) + buf(2 * j + 1) * buf(2 * j + 1)))
+              }
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }(Encoders.product[SpectrogramRow]).toDF()
+  }
+
   /** Real PPM P6 decoder: whitespace-separated header tokens with `#`
     * comment support, maxVal ≤ 255 (single-byte samples), exactly one
     * whitespace byte before the raw RGB block. None on malformed input. */
