@@ -15,7 +15,7 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- Seq("q10_timeslice", "q01_sliding_basic", "q06_period_day",
         "q24_nation_revenue", "q37_multiseries_sliding", "q15_dedup_exact",
-        "q21_knn_topk")) {
+        "q21_knn_topk", "q89_pq_adc_topk", "q90_lm_perplexity")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -1191,6 +1191,78 @@ object SparkEntry {
           min(unix_micros(col("ts"))).as("start_us"),
           max(unix_micros(col("ts"))).as("end_us"))
     }),
+    "q89_pq_adc_topk" -> ((s, dir) => {
+      // product-quantized ANN, hash-gated END-TO-END: the fromRows
+      // codebook (the 16 lowest-id normalized vectors) is a filter+slice
+      // in SQL, so encode → LUT → ADC → rank replays exactly in DuckDB —
+      // the pluggable-trainer analogue of q58's full-probe trick (k-means
+      // codebooks are the production path, spec-covered). Determinism:
+      // normalized vectors round to 6dp BEFORE encoding (bit-identical
+      // argmin inputs across engines; distances of distinct centroids
+      // never tie within float noise, exact duplicates tie exactly and
+      // break on centroid id) and ADC scores round to 4dp BEFORE ranking
+      // (q57's boundary-decision rule)
+      import graft.functions.VectorFunctions
+      import graft.similarity.ProductQuantizer
+      val e = tbl(s, dir, "embeddings")
+      val v = col("embedding").cast("array<double>")
+      val nv = e.select(col("vec_id"),
+        transform(VectorFunctions.arrayDiv(v, Similarity.norm(v)),
+          x => round(x, 6)).as("v"))
+      val cb = ProductQuantizer.fromRows(nv, "vec_id", "v", m = 8, ksub = 16)
+      val enc = nv.select(col("vec_id").as("neighbor_id"),
+        ProductQuantizer.encode(col("v"), cb).as("code"))
+      val q = nv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          ProductQuantizer.lut(col("v"), cb).as("lut"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      // 10-query LUT table broadcast against the encoded scan — the ADC
+      // scan shape (candidate side never touches raw floats)
+      enc.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("score",
+          round(ProductQuantizer.adc(col("lut"), col("code"), cb), 4))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+    }),
+    "q90_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style bigram-LM quality signal, self-trained on the corpus:
+      // two map-side-combined counts (unigrams, pruned bigrams), then
+      // scoring joins that never collect the model — stupid backoff
+      // (Brants et al. 2007) keeps every probability a pure count ratio,
+      // so the whole train+score pipeline replays as SQL counts and joins
+      val d = tbl(s, dir, "documents")
+      val model = graft.text.NgramLm.train(d, "text", minBigramCount = 2)
+      graft.text.NgramLm.perplexity(d, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 4).as("avg_logp"),
+          round(col("ppl"), 4).as("ppl"))
+    }),
+    "q91_audio_spectrogram" -> ((s, dir) => {
+      // STFT spectrogram over planted PCM16 WAVs (q79's closed-form
+      // payloads — even doc_ids, stereo when id%4=0): the executor-side
+      // JTransforms FFT hash-checks against the oracle's direct DFT sums
+      // over the closed-form samples — cross-engine AND cross-algorithm
+      // (the q81 pattern applied to the multimodal family), and the WAV
+      // chunk walk + mono mix sit inside the gated path
+      import s.implicits._
+      val ids = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val rate = 8000 + (id % 3).toInt * 4000
+        val ch = if (id % 4 == 0) 2 else 1
+        val frames = 100 + (id % 50).toInt
+        val samples = Array.tabulate[Short](frames * ch)(k =>
+          (((id * 31 + k.toLong * 7) % 65536) - 32768).toShort)
+        Multimodal.MediaRow(id, Multimodal.encodeWavPcm16(rate, ch, samples))
+      })
+      Multimodal.audioSpectrogram(media.toDF(), "id", "payload")
+        .select(col("id").as("doc_id"), col("frame").cast("long").as("frame"),
+          col("bin").cast("long").as("bin"), round(col("mag"), 4).as("mag"))
+    }),
   )
 
   // ==================================================================== //
@@ -1402,6 +1474,9 @@ object SparkEntry {
     "q22_lsh_topk" -> lshTopkSql,
     // full probe ⇒ IVF degenerates to exact search: same oracle as q21
     "q58_ivf_topk" -> knnTopkSql,
+    "q89_pq_adc_topk" -> pqAdcTopkSql,
+    "q90_lm_perplexity" -> lmPerplexitySql,
+    "q91_audio_spectrogram" -> audioSpectrogramSql,
     "q59_simhash_pairs" -> simhashPairsSql,
     // integer cut-point arithmetic over the same whitespace tokenization
     // the q12 oracle already replays — exclusive running count, floor
@@ -3168,6 +3243,91 @@ object SparkEntry {
       |WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
       |  AND round(list_inner_product(q.v, c.v)
       |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 4) >= 0.2""".stripMargin
+
+  /** q91: direct DFT over the closed-form planted samples — win 64,
+    * hop 32, bins 0..32, channel-averaged normalized signal; the Spark
+    * side computes the same spectrum via FFT. */
+  private def audioSpectrogramSql: String =
+    """WITH w AS (SELECT doc_id AS id,
+      |  CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS ch,
+      |  100 + (doc_id % 50) AS nfr
+      | FROM documents WHERE doc_id % 2 = 0),
+      |x AS (SELECT id, r.t,
+      |  list_sum(list_transform(range(0, ch), c ->
+      |    CAST((id*31 + (r.t*ch + c)*7) % 65536 - 32768 AS DOUBLE))) / ch / 32768.0 AS xv
+      | FROM w, unnest(range(0, nfr)) r(t)),
+      |fr AS (SELECT id, r.f FROM w, unnest(range(0, (nfr - 64) // 32 + 1)) r(f)),
+      |term AS (SELECT fr.id, fr.f, b.j, x.t - fr.f*32 AS tt, x.xv
+      | FROM fr JOIN x ON x.id = fr.id AND x.t >= fr.f*32 AND x.t < fr.f*32 + 64,
+      | (SELECT unnest(range(0, 33)) AS j) b),
+      |spec AS (SELECT id, f, j,
+      |  sqrt(pow(sum(xv * cos(2*pi()*j*tt/64)), 2)
+      |     + pow(sum(xv * sin(2*pi()*j*tt/64)), 2)) AS mag
+      | FROM term GROUP BY 1, 2, 3)
+      |SELECT id AS doc_id, f AS frame, j AS bin, round(mag, 4) AS mag
+      |FROM spec""".stripMargin
+
+  /** q90: the bigram-LM train+score pipeline in SQL — the q70 tokenizer
+    * idiom, unigram/pruned-bigram counts, and the stupid-backoff CASE
+    * mirroring NgramLm.perplexity's `when` exactly. */
+  private def lmPerplexitySql: String =
+    """WITH tk AS (SELECT doc_id, list_filter(
+      |   regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      | FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM tk),
+      |u AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM u),
+      |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      | FROM tk, unnest(range(1, len(t))) r(i) WHERE len(t) >= 2),
+      |b AS (SELECT w1, w2, count(*) AS c2 FROM bg
+      | GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sc AS (SELECT g.doc_id,
+      |  CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+      |   THEN ln(b.c2 / u1.c1)
+      |   ELSE ln(0.4 * coalesce(u2.c1, 1) / (SELECT n FROM tot)) END AS logp
+      | FROM bg g LEFT JOIN b USING (w1, w2)
+      | LEFT JOIN u u1 ON g.w1 = u1.w
+      | LEFT JOIN u u2 ON g.w2 = u2.w)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      | round(avg(logp), 4) AS avg_logp,
+      | round(exp(-avg(logp)), 4) AS ppl
+      |FROM sc GROUP BY 1""".stripMargin
+
+  /** q89: the full PQ pipeline in SQL — normalize+round 6dp, codebook =
+    * subvector slices of vec_id < 16, encode = row_number argmin over
+    * per-subspace squared distances (tie → lowest centroid id, matching
+    * the kernel's strict `<`), LUT = partial inner products, ADC = the
+    * m-term LUT sum rounded to 4dp before ranking. */
+  private def pqAdcTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS r FROM embeddings),
+      |u AS (SELECT vec_id,
+      |  list_transform(r, x -> round(x / sqrt(list_inner_product(r, r)), 6)) AS v
+      | FROM e),
+      |sub AS (SELECT vec_id, m, v[(m*8+1):(m*8+8)] AS sv
+      | FROM u, (SELECT unnest(generate_series(0, 7)) AS m) ms),
+      |cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 16),
+      |dist AS (SELECT s.vec_id, s.m, c.cid,
+      |  list_sum(list_transform(generate_series(1, 8),
+      |    i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d
+      | FROM sub s JOIN cb c USING (m)),
+      |enc AS (SELECT vec_id, m, cid AS code FROM (
+      |  SELECT vec_id, m, cid,
+      |   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rk
+      |  FROM dist) WHERE rk = 1),
+      |lut AS (SELECT s.vec_id AS query_id, c.m, c.cid,
+      |  list_inner_product(s.sv, c.cv) AS pd
+      | FROM sub s JOIN cb c USING (m) WHERE s.vec_id < 10),
+      |score AS (SELECT l.query_id, en.vec_id AS neighbor_id,
+      |  round(sum(l.pd), 4) AS score
+      | FROM enc en JOIN lut l ON en.m = l.m AND en.code = l.cid
+      | WHERE en.vec_id != l.query_id
+      | GROUP BY 1, 2)
+      |SELECT query_id,
+      | CAST(row_number() OVER (PARTITION BY query_id
+      |   ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank,
+      | neighbor_id, score
+      |FROM score
+      |QUALIFY rank <= 5""".stripMargin
 
   private def knnTopkSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
