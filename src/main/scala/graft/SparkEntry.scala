@@ -6,7 +6,7 @@ import graft.dedup.Dedup
 import graft.ops._
 import graft.models.{Arima, Arimax, Granger, Metrics, ModelEvaluation, PerSeries, Var}
 import graft.multimodal.Multimodal
-import graft.pipeline.{Packing, Sampling}
+import graft.pipeline.{Dsir, Packing, Sampling}
 import graft.similarity.{IvfIndex, Similarity}
 import graft.spectral.{Correlation, Periodogram}
 import graft.text.TextFunctions
@@ -1263,6 +1263,47 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("frame").cast("long").as("frame"),
           col("bin").cast("long").as("bin"), round(col("mag"), 4).as("mag"))
     }),
+    "q92_semdedup" -> ((s, dir) => {
+      // SemDeDup keep/drop over the embedding corpus: deterministic
+      // fromRows clusterer (16 lowest-id normalized vectors — a
+      // filter+slice in SQL, the q89 trick), PQ-argmin assignment, and the
+      // canonical lower-id ε-ball drop rule. Normalize+round 6dp before
+      // clustering (bit-identical argmin inputs, q89's rule); vectors are
+      // then unit so the pair sim is a plain dot, rounded 4dp before
+      // thresholding (q57's boundary rule). τ=0.35 sits in the synthetic
+      // corpus's near-dup band (the data has no planted twins; nearest
+      // raw sim is 3.6e-4 from the boundary)
+      import graft.functions.VectorFunctions
+      import graft.similarity.ProductQuantizer
+      val e = tbl(s, dir, "embeddings")
+      val v = col("embedding").cast("array<double>")
+      val nv = e.select(col("vec_id"),
+        transform(VectorFunctions.arrayDiv(v, Similarity.norm(v)),
+          x => round(x, 6)).as("v"))
+      val cb = graft.dedup.SemDedup.centroidsFromRows(nv, "vec_id", "v", k = 16)
+      graft.dedup.SemDedup.dedup(nv, "vec_id", "v", cb,
+          threshold = 0.35, normalized = true)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("kept"))
+    }),
+    "q93_dsir" -> ((s, dir) => {
+      // DSIR importance scoring, self-contained on the documents table:
+      // target = src0–src3, raw = the whole corpus. The hashed unigram+
+      // bigram feature chain is the tokHash polyhash arithmetic every
+      // dedup oracle replays; both log terms are subtracted inside the
+      // weight row in the same written order on both engines, and the
+      // per-doc sum rounds 6dp (q90's log precedent). keep = top 20% by
+      // (rounded score, doc_id) — rounding BEFORE ranking makes the order
+      // cross-engine total
+      val d = tbl(s, dir, "documents")
+      val target = d.filter(col("source").isin("src0", "src1", "src2", "src3"))
+      val w = Dsir.bucketWeights(d, target, "text", buckets = 1024)
+      val scored = Dsir.score(d, "doc_id", "text", w, buckets = 1024)
+        .withColumn("dsir_logw", round(col("dsir_logw"), 6))
+      Dsir.topFraction(scored, "doc_id", "dsir_logw", frac = 0.2)
+        .select(col("doc_id"), col("n_feats"), col("dsir_logw"),
+          col("rank"), col("keep"))
+    }),
   )
 
   // ==================================================================== //
@@ -1477,6 +1518,8 @@ object SparkEntry {
     "q89_pq_adc_topk" -> pqAdcTopkSql,
     "q90_lm_perplexity" -> lmPerplexitySql,
     "q91_audio_spectrogram" -> audioSpectrogramSql,
+    "q92_semdedup" -> semdedupSql,
+    "q93_dsir" -> dsirSql,
     "q59_simhash_pairs" -> simhashPairsSql,
     // integer cut-point arithmetic over the same whitespace tokenization
     // the q12 oracle already replays — exclusive running count, floor
@@ -3328,6 +3371,65 @@ object SparkEntry {
       | neighbor_id, score
       |FROM score
       |QUALIFY rank <= 5""".stripMargin
+
+  /** q92: SemDeDup replay — normalize+round 6dp, centroids = vec_id < 16,
+    * assignment = row_number argmin over full-vector squared distances
+    * (tie → lowest centroid id), dropped = distinct higher id of any
+    * within-cluster pair whose dot (unit vectors) rounds ≥ 0.35 at 4dp. */
+  private def semdedupSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS r FROM embeddings),
+      |u AS (SELECT vec_id,
+      |  list_transform(r, x -> round(x / sqrt(list_inner_product(r, r)), 6)) AS v
+      | FROM e),
+      |cb AS (SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id < 16),
+      |dist AS (SELECT u.vec_id, c.cid,
+      |  list_sum(list_transform(generate_series(1, 64),
+      |    i -> (u.v[i] - c.cv[i]) * (u.v[i] - c.cv[i]))) AS d
+      | FROM u, cb c),
+      |asg AS (SELECT vec_id, cid AS cluster FROM (
+      |  SELECT vec_id, cid,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      |  FROM dist) t WHERE rk = 1),
+      |p AS (SELECT DISTINCT a2.vec_id AS dropped
+      | FROM asg a1 JOIN asg a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+      | JOIN u u1 ON u1.vec_id = a1.vec_id JOIN u u2 ON u2.vec_id = a2.vec_id
+      | WHERE round(list_inner_product(u1.v, u2.v), 4) >= 0.35)
+      |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+      | (d.dropped IS NULL) AS kept
+      |FROM asg a LEFT JOIN p d ON a.vec_id = d.dropped""".stripMargin
+
+  /** q93: DSIR replay — hashed unigram+bigram buckets over the tokHash
+    * chain WITH multiplicity, add-1-smoothed log weight per bucket
+    * (both totals subtracted inside the row, same written order as the
+    * Spark column), per-doc Σ cnt·logw rounded 6dp, top-20% rank over
+    * (rounded score desc, doc_id). */
+  private def dsirSql: String =
+    s"""WITH th AS ($tokHashSql),
+      |f AS (
+      | SELECT doc_id, h % 1024 AS bucket
+      |  FROM (SELECT doc_id, unnest(th) AS h FROM th) z
+      | UNION ALL
+      | SELECT doc_id, unnest(list_transform(range(1, len(th)),
+      |   i -> ((th[i]*1000003 + th[i+1]) % 1000000007) % 1024)) AS bucket
+      |  FROM th),
+      |tgt AS (SELECT doc_id FROM documents
+      |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+      |cr AS (SELECT bucket, count(*) AS cr FROM f GROUP BY 1),
+      |ct AS (SELECT bucket, count(*) AS ct FROM f JOIN tgt USING (doc_id) GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(cr) FROM cr) AS tr, (SELECT sum(ct) FROM ct) AS tt),
+      |w AS (SELECT cr.bucket,
+      |  (ln(coalesce(ct.ct, 0) + 1.0) - ln(tt + 1024.0))
+      |   - (ln(cr.cr + 1.0) - ln(tr + 1024.0)) AS logw
+      | FROM cr LEFT JOIN ct USING (bucket), tot),
+      |dc AS (SELECT doc_id, bucket, count(*) AS cnt FROM f GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+      |  round(sum(cnt * logw), 6) AS dsir_logw
+      | FROM dc JOIN w USING (bucket) GROUP BY 1),
+      |k AS (SELECT CAST(ceil(count(*) * 0.2) AS BIGINT) AS k FROM sc)
+      |SELECT doc_id, n_feats, dsir_logw,
+      | CAST(row_number() OVER (ORDER BY dsir_logw DESC, doc_id) AS BIGINT) AS rank,
+      | row_number() OVER (ORDER BY dsir_logw DESC, doc_id) <= (SELECT k FROM k) AS keep
+      |FROM sc""".stripMargin
 
   private def knnTopkSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -62,6 +62,9 @@ object TextHash {
   def shingleHashes(c: Column, n: Int): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(c), n))
 
+  def ngramBuckets(c: Column, n: Int, buckets: Int): Column =
+    Bridge.column(NgramBucketsExpr(Bridge.expression(c), n, buckets))
+
   def shingleSpanHashes(c: Column, n: Int): Column =
     Bridge.column(ShingleSpanHashesExpr(Bridge.expression(c), n))
 
@@ -137,6 +140,35 @@ object TextHash {
       val it = seen.iterator()
       var k = 0
       while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** [[NgramBucketsExpr]] kernel: positional n-gram hashes (same chain as
+    * [[shingleHashesRow]], NO distinct — DSIR-style feature counting needs
+    * multiplicity) reduced mod `buckets`. */
+  def ngramBucketsRow(input: UTF8String, n: Int, buckets: Int): ArrayData = {
+    val s = input.toLowerCase.toString
+    val raw = s.split("\\s+")
+    val th = new Array[Long](raw.length)
+    var nt = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { th(nt) = hashString(raw(i)); nt += 1 }
+      i += 1
+    }
+    val m = nt - n + 1
+    if (m <= 0) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var h = th(i)
+        var j = 1
+        while (j < n) { h = (h * TokenCombine + th(i + j)) % Mod; j += 1 }
+        out(i) = h % buckets
+        i += 1
+      }
       new GenericArrayData(out)
     }
   }
@@ -303,6 +335,22 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashesRow($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** POSITIONAL n-gram hash BUCKETS — the [[ShingleHashesExpr]] chain with
+  * no distinct (feature counting needs multiplicity), reduced mod
+  * `buckets`: the DSIR hashed-n-gram feature map (Xie et al. 2023). The
+  * bucketed range means collisions are by DESIGN (importance weights are
+  * learned per bucket), so the single 1e9+7 chain is sufficient. */
+case class NgramBucketsExpr(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.ngramBucketsRow(input.asInstanceOf[UTF8String], n, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.ngramBucketsRow($c, $n, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): NgramBucketsExpr =
     copy(child = newChild)
 }
 

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import graft.functions.TextHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., "Data
+  * Selection for Language Models via Importance Resampling", NeurIPS
+  * 2023). Given a small TARGET corpus (the distribution you want — wiki,
+  * curated text) and a huge RAW corpus, score every raw document by the
+  * log importance weight of its hashed-n-gram features under bag-of-ngram
+  * models of the two corpora, then keep the top-weighted fraction: a
+  * principled, cheap proxy for "looks like the target distribution".
+  *
+  * Feature map (the paper's): unigrams + bigrams of lowercased
+  * whitespace tokens, hashed into `buckets` counting slots WITH
+  * multiplicity ([[graft.functions.NgramBucketsExpr]] — the same
+  * deterministic polyhash chain every dedup oracle replays, so the whole
+  * pipeline is hash-checkable cross-engine). Bucket distributions are
+  * add-1 smoothed; a document's score is
+  *
+  *   Σ_f  [ ln(c_T[f]+1) − ln(tot_T+B) ] − [ ln(c_R[f]+1) − ln(tot_R+B) ]
+  *
+  * over its feature occurrences f — exactly ln p_T(doc)/p_R(doc) under
+  * the smoothed bag-of-ngram models.
+  *
+  * Scale shape (100 TB): both corpus passes are explode → map-side-
+  * combined counts into at most `buckets` rows (the classic shuffle-light
+  * aggregate); the weight table is ≤ `buckets` rows and broadcasts, so
+  * scoring is a map-side join + one per-document aggregate — the raw
+  * corpus is never shuffled at all. The paper's resampling step is a
+  * deterministic top-fraction selection here ([[topFraction]]); Gumbel
+  * noise can be layered on the score column if sampled (rather than
+  * top-k) selection is wanted.
+  *
+  * Reference anchor: no counterpart in orangecontrib/timeseries — part of
+  * the training-data-pipeline family the task brief adds.
+  */
+object Dsir {
+
+  /** Unigram + bigram bucket ids of a document, with multiplicity. */
+  def features(text: Column, buckets: Int): Column =
+    concat(TextHash.ngramBuckets(text, 1, buckets),
+      TextHash.ngramBuckets(text, 2, buckets))
+
+  /** (bucket, cnt) occurrence counts over a corpus; buckets with no
+    * occurrences are absent (the weight join coalesces them to 0). */
+  def bucketCounts(docs: DataFrame, textCol: String, buckets: Int): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(features(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-bucket log importance weight table: (bucket, logw) for every
+    * bucket seen in EITHER corpus, plus the out-of-vocabulary weight as a
+    * one-row frame (bucket = -1) so scoring needs no literal plumbing.
+    * Both log terms subtract their totals inside the row, so `logw` is a
+    * per-occurrence additive weight. */
+  def bucketWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int): DataFrame = {
+    val cr = bucketCounts(raw, textCol, buckets)
+      .withColumnRenamed("cnt", "cr")
+    val ct = bucketCounts(target, textCol, buckets)
+      .withColumnRenamed("cnt", "ct")
+    val totals = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
+      .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
+    val joined = cr.join(ct, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val oov = totals.select(lit(-1L).as("bucket"), lit(0L).as("cr"), lit(0L).as("ct"))
+    joined.unionByName(oov)
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        ((log(col("ct") + lit(1.0)) - log(col("tt") + lit(buckets.toDouble)))
+          - (log(col("cr") + lit(1.0)) - log(col("tr") + lit(buckets.toDouble))))
+          .as("logw"))
+  }
+
+  /** Score every raw document: (idCol, n_feats, dsir_logw). `weights` is
+    * a [[bucketWeights]] frame — ≤ buckets+1 rows, broadcast into the
+    * feature join so the corpus is never shuffled. Documents with no
+    * features (null/empty text) are absent, identically on both engines.
+    * The per-document sum is a float fold over ≤ thousands of O(1) terms;
+    * consumers should round (≥6dp is far above the reorder noise). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(features(col(textCol), buckets)).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("logw")).as("dsir_logw"))
+
+  /** Deterministic selection: keep the `frac` highest-scoring documents
+    * (ties broken by id — scores should be pre-rounded by the caller so
+    * the ordering is cross-engine stable). Appends (rank, keep). */
+  def topFraction(scored: DataFrame, idCol: String, scoreCol: String,
+      frac: Double): DataFrame = {
+    val n = scored.count()
+    val k = math.ceil(n * frac).toLong
+    scored.withColumn("rank",
+        row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+      .withColumn("keep", col("rank") <= k)
+  }
+}
