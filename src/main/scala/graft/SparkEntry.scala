@@ -1304,6 +1304,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_feats"), col("dsir_logw"),
           col("rank"), col("keep"))
     }),
+    "q94_bm25_topk" -> ((s, dir) => {
+      // BM25 ranked retrieval over the documents corpus, three literal
+      // bag-of-terms queries: build = two map-side-combined aggregates
+      // (the inverted index IS the postings frame), search = broadcast
+      // query join + per-query window rank. Every count is exact integer;
+      // the one float chain (idf·tfn) is written in the same order in the
+      // oracle, scores round 4dp BEFORE ranking, ties break on doc_id
+      import s.implicits._
+      val idx = graft.text.Bm25.build(tbl(s, dir, "documents"), "doc_id", "text")
+      val q = Seq(0 -> "join", 0 -> "shuffle", 0 -> "broadcast",
+        1 -> "hash", 1 -> "table", 1 -> "scan",
+        2 -> "window", 2 -> "sort", 2 -> "merge").toDF("query_id", "term")
+      graft.text.Bm25.search(idx, q, "query_id", "term", k = 10)
+        .select(col("query_id").cast("long").as("query_id"), col("rank"),
+          col("doc_id"), col("score"))
+    }),
   )
 
   // ==================================================================== //
@@ -1520,6 +1536,7 @@ object SparkEntry {
     "q91_audio_spectrogram" -> audioSpectrogramSql,
     "q92_semdedup" -> semdedupSql,
     "q93_dsir" -> dsirSql,
+    "q94_bm25_topk" -> bm25TopkSql,
     "q59_simhash_pairs" -> simhashPairsSql,
     // integer cut-point arithmetic over the same whitespace tokenization
     // the q12 oracle already replays — exclusive running count, floor
@@ -3430,6 +3447,39 @@ object SparkEntry {
       | CAST(row_number() OVER (ORDER BY dsir_logw DESC, doc_id) AS BIGINT) AS rank,
       | row_number() OVER (ORDER BY dsir_logw DESC, doc_id) <= (SELECT k FROM k) AS keep
       |FROM sc""".stripMargin
+
+  /** q94: BM25 replay — whitespace/lowercase tokens, postings tf, df, doc
+    * lengths (null text = length 0, still in N/avgdl), Lucene-form idf,
+    * the k1=1.2/b=0.75 tf normalization written in the same operation
+    * order as the Spark column, scores rounded 4dp before ranking. */
+  private def bm25TopkSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+      |    x -> x != '') AS tk
+      | FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM toks),
+      |post AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+      |tf AS (SELECT term, doc_id, count(*) AS tf FROM post GROUP BY 1, 2),
+      |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, sum(len)::DOUBLE / count(*) AS avgdl
+      | FROM lens),
+      |qt(query_id, term) AS (VALUES (0, 'join'), (0, 'shuffle'), (0, 'broadcast'),
+      |  (1, 'hash'), (1, 'table'), (1, 'scan'),
+      |  (2, 'window'), (2, 'sort'), (2, 'merge')),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |  round(sum(
+      |    ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * l.len / st.avgdl))), 4)
+      |   AS score
+      | FROM tf JOIN qt q USING (term) JOIN dfr d USING (term)
+      | JOIN lens l ON l.doc_id = tf.doc_id, st
+      | GROUP BY 1, 2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      | CAST(row_number() OVER (PARTITION BY query_id
+      |   ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+      | doc_id, score
+      |FROM sc
+      |QUALIFY rank <= 10""".stripMargin
 
   private def knnTopkSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

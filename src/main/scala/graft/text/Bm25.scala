@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval (Robertson & Zaragoza, "The Probabilistic
+  * Relevance Framework: BM25 and Beyond", FnTIR 2009; idf in the
+  * always-positive Lucene form) — the retrieval tier of the curation
+  * stack: retrieval-based decontamination (find training docs matching a
+  * benchmark query), seed-similarity mining ("more like these"), and
+  * search-quality probes over a candidate corpus.
+  *
+  * Index build is the classic two-aggregate shape: postings
+  * (term, doc, tf) and document lengths, each one map-side-combined
+  * explode — the corpus shuffles once, by term, and that IS the inverted
+  * index (no driver-side structure). Scoring joins a SMALL query-term
+  * frame (broadcast) against postings on the term key, so the per-query
+  * cost is proportional to the matched postings, never the corpus; top-k
+  * is a per-query window rank.
+  *
+  *   idf(t)    = ln((N − df + 0.5)/(df + 0.5) + 1)
+  *   tfn(t, d) = tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+  *   score     = Σ_t idf·tfn     (rounded by the caller before ranking)
+  *
+  * Every count is an exact integer and the float chain is written in one
+  * fixed order, so the whole pipeline replays in ANSI SQL (gate q94).
+  * Tokenization is the corpus-wide whitespace/lowercase contract
+  * ([[TextFunctions.tokens]] — the q70 vocabulary surface).
+  *
+  * Reference anchor: no counterpart in orangecontrib/timeseries — part of
+  * the training-data-pipeline family the task brief adds.
+  */
+object Bm25 {
+
+  /** Inverted index + the per-document and corpus statistics BM25 needs.
+    * All three are plain DataFrames — persist or write them out for
+    * repeated serving. `stats` is one row: (n_docs, avgdl). */
+  final case class Index(postings: DataFrame, docLens: DataFrame, stats: DataFrame)
+
+  /** Build the index: one corpus scan, two map-side-combined aggregates.
+    * Documents with null/empty text contribute no postings but DO count
+    * toward N and avgdl with length 0 (they are part of the corpus). */
+  def build(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val toks = TextFunctions.tokensLower(coalesce(col(textCol), lit("")))
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("len"))
+    val postings = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
+    Index(postings, lens, stats)
+  }
+
+  /** Top-`k` documents per query. `queries` is (queryIdCol, termCol) —
+    * one row per query term, repeated terms counted once per row (the
+    * standard bag-of-terms query model). Scores are rounded to
+    * `scoreScale` dp BEFORE ranking and ties break on doc_id, so the
+    * ranking is a cross-engine total order. */
+  def search(index: Index, queries: DataFrame, queryIdCol: String,
+      termCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      scoreScale: Int = 4): DataFrame = {
+    val df = index.postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)) + lit(1.0))
+    val tfn = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avgdl")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    index.postings
+      .join(broadcast(q), Seq("term"))
+      .join(df, Seq("term"))
+      .join(index.docLens, Seq("doc_id"))
+      .crossJoin(broadcast(index.stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(idf * tfn), scoreScale).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}
