@@ -375,7 +375,68 @@ object Probe {
             Seq("value", "value2"),
             breeze.linalg.DenseMatrix((0.5, 0.01), (0.1, 0.3)),
             Array(20.0, 5.0), steps = 3).count())
-      case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf|pq|timeseries)")
+      case "curation" =>
+        // the r8 curation trio at scale: DSIR scoring (one exploded pass
+        // for weights, broadcast weight join for scores, sketch-quantile
+        // selection — corpus never globally ordered), BM25 (postings
+        // build + a broadcast 100-query batch), SemDeDup (trained m=1
+        // codebook assignment + cluster-local pair pruning).
+        import graft.pipeline.Dsir
+        import graft.text.Bm25
+        // EAGER checkpoint: DSIR's weight totals broadcast with the docs
+        // scan in their lineage — an unmaterialized lazy checkpoint under
+        // a broadcast exchange is the documented deadlock inversion
+        val docs = cleanCorpus(spark, n).localCheckpoint(true)
+        def phase(tag: String)(f: => Long): Unit = {
+          Thread.sleep(1000)
+          val b0 = listener.shuffleWriteBytes; val s0 = System.nanoTime()
+          val rows = f
+          Thread.sleep(1000)
+          println(f"[probe] curation n=$n $tag rows=$rows " +
+            f"wall=${(System.nanoTime() - s0) / 1e9}%.1fs " +
+            f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f")
+        }
+        val buckets = 65536
+        phase("dsir_weights_score_select") {
+          // target = the 2%-spaced clean stratum (a predicate, so the
+          // single-pass flagged weights path applies)
+          val w = Dsir.bucketWeightsWhere(docs, col("doc_id") % 50 === 3,
+            "text", buckets)
+          val scored = Dsir.score(docs, "doc_id", "text", w, buckets)
+            .withColumn("dsir_logw", round(col("dsir_logw"), 6))
+          Dsir.keepAboveQuantile(scored, "dsir_logw", 0.2)
+            .filter(col("keep")).count()
+        }
+        phase("bm25_build_and_100q") {
+          val idx = Bm25.build(docs, "doc_id", "text")
+          idx.postings.persist(); idx.docLens.persist()
+          // 100 bag-of-3 queries drawn from every n/100-th document's own
+          // filler vocabulary (guaranteed postings hits)
+          val q = docs.filter(col("doc_id") % (n / 100) === 1)
+            .select(col("doc_id").as("query_id"),
+              explode(slice(graft.text.TextFunctions.tokensLower(col("text")),
+                3, 3)).as("term"))
+          val rows = Bm25.search(idx, q, "query_id", "term", k = 10).count()
+          idx.postings.unpersist(); idx.docLens.unpersist()
+          rows
+        }
+        // SemDeDup over generated clustered embeddings: 16384 modes so a
+        // 4096-centroid quantizer has real structure; avg cluster ~n/4096
+        // keeps the cluster-local quadratic affordable by design
+        val dim = 64
+        val vecs = spark.range(n).select(col("id"),
+          expr(s"""transform(sequence(0, ${dim - 1}), d ->
+            sin((id % 16384) * 0.37 + d * 0.29) +
+            cast((id * 2654435761 + d * 40503) % 1000 as double) / 4000.0)""")
+            .as("v"))
+          .localCheckpoint(true)
+        phase("semdedup_train_assign_prune") {
+          val cb = graft.dedup.SemDedup.centroidsKMeans(vecs, "id", "v",
+            k = 4096, sampleN = 65536, maxIter = 5)
+          graft.dedup.SemDedup.dedup(vecs, "id", "v", cb, threshold = 0.995)
+            .filter(!col("kept")).count()
+        }
+      case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf|pq|timeseries|curation)")
     }
 
     println(f"[probe] wall=${(System.nanoTime() - t0) / 1e9}%.1fs worstRatio=${listener.worstRatio()}%.1fx")

@@ -1296,8 +1296,8 @@ object SparkEntry {
       // (rounded score, doc_id) — rounding BEFORE ranking makes the order
       // cross-engine total
       val d = tbl(s, dir, "documents")
-      val target = d.filter(col("source").isin("src0", "src1", "src2", "src3"))
-      val w = Dsir.bucketWeights(d, target, "text", buckets = 1024)
+      val w = Dsir.bucketWeightsWhere(d,
+        col("source").isin("src0", "src1", "src2", "src3"), "text", buckets = 1024)
       val scored = Dsir.score(d, "doc_id", "text", w, buckets = 1024)
         .withColumn("dsir_logw", round(col("dsir_logw"), 6))
       Dsir.topFraction(scored, "doc_id", "dsir_logw", frac = 0.2)

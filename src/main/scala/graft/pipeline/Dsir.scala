@@ -62,14 +62,33 @@ object Dsir {
       .withColumnRenamed("cnt", "cr")
     val ct = bucketCounts(target, textCol, buckets)
       .withColumnRenamed("cnt", "ct")
-    val totals = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
-      .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
     val joined = cr.join(ct, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("ct"), lit(0L)).as("ct"))
+    weightsFromCounts(joined, buckets)
+  }
+
+  /** [[bucketWeights]] for the common case where the target corpus is a
+    * PREDICATE over the raw corpus (target ⊆ raw): one exploded pass with
+    * an `isTarget` flag produces both count columns — half the tokenize/
+    * hash work and one corpus scan instead of two. Identical integer
+    * counts, so identical weights. */
+  def bucketWeightsWhere(raw: DataFrame, isTarget: Column, textCol: String,
+      buckets: Int): DataFrame = {
+    val counts = raw.filter(col(textCol).isNotNull)
+      .select(isTarget.as("t"),
+        explode(features(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cr"), count(when(col("t"), lit(1))).as("ct"))
+    weightsFromCounts(counts, buckets)
+  }
+
+  private def weightsFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
+    val totals = counts.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"),
+      coalesce(sum(col("ct")), lit(0L)).as("tt"))
     val oov = totals.select(lit(-1L).as("bucket"), lit(0L).as("cr"), lit(0L).as("ct"))
-    joined.unionByName(oov)
+    counts.unionByName(oov)
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         ((log(col("ct") + lit(1.0)) - log(col("tt") + lit(buckets.toDouble)))
@@ -93,9 +112,12 @@ object Dsir {
       .agg(sum(col("cnt")).as("n_feats"),
         sum(col("cnt") * col("logw")).as("dsir_logw"))
 
-  /** Deterministic selection: keep the `frac` highest-scoring documents
-    * (ties broken by id — scores should be pre-rounded by the caller so
-    * the ordering is cross-engine stable). Appends (rank, keep). */
+  /** Deterministic EXACT selection: keep the `frac` highest-scoring
+    * documents (ties broken by id — scores should be pre-rounded by the
+    * caller so the ordering is cross-engine stable). Appends (rank, keep).
+    * The global rank window is single-partition — exact-rank output is
+    * the small-result path (gate oracles, capped selections); at corpus
+    * scale use [[keepAboveQuantile]]. */
   def topFraction(scored: DataFrame, idCol: String, scoreCol: String,
       frac: Double): DataFrame = {
     val n = scored.count()
@@ -103,5 +125,15 @@ object Dsir {
     scored.withColumn("rank",
         row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
       .withColumn("keep", col("rank") <= k)
+  }
+
+  /** Scale-path selection: keep documents scoring at or above the
+    * (1−frac) quantile, found with the mergeable approx-quantile sketch —
+    * no global ordering anywhere, so the plan stays shuffle-parallel at
+    * any corpus size (kept fraction is `frac` ± the sketch accuracy). */
+  def keepAboveQuantile(scored: DataFrame, scoreCol: String, frac: Double,
+      relErr: Double = 1e-4): DataFrame = {
+    val cut = scored.stat.approxQuantile(scoreCol, Array(1.0 - frac), relErr)(0)
+    scored.withColumn("keep", col(scoreCol) >= cut)
   }
 }

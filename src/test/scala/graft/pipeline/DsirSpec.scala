@@ -69,6 +69,29 @@ class DsirSpec extends SparkSpec {
     assert((20L to 24L).forall(id => ranks(id) <= 5))
   }
 
+  test("bucketWeightsWhere ≡ bucketWeights when target is a raw-subset predicate") {
+    import spark.implicits._
+    val raw = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z q"), (4L, "x q"))
+      .toDF("doc_id", "text")
+    val pred = col("doc_id") <= 2
+    val a = Dsir.bucketWeights(raw, raw.filter(pred), "text", 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Dsir.bucketWeightsWhere(raw, pred, "text", 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, "identical integer counts must give bit-identical weights")
+  }
+
+  test("keepAboveQuantile keeps ~frac of the corpus without a global sort") {
+    import spark.implicits._
+    val scored = (1L to 1000L).map(i => (i, i.toDouble)).toDF("doc_id", "s")
+    val kept = Dsir.keepAboveQuantile(scored, "s", 0.2, relErr = 1e-4)
+      .filter(col("keep")).collect().map(_.getLong(0))
+    // sketch semantics: kept fraction is frac ± accuracy (the cutoff rank
+    // can land one element either side of the exact quantile)
+    assert(kept.length >= 199 && kept.length <= 201 && kept.min >= 800L,
+      s"got ${kept.length} kept, min ${kept.min}")
+  }
+
   test("topFraction keeps ceil(n·frac) with (score, id) tie-breaks") {
     import spark.implicits._
     val scored = Seq((1L, 5L, 1.0), (2L, 5L, 1.0), (3L, 5L, 0.5))
