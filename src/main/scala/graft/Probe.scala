@@ -408,8 +408,7 @@ object Probe {
             .filter(col("keep")).count()
         }
         phase("bm25_build_and_100q") {
-          val idx = Bm25.build(docs, "doc_id", "text")
-          idx.postings.persist(); idx.docLens.persist()
+          val idx = Bm25.build(docs, "doc_id", "text").persist()
           // 100 bag-of-3 queries drawn from every n/100-th document's own
           // filler vocabulary (guaranteed postings hits)
           val q = docs.filter(col("doc_id") % (n / 100) === 1)
@@ -417,7 +416,7 @@ object Probe {
               explode(slice(graft.text.TextFunctions.tokensLower(col("text")),
                 3, 3)).as("term"))
           val rows = Bm25.search(idx, q, "query_id", "term", k = 10).count()
-          idx.postings.unpersist(); idx.docLens.unpersist()
+          idx.release()
           rows
         }
         // SemDeDup over generated clustered embeddings: 16384 modes so a

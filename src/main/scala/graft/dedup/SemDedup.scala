@@ -93,10 +93,17 @@ object SemDedup {
       .withColumn("cluster", assignCluster(col("__v"), cb))
     // one keyed window pass marks over-cap clusters before the self-join
     // (the LSH flood-cap shape — the guard and the join shuffle on the
-    // same key, so the window adds no extra exchange)
+    // same key, so the window adds no extra exchange).
+    // EAGER localCheckpoint: the sized frame is consumed three times
+    // (both self-join sides + the verdict join) — without it Spark
+    // re-scans and re-runs the k·d argmin encode per consumer (the
+    // dominant map cost), and a lazy checkpoint under the verdict join's
+    // potential broadcast side is the documented deadlock inversion
+    // (see Dedup.minhashCandidates).
     val sized = assigned
       .withColumn("capped",
         count(lit(1)).over(Window.partitionBy(col("cluster"))) > maxClusterSize)
+      .localCheckpoint(true)
     val small = sized.filter(!col("capped"))
     val lo = small.select(col("cluster"), col("__id").as("id_lo"), col("__v").as("v_lo"))
     val hi = small.select(col("cluster"), col("__id").as("id_hi"), col("__v").as("v_hi"))

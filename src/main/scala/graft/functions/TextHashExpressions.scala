@@ -65,6 +65,9 @@ object TextHash {
   def ngramBuckets(c: Column, n: Int, buckets: Int): Column =
     Bridge.column(NgramBucketsExpr(Bridge.expression(c), n, buckets))
 
+  def tokenTf(c: Column): Column =
+    Bridge.column(TokenTfExpr(Bridge.expression(c)))
+
   def shingleSpanHashes(c: Column, n: Int): Column =
     Bridge.column(ShingleSpanHashesExpr(Bridge.expression(c), n))
 
@@ -142,6 +145,34 @@ object TextHash {
       while (it.hasNext) { out(k) = it.next(); k += 1 }
       new GenericArrayData(out)
     }
+  }
+
+  /** [[TokenTfExpr]] kernel: per-document term frequencies in one pass —
+    * (term, tf) structs in first-occurrence order (deterministic), terms
+    * lowercased whitespace tokens. Computing tf scan-side removes the
+    * (term, doc) shuffle from inverted-index builds entirely. */
+  def tokenTfRow(input: UTF8String): ArrayData = {
+    val s = input.toLowerCase.toString
+    val raw = s.split("\\s+")
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        val c = counts.get(raw(i))
+        counts.put(raw(i), if (c == null) 1L else c + 1L)
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** [[NgramBucketsExpr]] kernel: positional n-gram hashes (same chain as
@@ -335,6 +366,24 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashesRow($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** Per-document (term, tf) entries in first-occurrence order — the
+  * scan-side half of an inverted-index build: exploding this gives exact
+  * postings with NO (term, doc) shuffle (the per-doc counting that a
+  * `groupBy(term, doc)` would shuffle 10⁷–10¹¹ rows for happens in one
+  * hash map per row). */
+case class TokenTfExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.tokenTfRow(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokenTfRow($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenTfExpr =
     copy(child = newChild)
 }
 

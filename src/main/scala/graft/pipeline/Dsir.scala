@@ -84,7 +84,13 @@ object Dsir {
     weightsFromCounts(counts, buckets)
   }
 
-  private def weightsFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
+  private def weightsFromCounts(counts0: DataFrame, buckets: Int): DataFrame = {
+    // EAGER checkpoint of the ≤`buckets`-row count table: totals, the oov
+    // row, and the weight projection would each otherwise replay the full
+    // corpus explode/aggregate; and the weights themselves sit under a
+    // broadcast in `score`, where an unmaterialized lazy checkpoint is
+    // the documented deadlock inversion.
+    val counts = counts0.localCheckpoint(true)
     val totals = counts.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"),
       coalesce(sum(col("ct")), lit(0L)).as("tt"))
     val oov = totals.select(lit(-1L).as("bucket"), lit(0L).as("cr"), lit(0L).as("ct"))

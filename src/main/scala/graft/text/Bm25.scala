@@ -33,24 +33,41 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** Inverted index + the per-document and corpus statistics BM25 needs.
-    * All three are plain DataFrames — persist or write them out for
-    * repeated serving. `stats` is one row: (n_docs, avgdl). */
-  final case class Index(postings: DataFrame, docLens: DataFrame, stats: DataFrame)
+  /** Inverted index + the per-term and corpus statistics BM25 needs. All
+    * four are plain DataFrames — `persist()` for repeated serving (one
+    * materialized build amortizes over query batches, the [[graft
+    * .similarity.IvfIndex]] lifecycle), or write them out as the index
+    * artifact. `stats` is one row: (n_docs, avgdl). */
+  final case class Index(postings: DataFrame, docLens: DataFrame,
+      dfs: DataFrame, stats: DataFrame) {
+    def persist(): Index = {
+      postings.persist(); docLens.persist(); dfs.persist(); stats.persist(); this
+    }
+    def release(): Unit = {
+      postings.unpersist(); docLens.unpersist(); dfs.unpersist()
+      stats.unpersist(); ()
+    }
+  }
 
-  /** Build the index: one corpus scan, two map-side-combined aggregates.
-    * Documents with null/empty text contribute no postings but DO count
-    * toward N and avgdl with length 0 (they are part of the corpus). */
+  /** Build the index. Per-document term frequencies are computed
+    * SCAN-SIDE ([[graft.functions.TokenTfExpr]] — one hash map per row),
+    * so the postings frame involves NO shuffle at all; the only exchange
+    * in the whole build is the tiny term-df rollup (one count row per
+    * distinct term, map-side combined). Documents with null/empty text
+    * contribute no postings but DO count toward N and avgdl with length 0
+    * (they are part of the corpus). */
   def build(docs: DataFrame, idCol: String, textCol: String): Index = {
     val toks = TextFunctions.tokensLower(coalesce(col(textCol), lit("")))
     val lens = docs.select(col(idCol).as("doc_id"),
       size(toks).cast("long").as("len"))
     val postings = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextHash.tokenTf(col(textCol))).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
-    Index(postings, lens, stats)
+    Index(postings, lens, dfs, stats)
   }
 
   /** Top-`k` documents per query. `queries` is (queryIdCol, termCol) —
@@ -61,7 +78,6 @@ object Bm25 {
   def search(index: Index, queries: DataFrame, queryIdCol: String,
       termCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
       scoreScale: Int = 4): DataFrame = {
-    val df = index.postings.groupBy("term").agg(count(lit(1)).as("df"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
     val idf = log((col("n_docs") - col("df") + lit(0.5))
       / (col("df") + lit(0.5)) + lit(1.0))
@@ -71,7 +87,7 @@ object Bm25 {
       .orderBy(col("score").desc, col("doc_id"))
     index.postings
       .join(broadcast(q), Seq("term"))
-      .join(df, Seq("term"))
+      .join(index.dfs, Seq("term"))
       .join(index.docLens, Seq("doc_id"))
       .crossJoin(broadcast(index.stats))
       .groupBy(col("query_id"), col("doc_id"))

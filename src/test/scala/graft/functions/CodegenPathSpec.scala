@@ -54,6 +54,7 @@ class CodegenPathSpec extends SparkSpec {
       TextHash.shingleHashes(col("text"), 3).as("sh"),
       TextHash.shingleSpanHashes(col("text"), 3).as("ssh"),
       TextHash.ngramBuckets(col("text"), 2, 64).as("nb"),
+      TextHash.tokenTf(col("text")).as("ttf"),
       TextHash.minhashSig(TextHash.shingleHashes(col("text"), 2), params).as("sig"),
       TextHash.simhashBits(TextHash.shingleHashes(col("text"), 2), 16).as("simh"))
     bothPaths(q)
