@@ -1320,6 +1320,31 @@ object SparkEntry {
         .select(col("query_id").cast("long").as("query_id"), col("rank"),
           col("doc_id"), col("score"))
     }),
+    "q95_image_resize" -> ((s, dir) => {
+      // nearest-neighbor resize over q79's planted closed-form PPMs (odd
+      // doc_ids, per-id dimensions): the strided index map and the pixel
+      // function are pure integer arithmetic, so the oracle recomputes
+      // the RESIZED per-channel sums from the closed form — a wrong
+      // header walk, stride, or index rounding breaks the hash
+      import s.implicits._
+      val ids = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val w = 4 + (id % 8).toInt
+        val h = 3 + (id % 5).toInt
+        val pix = Array.tabulate[Byte](w * h * 3)(k =>
+          ((id + k.toLong * 13) % 256).toByte)
+        Multimodal.MediaRow(id, Multimodal.encodePpmP6(w, h, 255, pix))
+      })
+      Multimodal.resizePpmNearest(media.toDF(), "id", "payload",
+          outW = 4, outH = 3).toDF()
+        .select(col("id").as("doc_id"),
+          col("srcWidth").cast("long").as("src_w"),
+          col("srcHeight").cast("long").as("src_h"),
+          col("rSum").as("r_sum"), col("gSum").as("g_sum"),
+          col("bSum").as("b_sum"))
+    }),
   )
 
   // ==================================================================== //
@@ -1537,6 +1562,20 @@ object SparkEntry {
     "q92_semdedup" -> semdedupSql,
     "q93_dsir" -> dsirSql,
     "q94_bm25_topk" -> bm25TopkSql,
+    // q95: replay the planted pixel function v(k) = (id + 13k) mod 256 at
+    // the nearest-neighbor source indices sy = (y·h) // 3, sx = (x·w) // 4
+    // over the 4×3 output grid, summed per channel
+    "q95_image_resize" ->
+      """WITH ids AS (SELECT doc_id AS id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |px AS (SELECT id, w, h, c.c,
+        |  (id + (((y.y * h) // 3 * w + (x.x * w) // 4) * 3 + c.c) * 13) % 256 AS v
+        | FROM ids, range(0, 4) x(x), range(0, 3) y(y), range(0, 3) c(c))
+        |SELECT id AS doc_id, w AS src_w, h AS src_h,
+        | CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+        | CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+        | CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
     "q59_simhash_pairs" -> simhashPairsSql,
     // integer cut-point arithmetic over the same whitespace tokenization
     // the q12 oracle already replays — exclusive running count, floor

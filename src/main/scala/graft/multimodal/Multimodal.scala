@@ -243,10 +243,11 @@ object Multimodal {
     }(Encoders.product[SpectrogramRow]).toDF()
   }
 
-  /** Real PPM P6 decoder: whitespace-separated header tokens with `#`
-    * comment support, maxVal ≤ 255 (single-byte samples), exactly one
-    * whitespace byte before the raw RGB block. None on malformed input. */
-  def decodePpmP6(bytes: Array[Byte]): Option[PpmMeta] = {
+  /** PPM P6 header walk: whitespace-separated tokens with `#` comment
+    * support, maxVal ≤ 255 (single-byte samples), exactly one whitespace
+    * byte before the raw RGB block. Returns (width, height, maxVal,
+    * dataOffset) with the full pixel block verified present. */
+  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var pos = 2
     def nextToken(): String = {
@@ -267,10 +268,66 @@ object Multimodal {
     pos += 1 // the single whitespace byte after maxVal
     val n = w.toLong * h * 3
     if (n > Int.MaxValue || pos + n > bytes.length) return None
-    var sum = 0L
-    var i = 0
-    while (i < n.toInt) { sum += bytes(pos + i) & 0xff; i += 1 }
-    Some(PpmMeta(w, h, mv, sum))
+    Some((w, h, mv, pos))
+  }
+
+  /** Real PPM P6 decoder (metadata + exact pixel-byte checksum). */
+  def decodePpmP6(bytes: Array[Byte]): Option[PpmMeta] =
+    ppmHeader(bytes).map { case (w, h, mv, pos) =>
+      val n = w * h * 3
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += bytes(pos + i) & 0xff; i += 1 }
+      PpmMeta(w, h, mv, sum)
+    }
+
+  /** A resized image row: the re-encoded PPM payload plus the per-channel
+    * pixel sums of the RESIZED image (the closed-form surface the q95
+    * oracle replays). */
+  final case class ResizedPpm(id: Long, srcWidth: Int, srcHeight: Int,
+      outWidth: Int, outHeight: Int, payload: Array[Byte],
+      rSum: Long, gSum: Long, bSum: Long)
+
+  /** Nearest-neighbor image resize over PPM P6 payloads — the standard
+    * strided sampling `src(y·h div outH, x·w div outW)` (pure integer
+    * index arithmetic, so the whole transform replays in SQL on planted
+    * closed-form images). Scan-shaped mapPartitions: decode → sample →
+    * re-encode per row, no shuffle anywhere; non-PPM or malformed
+    * payloads produce no row (the filter semantics of every decode tier).
+    * Anti-aliased/bilinear kernels belong to the native-library stub tier
+    * (JPEG/PNG boundary, README Known gaps). */
+  def resizePpmNearest(df: DataFrame, idCol: String, binCol: String,
+      outW: Int, outH: Int): Dataset[ResizedPpm] = {
+    require(outW > 0 && outH > 0, s"bad output size ${outW}x$outH")
+    val ds = df.select(col(idCol).cast("long").as("id"),
+      col(binCol).cast("binary").as("payload")).as(Encoders.product[MediaRow])
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ppmHeader(r.payload).map { case (w, h, mv, pos) =>
+          val out = new Array[Byte](outW * outH * 3)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = (y.toLong * h / outH).toInt
+            var x = 0
+            while (x < outW) {
+              val sx = (x.toLong * w / outW).toInt
+              val src = pos + (sy * w + sx) * 3
+              val dst = (y * outW + x) * 3
+              val pr = r.payload(src) & 0xff
+              val pg = r.payload(src + 1) & 0xff
+              val pb = r.payload(src + 2) & 0xff
+              out(dst) = pr.toByte; out(dst + 1) = pg.toByte; out(dst + 2) = pb.toByte
+              rs += pr; gs += pg; bs += pb
+              x += 1
+            }
+            y += 1
+          }
+          ResizedPpm(r.id, w, h, outW, outH, encodePpmP6(outW, outH, mv, out),
+            rs, gs, bs)
+        }
+      }
+    }(Encoders.product[ResizedPpm])
   }
 
   /** Unified decoded-media features: real fields where the codec applies,
