@@ -88,22 +88,26 @@ object SemDedup {
       cb: ProductQuantizer.Codebooks, threshold: Double,
       normalized: Boolean = false, simScale: Int = 4,
       maxClusterSize: Long = 20000L): DataFrame = {
+    // EAGER localCheckpoint at the SCAN (no shuffle — blocks hold the
+    // assigned rows as the map stage produced them): the frame is
+    // consumed three times (size rollup + both self-join sides + the
+    // verdict join) and the k·d argmin encode is the dominant map cost;
+    // a lazy checkpoint under the verdict join's potential broadcast
+    // side is the documented deadlock inversion (Dedup.minhashCandidates).
     val assigned = corpus
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
       .withColumn("cluster", assignCluster(col("__v"), cb))
-    // one keyed window pass marks over-cap clusters before the self-join
-    // (the LSH flood-cap shape — the guard and the join shuffle on the
-    // same key, so the window adds no extra exchange).
-    // EAGER localCheckpoint: the sized frame is consumed three times
-    // (both self-join sides + the verdict join) — without it Spark
-    // re-scans and re-runs the k·d argmin encode per consumer (the
-    // dominant map cost), and a lazy checkpoint under the verdict join's
-    // potential broadcast side is the documented deadlock inversion
-    // (see Dedup.minhashCandidates).
-    val sized = assigned
-      .withColumn("capped",
-        count(lit(1)).over(Window.partitionBy(col("cluster"))) > maxClusterSize)
       .localCheckpoint(true)
+    // flood cap as a TINY broadcast flag (≤ k rows), not a keyed window:
+    // a window would shuffle the full vector payload a second time just
+    // to count cluster members, and an AQE-coalesced skewed cluster made
+    // that stage's worst task 30× the median at probe scale — the
+    // groupBy moves only map-combined (cluster, count) rows
+    val overCap = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxClusterSize)
+      .select(col("cluster"), lit(true).as("capped"))
+    val sized = assigned.join(broadcast(overCap), Seq("cluster"), "left")
+      .withColumn("capped", coalesce(col("capped"), lit(false)))
     val small = sized.filter(!col("capped"))
     val lo = small.select(col("cluster"), col("__id").as("id_lo"), col("__v").as("v_lo"))
     val hi = small.select(col("cluster"), col("__id").as("id_hi"), col("__v").as("v_hi"))

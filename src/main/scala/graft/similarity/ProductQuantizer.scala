@@ -98,8 +98,12 @@ object ProductQuantizer {
       val assign = new Array[Int](n)
       var it = 0
       while (it < maxIter) {
-        var i = 0
-        while (i < n) {
+        // assignment is the O(n·ksub·dsub) bulk of Lloyd and every sample
+        // is independent — parallel over samples, DETERMINISTIC because
+        // each slot is written exactly once with a value that does not
+        // depend on evaluation order (no accumulation happens here; the
+        // order-sensitive centroid sums below stay sequential)
+        java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
           var best = 0
           var bestD = Double.MaxValue
           var j = 0
@@ -115,11 +119,10 @@ object ProductQuantizer {
             j += 1
           }
           assign(i) = best
-          i += 1
         }
         val sums = Array.ofDim[Double](ksub, dsub)
         val counts = new Array[Int](ksub)
-        i = 0
+        var i = 0
         while (i < n) {
           val j = assign(i)
           counts(j) += 1
