@@ -60,10 +60,13 @@ object Bm25 {
     val toks = TextFunctions.tokensLower(coalesce(col(textCol), lit("")))
     val lens = docs.select(col(idCol).as("doc_id"),
       size(toks).cast("long").as("len"))
+    // postings carry the document length so scoring never joins the
+    // corpus-sized docLens frame (+8 bytes/row for a join saved)
     val postings = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("len"),
         explode(graft.functions.TextHash.tokenTf(col(textCol))).as("e"))
-      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+      .select(col("doc_id"), col("len"),
+        col("e.term").as("term"), col("e.tf").as("tf"))
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
@@ -79,6 +82,13 @@ object Bm25 {
       termCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
       scoreScale: Int = 4): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
+    // SEMI-join the df table down to the query's terms BEFORE it enters
+    // the scoring chain: dfs is vocabulary-sized, and joining it raw
+    // sort-merges the whole table (2.9 GB of shuffle at a 34M-posting
+    // probe); filtered by the broadcast term set it is ≤ |query terms|
+    // rows and broadcasts — the postings scan is then the ONLY large
+    // input, and the single exchange left is the matched-rows groupBy
+    val qDfs = index.dfs.join(broadcast(q.select("term").distinct()), Seq("term"))
     val idf = log((col("n_docs") - col("df") + lit(0.5))
       / (col("df") + lit(0.5)) + lit(1.0))
     val tfn = (col("tf") * lit(k1 + 1.0)) /
@@ -87,8 +97,7 @@ object Bm25 {
       .orderBy(col("score").desc, col("doc_id"))
     index.postings
       .join(broadcast(q), Seq("term"))
-      .join(index.dfs, Seq("term"))
-      .join(index.docLens, Seq("doc_id"))
+      .join(broadcast(qDfs), Seq("term"))
       .crossJoin(broadcast(index.stats))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(idf * tfn), scoreScale).as("score"))
