@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.similarity.{ProductQuantizer, Similarity}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SemDeDup — semantic (embedding-space) near-duplicate pruning

@@ -82,23 +82,36 @@ object Bm25 {
       termCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
       scoreScale: Int = 4): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
-    // SEMI-join the df table down to the query's terms BEFORE it enters
-    // the scoring chain: dfs is vocabulary-sized, and joining it raw
-    // sort-merges the whole table (2.9 GB of shuffle at a 34M-posting
-    // probe); filtered by the broadcast term set it is ≤ |query terms|
-    // rows and broadcasts — the postings scan is then the ONLY large
-    // input, and the single exchange left is the matched-rows groupBy
-    val qDfs = index.dfs.join(broadcast(q.select("term").distinct()), Seq("term"))
-    val idf = log((col("n_docs") - col("df") + lit(0.5))
+    // The df table is vocabulary-sized: joined raw it sort-merge-shuffles
+    // whole (2.9 GB per 100-query batch at a 34M-posting probe index), so
+    // it is SEMI-joined down to the query's terms first — ≤ |query terms|
+    // rows by construction. That tiny table and the one-row stats are
+    // then COLLECTED and re-injected as local relations (the
+    // cosineCandidates shape): keeping them as derived plans defeats the
+    // persisted-index cache — when query and index share corpus lineage,
+    // the analyzer's self-join dedup rewrites the branch and the cache
+    // lookup no longer matches, silently re-deriving the vocabulary
+    // rollup on EVERY batch (observed: each probe batch re-paid the full
+    // df shuffle). Two driver jobs over cached tiny/1-row frames is the
+    // entire cost; the scoring plan's only large input is the postings
+    // scan and its only exchange the matched-rows groupBy.
+    val spark = index.postings.sparkSession
+    val st = index.stats.head()
+    val nDocs = st.getLong(0)
+    val avgdl = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+    val qDfsRows = index.dfs
+      .join(broadcast(q.select("term").distinct()), Seq("term")).collect()
+    val qDfs = spark.createDataFrame(
+      java.util.Arrays.asList(qDfsRows: _*), index.dfs.schema)
+    val idf = log((lit(nDocs) - col("df") + lit(0.5))
       / (col("df") + lit(0.5)) + lit(1.0))
     val tfn = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avgdl")))
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / lit(avgdl)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     index.postings
       .join(broadcast(q), Seq("term"))
       .join(broadcast(qDfs), Seq("term"))
-      .crossJoin(broadcast(index.stats))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(idf * tfn), scoreScale).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
