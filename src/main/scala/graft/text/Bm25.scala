@@ -95,21 +95,30 @@ object Bm25 {
     // df shuffle). Two driver jobs over cached tiny/1-row frames is the
     // entire cost; the scoring plan's only large input is the postings
     // scan and its only exchange the matched-rows groupBy.
-    val spark = index.postings.sparkSession
     val st = index.stats.head()
     val nDocs = st.getLong(0)
     val avgdl = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
-    val qDfsRows = index.dfs
-      .join(broadcast(q.select("term").distinct()), Seq("term")).collect()
-    val qDfs = spark.createDataFrame(
-      java.util.Arrays.asList(qDfsRows: _*), index.dfs.schema)
+    // ONE postings scan per search: the matched postings (≤ Σ df over the
+    // query's terms — the classic selective-retrieval bound) are eagerly
+    // checkpointed, and BOTH the per-term df counts and the scoring rows
+    // derive from those blocks. The index's full df table is not touched
+    // at query time at all — deriving df from it re-paid a
+    // vocabulary-sized scan per batch (and, when query and index share
+    // corpus lineage, the analyzer's self-join dedup defeats the cache
+    // lookup and silently re-derives the whole rollup; observed as the
+    // full df shuffle on every probe batch). Corpus statistics enter as
+    // literals from the one-row stats frame.
+    val matched = index.postings
+      .join(broadcast(q.select("term").distinct()), Seq("term"))
+      .localCheckpoint(true)
+    val qDfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((lit(nDocs) - col("df") + lit(0.5))
       / (col("df") + lit(0.5)) + lit(1.0))
     val tfn = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / lit(avgdl)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    index.postings
+    matched
       .join(broadcast(q), Seq("term"))
       .join(broadcast(qDfs), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
