@@ -422,10 +422,15 @@ object Probe {
           .select(col("doc_id").as("query_id"),
             explode(slice(graft.text.TextFunctions.tokensLower(col("text")),
               3, 3)).as("term"))
-        phase("bm25_100q_batch1")(
+        // batch1 carries two corpus-wide tokens per query ("begins"/
+        // "here" from the fixed prefix) → Σ df ≈ 10⁸ (query, doc) pairs,
+        // the inherent stopword bound; batch2 runs the same queries under
+        // the df cut, which drops exactly those two terms
+        phase("bm25_100q_stopword_bound")(
           Bm25.search(bmIdx, bmQueries(1), "query_id", "term", k = 10).count())
-        phase("bm25_100q_batch2")(
-          Bm25.search(bmIdx, bmQueries(2), "query_id", "term", k = 10).count())
+        phase("bm25_100q_dfcut")(
+          Bm25.search(bmIdx, bmQueries(1), "query_id", "term", k = 10,
+            maxDfFrac = 0.001).count())
         bmIdx.release()
         // SemDeDup over generated clustered embeddings: 16384 modes so a
         // 4096-centroid quantizer has real structure; avg cluster ~n/4096

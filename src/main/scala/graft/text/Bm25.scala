@@ -77,10 +77,21 @@ object Bm25 {
     * one row per query term, repeated terms counted once per row (the
     * standard bag-of-terms query model). Scores are rounded to
     * `scoreScale` dp BEFORE ranking and ties break on doc_id, so the
-    * ranking is a cross-engine total order. */
+    * ranking is a cross-engine total order.
+    *
+    * Scoring cost is Σ_t df(t) over the query's terms — a query carrying
+    * a corpus-wide term scores EVERY document (at a 1M-doc probe, two
+    * such terms in a 100-query batch pushed ~10⁸ (query, doc) pairs
+    * through the aggregate). `maxDfFrac < 1` applies the standard
+    * query-time stopword cut: terms with df > maxDfFrac·N are dropped
+    * from scoring (one extra broadcast-semi-join scan of the df table per
+    * batch — the df-threshold shape of the repeated-span/LSH caps). The
+    * idf of such terms is near zero, so the cut changes scores by at most
+    * ln(1/maxDfFrac)-scale crumbs while removing the quadratic tail;
+    * full-fidelity ranking keeps the default 1.0. */
   def search(index: Index, queries: DataFrame, queryIdCol: String,
       termCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
-      scoreScale: Int = 4): DataFrame = {
+      scoreScale: Int = 4, maxDfFrac: Double = 1.0): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
     // The df table is vocabulary-sized: joined raw it sort-merge-shuffles
     // whole (2.9 GB per 100-query batch at a 34M-posting probe index), so
@@ -98,6 +109,29 @@ object Bm25 {
     val st = index.stats.head()
     val nDocs = st.getLong(0)
     val avgdl = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+    // the distinct query-term set is collected to a LOCAL relation before
+    // it touches the postings: when the query frame shares lineage with
+    // the index's corpus, the analyzer's self-join rewrite can drop the
+    // broadcast hint and plan the semi-join as a full sort-merge —
+    // observed shuffling all 34M postings (557 MB) per probe batch. A
+    // query batch is small by contract (it broadcasts), so the collect
+    // is one tiny job.
+    val spark = index.postings.sparkSession
+    val termSchema = q.select("term").schema
+    val termRows0 = q.select("term").distinct().collect()
+    val termRows =
+      if (maxDfFrac >= 1.0) termRows0
+      else {
+        // df pre-lookup for the stopword cut: one scan of the df table,
+        // semi-joined by the (local) term set so the hint survives
+        val all = spark.createDataFrame(
+          java.util.Arrays.asList(termRows0: _*), termSchema)
+        val cut = (nDocs * maxDfFrac).toLong
+        index.dfs.join(broadcast(all), Seq("term"))
+          .filter(col("df") <= cut).select("term").collect()
+      }
+    val qTerms = spark.createDataFrame(
+      java.util.Arrays.asList(termRows: _*), termSchema)
     // ONE postings scan per search: the matched postings (≤ Σ df over the
     // query's terms — the classic selective-retrieval bound) are eagerly
     // checkpointed, and BOTH the per-term df counts and the scoring rows
@@ -109,7 +143,7 @@ object Bm25 {
     // full df shuffle on every probe batch). Corpus statistics enter as
     // literals from the one-row stats frame.
     val matched = index.postings
-      .join(broadcast(q.select("term").distinct()), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
       .localCheckpoint(true)
     val qDfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((lit(nDocs) - col("df") + lit(0.5))

@@ -49,6 +49,25 @@ class Bm25Spec extends SparkSpec {
       "ranks are 1..k")
   }
 
+  test("maxDfFrac drops corpus-wide terms from scoring, keeps selective ones") {
+    import spark.implicits._
+    // "common" is in every doc (df = 21/21); "rare" in one
+    val docs = ((1L to 20L).map(i => (i, "common filler words")) :+
+      (21L, "common rare")).toDF("doc_id", "text")
+    val idx = Bm25.build(docs, "doc_id", "text")
+    val q = Seq(0 -> "common", 0 -> "rare").toDF("query_id", "term")
+    val cutRows = Bm25.search(idx, q, "query_id", "term", k = 100,
+      maxDfFrac = 0.5).collect()
+    // with "common" cut, only the rare term scores → exactly one hit
+    assert(cutRows.length == 1 &&
+      cutRows.head.getLong(cutRows.head.fieldIndex("doc_id")) == 21L)
+    // a cut that keeps everything reproduces the unpruned result
+    val full = Bm25.search(idx, q, "query_id", "term", k = 100).collect()
+    val noop = Bm25.search(idx, q, "query_id", "term", k = 100,
+      maxDfFrac = 1.0).collect()
+    assert(full.map(_.toString).sorted.toSeq == noop.map(_.toString).sorted.toSeq)
+  }
+
   test("equal scores break ties on doc_id") {
     import spark.implicits._
     val docs = Seq((5L, "x y"), (2L, "x y"), (9L, "x y")).toDF("doc_id", "text")
