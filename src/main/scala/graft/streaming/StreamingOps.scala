@@ -493,4 +493,59 @@ object StreamingOps {
           }
         })(Encoders.product[ArmaKfState], Encoders.product[ArmaForecastRow])
   }
+
+  final case class DsirScoredRow(id: Long, ts: java.sql.Timestamp,
+      n_feats: Long, dsir_logw: Double, keep: Boolean)
+
+  /** Streaming DSIR quality gate: score each ARRIVING document against a
+    * STATIC weight table trained offline ([[graft.pipeline.Dsir
+    * .bucketWeightsWhere]]) and emit a keep/drop verdict — the live
+    * twin of the batch importance-resampling selection, for filtering an
+    * ingest stream before it lands.
+    *
+    * The weight table is ≤ buckets+1 rows by construction, so it is
+    * collected ONCE and broadcast; scoring is then a stateless scan-side
+    * fold over the document's hashed n-gram features (the same
+    * [[graft.functions.TextHash.ngramBucketsRow]] kernel as the batch
+    * feature map) — no stream aggregation state, no watermark, no
+    * shuffle; the per-document sum never crosses rows. Buckets the
+    * training corpora never saw take the out-of-vocabulary weight (the
+    * `bucket = -1` row) — the batch scorer never needs it because raw
+    * docs' buckets are in the raw counts by construction, but a stream
+    * scores UNSEEN documents. Documents with no features (null/empty
+    * text) emit `keep = false`. */
+  def streamingDsirScore(stream: DataFrame, idCol: String, timeCol: String,
+      textCol: String, weights: DataFrame, buckets: Int,
+      keepAbove: Double): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val wMap = weights.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val oov = wMap.getOrElse(-1L, 0.0)
+    val bc = spark.sparkContext.broadcast(wMap)
+    stream.select(col(idCol).cast("long").as("id"),
+        col(timeCol).cast("timestamp").as("ts"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, ts, text) =>
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+          var s = 0.0
+          var n = 0L
+          var g = 1
+          while (g <= 2) {
+            val arr = graft.functions.TextHash.ngramBucketsRow(u, g, buckets)
+            var i = 0
+            while (i < arr.numElements()) {
+              s += m.getOrElse(arr.getLong(i), oov)
+              n += 1
+              i += 1
+            }
+            g += 1
+          }
+          DsirScoredRow(id, ts, n, s, n > 0 && s >= keepAbove)
+        }
+      }.toDF()
+  }
 }

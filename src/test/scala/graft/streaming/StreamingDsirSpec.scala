@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.Dsir
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming DSIR gate: scan-side scoring of a live stream against a
+  * static weight table must reproduce the batch scorer on in-corpus
+  * documents, apply the OOV weight to unseen vocabulary, and emit
+  * keep = false for featureless rows. */
+class StreamingDsirSpec extends SparkSpec {
+
+  private val base = 1704067200000L
+  private val B = 4096
+
+  test("stream scores == batch Dsir.score on in-corpus docs; OOV + empty handled") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Seq((1L, "x x y"), (2L, "y z"), (3L, "z q y x"))
+      .toDF("doc_id", "text")
+    val w = Dsir.bucketWeightsWhere(raw, col("doc_id") <= 1, "text", B)
+    val batch = Dsir.score(raw, "doc_id", "text", w, B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.streamingDsirScore(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "ts", "text", w, B, keepAbove = 0.0)
+    val query = out.writeStream.format("memory")
+      .queryName("dsir_stream").outputMode("append").start()
+    mem.addData(
+      (1L, new Timestamp(base), "x x y"),          // in-corpus
+      (3L, new Timestamp(base + 1), "z q y x"),    // in-corpus
+      (9L, new Timestamp(base + 2), "zzz_unseen"), // OOV vocabulary
+      (10L, new Timestamp(base + 3), ""))          // featureless
+    query.processAllAvailable()
+    val got = spark.sql("select * from dsir_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    query.stop()
+
+    // in-corpus rows: identical feature multiset to batch; summation
+    // order differs (scan-side fold vs grouped cnt·logw), so 1e-9 tol
+    for (id <- Seq(1L, 3L)) {
+      assert(got(id)._1 == batch(id)._1, s"doc $id n_feats")
+      assert(math.abs(got(id)._2 - batch(id)._2) < 1e-9, s"doc $id score")
+    }
+    // unseen vocabulary: every feature takes the OOV weight (bucket -1)
+    val oov = w.filter(col("bucket") === -1L).head().getDouble(1)
+    assert(math.abs(got(9L)._2 - 1 * oov) < 1e-12, "single unseen unigram, no bigram")
+    // featureless row emits and is dropped
+    assert(got(10L)._1 == 0L && !got(10L)._3)
+    // keep thresholding: batch doc 1 is target-like (score > 0) → kept
+    assert(got(1L)._3 == (got(1L)._2 >= 0.0))
+  }
+}
