@@ -84,22 +84,31 @@ object Dsir {
     weightsFromCounts(counts, buckets)
   }
 
-  private def weightsFromCounts(counts0: DataFrame, buckets: Int): DataFrame = {
-    // EAGER checkpoint of the ≤`buckets`-row count table: totals, the oov
-    // row, and the weight projection would each otherwise replay the full
-    // corpus explode/aggregate; and the weights themselves sit under a
-    // broadcast in `score`, where an unmaterialized lazy checkpoint is
-    // the documented deadlock inversion.
-    val counts = counts0.localCheckpoint(true)
-    val totals = counts.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"),
-      coalesce(sum(col("ct")), lit(0L)).as("tt"))
-    val oov = totals.select(lit(-1L).as("bucket"), lit(0L).as("cr"), lit(0L).as("ct"))
-    counts.unionByName(oov)
-      .crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        ((log(col("ct") + lit(1.0)) - log(col("tt") + lit(buckets.toDouble)))
-          - (log(col("cr") + lit(1.0)) - log(col("tr") + lit(buckets.toDouble))))
-          .as("logw"))
+  private def weightsFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
+    // The count table is ≤ `buckets` rows by construction: collect it and
+    // build the weight table as a LOCAL relation. Totals, the oov row,
+    // and the log arithmetic happen once driver-side — the same
+    // java.lang.Math.log double chain the codegen'd column would run, in
+    // the same written order, so cross-engine hashes are unchanged — and
+    // the result broadcasts with no lineage for the analyzer to rewrite
+    // (the BM25 cache-defeat lesson) and no extra jobs (the previous
+    // checkpoint + totals-agg + union chain cost three per build).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = counts.sparkSession
+    val rows = counts.collect()
+    var tr = 0L
+    var tt = 0L
+    rows.foreach { r => tr += r.getLong(1); tt += r.getLong(2) }
+    val bD = buckets.toDouble
+    def lw(ct: Long, cr: Long): Double =
+      (math.log(ct + 1.0) - math.log(tt + bD)) -
+        (math.log(cr + 1.0) - math.log(tr + bD))
+    val out = rows.map(r => Row(r.getLong(0), lw(r.getLong(2), r.getLong(1)))) :+
+      Row(-1L, lw(0L, 0L))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      StructType(Seq(StructField("bucket", LongType, nullable = false),
+        StructField("logw", DoubleType, nullable = false))))
   }
 
   /** Score every raw document: (idCol, n_feats, dsir_logw). `weights` is
