@@ -135,8 +135,11 @@ object Dsir {
     * scale use [[keepAboveQuantile]]. */
   def topFraction(scored: DataFrame, idCol: String, scoreCol: String,
       frac: Double): DataFrame = {
-    val n = scored.count()
-    val k = math.ceil(n * frac).toLong
+    // the total-row count rides the SAME single-partition pass as the
+    // rank window (a separate count() action would force a second full
+    // evaluation of the scoring pipeline)
+    val k = ceil(count(lit(1))
+      .over(Window.partitionBy()) * lit(frac)).cast("long")
     scored.withColumn("rank",
         row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
       .withColumn("keep", col("rank") <= k)
