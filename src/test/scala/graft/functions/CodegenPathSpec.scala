@@ -148,6 +148,29 @@ class CodegenPathSpec extends SparkSpec {
     }
   }
 
+  test("seeded-random differential: tokenTf ≡ exploded-token groupBy counts") {
+    import graft.text.TextFunctions
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val seps = Array(" ", "  ", "\t")
+    def doc(): String = {
+      val vocab = Array("alpha", "Beta", "GAMMA", "δδ", "x1", "x1", "the")
+      (0 until rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(seps(rnd.nextInt(seps.length)))
+    }
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 31 == 0) null else doc())).toDF("id", "text")
+    val viaExpr = docs.filter(col("text").isNotNull)
+      .select(col("id"), explode(TextHash.tokenTf(col("text"))).as("e"))
+      .select(col("id"), col("e.term"), col("e.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaGroup = docs.filter(col("text").isNotNull)
+      .select(col("id"), explode(TextFunctions.tokensLower(col("text"))).as("term"))
+      .groupBy("id", "term").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaExpr == viaGroup)
+  }
+
   test("seeded-random differential: full native text pipeline ≡ HOF twins") {
     import graft.dedup.Dedup
     import graft.text.TextFunctions
