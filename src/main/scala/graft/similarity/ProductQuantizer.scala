@@ -78,12 +78,25 @@ object ProductQuantizer {
     * the same data always yields the same codebooks. */
   def trainKMeans(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, sampleN: Int = 65536, maxIter: Int = 10): Codebooks = {
-    val sample = corpus.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .orderBy(xxhash64(col("id")), col("id"))
-      .limit(sampleN)
+    // Deterministic bounded sample WITHOUT a global order-limit: the
+    // TakeOrdered plan behind `orderBy(hash).limit(N)` ships every
+    // partition's per-partition top-N to the driver — 32 partitions ×
+    // 65536 × ~0.5 KB blew spark.driver.maxResultSize at a 2M-vector
+    // probe. A hash-threshold filter keeps an EXPECTED 2·sampleN rows
+    // (pure function of ids — stable across runs and partitionings),
+    // which the driver sorts by (hash, id) and trims to sampleN; the
+    // collect is bounded by the sample size, never the corpus.
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val total = base.count()
+    val p = math.max(1L, total / math.max(1L, 2L * sampleN))
+    val sample = base
+      .filter(pmod(xxhash64(col("id")), lit(p)) === 0)
+      .select(xxhash64(col("id")).as("h"), col("id"), col("v"))
       .collect()
-      .map(_.getSeq[Double](1).toArray)
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+      .take(sampleN)
+      .map(_.getSeq[Double](2).toArray)
     val n = sample.length
     require(n >= ksub, s"need at least ksub=$ksub sample vectors, got $n")
     val dim = sample.head.length
