@@ -1345,6 +1345,21 @@ object SparkEntry {
           col("rSum").as("r_sum"), col("gSum").as("g_sum"),
           col("bSum").as("b_sum"))
     }),
+    "q96_bm25_dfcut" -> ((s, dir) => {
+      // q94's queries under the query-time stopword cut: maxDfFrac=0.79
+      // lands BETWEEN this corpus's term dfs (cut 395 drops scan@398,
+      // keeps hash/join@394 …), so the pruned ranking differs from q94's
+      // and the df-threshold branch is itself pinned cross-engine
+      import s.implicits._
+      val idx = graft.text.Bm25.build(tbl(s, dir, "documents"), "doc_id", "text")
+      val q = Seq(0 -> "join", 0 -> "shuffle", 0 -> "broadcast",
+        1 -> "hash", 1 -> "table", 1 -> "scan",
+        2 -> "window", 2 -> "sort", 2 -> "merge").toDF("query_id", "term")
+      graft.text.Bm25.search(idx, q, "query_id", "term", k = 10,
+          maxDfFrac = 0.79)
+        .select(col("query_id").cast("long").as("query_id"), col("rank"),
+          col("doc_id"), col("score"))
+    }),
   )
 
   // ==================================================================== //
@@ -1562,6 +1577,10 @@ object SparkEntry {
     "q92_semdedup" -> semdedupSql,
     "q93_dsir" -> dsirSql,
     "q94_bm25_topk" -> bm25TopkSql,
+    "q96_bm25_dfcut" -> bm25TopkSql.replace(
+      " JOIN lens l ON l.doc_id = tf.doc_id, st\n GROUP BY 1, 2)",
+      " JOIN lens l ON l.doc_id = tf.doc_id, st\n" +
+        " WHERE d.df <= CAST(floor(st.n_docs * 0.79) AS BIGINT)\n GROUP BY 1, 2)"),
     // q95: replay the planted pixel function v(k) = (id + 13k) mod 256 at
     // the nearest-neighbor source indices sy = (y·h) // 3, sx = (x·w) // 4
     // over the 4×3 output grid, summed per channel
