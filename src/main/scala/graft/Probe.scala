@@ -431,7 +431,18 @@ object Probe {
         phase("bm25_100q_dfcut")(
           Bm25.search(bmIdx, bmQueries(1), "query_id", "term", k = 10,
             maxDfFrac = 0.001).count())
+        // on-storage serving: postings partitioned by term-hash bucket;
+        // a batch's scan prunes to its terms' buckets at planning time
+        val idxDir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+        phase("bm25_write_disk_index") {
+          Bm25.writeIndex(bmIdx, idxDir, buckets = 256)
+          spark.read.parquet(s"$idxDir/postings").count()
+        }
         bmIdx.release()
+        val dIdx = Bm25.readIndex(spark, idxDir)
+        phase("bm25_100q_disk_pruned")(
+          Bm25.search(dIdx, bmQueries(1), "query_id", "term", k = 10,
+            maxDfFrac = 0.001).count())
         // SemDeDup over generated clustered embeddings: 16384 modes so a
         // 4096-centroid quantizer has real structure; avg cluster ~n/4096
         // keeps the cluster-local quadratic affordable by design

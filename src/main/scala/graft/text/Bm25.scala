@@ -73,6 +73,35 @@ object Bm25 {
     Index(postings, lens, dfs, stats)
   }
 
+  /** Persist the index to storage, postings PARTITIONED BY a term-hash
+    * bucket: a query batch then reads only its terms' buckets — Spark
+    * prunes the other directories at planning time — instead of scanning
+    * the full postings (the on-storage serving shape for an index too
+    * large to keep hot; the in-memory `persist()` lifecycle covers the
+    * hot case). `buckets` sizes the pruning granularity: a B-bucket
+    * index serves a t-term batch by reading ≤ min(t, B)/B of the
+    * postings. df/lens/stats are written plain (vocabulary-, corpus-,
+    * and 1-row-sized respectively). */
+  def writeIndex(index: Index, path: String, buckets: Int = 256): Unit = {
+    index.postings
+      .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/postings")
+    index.dfs.write.mode("overwrite").parquet(s"$path/dfs")
+    index.docLens.write.mode("overwrite").parquet(s"$path/doclens")
+    index.stats.withColumn("buckets", lit(buckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Reopen a [[writeIndex]] directory as an [[Index]] whose postings
+    * carry the partition column; [[search]] on it prunes to the query's
+    * buckets automatically (the `bkt IN (...)` filter is injected from
+    * the collected term set). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    Index(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/doclens"),
+      spark.read.parquet(s"$path/dfs"),
+      spark.read.parquet(s"$path/stats"))
+
   /** Top-`k` documents per query. `queries` is (queryIdCol, termCol) —
     * one row per query term, repeated terms counted once per row (the
     * standard bag-of-terms query model). Scores are rounded to
@@ -142,7 +171,19 @@ object Bm25 {
     // lookup and silently re-derives the whole rollup; observed as the
     // full df shuffle on every probe batch). Corpus statistics enter as
     // literals from the one-row stats frame.
-    val matched = index.postings
+    // disk-backed index ([[writeIndex]]): postings carry the partition
+    // bucket — restrict the scan to the query's buckets so partition
+    // pruning drops every other directory before any I/O (bucket ids are
+    // evaluated on the local term relation, no corpus job)
+    val postingsIn =
+      if (index.postings.columns.contains("bkt")) {
+        val nb = st.getAs[Int]("buckets")
+        val bkts = qTerms
+          .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0))
+        index.postings.filter(col("bkt").isin(bkts: _*))
+      } else index.postings
+    val matched = postingsIn
       .join(broadcast(qTerms), Seq("term"))
       .localCheckpoint(true)
     val qDfs = matched.groupBy("term").agg(count(lit(1)).as("df"))

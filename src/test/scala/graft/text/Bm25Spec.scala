@@ -68,6 +68,29 @@ class Bm25Spec extends SparkSpec {
     assert(full.map(_.toString).sorted.toSeq == noop.map(_.toString).sorted.toSeq)
   }
 
+  test("disk index round-trips and prunes to the query's buckets") {
+    import spark.implicits._
+    val docs = ((1L to 50L).map(i => (i, s"w$i common shared")) :+
+      (51L, "needle common")).toDF("doc_id", "text")
+    val mem = Bm25.build(docs, "doc_id", "text")
+    val q = Seq(0 -> "needle", 1 -> "w7").toDF("query_id", "term")
+    val expected = Bm25.search(mem, q, "query_id", "term", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Bm25.writeIndex(mem, dir, buckets = 16)
+    val disk = Bm25.readIndex(spark, dir)
+    val result = Bm25.search(disk, q, "query_id", "term", k = 5)
+    assert(result.collect().map(_.toString).sorted.toSeq == expected,
+      "disk-backed search ≡ in-memory search")
+    // pruning: the postings scan carries a partition filter on bkt
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("bkt"), "bucket partition filter present in plan")
+    // the df-cut path also works against the disk dfs table
+    val cut = Bm25.search(disk, q, "query_id", "term", k = 5, maxDfFrac = 0.5)
+      .collect()
+    assert(cut.nonEmpty)
+  }
+
   test("equal scores break ties on doc_id") {
     import spark.implicits._
     val docs = Seq((5L, "x y"), (2L, "x y"), (9L, "x y")).toDF("doc_id", "text")
