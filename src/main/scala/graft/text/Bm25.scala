@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * benchmark query), seed-similarity mining ("more like these"), and
   * search-quality probes over a candidate corpus.
   *
-  * Index build is the classic two-aggregate shape: postings
-  * (term, doc, tf) and document lengths, each one map-side-combined
-  * explode — the corpus shuffles once, by term, and that IS the inverted
-  * index (no driver-side structure). Scoring joins a SMALL query-term
-  * frame (broadcast) against postings on the term key, so the per-query
-  * cost is proportional to the matched postings, never the corpus; top-k
-  * is a per-query window rank.
+  * The index IS a postings DataFrame — (doc, len, term, tf) computed
+  * entirely scan-side (no shuffle; see [[build]]) — plus tiny df/stats
+  * rollups; no driver-side structure. Scoring semi-joins the postings
+  * scan by a broadcast term set, so the per-query cost is proportional
+  * to the matched postings, never the corpus; top-k is a per-query
+  * window rank. Serving modes: `Index.persist()` for a hot in-memory
+  * index, [[writeIndex]]/[[readIndex]] for an on-storage index whose
+  * scans prune to the query's term-hash buckets.
   *
   *   idf(t)    = ln((N − df + 0.5)/(df + 0.5) + 1)
   *   tfn(t, d) = tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
@@ -122,29 +123,23 @@ object Bm25 {
       termCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
       scoreScale: Int = 4, maxDfFrac: Double = 1.0): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
-    // The df table is vocabulary-sized: joined raw it sort-merge-shuffles
-    // whole (2.9 GB per 100-query batch at a 34M-posting probe index), so
-    // it is SEMI-joined down to the query's terms first — ≤ |query terms|
-    // rows by construction. That tiny table and the one-row stats are
-    // then COLLECTED and re-injected as local relations (the
-    // cosineCandidates shape): keeping them as derived plans defeats the
-    // persisted-index cache — when query and index share corpus lineage,
-    // the analyzer's self-join dedup rewrites the branch and the cache
-    // lookup no longer matches, silently re-deriving the vocabulary
-    // rollup on EVERY batch (observed: each probe batch re-paid the full
-    // df shuffle). Two driver jobs over cached tiny/1-row frames is the
-    // entire cost; the scoring plan's only large input is the postings
-    // scan and its only exchange the matched-rows groupBy.
+    // Plan shape: ONE postings scan, everything else local or broadcast.
+    // Every tiny-by-construction side input (the distinct term set, the
+    // cut term set, corpus stats) is COLLECTED and re-injected as a local
+    // relation / literals rather than kept as a derived plan — the
+    // cosineCandidates shape. Derived plans here are actively hazardous:
+    // when the query frame shares corpus lineage with the index (common —
+    // queries drawn from the corpus), the analyzer's self-join
+    // deduplication rewrites the shared branch, after which (a) the
+    // persisted-index cache lookup no longer sameResult-matches and the
+    // engine silently re-derives the vocabulary rollup per batch, and
+    // (b) broadcast hints on the rewritten branch are dropped and the
+    // term semi-join sort-merges the full postings — both observed at
+    // probe scale. The driver cost is a handful of jobs over tiny/cached
+    // frames.
     val st = index.stats.head()
     val nDocs = st.getLong(0)
     val avgdl = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
-    // the distinct query-term set is collected to a LOCAL relation before
-    // it touches the postings: when the query frame shares lineage with
-    // the index's corpus, the analyzer's self-join rewrite can drop the
-    // broadcast hint and plan the semi-join as a full sort-merge —
-    // observed shuffling all 34M postings (557 MB) per probe batch. A
-    // query batch is small by contract (it broadcasts), so the collect
-    // is one tiny job.
     val spark = index.postings.sparkSession
     val termSchema = q.select("term").schema
     val termRows0 = q.select("term").distinct().collect()
@@ -161,16 +156,6 @@ object Bm25 {
       }
     val qTerms = spark.createDataFrame(
       java.util.Arrays.asList(termRows: _*), termSchema)
-    // ONE postings scan per search: the matched postings (≤ Σ df over the
-    // query's terms — the classic selective-retrieval bound) are eagerly
-    // checkpointed, and BOTH the per-term df counts and the scoring rows
-    // derive from those blocks. The index's full df table is not touched
-    // at query time at all — deriving df from it re-paid a
-    // vocabulary-sized scan per batch (and, when query and index share
-    // corpus lineage, the analyzer's self-join dedup defeats the cache
-    // lookup and silently re-derives the whole rollup; observed as the
-    // full df shuffle on every probe batch). Corpus statistics enter as
-    // literals from the one-row stats frame.
     // disk-backed index ([[writeIndex]]): postings carry the partition
     // bucket — restrict the scan to the query's buckets so partition
     // pruning drops every other directory before any I/O (bucket ids are
@@ -183,6 +168,10 @@ object Bm25 {
           .distinct().collect().map(_.getLong(0))
         index.postings.filter(col("bkt").isin(bkts: _*))
       } else index.postings
+    // the matched postings (≤ Σ df over the query's terms — the classic
+    // selective-retrieval bound) are eagerly checkpointed; BOTH the
+    // per-term df counts and the scoring rows read those blocks, so the
+    // full (vocabulary-sized) df table is never touched at query time
     val matched = postingsIn
       .join(broadcast(qTerms), Seq("term"))
       .localCheckpoint(true)
