@@ -1345,6 +1345,13 @@ object SparkEntry {
           col("rSum").as("r_sum"), col("gSum").as("g_sum"),
           col("bSum").as("b_sum"))
     }),
+    "q97_gopher_rules" -> ((s, dir) =>
+      // the named Gopher/MassiveText Table-A1 document rules, signal by
+      // signal and rule by rule: every ratio is a single IEEE division of
+      // exact small integers (identical doubles on both engines, so the
+      // threshold comparisons agree without pre-rounding; the emitted
+      // signal columns round 6dp for the hash only)
+      TextFunctions.gopherRules(tbl(s, dir, "documents"), "doc_id", "text")),
     "q96_bm25_dfcut" -> ((s, dir) => {
       // q94's queries under the query-time stopword cut: maxDfFrac=0.79
       // lands BETWEEN this corpus's term dfs (cut 395 drops scan@398,
@@ -1577,6 +1584,7 @@ object SparkEntry {
     "q92_semdedup" -> semdedupSql,
     "q93_dsir" -> dsirSql,
     "q94_bm25_topk" -> bm25TopkSql,
+    "q97_gopher_rules" -> gopherRulesSql,
     "q96_bm25_dfcut" -> bm25TopkSql.replace(
       " JOIN lens l ON l.doc_id = tf.doc_id, st\n GROUP BY 1, 2)",
       " JOIN lens l ON l.doc_id = tf.doc_id, st\n" +
@@ -3538,6 +3546,62 @@ object SparkEntry {
       | doc_id, score
       |FROM sc
       |QUALIFY rank <= 10""".stripMargin
+
+  /** q97: the Gopher Table-A1 rules — same tokenization, non-whitespace
+    * char count for mean word length, literal-replace symbol counts,
+    * line-lambda bullet/ellipsis fractions, alpha-word fraction, distinct
+    * stop-word membership; thresholds compared on the raw single-division
+    * doubles (identical on both engines), signals rounded 6dp for the
+    * hash. */
+  private def gopherRulesSql: String =
+    """WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+      |b AS (SELECT doc_id, tx,
+      |  list_filter(regexp_split_to_array(lower(tx), '\s+'), x -> x != '') AS tk,
+      |  list_filter(string_split(tx, chr(10)), x -> x != '') AS ln
+      | FROM t),
+      |s AS (SELECT doc_id,
+      |  CAST(len(tk) AS BIGINT) AS n_words,
+      |  CASE WHEN len(tk) = 0 THEN 0.0
+      |   ELSE length(regexp_replace(tx, '\s', '', 'g'))::DOUBLE / len(tk) END
+      |   AS mean_word_len,
+      |  CASE WHEN len(tk) = 0 THEN 0.0
+      |   ELSE ((length(tx) - length(replace(tx, '#', '')))
+      |       + (length(tx) - length(replace(tx, '...', ''))) // 3
+      |       + (length(tx) - length(replace(tx, '…', ''))))::DOUBLE / len(tk) END
+      |   AS symbol_ratio,
+      |  CASE WHEN len(ln) = 0 THEN 0.0
+      |   ELSE len(list_filter(ln, l -> regexp_matches(trim(l), '^[•\-\*]')))::DOUBLE
+      |        / len(ln) END AS bullet_frac,
+      |  CASE WHEN len(ln) = 0 THEN 0.0
+      |   ELSE len(list_filter(ln, l -> regexp_matches(trim(l), '(\.\.\.|…)$')))::DOUBLE
+      |        / len(ln) END AS ellipsis_frac,
+      |  CASE WHEN len(tk) = 0 THEN 0.0
+      |   ELSE len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+      |        / len(tk) END AS alpha_word_frac,
+      |  CAST(len(list_intersect(tk,
+      |    ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT)
+      |   AS stop_hits
+      | FROM b)
+      |SELECT doc_id, n_words, round(s.mean_word_len, 6) AS mean_word_len,
+      | round(s.symbol_ratio, 6) AS symbol_ratio,
+      | round(s.bullet_frac, 6) AS bullet_frac,
+      | round(s.ellipsis_frac, 6) AS ellipsis_frac,
+      | round(s.alpha_word_frac, 6) AS alpha_word_frac, stop_hits,
+      | (s.n_words >= 50 AND s.n_words <= 100000) AS pass_word_count,
+      | -- s.-qualified: DuckDB lateral alias resolution would otherwise
+      | -- bind these to the ROUNDED select-list aliases while the Spark
+      | -- side thresholds the raw signals
+      | (s.mean_word_len >= 3.0 AND s.mean_word_len <= 10.0) AS pass_word_len,
+      | (s.symbol_ratio <= 0.1) AS pass_symbol,
+      | (s.bullet_frac <= 0.9 AND s.ellipsis_frac <= 0.3) AS pass_lines,
+      | (s.alpha_word_frac >= 0.8) AS pass_alpha,
+      | (s.stop_hits >= 2) AS pass_stop,
+      | (s.n_words >= 50 AND s.n_words <= 100000
+      |   AND s.mean_word_len >= 3.0 AND s.mean_word_len <= 10.0
+      |   AND s.symbol_ratio <= 0.1 AND s.bullet_frac <= 0.9
+      |   AND s.ellipsis_frac <= 0.3 AND s.alpha_word_frac >= 0.8
+      |   AND s.stop_hits >= 2) AS keep
+      |FROM s""".stripMargin
 
   private def knnTopkSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -152,6 +152,74 @@ object TextFunctions {
       concat_ws(",", reasons).as("reasons"))
   }
 
+  /** The Gopher/MassiveText document-level rule set (Rae et al. 2021,
+    * Table A1) — the canonical named quality gate, complementing
+    * [[qualityFilter]]'s composite score and [[repetitionStats]]'s
+    * repetition family (which carries A1's dup-word/-ngram rules):
+    *
+    *  - word count in [minWords, maxWords] (50 … 100k in the paper);
+    *  - mean word length in [3, 10] (total non-whitespace chars / words);
+    *  - symbol-to-word ratio ≤ 0.1 (`#` and `...`/`…` occurrences);
+    *  - ≤ 90% of lines starting with a bullet, ≤ 30% ending in ellipsis;
+    *  - ≥ 80% of words containing at least one alphabetic character;
+    *  - ≥ 2 of the 8 paper stop words present (the, be, to, of, and,
+    *    that, have, with — distinct membership, not occurrences).
+    *
+    * All signals are exact integer/ratio arithmetic over the corpus-wide
+    * tokenization contract, so the whole rule table replays in ANSI SQL
+    * (gate q97). Shape: pure scan-stage per-row expressions — the two
+    * line-level rules and the alpha-word rule use array-lambda filters,
+    * which interpret per element; this surface is a per-document verdict
+    * (one pass, no joins), not the 20M-doc hashing hot path, so clarity
+    * wins over a custom kernel here. */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Long = 50L, maxWords: Long = 100000L)
+      : org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = tokensLower(t)
+    val nWords = size(toks).cast("long")
+    val nw = nWords.cast("double")
+    val meanWordLen = when(nWords === 0, 0.0)
+      .otherwise(length(regexp_replace(t, "\\s", "")).cast("double") / nw)
+    val hashCount = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val ellipsisCount =
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3 +
+        (length(t) - length(regexp_replace(t, "…", "")))).cast("double")
+    val symbolRatio = when(nWords === 0, 0.0)
+      .otherwise((hashCount + ellipsisCount) / nw)
+    val lines = array_remove(split(t, "\n"), "")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = when(size(lines) === 0, 0.0).otherwise(
+      size(filter(lines, l => trim(l).rlike("^[•\\-\\*]"))).cast("double") / nLines)
+    val ellipsisLineFrac = when(size(lines) === 0, 0.0).otherwise(
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+    val alphaWordFrac = when(nWords === 0, 0.0).otherwise(
+      size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nw)
+    val stopHits = size(array_intersect(toks,
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(lit): _*))).cast("long")
+    // one boolean per rule (audits aggregate per-rule drop rates; the
+    // verdict is their conjunction)
+    val passWords = nWords >= minWords && nWords <= maxWords
+    val passWordLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val passSymbol = symbolRatio <= 0.1
+    val passLines = bulletFrac <= 0.9 && ellipsisLineFrac <= 0.3
+    val passAlpha = alphaWordFrac >= 0.8
+    val passStop = stopHits >= 2L
+    df.select(col(idCol), nWords.as("n_words"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisLineFrac, 6).as("ellipsis_frac"),
+      round(alphaWordFrac, 6).as("alpha_word_frac"),
+      stopHits.as("stop_hits"),
+      passWords.as("pass_word_count"), passWordLen.as("pass_word_len"),
+      passSymbol.as("pass_symbol"), passLines.as("pass_lines"),
+      passAlpha.as("pass_alpha"), passStop.as("pass_stop"),
+      (passWords && passWordLen && passSymbol && passLines &&
+        passAlpha && passStop).as("keep"))
+  }
+
   /** Polynomial rolling-hash document fingerprint over character codes:
     * `h = (h*31 + code) mod 1e9+7`. Stable across engines (pure integer
     * arithmetic), usable as a cheap content id for dedup joins. */

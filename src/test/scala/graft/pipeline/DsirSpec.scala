@@ -92,6 +92,35 @@ class DsirSpec extends SparkSpec {
       s"got ${kept.length} kept, min ${kept.min}")
   }
 
+  test("gopherRules: each Table-A1 rule fires on its construction") {
+    import graft.text.TextFunctions
+    import spark.implicits._
+    val good = ((1 to 60).map(i => s"word$i") ++
+      Seq("the", "of", "and")).mkString(" ")
+    val docs = Seq(
+      1L -> good,                                        // passes everything
+      2L -> "the of short",                              // word count
+      3L -> good.replace("word1", "w" * 40),             // still passes (mean len shifts little)
+      4L -> (good + " " + Seq.fill(20)("###").mkString(" ")), // symbol ratio
+      5L -> ((1 to 60).map(i => s"• item$i the of").mkString("\n")), // bullet lines
+      6L -> (good.split(" ").map(_ + "...").mkString("\n")), // ellipsis lines
+      7L -> ((1 to 60).map(_.toString) ++ Seq("the", "of")).mkString(" "), // alpha words
+      8L -> (1 to 60).map(i => s"word$i").mkString(" ")  // no stop words
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, cname: String) = {
+      val r = out(id); r.getBoolean(r.fieldIndex(cname))
+    }
+    assert(b(1L, "keep"), "clean doc keeps")
+    assert(!b(2L, "pass_word_count") && !b(2L, "keep"))
+    assert(!b(4L, "pass_symbol") && !b(4L, "keep"))
+    assert(!b(5L, "pass_lines"), "all-bullet doc fails the line rule")
+    assert(!b(6L, "pass_lines"), "all-ellipsis-terminated lines fail")
+    assert(!b(7L, "pass_alpha"), "digit-token doc fails the alpha rule")
+    assert(!b(8L, "pass_stop") && b(8L, "pass_word_count"))
+  }
+
   test("topFraction keeps ceil(n·frac) with (score, id) tie-breaks") {
     import spark.implicits._
     val scored = Seq((1L, 5L, 1.0), (2L, 5L, 1.0), (3L, 5L, 0.5))
