@@ -28,11 +28,12 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB): both corpus passes are explode → map-side-
   * combined counts into at most `buckets` rows (the classic shuffle-light
   * aggregate); the weight table is ≤ `buckets` rows and broadcasts, so
-  * scoring is a map-side join + one per-document aggregate — the raw
-  * corpus is never shuffled at all. The paper's resampling step is a
-  * deterministic top-fraction selection here ([[topFraction]]); Gumbel
-  * noise can be layered on the score column if sampled (rather than
-  * top-k) selection is wanted.
+  * scoring is a map-side join + ONE per-document aggregate — the only
+  * exchange carries map-combined per-document partials (one row per doc
+  * per partition), never documents or features. The paper's resampling
+  * step is a deterministic top-fraction selection here ([[topFraction]]);
+  * Gumbel noise can be layered on the score column if sampled (rather
+  * than top-k) selection is wanted.
   *
   * Reference anchor: no counterpart in orangecontrib/timeseries — part of
   * the training-data-pipeline family the task brief adds.
@@ -119,13 +120,15 @@ object Dsir {
     * consumers should round (≥6dp is far above the reorder noise). */
   def score(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int): DataFrame =
+    // explode → broadcast weight join → one per-doc aggregate: a single
+    // exchange of map-combined (doc, partial) rows (an earlier
+    // (doc, bucket) pre-count added a second shuffle for nothing — the
+    // weight join is bucket-keyed either way)
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(features(col(textCol), buckets)).as("bucket"))
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
       .join(broadcast(weights), Seq("bucket"))
       .groupBy(idCol)
-      .agg(sum(col("cnt")).as("n_feats"),
-        sum(col("cnt") * col("logw")).as("dsir_logw"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("logw")).as("dsir_logw"))
 
   /** Deterministic EXACT selection: keep the `frac` highest-scoring
     * documents (ties broken by id — scores should be pre-rounded by the
