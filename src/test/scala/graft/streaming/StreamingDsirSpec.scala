@@ -55,4 +55,27 @@ class StreamingDsirSpec extends SparkSpec {
     // keep thresholding: batch doc 1 is target-like (score > 0) → kept
     assert(got(1L)._3 == (got(1L)._2 >= 0.0))
   }
+
+  test("gopherRules is stateless column arithmetic: runs on a stream as-is") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the rule table is a pure per-row select — applying it to a
+    // readStream needs no state, watermark, or adaptation; batch ≡ stream
+    val text = ((1 to 60).map(i => s"word$i") ++ Seq("the", "of", "and")).mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.text.TextFunctions.gopherRules(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val query = out.writeStream.format("memory")
+      .queryName("gopher_stream").outputMode("append").start()
+    mem.addData((1L, text), (2L, "too short"))
+    query.processAllAvailable()
+    val got = spark.sql("select doc_id, keep from gopher_stream").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    query.stop()
+    val batch = graft.text.TextFunctions.gopherRules(
+      Seq((1L, text), (2L, "too short")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(got == batch && got(1L) && !got(2L))
+  }
 }
