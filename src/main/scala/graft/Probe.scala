@@ -387,7 +387,13 @@ object Probe {
         // scan in their lineage — an unmaterialized lazy checkpoint under
         // a broadcast exchange is the documented deadlock inversion
         val docs = cleanCorpus(spark, n).localCheckpoint(true)
+        // dev knobs: SPARK_GRAFT_PHASES=semdedup,… runs a substring-matched
+        // subset; args(2) overrides SemDeDup's cluster count (the k-with-N
+        // scaling rule: constant per-cluster pair work needs k ∝ N)
+        val phasesOnly = sys.env.get("SPARK_GRAFT_PHASES").map(_.split(",").toSet)
+        val semK = args.lift(2).map(_.toInt).getOrElse(4096)
         def phase(tag: String)(f: => Long): Unit = {
+          if (!phasesOnly.forall(_.exists(tag.contains))) return
           Thread.sleep(1000)
           val b0 = listener.shuffleWriteBytes; val s0 = System.nanoTime()
           val rows = f
@@ -439,10 +445,13 @@ object Probe {
           spark.read.parquet(s"$idxDir/postings").count()
         }
         bmIdx.release()
-        val dIdx = Bm25.readIndex(spark, idxDir)
-        phase("bm25_100q_disk_pruned")(
+        // depends on the write phase above — a SPARK_GRAFT_PHASES subset
+        // must include both or neither
+        phase("bm25_100q_disk_pruned") {
+          val dIdx = Bm25.readIndex(spark, idxDir)
           Bm25.search(dIdx, bmQueries(1), "query_id", "term", k = 10,
-            maxDfFrac = 0.001).count())
+            maxDfFrac = 0.001).count()
+        }
         // SemDeDup over generated clustered embeddings: 16384 modes so a
         // 4096-centroid quantizer has real structure; avg cluster ~n/4096
         // keeps the cluster-local quadratic affordable by design
@@ -453,11 +462,25 @@ object Probe {
             cast((id * 2654435761 + d * 40503) % 1000 as double) / 4000.0)""")
             .as("v"))
           .localCheckpoint(true)
-        phase("semdedup_train_assign_prune") {
-          val cb = graft.dedup.SemDedup.centroidsKMeans(vecs, "id", "v",
-            k = 4096, sampleN = 65536, maxIter = 5)
-          graft.dedup.SemDedup.dedup(vecs, "id", "v", cb, threshold = 0.995)
-            .filter(!col("kept")).count()
+        // args(3) = "hier" switches to the two-level clusterer (k1=128,
+        // k2=semK/128) — the large-k path where flat O(n·k·d) assignment
+        // dominates
+        val semHier = args.lift(3).contains("hier")
+        phase(s"semdedup_train_assign_prune_k$semK" +
+            (if (semHier) "_hier" else "")) {
+          if (semHier) {
+            val k1 = 128
+            val hcb = graft.dedup.SemDedup.centroidsKMeansHier(vecs, "id", "v",
+              k1 = k1, k2 = semK / k1, sampleN = 65536, maxIter = 5)
+            graft.dedup.SemDedup.dedupHier(vecs, "id", "v", hcb,
+                threshold = 0.995)
+              .filter(!col("kept")).count()
+          } else {
+            val cb = graft.dedup.SemDedup.centroidsKMeans(vecs, "id", "v",
+              k = semK, sampleN = 65536, maxIter = 5)
+            graft.dedup.SemDedup.dedup(vecs, "id", "v", cb, threshold = 0.995)
+              .filter(!col("kept")).count()
+          }
         }
       case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf|pq|timeseries|curation)")
     }

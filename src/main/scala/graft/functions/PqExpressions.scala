@@ -84,11 +84,56 @@ object PqFunctions {
     acc
   }
 
+  /** [[HierArgminExpr]] kernel: two-level nearest-centroid assignment —
+    * squared-L2 argmin over `k1` coarse centroids, then argmin over THAT
+    * cell's `k2` fine centroids; global id = coarse·k2 + fine. Strict `<`
+    * ties → lowest id at both levels. `coarse` laid out `[j·d + i]`,
+    * `fine` `[(cell·k2 + j)·d + i]`. O((k1 + k2)·d) per row instead of
+    * the flat argmin's O(k1·k2·d) — the FAISS coarse-quantizer shape. */
+  def hierArgminRow(v: ArrayData, dim: Int, k1: Int, k2: Int,
+      coarse: Array[Double], fine: Array[Double]): Int = {
+    var bestC = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < k1) {
+      val base = j * dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        val df = v.getDouble(i) - coarse(base + i)
+        acc += df * df
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; bestC = j }
+      j += 1
+    }
+    var bestF = 0
+    bestD = Double.MaxValue
+    j = 0
+    while (j < k2) {
+      val base = (bestC * k2 + j) * dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        val df = v.getDouble(i) - fine(base + i)
+        acc += df * df
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; bestF = j }
+      j += 1
+    }
+    bestC * k2 + bestF
+  }
+
   def pqEncode(vec: Column, m: Int, dsub: Int, ksub: Int, cb: Array[Double]): Column =
     Bridge.column(PqEncodeExpr(Bridge.expression(vec), m, dsub, ksub, cb))
 
   def pqLut(qvec: Column, m: Int, dsub: Int, ksub: Int, cb: Array[Double]): Column =
     Bridge.column(PqLutExpr(Bridge.expression(qvec), m, dsub, ksub, cb))
+
+  def hierArgmin(vec: Column, dim: Int, k1: Int, k2: Int,
+      coarse: Array[Double], fine: Array[Double]): Column =
+    Bridge.column(HierArgminExpr(Bridge.expression(vec), dim, k1, k2, coarse, fine))
 
   def pqAdc(lut: Column, code: Column, ksub: Int): Column =
     Bridge.column(PqAdcExpr(Bridge.expression(lut), Bridge.expression(code), ksub))
@@ -131,6 +176,24 @@ case class PqLutExpr(child: Expression, m: Int, dsub: Int, ksub: Int,
 /** (lut `array<double>`, code `array<int>`) → approximate inner-product
   * score. The hot expression of a PQ scan: one array lookup + add per
   * subspace, no floats from the candidate side at all. */
+/** `array<double>` vector → two-level cluster id (see
+  * [[PqFunctions.hierArgminRow]]); both codebooks ride as codegen
+  * reference objects. */
+case class HierArgminExpr(child: Expression, dim: Int, k1: Int, k2: Int,
+    coarse: Array[Double], fine: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    PqFunctions.hierArgminRow(input.asInstanceOf[ArrayData], dim, k1, k2, coarse, fine)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("hierCoarse", coarse, "double[]")
+    val fRef = ctx.addReferenceObj("hierFine", fine, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqFunctions.hierArgminRow($c, $dim, $k1, $k2, $cRef, $fRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HierArgminExpr =
+    copy(child = newChild)
+}
+
 case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

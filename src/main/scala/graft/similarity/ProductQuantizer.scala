@@ -69,34 +69,91 @@ object ProductQuantizer {
     Codebooks(m, dsub, ksub, flat)
   }
 
-  /** Production trainer: per-subspace Lloyd's k-means on a bounded,
-    * deterministically-chosen sample (rows ordered by `xxhash64(id)` —
-    * a seedless shuffle that is stable across runs and partitionings).
-    * Only `sampleN` vectors are ever collected, independent of corpus
-    * size. Ties and empty clusters resolve deterministically (lowest
-    * centroid id wins; empty clusters keep their previous centroid), so
-    * the same data always yields the same codebooks. */
-  def trainKMeans(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, sampleN: Int = 65536, maxIter: Int = 10): Codebooks = {
-    // Deterministic bounded sample WITHOUT a global order-limit: the
-    // TakeOrdered plan behind `orderBy(hash).limit(N)` ships every
-    // partition's per-partition top-N to the driver — 32 partitions ×
-    // 65536 × ~0.5 KB blew spark.driver.maxResultSize at a 2M-vector
-    // probe. A hash-threshold filter keeps an EXPECTED 2·sampleN rows
-    // (pure function of ids — stable across runs and partitionings),
-    // which the driver sorts by (hash, id) and trims to sampleN; the
-    // collect is bounded by the sample size, never the corpus.
+  /** Deterministic bounded training sample WITHOUT a global order-limit:
+    * the TakeOrdered plan behind `orderBy(hash).limit(N)` ships every
+    * partition's per-partition top-N to the driver — 32 partitions ×
+    * 65536 × ~0.5 KB blew spark.driver.maxResultSize at a 2M-vector
+    * probe. A hash-threshold filter keeps an EXPECTED 2·sampleN rows
+    * (pure function of ids — stable across runs and partitionings),
+    * which the driver sorts by (hash, id) and trims to sampleN; the
+    * collect is bounded by the sample size, never the corpus. */
+  def sampleVectors(corpus: DataFrame, idCol: String, vecCol: String,
+      sampleN: Int): Array[Array[Double]] = {
     val base = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val total = base.count()
     val p = math.max(1L, total / math.max(1L, 2L * sampleN))
-    val sample = base
+    base
       .filter(pmod(xxhash64(col("id")), lit(p)) === 0)
       .select(xxhash64(col("id")).as("h"), col("id"), col("v"))
       .collect()
       .sortBy(r => (r.getLong(0), r.getLong(1)))
       .take(sampleN)
       .map(_.getSeq[Double](2).toArray)
+  }
+
+  /** Deterministic Lloyd over a driver-held sample, restricted to the
+    * dims `[off, off + d)` of each row: `k` centroids, init = evenly
+    * spaced rows of the (hash-shuffled) sample, empty clusters keep
+    * their previous centroid, ties to the lowest centroid id. The
+    * O(n·k·d) assignment step runs parallel over samples (pure argmin
+    * writes — deterministic); the order-sensitive centroid sums stay
+    * sequential. */
+  private[graft] def lloyd(sample: Array[Array[Double]], off: Int,
+      d: Int, k: Int, maxIter: Int): Array[Array[Double]] = {
+    val n = sample.length
+    val cents = Array.tabulate(k, d)((j, i) =>
+      sample((j.toLong * n / k).toInt)(off + i))
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < maxIter) {
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var acc = 0.0
+          var x = 0
+          while (x < d) {
+            val diff = sample(i)(off + x) - cents(j)(x)
+            acc += diff * diff
+            x += 1
+          }
+          if (acc < bestD) { bestD = acc; best = j }
+          j += 1
+        }
+        assign(i) = best
+      }
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < n) {
+        val j = assign(i)
+        counts(j) += 1
+        var x = 0
+        while (x < d) { sums(j)(x) += sample(i)(off + x); x += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var x = 0
+          while (x < d) { cents(j)(x) = sums(j)(x) / counts(j); x += 1 }
+        }
+        j += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Production trainer: per-subspace [[lloyd]] on a [[sampleVectors]]
+    * sample — only `sampleN` vectors are ever collected, independent of
+    * corpus size, and every tie/empty-cluster rule is deterministic, so
+    * the same data always yields the same codebooks. */
+  def trainKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, sampleN: Int = 65536, maxIter: Int = 10): Codebooks = {
+    val sample = sampleVectors(corpus, idCol, vecCol, sampleN)
     val n = sample.length
     require(n >= ksub, s"need at least ksub=$ksub sample vectors, got $n")
     val dim = sample.head.length
@@ -105,54 +162,7 @@ object ProductQuantizer {
     val flat = new Array[Double](m * ksub * dsub)
     var s = 0
     while (s < m) {
-      // init: evenly-spaced rows of the hash-shuffled sample
-      val cents = Array.tabulate(ksub, dsub)((j, d) =>
-        sample((j.toLong * n / ksub).toInt)(s * dsub + d))
-      val assign = new Array[Int](n)
-      var it = 0
-      while (it < maxIter) {
-        // assignment is the O(n·ksub·dsub) bulk of Lloyd and every sample
-        // is independent — parallel over samples, DETERMINISTIC because
-        // each slot is written exactly once with a value that does not
-        // depend on evaluation order (no accumulation happens here; the
-        // order-sensitive centroid sums below stay sequential)
-        java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
-          var best = 0
-          var bestD = Double.MaxValue
-          var j = 0
-          while (j < ksub) {
-            var acc = 0.0
-            var d = 0
-            while (d < dsub) {
-              val diff = sample(i)(s * dsub + d) - cents(j)(d)
-              acc += diff * diff
-              d += 1
-            }
-            if (acc < bestD) { bestD = acc; best = j }
-            j += 1
-          }
-          assign(i) = best
-        }
-        val sums = Array.ofDim[Double](ksub, dsub)
-        val counts = new Array[Int](ksub)
-        var i = 0
-        while (i < n) {
-          val j = assign(i)
-          counts(j) += 1
-          var d = 0
-          while (d < dsub) { sums(j)(d) += sample(i)(s * dsub + d); d += 1 }
-          i += 1
-        }
-        var j = 0
-        while (j < ksub) {
-          if (counts(j) > 0) {
-            var d = 0
-            while (d < dsub) { cents(j)(d) = sums(j)(d) / counts(j); d += 1 }
-          }
-          j += 1
-        }
-        it += 1
-      }
+      val cents = lloyd(sample, s * dsub, dsub, ksub, maxIter)
       var j = 0
       while (j < ksub) {
         var d = 0

@@ -148,6 +148,35 @@ class CodegenPathSpec extends SparkSpec {
     }
   }
 
+  test("hierArgmin: codegen ≡ interpreted ≡ flat argmin over the same centroids") {
+    import spark.implicits._
+    val dim = 4; val k1 = 3; val k2 = 2
+    val rnd = new scala.util.Random(7L)
+    val coarse = Array.fill(k1 * dim)(rnd.nextDouble())
+    val fine = Array.fill(k1 * k2 * dim)(rnd.nextDouble())
+    // deterministic per-id vectors: bothPaths builds the frame twice
+    val df2 = (1L to 50L).map { i =>
+      val r2 = new scala.util.Random(i)
+      (i, Array.fill(dim)(r2.nextDouble()))
+    }
+    def q = df2.toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+      .select(col("id"), PqFunctions.hierArgmin(col("v"), dim, k1, k2, coarse, fine).as("c"))
+    bothPaths(q)
+    // reference: plain-Scala two-level argmin over the same arrays
+    val got = df2.toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+      .select(col("id"), PqFunctions.hierArgmin(col("v"), dim, k1, k2, coarse, fine).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def d2(v: Array[Double], flat: Array[Double], base: Int) =
+      (0 until dim).map(i => (v(i) - flat(base + i)) * (v(i) - flat(base + i))).sum
+    df2.foreach { case (id, v) =>
+      val c = (0 until k1).minBy(j => d2(v, coarse, j * dim))
+      val f = (0 until k2).minBy(j => d2(v, fine, (c * k2 + j) * dim))
+      assert(got(id) == c * k2 + f, s"id $id")
+    }
+  }
+
   test("seeded-random differential: tokenTf ≡ exploded-token groupBy counts") {
     import graft.text.TextFunctions
     import spark.implicits._

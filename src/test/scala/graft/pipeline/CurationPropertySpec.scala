@@ -86,6 +86,31 @@ class CurationPropertySpec extends SparkSpec {
     assert(all.forall(identity), "unreachable threshold keeps everything")
   }
 
+  test("SemDedup hier: exact-duplicate guarantee holds; ids total and stable") {
+    import spark.implicits._
+    val base = (1L to 300L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.9 + d) + 0.01 * d)))
+    val dup = (301L to 305L).map(i => (i, base((i - 301).toInt)._2))
+    val corpus = (base ++ dup).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    val hcb = SemDedup.centroidsKMeansHier(corpus, "id", "v",
+      k1 = 4, k2 = 8, sampleN = 256, maxIter = 5)
+    val out = SemDedup.dedupHier(corpus, "id", "v", hcb, threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getBoolean(2)))
+    val kept = out.map(r => r._1 -> r._3).toMap
+    assert((301L to 305L).forall(id => !kept(id)),
+      "identical vectors share a cluster under ANY quantizer → copies drop")
+    assert((1L to 5L).forall(kept), "originals keep")
+    assert(out.forall(r => r._2 >= 0 && r._2 < 4 * 8), "ids in [0, k1·k2)")
+    // determinism: retraining on the same data gives identical verdicts
+    val hcb2 = SemDedup.centroidsKMeansHier(corpus, "id", "v",
+      k1 = 4, k2 = 8, sampleN = 256, maxIter = 5)
+    val again = SemDedup.dedupHier(corpus, "id", "v", hcb2, threshold = 0.9999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(again == kept)
+  }
+
   test("SemDedup: verdicts invariant under corpus repartitioning") {
     import spark.implicits._
     val corpus = (1L to 60L).map(i =>
