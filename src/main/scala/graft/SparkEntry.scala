@@ -1345,6 +1345,27 @@ object SparkEntry {
           col("rSum").as("r_sum"), col("gSum").as("g_sum"),
           col("bSum").as("b_sum"))
     }),
+    "q98_semdedup_hier" -> ((s, dir) => {
+      // SemDeDup under the TWO-LEVEL assigner, hash-gated end-to-end via
+      // the data-row hier codebook (coarse = 4 lowest-id vectors, fine =
+      // each cell's 4 lowest-id members — both pure filter/rank
+      // constructions the oracle replays), so the codegen'd HierArgminExpr
+      // and dedupHier sit inside the correctness gate; kMeansHier is the
+      // production trainer (spec + probe). Same normalize/round/τ rules
+      // as q92
+      import graft.functions.VectorFunctions
+      val e = tbl(s, dir, "embeddings")
+      val v = col("embedding").cast("array<double>")
+      val nv = e.select(col("vec_id"),
+        transform(VectorFunctions.arrayDiv(v, Similarity.norm(v)),
+          x => round(x, 6)).as("v"))
+      val hcb = graft.dedup.SemDedup.centroidsHierFromRows(nv, "vec_id", "v",
+        k1 = 4, k2 = 4)
+      graft.dedup.SemDedup.dedupHier(nv, "vec_id", "v", hcb,
+          threshold = 0.35, normalized = true)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("kept"))
+    }),
     "q97_gopher_rules" -> ((s, dir) =>
       // the named Gopher/MassiveText Table-A1 document rules, signal by
       // signal and rule by rule: every ratio is a single IEEE division of
@@ -1585,6 +1606,7 @@ object SparkEntry {
     "q93_dsir" -> dsirSql,
     "q94_bm25_topk" -> bm25TopkSql,
     "q97_gopher_rules" -> gopherRulesSql,
+    "q98_semdedup_hier" -> semdedupHierSql,
     "q96_bm25_dfcut" -> bm25TopkSql.replace(
       " JOIN lens l ON l.doc_id = tf.doc_id, st\n GROUP BY 1, 2)",
       " JOIN lens l ON l.doc_id = tf.doc_id, st\n" +
@@ -3513,6 +3535,43 @@ object SparkEntry {
       | CAST(row_number() OVER (ORDER BY dsir_logw DESC, doc_id) AS BIGINT) AS rank,
       | row_number() OVER (ORDER BY dsir_logw DESC, doc_id) <= (SELECT k FROM k) AS keep
       |FROM sc""".stripMargin
+
+  /** q98: the two-level SemDeDup replay — coarse argmin over the 4
+    * lowest-id vectors, fine centroids = each cell's 4 lowest-id members
+    * (rank by vec_id), fine argmin within the assigned cell, cluster =
+    * cell·4 + fine, then q92's lower-id ε-ball rule. */
+  private def semdedupHierSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS r FROM embeddings),
+      |u AS (SELECT vec_id,
+      |  list_transform(r, x -> round(x / sqrt(list_inner_product(r, r)), 6)) AS v
+      | FROM e),
+      |cb AS (SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id < 4),
+      |cd AS (SELECT u.vec_id, c.cid,
+      |  list_sum(list_transform(generate_series(1, 64),
+      |    i -> (u.v[i] - c.cv[i]) * (u.v[i] - c.cv[i]))) AS d
+      | FROM u, cb c),
+      |casg AS (SELECT vec_id, cid AS cell FROM (
+      |  SELECT vec_id, cid,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      |  FROM cd) t WHERE rk = 1),
+      |fine AS (SELECT cell, CAST(rk - 1 AS BIGINT) AS fid, v FROM (
+      |  SELECT a.cell, a.vec_id,
+      |   row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rk
+      |  FROM casg a) f JOIN u USING (vec_id) WHERE rk <= 4),
+      |fd AS (SELECT a.vec_id, a.cell, fn.fid,
+      |  list_sum(list_transform(generate_series(1, 64),
+      |    i -> (u.v[i] - fn.v[i]) * (u.v[i] - fn.v[i]))) AS d
+      | FROM casg a JOIN u USING (vec_id) JOIN fine fn ON fn.cell = a.cell),
+      |asg AS (SELECT vec_id, CAST(cell * 4 + fid AS BIGINT) AS cluster FROM (
+      |  SELECT vec_id, cell, fid,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY d, fid) AS rk
+      |  FROM fd) t WHERE rk = 1),
+      |p AS (SELECT DISTINCT a2.vec_id AS dropped
+      | FROM asg a1 JOIN asg a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+      | JOIN u u1 ON u1.vec_id = a1.vec_id JOIN u u2 ON u2.vec_id = a2.vec_id
+      | WHERE round(list_inner_product(u1.v, u2.v), 4) >= 0.35)
+      |SELECT a.vec_id, a.cluster, (d.dropped IS NULL) AS kept
+      |FROM asg a LEFT JOIN p d ON a.vec_id = d.dropped""".stripMargin
 
   /** q94: BM25 replay — whitespace/lowercase tokens, postings tf, df, doc
     * lengths (null text = length 0, still in N/avgdl), Lucene-form idf,

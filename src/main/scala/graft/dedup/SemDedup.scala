@@ -153,6 +153,66 @@ object SemDedup {
     graft.functions.PqFunctions.hierArgmin(vec, hcb.dim, hcb.k1, hcb.k2,
       hcb.coarse, hcb.fine)
 
+  /** Deterministic data-row HIER codebook — the [[ProductQuantizer
+    * .fromRows]] trick for the two-level assigner, making the WHOLE
+    * hier-assign → pair → prune pipeline SQL-replayable (gate q98):
+    * coarse centroids are the `k1` lowest-`idCol` vectors; each cell's
+    * fine centroids are the `k2` lowest-id corpus vectors the coarse
+    * argmin assigns to that cell (one small Spark job: assignment
+    * projection + per-cell id-rank window, ≤ k1·k2 rows collected).
+    * Cells with fewer than `k2` members repeat their last centroid
+    * (a repeated centroid never beats its lower-id twin under strict
+    * `<`, so assignment ids match a SQL argmin over the distinct rows);
+    * cells with NO members inherit their coarse centroid. Production
+    * uses [[centroidsKMeansHier]]. */
+  def centroidsHierFromRows(corpus: DataFrame, idCol: String, vecCol: String,
+      k1: Int, k2: Int): HierCodebooks = {
+    import org.apache.spark.sql.expressions.Window
+    val coarseCb = ProductQuantizer.fromRows(corpus, idCol, vecCol, m = 1, ksub = k1)
+    val dim = coarseCb.dsub
+    val w = Window.partitionBy(col("__cell")).orderBy(col("__id"))
+    val fineRows = corpus
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__cell", assignCluster(col("__v"), coarseCb))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k2)
+      .select(col("__cell").cast("int"), col("__rk"), col("__v").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1) - 1, r.getSeq[Double](2).toArray))
+    val fine = new Array[Double](k1 * k2 * dim)
+    // default every slot to the coarse centroid (covers empty cells),
+    // then overwrite with the cell's actual members; pad short cells by
+    // repeating their LAST member
+    var c = 0
+    while (c < k1) {
+      var f = 0
+      while (f < k2) {
+        System.arraycopy(coarseCb.flat, c * dim, fine, (c * k2 + f) * dim, dim)
+        f += 1
+      }
+      c += 1
+    }
+    val maxRk = new Array[Int](k1)
+    java.util.Arrays.fill(maxRk, -1)
+    fineRows.foreach { case (cell, fid, v) =>
+      System.arraycopy(v, 0, fine, (cell * k2 + fid) * dim, dim)
+      if (fid > maxRk(cell)) maxRk(cell) = fid
+    }
+    var c2 = 0
+    while (c2 < k1) {
+      if (maxRk(c2) >= 0) {
+        var f = maxRk(c2) + 1
+        while (f < k2) {
+          System.arraycopy(fine, (c2 * k2 + maxRk(c2)) * dim,
+            fine, (c2 * k2 + f) * dim, dim)
+          f += 1
+        }
+      }
+      c2 += 1
+    }
+    HierCodebooks(dim, k1, k2, coarseCb.flat, fine)
+  }
+
   /** Keep/drop verdicts for the whole corpus.
     *
     * Output: (idCol, cluster, kept) — `kept = false` iff a lower-id
