@@ -299,6 +299,10 @@ object Multimodal {
   def resizePpmNearest(df: DataFrame, idCol: String, binCol: String,
       outW: Int, outH: Int): Dataset[ResizedPpm] = {
     require(outW > 0 && outH > 0, s"bad output size ${outW}x$outH")
+    // mirror the decoder's n > Int.MaxValue guard: a 50000×50000 request
+    // would overflow outW*outH*3 into a NegativeArraySizeException
+    require(outW.toLong * outH * 3 <= Int.MaxValue,
+      s"output size ${outW}x$outH exceeds the byte-array limit")
     val ds = df.select(col(idCol).cast("long").as("id"),
       col(binCol).cast("binary").as("payload")).as(Encoders.product[MediaRow])
     ds.mapPartitions { rows =>

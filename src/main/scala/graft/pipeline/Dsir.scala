@@ -119,16 +119,26 @@ object Dsir {
     * The per-document sum is a float fold over ≤ thousands of O(1) terms;
     * consumers should round (≥6dp is far above the reorder noise). */
   def score(docs: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, buckets: Int): DataFrame =
+      weights: DataFrame, buckets: Int): DataFrame = {
     // explode → broadcast weight join → one per-doc aggregate: a single
     // exchange of map-combined (doc, partial) rows (an earlier
     // (doc, bucket) pre-count added a second shuffle for nothing — the
-    // weight join is bucket-keyed either way)
+    // weight join is bucket-keyed either way). LEFT join + OOV coalesce:
+    // a bucket absent from the weight table (scoring a held-out corpus,
+    // not the weight-training one) takes the bucket = -1 weight — the
+    // same wMap.getOrElse(-1, 0) rule streamingDsirScore applies —
+    // instead of silently dropping the feature from both the sum and
+    // n_feats (ADVICE r8). The weight table is ≤ buckets+1 local rows by
+    // contract, so pre-reading the scalar costs no corpus work.
+    val oovLogw = weights.filter(col("bucket") === -1L).select("logw")
+      .collect().headOption.map(_.getDouble(0)).getOrElse(0.0)
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(features(col(textCol), buckets)).as("bucket"))
-      .join(broadcast(weights), Seq("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_feats"), sum(col("logw")).as("dsir_logw"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("logw"), lit(oovLogw))).as("dsir_logw"))
+  }
 
   /** Deterministic EXACT selection: keep the `frac` highest-scoring
     * documents (ties broken by id — scores should be pre-rounded by the

@@ -79,7 +79,12 @@ object ProductQuantizer {
     * collect is bounded by the sample size, never the corpus. */
   def sampleVectors(corpus: DataFrame, idCol: String, vecCol: String,
       sampleN: Int): Array[Array[Double]] = {
-    val base = corpus.select(col(idCol).as("id"),
+    // cast the id to long exactly as fromRows does: getLong on an uncast
+    // Integer id threw ClassCastException, silently restricting
+    // trainKMeans / SemDedup centroid sampling to LongType ids. The cast
+    // is a no-op for long ids, so existing sampled sets (and therefore
+    // trained codebooks / gate hashes) are unchanged.
+    val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val total = base.count()
     val p = math.max(1L, total / math.max(1L, 2L * sampleN))

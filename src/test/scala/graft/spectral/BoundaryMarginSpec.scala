@@ -1,0 +1,101 @@
+package graft.spectral
+
+import graft.SparkSpec
+import graft.core.TimeseriesFrame
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Closes the cross-algorithm rounding-flake class (r8's q81 red cell):
+  * every hash-gated spectral query whose Spark algorithm differs from its
+  * DuckDB oracle replay (FFT vs DFT, moment-solve vs Cramer, gathered vs
+  * windowed) is only deterministic if no UNROUNDED gate-data value sits
+  * closer to its quantization boundary than the two engines' numerical
+  * deviation. This spec computes the unrounded spectra on the actual gate
+  * data (sf0.01 events) and asserts a per-row margin bound derived from
+  * the worst MEASURED Spark-vs-DuckDB deviations (r9 analysis):
+  *
+  *   family                    grid          worst measured dev   bar
+  *   q48/q81 diff-detrend      1e-3 + shift  4.98e-9 (FFT)        50×dev
+  *   q76 quadratic-detrend     1e-3 + shift  4.4e-11              50×dev
+  *   q83/q84/q85 ACF/PACF/CI   1e-6          2.7e-14              1e-11
+  *   q49 Lomb by key           1e-6          3.1e-16              1e-12
+  *
+  * The by-key periodogram families additionally carry the boundary SHIFT
+  * (SparkEntry.powerShiftByKey/-Poly): cent-valued diffs at exact-angle
+  * harmonics make powers terminate in decimal exactly ON unshifted
+  * boundaries, so the margin must be created by construction, not hoped
+  * for. If this spec fails after a testdata regeneration, re-scan the
+  * shift constants (tools history in PLANS_r9.md). */
+class BoundaryMarginSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private def haveData = new java.io.File(s"$sfDir/events.parquet").exists()
+
+  private lazy val t: TimeseriesFrame = TimeseriesFrame.fromColumn(
+    graft.SparkEntry.tbl(spark, sfDir, "events"), "ts", Seq("event_id"))
+    .withSeriesKeys("user_id")
+
+  /** distance of |v|+shift to the nearest 0.5·grid HALF_UP boundary */
+  private def margin(v: Double, grid: Double, shift: Double): Double = {
+    val f = ((math.abs(v) + shift) / grid) % 1.0
+    math.abs(f - 0.5) * grid
+  }
+
+  private def assertMargins(df: DataFrame, valueCols: Seq[String],
+      grid: Double, shift: Double, bar: Double => Double, tag: String): Unit = {
+    val rows = df.select(valueCols.map(F.col): _*).collect()
+    var n = 0
+    rows.foreach { r =>
+      (0 until r.length).foreach { i =>
+        if (!r.isNullAt(i)) {
+          val v = r.getDouble(i)
+          val m = margin(v, grid, shift)
+          assert(m >= bar(math.abs(v)),
+            s"$tag: value $v margin $m < bar ${bar(math.abs(v))} " +
+              s"(grid $grid shift $shift) — boundary-flake risk; re-scan shift")
+          n += 1
+        }
+      }
+    }
+    assert(n > 0, s"$tag: no values checked")
+  }
+
+  // 50× the measured FFT-vs-DuckDB deviation envelope (4.98e-9 abs at
+  // power≈2e4, i.e. ≤ 3e-13·|v| + 2e-11); headroom also covers DuckDB
+  // build-to-build sum-order noise, which is DFT-class (≤1.5e-11).
+  private def fftBar(va: Double): Double = 50 * (3e-13 * va + 2e-11)
+
+  test("q48/q81 by-key diff-detrend powers clear the shifted 3dp grid") {
+    assume(haveData)
+    val spec = Periodogram.spectrumByKey(t, "value", "diff")
+    assertMargins(spec, Seq("power"), 1e-3, graft.SparkEntry.powerShiftByKey,
+      fftBar, "q48/q81")
+  }
+
+  test("q76 by-key quadratic-detrend powers clear the shifted 3dp grid") {
+    assume(haveData)
+    val spec = Periodogram.spectrumByKey(t, "value", "quadratic")
+    assertMargins(spec, Seq("power"), 1e-3, graft.SparkEntry.powerShiftPoly,
+      fftBar, "q76")
+  }
+
+  test("q83/q85 ACF + confint values clear the 6dp grid") {
+    assume(haveData)
+    val acf = Correlation.acfConfintByKey(t, "value", alpha = 0.05, maxLag = 6)
+    assertMargins(acf, Seq("acf", "ci_low", "ci_high"), 1e-6, 0.0,
+      _ => 1e-11, "q83/q85")
+  }
+
+  test("q84 PACF values clear the 6dp grid") {
+    assume(haveData)
+    val p = Correlation.pacfByKeyFft(t, "value", maxLag = 8)
+    assertMargins(p, Seq("pacf"), 1e-6, 0.0, _ => 1e-11, "q84")
+  }
+
+  test("q49 Lomb powers clear the 6dp grid") {
+    assume(haveData)
+    val withT = t.copy(df = t.df.withColumn("tsec", F.col("ts").cast("double")),
+      timeCol = Some("tsec")).withSeriesKeys("user_id")
+    val l = Periodogram.lombSpectrumByKey(withT, "value", nPeriods = 60)
+    assertMargins(l, Seq("power"), 1e-6, 0.0, _ => 1e-12, "q49")
+  }
+}
