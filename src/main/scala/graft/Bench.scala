@@ -23,6 +23,13 @@ object Bench {
     // with n=1 timings)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
+    // Untimed per-query throwaway at the TARGET scale factor before its
+    // timed trials (default ON; SPARK_GRAFT_WARMUP=0 disables). The
+    // sf0.001 pass below warms codegen, but the first timed trial still
+    // absorbed target-SF page-cache misses and loop-shape JIT — q01's
+    // recorded spread reached 1.67x from warm-up alone (VERDICT r8 task
+    // 5); the throwaway moves that cost out of the min-of-N.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Warmup pass on the smallest scale factor: triggers Janino codegen
@@ -57,6 +64,8 @@ object Bench {
     val names = selected.keys.toSeq.sorted
     val raw = names.map { name =>
       var err: Option[String] = None
+      if (warmup) // errors are recorded (and fail the run) in the timed trials
+        try selected(name)(spark, sfDir).count() catch { case _: Throwable => () }
       val times = Vector.tabulate(repeat) { _ =>
         val t0 = System.nanoTime()
         if (err.isEmpty)

@@ -107,6 +107,37 @@ object SparkEntry {
   private val tsOrder = "ORDER BY ts, event_id"
   private val centsSql = "CAST(round(value*100) AS BIGINT)"
 
+  /** Planted closed-form media corpus shared by the q79/q91/q95 gates
+    * (folded from three inline copies, VERDICT r8 task 7): even doc_ids
+    * carry a PCM16 WAV, odd a PPM P6 image; every parameter and byte is a
+    * pure integer function of doc_id, so the DuckDB oracles replay the
+    * DECODED surfaces with integer arithmetic end to end. `parity`
+    * restricts to even (Some(0): WAVs) or odd (Some(1): PPMs) ids. */
+  private def plantedMedia(s: SparkSession, dir: String,
+      parity: Option[Int]): DataFrame = {
+    import s.implicits._
+    val base = tbl(s, dir, "documents")
+    val ids = parity.fold(base)(p => base.filter(col("doc_id") % 2 === p))
+      .select(col("doc_id").cast("long").as("id")).as[Long]
+    ids.mapPartitions(_.map { id =>
+      val payload = if (id % 2 == 0) {
+        val rate = 8000 + (id % 3).toInt * 4000
+        val ch = if (id % 4 == 0) 2 else 1
+        val frames = 100 + (id % 50).toInt
+        val samples = Array.tabulate[Short](frames * ch)(k =>
+          (((id * 31 + k.toLong * 7) % 65536) - 32768).toShort)
+        Multimodal.encodeWavPcm16(rate, ch, samples)
+      } else {
+        val w = 4 + (id % 8).toInt
+        val h = 3 + (id % 5).toInt
+        val pix = Array.tabulate[Byte](w * h * 3)(k =>
+          ((id + k.toLong * 13) % 256).toByte)
+        Multimodal.encodePpmP6(w, h, 255, pix)
+      }
+      Multimodal.MediaRow(id, payload)
+    }).toDF()
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_sliding_basic")(spark, "/root/testdata/sf0.001")
@@ -795,28 +826,7 @@ object SparkEntry {
       // oracle replays the DECODED surface with integer arithmetic end
       // to end — a wrong header walk, byte order, or sign convention in
       // the decoder breaks the hash
-      import s.implicits._
-      val ids = tbl(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("id")).as[Long]
-      val media = ids.mapPartitions(_.map { id =>
-        val payload =
-          if (id % 2 == 0) {
-            val rate = 8000 + (id % 3).toInt * 4000
-            val ch = if (id % 4 == 0) 2 else 1
-            val frames = 100 + (id % 50).toInt
-            val samples = Array.tabulate[Short](frames * ch)(k =>
-              (((id * 31 + k.toLong * 7) % 65536) - 32768).toShort)
-            Multimodal.encodeWavPcm16(rate, ch, samples)
-          } else {
-            val w = 4 + (id % 8).toInt
-            val h = 3 + (id % 5).toInt
-            val pix = Array.tabulate[Byte](w * h * 3)(k =>
-              ((id + k.toLong * 13) % 256).toByte)
-            Multimodal.encodePpmP6(w, h, 255, pix)
-          }
-        Multimodal.MediaRow(id, payload)
-      })
-      Multimodal.decodeMedia(media.toDF(), "id", "payload").toDF()
+      Multimodal.decodeMedia(plantedMedia(s, dir, parity = None), "id", "payload").toDF()
         .select(col("id").as("doc_id"), col("kind"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
@@ -1291,19 +1301,7 @@ object SparkEntry {
       // over the closed-form samples — cross-engine AND cross-algorithm
       // (the q81 pattern applied to the multimodal family), and the WAV
       // chunk walk + mono mix sit inside the gated path
-      import s.implicits._
-      val ids = tbl(s, dir, "documents")
-        .filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").cast("long").as("id")).as[Long]
-      val media = ids.mapPartitions(_.map { id =>
-        val rate = 8000 + (id % 3).toInt * 4000
-        val ch = if (id % 4 == 0) 2 else 1
-        val frames = 100 + (id % 50).toInt
-        val samples = Array.tabulate[Short](frames * ch)(k =>
-          (((id * 31 + k.toLong * 7) % 65536) - 32768).toShort)
-        Multimodal.MediaRow(id, Multimodal.encodeWavPcm16(rate, ch, samples))
-      })
-      Multimodal.audioSpectrogram(media.toDF(), "id", "payload")
+      Multimodal.audioSpectrogram(plantedMedia(s, dir, parity = Some(0)), "id", "payload")
         .select(col("id").as("doc_id"), col("frame").cast("long").as("frame"),
           col("bin").cast("long").as("bin"), round(col("mag"), 4).as("mag"))
     }),
@@ -1370,18 +1368,7 @@ object SparkEntry {
       // function are pure integer arithmetic, so the oracle recomputes
       // the RESIZED per-channel sums from the closed form — a wrong
       // header walk, stride, or index rounding breaks the hash
-      import s.implicits._
-      val ids = tbl(s, dir, "documents")
-        .filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id").cast("long").as("id")).as[Long]
-      val media = ids.mapPartitions(_.map { id =>
-        val w = 4 + (id % 8).toInt
-        val h = 3 + (id % 5).toInt
-        val pix = Array.tabulate[Byte](w * h * 3)(k =>
-          ((id + k.toLong * 13) % 256).toByte)
-        Multimodal.MediaRow(id, Multimodal.encodePpmP6(w, h, 255, pix))
-      })
-      Multimodal.resizePpmNearest(media.toDF(), "id", "payload",
+      Multimodal.resizePpmNearest(plantedMedia(s, dir, parity = Some(1)), "id", "payload",
           outW = 4, outH = 3).toDF()
         .select(col("id").as("doc_id"),
           col("srcWidth").cast("long").as("src_w"),

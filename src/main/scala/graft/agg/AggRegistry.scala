@@ -110,7 +110,20 @@ object AggRegistry {
   /** Sliding aggregation of `x` over the trailing `width`-row frame of
     * window `base` (un-framed, ordered). The caller gates leading
     * incomplete windows (rows `rn < width`) per keep-mode. */
+  /** Hard cap on widths of buffer-backed aggs (collect_list buffers for
+    * mode / weighted MAs): mirrors the reference GUI's width limit
+    * (`owmovingtransform.py:168`). The cap is what keeps those buffers
+    * executor-local at ANY table size, so it is asserted, not assumed. */
+  val maxBufferedWidth = 1000
+  private val bufferBacked = Set("mode", "lin_ma", "exp_ma")
+
+  /** Assert the buffered-agg width cap (no-op for unbuffered keys). */
+  def requireBufferedWidth(key: String, width: Int): Unit =
+    require(!bufferBacked(key) || width <= maxBufferedWidth,
+      s"agg '$key' buffers the window; width $width > cap $maxBufferedWidth")
+
   def windowed(key: String, x: Column, base: WindowSpec, width: Int): Column = {
+    requireBufferedWidth(key, width)
     val v = nanToNull(x)
     val w = base.rowsBetween(-(width - 1L), 0L)
     val run = base.rowsBetween(Long.MinValue, 0L)
@@ -154,6 +167,7 @@ object AggRegistry {
     * non-null slots is two plain `sum`s — map-side combinable, no
     * collect_list buffer, no window. All-null window → null. */
   def positional(key: String, x: Column, pos: Column, width: Int): Column = {
+    requireBufferedWidth(key, width) // the weight literal array is `width` wide
     val v = nanToNull(x)
     val wArr = array(maWeights(key, width).map(lit): _*)
     val wi = element_at(wArr, pos.cast("int") + 1)

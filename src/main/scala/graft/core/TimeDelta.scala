@@ -26,7 +26,8 @@ final case class TimeDelta(
     isEquispaced: Boolean,
     timeInterval: Option[Double],
     min: Option[Either[Double, (Int, String)]],
-    gcd: Option[Either[Double, (Int, String)]]) {
+    gcd: Option[Either[Double, (Int, String)]],
+    backwardsCompatibleDelta: Option[Either[Double, (Int, String)]] = None) {
 
   /** Scalar seconds of the single raw step, when equispaced. */
   def intervalSeconds: Option[Double] = timeInterval
@@ -37,6 +38,14 @@ final case class TimeDelta(
     case Right(_) => None
   }
 }
+// `backwardsCompatibleDelta` is the legacy `_get_backwards_compatible_delta`
+// (`timeseries.py:74-91`), the pre-TimeDelta single-delta API: Left(seconds)
+// when the series has exactly one distinct spacing; Right((1, unit)) when
+// the ≤4 distinct spacings are all year-lengths (or all month-lengths, or
+// exactly one day); None otherwise. One divergence, documented: the legacy
+// python path ran on deltas WITH zeros (duplicate timestamps ⇒ None); here
+// zeros are dropped upstream like the modern path, so a duplicated
+// timestamp does not by itself degrade the shim to None.
 
 object TimeDelta {
   val empty: TimeDelta = TimeDelta(Nil, isEquispaced = false, None, None, None)
@@ -123,9 +132,26 @@ object TimeDelta {
         if (!hasCal) Some(Left(g.toDouble))
         else if (!hasNum) Some(classify(merged.head)) // all-calendar → min
         else Some(Left(gcdLong(g, DaySeconds.toLong).toDouble))
+      // > maxDistinct distinct deltas ⇒ the legacy shim is None by size
       TimeDelta(classified, isEquispaced = false, timeInterval = None,
-        min = Some(classify(merged.head)), gcd = gcd)
+        min = Some(classify(merged.head)), gcd = gcd,
+        backwardsCompatibleDelta = None)
     }
+  }
+
+  /** Legacy delta of `timeseries.py:74-91` over the distinct nonzero raw
+    * deltas (see the case-class note for the zero-delta divergence). */
+  private def legacyDelta(rawDistinct: Seq[Double])
+      : Option[Either[Double, (Int, String)]] = {
+    val s = rawDistinct.toSet
+    if (s.isEmpty) None
+    else if (rawDistinct.size <= MonthSeconds.size && s.subsetOf(YearSeconds))
+      Some(Right((1, "year")))
+    else if (rawDistinct.size <= MonthSeconds.size && s.subsetOf(MonthSeconds))
+      Some(Right((1, "month")))
+    else if (s == Set(DaySeconds)) Some(Right((1, "day")))
+    else if (rawDistinct.size == 1) Some(Left(rawDistinct.head))
+    else None
   }
 
   /** `raw` = distinct nonzero deltas, ascending (as `np.unique` yields). */
@@ -147,6 +173,7 @@ object TimeDelta {
       if (!hasCalendar) Some(Left(numGcd(numeric)))
       else if (numeric.isEmpty) minDelta // all-calendar → min (`timeseries.py:66-68`)
       else Some(Left(numGcd(numeric :+ DaySeconds)))
-    TimeDelta(classified, equispaced, timeInterval, minDelta, gcd)
+    TimeDelta(classified, equispaced, timeInterval, minDelta, gcd,
+      legacyDelta(rawDistinct))
   }
 }

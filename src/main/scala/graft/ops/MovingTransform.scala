@@ -127,6 +127,9 @@ object MovingTransform {
       ref: BlockRef): DataFrame = {
     val keys = (seriesKeys :+ "block").map(col)
     val aggs = specs.map { case (c, aggKey) =>
+      // block-mode buffers (mode / weighted MAs) hold one block = `width`
+      // rows — same executor-local bound as the windowed path, asserted
+      AggRegistry.requireBufferedWidth(aggKey, width)
       AggRegistry.block(aggKey, col(c)).as(s"${c}_$aggKey")
     }
     val counts = count(lit(1)).as("__n")

@@ -120,4 +120,29 @@ class TimeDeltaSpec extends SparkSpec {
     assert(td.min.contains(Left(halfDay * 3)))
     assert(td.gcd.contains(Left(43200.0))) // gcd(odd·43200 ∪ {86400})
   }
+
+  test("backwards-compatible delta (legacy timeseries.py:74-91 shim)") {
+    // exactly one distinct spacing → that float
+    assert(TimeDelta.fromRawDeltas(Seq(3600.0, 3600.0))
+      .backwardsCompatibleDelta.contains(Left(3600.0)))
+    // all month-lengths (≤4 distinct) → (1, month)
+    assert(TimeDelta.fromRawDeltas(Seq(2678400.0, 2592000.0, 2419200.0))
+      .backwardsCompatibleDelta.contains(Right((1, "month"))))
+    // all year-lengths → (1, year)
+    assert(TimeDelta.fromRawDeltas(Seq(31536000.0, 31622400.0))
+      .backwardsCompatibleDelta.contains(Right((1, "year"))))
+    // exactly a day → (1, day), the tuple form (legacy behavior), not 86400.0
+    assert(TimeDelta.fromRawDeltas(Seq(86400.0))
+      .backwardsCompatibleDelta.contains(Right((1, "day"))))
+    // mixed non-calendar spacings → None
+    assert(TimeDelta.fromRawDeltas(Seq(3600.0, 7200.0))
+      .backwardsCompatibleDelta.isEmpty)
+    // month-lengths mixed with a plain number → None
+    assert(TimeDelta.fromRawDeltas(Seq(2592000.0, 3600.0))
+      .backwardsCompatibleDelta.isEmpty)
+    // five distinct spacings, even all-calendar-adjacent → None (size gate)
+    assert(TimeDelta.fromRawDeltas(
+      Seq(2678400.0, 2592000.0, 2419200.0, 2505600.0, 60.0))
+      .backwardsCompatibleDelta.isEmpty)
+  }
 }
