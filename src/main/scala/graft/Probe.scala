@@ -159,24 +159,57 @@ object Probe {
         val cSym = phase("symmetric", pf = false)
         require(cPre == cSym, s"prefilter/symmetric diverge: $cPre vs $cSym")
       case "clean" =>
+        // the q72 text-pipeline spine at scale, PHASE-TIMED (VERDICT r8
+        // task 6): each stage is force-materialized behind an eager
+        // localCheckpoint so a phase's wall/shuffle numbers measure that
+        // phase alone, not its upstream lineage replay
         import graft.dedup.Dedup
         import graft.pipeline.Sampling
         import graft.text.TextFunctions
-        val docs = cleanCorpus(spark, n)
-        val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
-            shingleHashesOf = TextFunctions.shingleHashes(_, 3),
-            numHashes = 64, bands = 8)
-          .filter(col("est_jaccard") >= 0.5)
-        val clusters = Dedup.connectedComponents(pairs)
-          .select(col("id").as("doc_id"), col("component"))
-        val canonical = docs.join(clusters, Seq("doc_id"), "left")
-          .filter(col("component").isNull || col("component") === col("doc_id"))
-        val verdicts = TextFunctions.qualityFilter(canonical, "doc_id", "text")
-        val out = Sampling.deterministicSplit(verdicts.filter(col("keep")),
-          "doc_id", Seq("train" -> 204, "val" -> 26, "test" -> 26))
-        val counts = out.groupBy("split").count().collect()
-          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
-        println(s"[probe] clean n=$n survivors: $counts")
+        def phase(tag: String)(f: => Long): Unit = {
+          Thread.sleep(1000)
+          val b0 = listener.shuffleWriteBytes; val s0 = System.nanoTime()
+          val rows = f
+          Thread.sleep(1000)
+          println(f"[probe] clean n=$n $tag rows=$rows " +
+            f"wall=${(System.nanoTime() - s0) / 1e9}%.1fs " +
+            f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f")
+        }
+        var docs: DataFrame = null
+        phase("corpus_materialize") {
+          docs = cleanCorpus(spark, n).localCheckpoint(true); docs.count()
+        }
+        var pairs: DataFrame = null
+        phase("minhash_pairs") {
+          pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+              shingleHashesOf = TextFunctions.shingleHashes(_, 3),
+              numHashes = 64, bands = 8)
+            .filter(col("est_jaccard") >= 0.5).localCheckpoint(true)
+          pairs.count()
+        }
+        var clusters: DataFrame = null
+        phase("connected_components") {
+          clusters = Dedup.connectedComponents(pairs)
+            .select(col("id").as("doc_id"), col("component"))
+            .localCheckpoint(true)
+          clusters.count()
+        }
+        var kept: DataFrame = null
+        phase("canonical_quality") {
+          val canonical = docs.join(clusters, Seq("doc_id"), "left")
+            .filter(col("component").isNull || col("component") === col("doc_id"))
+          kept = TextFunctions.qualityFilter(canonical, "doc_id", "text")
+            .filter(col("keep")).localCheckpoint(true)
+          kept.count()
+        }
+        phase("split") {
+          val out = Sampling.deterministicSplit(kept,
+            "doc_id", Seq("train" -> 204, "val" -> 26, "test" -> 26))
+          val counts = out.groupBy("split").count().collect()
+            .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+          println(s"[probe] clean n=$n survivors: $counts")
+          counts.length.toLong
+        }
       case "banding" =>
         // native BandKeysExpr vs the interpreted HOF twin over the same
         // signatures: the banding projection is a per-document scan stage,

@@ -139,16 +139,47 @@ object TextFunctions {
     * comma-joined list so downstream audits can aggregate drop causes. */
   def qualityFilter(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
+    // Two projections, not one: composing tokenCount/qualityScore/
+    // typeTokenRatio inline re-derives split/lower/array_distinct ~8×
+    // (conditional branches defeat Spark's subexpression elimination),
+    // and the resulting whole-stage method is so large that a single-pass
+    // pipeline runs it in the bytecode INTERPRETER until C2 catches up —
+    // measured 6× wall on a one-shot 2M-doc pass (r9 clean probe). The
+    // projection boundary pins each expensive primitive to ONE evaluation
+    // and keeps the generated methods small. Same arithmetic, identical
+    // values (gates q12/q72 unchanged).
     val t = col(textCol)
+    val base = df.select(col(idCol),
+      size(tokens(t)).as("__n"),
+      size(array_distinct(tokensLower(t))).as("__distinct"),
+      length(t).cast("double").as("__chars"),
+      length(regexp_replace(t, "[^A-Za-z]", "")).cast("double").as("__alpha"))
+    val nToks = col("__n").cast("double")
+    val ttr = when(col("__n") === 0, 0.0)
+      .otherwise(col("__distinct").cast("double") / nToks)
+    val meanWordLen = when(col("__n") === 0, 0.0).otherwise(col("__chars") / nToks)
+    val wordLenScore =
+      when(meanWordLen >= 3.0 && meanWordLen <= 10.0, 1.0).otherwise(0.0)
+    val alphaRatio = when(col("__chars") === 0, 0.0)
+      .otherwise(col("__alpha") / col("__chars"))
+    val score = round(wordLenScore * 0.4 + alphaRatio * 0.3 + ttr * 0.3, 6)
     val checks = Seq(
-      "too_short" -> (tokenCount(t) < 10),
-      "low_quality" -> (qualityScore(t) < 0.5),
-      "low_diversity" -> (typeTokenRatio(t) < lit(0.3)))
+      "too_short" -> (col("__n") < 10),
+      "low_quality" -> (score < 0.5),
+      "low_diversity" -> (ttr < lit(0.3)))
     val reasons = array_compact(array(checks.map { case (name, bad) =>
       when(bad, lit(name)).otherwise(lit(null).cast("string"))
     }: _*))
-    df.select(col(idCol),
-      (size(reasons) === 0).as("keep"),
+    // `keep` is a PLAIN boolean chain, not size(reasons)==0: array_compact
+    // is a higher-order function, and a downstream .filter(keep) pushes the
+    // predicate down by alias substitution — a HOF predicate then drags its
+    // whole substituted subtree (splits included) into INTERPRETED
+    // per-row eval (measured 30× on the one-shot 20M-doc probe). The
+    // boolean form codegens; a null check (null text) counts as not-bad,
+    // exactly as when(bad, …) adds no reason.
+    val anyBad = checks.map(_._2).reduce(_ || _)
+    base.select(col(idCol),
+      (!coalesce(anyBad, lit(false))).as("keep"),
       concat_ws(",", reasons).as("reasons"))
   }
 
