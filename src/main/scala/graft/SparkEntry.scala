@@ -783,6 +783,81 @@ object SparkEntry {
           round(col("value_cents_cumsum") / 100.0, 6).as("v_cumsum"),
           round(col("value_cents_mean") / 100.0, 6).as("v_mean"))
     }),
+    "q101_orange_csv_roundtrip" -> ((s, dir) => {
+      // §2.1 file save + scan under the hash gate: write a 3-row-header
+      // .tab (time/continuous/discrete columns with class/meta roles) to
+      // a temp dir, read it back with the Orange reader, and project the
+      // value/meta columns BY ROLE (colsWithRole) — the oracle replays
+      // the derivation straight from events, so a wrong header walk,
+      // role mapping, type parse, or time format breaks the hash.
+      // Timestamps truncate to seconds (the interchange format's
+      // resolution); the value rides as exact cents/100 so the
+      // double→text→double round-trip is identity.
+      import graft.ingest.OrangeCsv
+      import org.apache.spark.sql.types.MetadataBuilder
+      def md(role: String, tpe: String) = new MetadataBuilder()
+        .putString("role", role).putString("orangeType", tpe).build()
+      val base = tbl(s, dir, "events").select(
+        date_trunc("second", col("ts")).as("when", md("feature", "t")),
+        col("event_id").cast("double").as("eid", md("feature", "c")),
+        (round(col("value") * 100) / 100.0).as("val", md("target", "c")),
+        col("user_id").cast("string").as("who", md("meta", "d")))
+      val tsf = TimeseriesFrame(base, Some("when"), Seq("eid"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q101_roundtrip"
+      OrangeCsv.write(tsf, path, sep = "\t")
+      val back = OrangeCsv.read(s, path, sep = "\t")
+      val target = OrangeCsv.colsWithRole(back.df, "target")
+      val metaCols = OrangeCsv.colsWithRole(back.df, "meta")
+      require(target == Seq("val") && metaCols == Seq("who"),
+        s"roles did not round-trip: target=$target meta=$metaCols")
+      back.df.select(unix_seconds(col("when")).as("t_s"),
+        col("eid").cast("long").as("event_id"),
+        col(target.head).as("target_val"),
+        col(metaCols.head).as("meta_who"))
+    }),
+    "q102_finance_ohlcv" -> ((s, dir) => {
+      // §2.1 Yahoo/Quandl-shaped OHLCV ingest under the hash gate via the
+      // pluggable file:// transport: derive a deterministic daily OHLCV
+      // CSV from orders, read it back through readOhlcv (header infer,
+      // Date→time, Close→target role), and project by role — the oracle
+      // replays the daily aggregation straight from orders. min/max/count
+      // involve no float summation, so the CSV round-trip is exact.
+      import graft.ingest.{Finance, OrangeCsv}
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q102_ohlcv"
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("Date"))
+        .agg(count(lit(1)).cast("double").as("Open"),
+          max(col("o_totalprice")).as("High"),
+          min(col("o_totalprice")).as("Low"),
+          ((max(col("o_totalprice")) + min(col("o_totalprice"))) / 2).as("Close"),
+          count(lit(1)).cast("double").as("Volume"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val back = Finance.readOhlcv(s, path)
+      val target = OrangeCsv.colsWithRole(back.df, "target")
+      require(target == Seq("Close"), s"target role: $target")
+      back.df.select(unix_seconds(col("Date")).as("t_s"),
+        col(target.head).as("close_target"),
+        col("High").as("high"), col("Low").as("low"),
+        col("Volume").cast("long").as("volume"))
+    }),
+    "q103_discrete_fill" -> ((s, dir) => {
+      // §2.7 discrete fill under the hash gate, both methods applied in
+      // sequence on twin columns: global-mode fill (tie-free by
+      // construction — 'major' holds a strict majority over the m0..m4
+      // minority on the dense event_id set, so DuckDB's arbitrary-tie
+      // mode agrees with the smallest-tie rule) and nearest-in-time fill
+      // (q11's window replay).
+      val t0 = ev(s, dir)
+      val dcat = when(col("event_id") % 3 === 0, lit(null).cast("string"))
+        .when(col("event_id") % 2 === 0, lit("major"))
+        .otherwise(concat(lit("m"), col("event_id") % 5))
+      val d = t0.df.withColumn("dcat", dcat).withColumn("dcat2", dcat)
+      val modeFilled = Interpolate.discrete(t0.copy(df = d), "dcat", "mode")
+      val bothFilled = Interpolate.discrete(t0.copy(df = modeFilled), "dcat2", "nearest")
+      bothFilled.select(col("event_id"),
+        col("dcat").as("dcat_mode"), col("dcat2").as("dcat_nearest"))
+    }),
     "q99_mode_blocks" -> ((s, dir) => {
       // gate row for the `mode` registry agg (VERDICT r8 missing #1). The
       // discrete fixture is majority-by-CONSTRUCTION, not realized-data
@@ -1528,6 +1603,39 @@ object SparkEntry {
          |SELECT g.window_index, g.v_lin_ma,
          | round(cs.run / 100.0, 6) AS v_cumsum, g.v_mean
          |FROM g JOIN cs ON cs.i = g.window_index * 15 + 39""".stripMargin,
+    "q101_orange_csv_roundtrip" ->
+      s"""SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t_s,
+         | event_id,
+         | CAST(round(value*100) AS BIGINT) / 100.0 AS target_val,
+         | CAST(user_id AS VARCHAR) AS meta_who
+         |FROM events""".stripMargin,
+    "q102_finance_ohlcv" ->
+      s"""SELECT CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS t_s,
+         | (max(o_totalprice) + min(o_totalprice)) / 2 AS close_target,
+         | max(o_totalprice) AS high, min(o_totalprice) AS low,
+         | count(*) AS volume
+         |FROM orders GROUP BY o_orderdate""".stripMargin,
+    "q103_discrete_fill" ->
+      s"""WITH s AS (SELECT event_id, ts, epoch(ts) AS tt,
+         |  CASE WHEN event_id % 3 = 0 THEN NULL
+         |       WHEN event_id % 2 = 0 THEN 'major'
+         |       ELSE 'm' || CAST(event_id % 5 AS VARCHAR) END AS dcat
+         | FROM events),
+         |m AS (SELECT dcat FROM s WHERE dcat IS NOT NULL
+         | GROUP BY 1 ORDER BY count(*) DESC, dcat LIMIT 1),
+         |t AS (SELECT event_id, tt, dcat,
+         |  last_value(dcat IGNORE NULLS) OVER wp AS pv,
+         |  last_value(CASE WHEN dcat IS NOT NULL THEN tt END IGNORE NULLS) OVER wp AS pt,
+         |  first_value(dcat IGNORE NULLS) OVER wn AS nv,
+         |  first_value(CASE WHEN dcat IS NOT NULL THEN tt END IGNORE NULLS) OVER wn AS nt
+         | FROM s
+         | WINDOW wp AS ($tsOrder ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |        wn AS ($tsOrder ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_id,
+         | coalesce(dcat, (SELECT dcat FROM m)) AS dcat_mode,
+         | coalesce(dcat, CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+         |   WHEN tt - pt <= nt - tt THEN pv ELSE nv END) AS dcat_nearest
+         |FROM t""".stripMargin,
     "q99_mode_blocks" ->
       s"""WITH s AS (SELECT row_number() OVER ($tsOrder) AS rn FROM events),
          |d AS (SELECT (rn - 1) // 50 AS block,

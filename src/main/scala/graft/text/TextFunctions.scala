@@ -218,14 +218,24 @@ object TextFunctions {
         (length(t) - length(regexp_replace(t, "…", "")))).cast("double")
     val symbolRatio = when(nWords === 0, 0.0)
       .otherwise((hashCount + ellipsisCount) / nw)
+    // The three line/token counts are regexp_count over the WHOLE text,
+    // not per-element lambda rlike: higher-order filters evaluate
+    // interpreted per element AND poison any downstream .filter(keep)
+    // pushdown into whole-subtree interpreted eval (the r9 qualityFilter
+    // lesson). One anchored regex per rule keeps the entire verdict
+    // codegen'd. Equivalences (differentially spec-pinned vs the lambda
+    // forms in GopherCodegenSpec): a line "starts with a bullet after
+    // trim" ⇔ `(?m)^ *[•\-*]` (Spark trim removes spaces); "ends in
+    // ellipsis after trim" ⇔ `(?m)(\.\.\.|…) *$`; "token contains a
+    // letter" anchors once per token via `(?:^|(?<=\s))\S*?[A-Za-z]`.
     val lines = array_remove(split(t, "\n"), "")
     val nLines = size(lines).cast("double")
     val bulletFrac = when(size(lines) === 0, 0.0).otherwise(
-      size(filter(lines, l => trim(l).rlike("^[•\\-\\*]"))).cast("double") / nLines)
+      regexp_count(t, lit("(?m)^ *[•\\-\\*]")).cast("double") / nLines)
     val ellipsisLineFrac = when(size(lines) === 0, 0.0).otherwise(
-      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+      regexp_count(t, lit("(?m)(\\.\\.\\.|…) *$")).cast("double") / nLines)
     val alphaWordFrac = when(nWords === 0, 0.0).otherwise(
-      size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nw)
+      regexp_count(t, lit("(?:^|(?<=\\s))\\S*?[A-Za-z]")).cast("double") / nw)
     val stopHits = size(array_intersect(toks,
       array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
         .map(lit): _*))).cast("long")
