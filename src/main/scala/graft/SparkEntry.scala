@@ -858,6 +858,65 @@ object SparkEntry {
       bothFilled.select(col("event_id"),
         col("dcat").as("dcat_mode"), col("dcat2").as("dcat_nearest"))
     }),
+    "q104_timedelta_infer" -> ((s, dir) => {
+      // §2.2/§2.10 TimeDelta inference under the hash gate: two
+      // constructed series over the customer key order — 'cycling'
+      // (600/900/1500s steps: not equispaced, min 600, gcd 300, no
+      // legacy delta) and 'daily' (constant 86400s: equispaced, and the
+      // legacy backwards_compatible_delta shim maps {86400} to the
+      // (1, day) tuple). The oracle DERIVES the same fields in SQL from
+      // the same construction (distinct diffs; DuckDB gcd over the
+      // 3-element distinct set via min/median/max). Scalars come off the
+      // distributed one-pass infer; the output frame is 2 rows.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("c_custkey")
+      val rn = row_number().over(w)
+      val step = when(rn % 3 === 0, 600).when(rn % 3 === 1, 900).otherwise(1500)
+      val base = tbl(s, dir, "customer")
+        .select(col("c_custkey"), rn.as("rn"), step.as("step"))
+      val cyc = base.withColumn("t",
+        lit(1000000.0) + sum(col("step")).over(
+          Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)))
+      val dly = base.withColumn("t", lit(1000000.0) + col("rn") * 86400.0)
+      def enc(e: Either[Double, (Int, String)]): String = e match {
+        case Left(sec) => sec.toString
+        case Right((n, u)) => s"$n $u"
+      }
+      def rowOf(name: String, df: DataFrame) = {
+        val td = graft.core.TimeDelta.infer(df, "t")
+        (name, td.isEquispaced, td.timeInterval.map(Double.box).orNull,
+          td.min.map(enc).orNull, td.gcd.map(enc).orNull,
+          td.backwardsCompatibleDelta.map(enc).orNull)
+      }
+      s.createDataFrame(Seq(rowOf("cycling", cyc), rowOf("daily", dly)))
+        .toDF("series", "is_equispaced", "time_interval", "min_delta",
+          "gcd_delta", "legacy_delta")
+    }),
+    "q105_timeslice_playback" -> ((s, dir) => {
+      // §2.2 Time Slice playback under the hash gate: the widget's window
+      // enumeration (start < hi stepping by stepSec, end clamped to hi)
+      // drives ONE broadcast range join + aggregate over events — every
+      // window's row count and exact-cents sum, empty windows included
+      // (left join keeps them at count 0). The oracle replays the
+      // enumeration with generate_series over the same integer-second
+      // bounds. Production range joins use ops.RangeJoin bucketing; the
+      // ~120-window broadcast NLJ here is the gate shape.
+      val t = ev(s, dir)
+      val b = t.df.agg(min(unix_seconds(col("ts"))).as("lo"),
+        max(unix_seconds(col("ts"))).as("hi")).head
+      val lo = b.getLong(0); val hi = b.getLong(1) + 1
+      val wins = TimeSlice.playback(lo.toDouble, hi.toDouble,
+          widthSec = 604800.0, stepSec = 259200.0)
+        .map { case (a, z) => (a.toLong, z.toLong) }.toSeq
+      val winDf = s.createDataFrame(wins).toDF("win_lo", "win_hi")
+      val ev2 = t.df.select(unix_seconds(col("ts")).as("es"),
+        col("value_cents"))
+      winDf.join(ev2,
+          col("es") >= col("win_lo") && col("es") < col("win_hi"), "left")
+        .groupBy("win_lo", "win_hi")
+        .agg(count(col("es")).as("n_rows"),
+          (coalesce(sum(col("value_cents")), lit(0.0)) / 100.0).as("v_sum"))
+    }),
     "q99_mode_blocks" -> ((s, dir) => {
       // gate row for the `mode` registry agg (VERDICT r8 missing #1). The
       // discrete fixture is majority-by-CONSTRUCTION, not realized-data
@@ -1636,6 +1695,35 @@ object SparkEntry {
          | coalesce(dcat, CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
          |   WHEN tt - pt <= nt - tt THEN pv ELSE nv END) AS dcat_nearest
          |FROM t""".stripMargin,
+    "q104_timedelta_infer" ->
+      s"""WITH r AS (SELECT row_number() OVER (ORDER BY c_custkey) AS rn
+         |  FROM customer),
+         |cycd AS (SELECT DISTINCT CASE CAST(rn % 3 AS INT)
+         |   WHEN 0 THEN 600 WHEN 1 THEN 900 ELSE 1500 END AS dd
+         | FROM r WHERE rn > 1),
+         |cg AS (SELECT count(*) AS n, min(dd) AS mn,
+         |  gcd(gcd(CAST(min(dd) AS BIGINT), CAST(median(dd) AS BIGINT)),
+         |      CAST(max(dd) AS BIGINT)) AS g FROM cycd)
+         |SELECT 'cycling' AS series, (SELECT n = 1 FROM cg) AS is_equispaced,
+         | CAST(NULL AS DOUBLE) AS time_interval,
+         | CAST((SELECT mn FROM cg) AS VARCHAR) || '.0' AS min_delta,
+         | CAST((SELECT g FROM cg) AS VARCHAR) || '.0' AS gcd_delta,
+         | CAST(NULL AS VARCHAR) AS legacy_delta
+         |UNION ALL
+         |SELECT 'daily', TRUE, 86400.0, '86400.0', '86400.0', '1 day'""".stripMargin,
+    "q105_timeslice_playback" ->
+      s"""WITH b AS (SELECT min(CAST(epoch(ts) AS BIGINT)) AS lo,
+         |  max(CAST(epoch(ts) AS BIGINT)) + 1 AS hi FROM events),
+         |w AS (SELECT unnest(generate_series((SELECT lo FROM b),
+         |    (SELECT hi FROM b) - 1, 259200)) AS win_lo),
+         |w2 AS (SELECT win_lo,
+         |  least(win_lo + 604800, (SELECT hi FROM b)) AS win_hi FROM w),
+         |e AS (SELECT CAST(epoch(ts) AS BIGINT) AS es, $centsSql AS vc
+         | FROM events)
+         |SELECT w2.win_lo, w2.win_hi, count(e.es) AS n_rows,
+         | coalesce(sum(e.vc), 0) / 100.0 AS v_sum
+         |FROM w2 LEFT JOIN e ON e.es >= w2.win_lo AND e.es < w2.win_hi
+         |GROUP BY 1, 2""".stripMargin,
     "q99_mode_blocks" ->
       s"""WITH s AS (SELECT row_number() OVER ($tsOrder) AS rn FROM events),
          |d AS (SELECT (rn - 1) // 50 AS block,
