@@ -911,11 +911,17 @@ object SparkEntry {
       val winDf = s.createDataFrame(wins).toDF("win_lo", "win_hi")
       val ev2 = t.df.select(unix_seconds(col("ts")).as("es"),
         col("value_cents"))
-      winDf.join(ev2,
-          col("es") >= col("win_lo") && col("es") < col("win_hi"), "left")
+      // inner join with the WINDOW side broadcast (a left-outer BNLJ from
+      // winDf would force broadcasting the events side), then re-attach
+      // empty windows with a tiny equi left join on the aggregate
+      val counted = ev2.join(broadcast(winDf),
+          col("es") >= col("win_lo") && col("es") < col("win_hi"))
         .groupBy("win_lo", "win_hi")
-        .agg(count(col("es")).as("n_rows"),
-          (coalesce(sum(col("value_cents")), lit(0.0)) / 100.0).as("v_sum"))
+        .agg(count(col("es")).as("n"), (sum(col("value_cents")) / 100.0).as("v"))
+      winDf.join(counted, Seq("win_lo", "win_hi"), "left")
+        .select(col("win_lo"), col("win_hi"),
+          coalesce(col("n"), lit(0L)).as("n_rows"),
+          coalesce(col("v"), lit(0.0)).as("v_sum"))
     }),
     "q99_mode_blocks" -> ((s, dir) => {
       // gate row for the `mode` registry agg (VERDICT r8 missing #1). The

@@ -78,4 +78,28 @@ class StreamingDsirSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
     assert(got == batch && got(1L) && !got(2L))
   }
+
+  test("qualityFilter is stateless column arithmetic: runs on a stream as-is") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two projections, still a pure per-row select (the r9 codegen
+    // restructure introduced no window/state) — batch ≡ stream
+    val good = (1 to 30).map(i => s"goodword$i").mkString(" ")
+    val rows = Seq((1L, good), (2L, "x x x x"), (3L, "a a a a a a a a a a a a"))
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.text.TextFunctions.qualityFilter(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val query = out.writeStream.format("memory")
+      .queryName("quality_stream").outputMode("append").start()
+    mem.addData(rows: _*)
+    query.processAllAvailable()
+    val got = spark.sql("select doc_id, keep, reasons from quality_stream")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    query.stop()
+    val batch = graft.text.TextFunctions.qualityFilter(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("keep")), r.getString(r.fieldIndex("reasons")))).toMap
+    assert(got == batch && got(1L)._1 && !got(2L)._1 && !got(3L)._1)
+  }
 }
