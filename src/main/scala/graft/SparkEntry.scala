@@ -959,6 +959,131 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("f_cumprod"),
           round(col("value_cents_cumsum") / 100.0, 6).as("v_cumsum"))
     }),
+    "q106_cubic_spline_by_key" -> ((s, dir) => {
+      // §2.7 cubic interpolation under the hash gate, on the per-series
+      // executor fan-out (the scale path; the driver path is pinned equal
+      // by CubicAndContractSpec). Exactness by construction: each user's
+      // series lies on a cubic polynomial in x = rn/16 (binary-exact:
+      // k^3/4096 with k <= ~100), and the not-a-knot spline through >= 4
+      // points of a cubic IS that cubic, so the executor-side solve must
+      // reproduce the closed form the oracle computes directly. All exact
+      // values are multiples of 2^-12, whose residues mod 1e-4 lie on a
+      // 3.90625e-7 lattice that contains the 0.5e-4 HALF_UP boundaries —
+      // the q81 decimal-landing class — so the shared quantization is
+      // round(v + lattice/2, 4): every value sits 1.953125e-7 from the
+      // nearest boundary BY ARITHMETIC, ~1e5 x the measured solve error.
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("rn", row_number().over(wU))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      val x = col("rn") / lit(16.0)
+      val a = col("user_id") % 5
+      val b = col("user_id") % 7
+      val vExact = x * x * x + a * x * x + b * x + lit(100.0)
+      val gap = col("rn") % 4 === 2 && col("rn") < col("cnt")
+      val df = base.withColumn("t", x)
+        .withColumn("v", when(gap, lit(null).cast("double")).otherwise(vExact))
+      val tsf = graft.core.TimeseriesFrame(df, Some("t"), Seq("event_id"), Seq("user_id"))
+      CubicSpline.interpolateByKey(tsf, "v")
+        .select(col("event_id"), col("user_id"),
+          round(col("v") + lit(1.953125e-7), 4).as("v_cubic"))
+    }),
+    "q107_griddata_linear_by_key" -> ((s, dir) => {
+      // §2.7 multivariate griddata-'linear' under the hash gate, per-series
+      // executor fan-out (driver path pinned equal by its differential
+      // spec). Each user's 4-column matrix carries an AFFINE field in
+      // (row, col) index space — barycentric interpolation over ANY valid
+      // Delaunay triangulation reproduces affine fields exactly, so the
+      // gate is triangulation-choice-free; the fully-known border makes
+      // the hull the whole rectangle, so every null cell is filled. All
+      // values are small integers: max-margin at 6dp, no boundary shift.
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("rn", row_number().over(wU))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      val i = col("rn") - 1
+      val p = col("user_id") % 4 + 1
+      val q = col("user_id") % 6 + 2
+      def vAt(j: Int) = (p * i + q * lit(j) + lit(10)).cast("double")
+      def gapAt(j: Int) = // interior cells of columns 1..2 only: border known
+        col("rn") > 1 && col("rn") < col("cnt") &&
+          (col("rn") + lit(7 * j)) % 5 === 2
+      val df = (0 until 4).foldLeft(base) { (d, j) =>
+        val v = if (j == 0 || j == 3) vAt(j)
+        else when(gapAt(j), lit(null).cast("double")).otherwise(vAt(j))
+        d.withColumn(s"c$j", v)
+      }
+      val tsf = graft.core.TimeseriesFrame(df, Some("ts"), Seq("event_id"), Seq("user_id"))
+      Interpolate.multivariateLinearByKey(tsf, Seq("c0", "c1", "c2", "c3"))
+        .select(col("event_id") +: col("user_id") +:
+          (0 until 4).map(j => round(col(s"c$j"), 6).as(s"c$j")): _*)
+    }),
+    "q108_griddata_cubic_by_key" -> ((s, dir) => {
+      // §2.7 multivariate griddata-'cubic' under the hash gate: the same
+      // matrix shape with a QUADRATIC field in (row, col) index space —
+      // the reduced-HCT element with LS-estimated gradients reproduces
+      // quadratics exactly (CloughTocherSpec), distinguishing this path
+      // from 'linear' (barycentric would NOT reproduce the i^2 terms).
+      // Values are multiples of 2^-6, whose residues mod 1e-4 lie on a
+      // 2.5e-5 lattice containing the 0.5e-4 boundaries, so the shared
+      // quantization is round(v + 1.25e-5, 4): margin 1.25e-5 by
+      // arithmetic, ~100x the spec-pinned estimated-gradient error.
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("rn", row_number().over(wU))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      val i = (col("rn") - 1).cast("double")
+      val p = (col("user_id") % 3 + 1).cast("double")
+      val q = (col("user_id") % 5 + 1).cast("double")
+      def vAt(j: Int) =
+        p * i * i / 64.0 + i * lit(j) / 16.0 + lit(j * j) / 4.0 +
+          q * i / 8.0 + lit(j) / 2.0 + lit(20.0)
+      def gapAt(j: Int) =
+        col("rn") > 1 && col("rn") < col("cnt") &&
+          (col("rn") + lit(3 * j)) % 4 === 1
+      val df = (0 until 4).foldLeft(base) { (d, j) =>
+        val v = if (j == 0 || j == 3) vAt(j)
+        else when(gapAt(j), lit(null).cast("double")).otherwise(vAt(j))
+        d.withColumn(s"c$j", v)
+      }
+      val tsf = graft.core.TimeseriesFrame(df, Some("ts"), Seq("event_id"), Seq("user_id"))
+      Interpolate.multivariateByKey(tsf, Seq("c0", "c1", "c2", "c3"), "cubic")
+        .select(col("event_id") +: col("user_id") +:
+          (0 until 4).map(j => round(col(s"c$j") + lit(1.25e-5), 4).as(s"c$j")): _*)
+    }),
+    "q109_griddata_nearest_by_key" -> ((s, dir) => {
+      // §2.7 multivariate griddata-'nearest' under the hash gate: cell
+      // values are distinct integers, fills COPY a known cell's value, so
+      // the hash is exact with no rounding; the oracle replays the
+      // squared-Euclidean argmin in (row, col) index space with the
+      // smallest-row-then-column tie rule (cKDTree first-found order).
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("rn", row_number().over(wU))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      def vAt(j: Int) =
+        ((col("rn") - 1) * 4 + lit(j) + (col("user_id") % 10) * 1000).cast("double")
+      def gapAt(j: Int) =
+        col("rn") > 1 && col("rn") < col("cnt") &&
+          (col("rn") + lit(3 * j)) % 7 === 3
+      val df = (0 until 4).foldLeft(base) { (d, j) =>
+        val v = if (j == 0 || j == 3) vAt(j)
+        else when(gapAt(j), lit(null).cast("double")).otherwise(vAt(j))
+        d.withColumn(s"c$j", v)
+      }
+      val tsf = graft.core.TimeseriesFrame(df, Some("ts"), Seq("event_id"), Seq("user_id"))
+      Interpolate.multivariateByKey(tsf, Seq("c0", "c1", "c2", "c3"), "nearest")
+        .select(col("event_id") +: col("user_id") +:
+          (0 until 4).map(j => col(s"c$j")): _*)
+    }),
     "q79_media_decode" -> ((s, dir) => {
       // REAL pure-JVM codecs under the hash gate (VERDICT r5 task 2):
       // even doc_ids carry a planted PCM16 WAV, odd a PPM P6 image;
@@ -1701,6 +1826,67 @@ object SparkEntry {
          | coalesce(dcat, CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
          |   WHEN tt - pt <= nt - tt THEN pv ELSE nv END) AS dcat_nearest
          |FROM t""".stripMargin,
+    "q106_cubic_spline_by_key" ->
+      s"""WITH s AS (SELECT event_id, user_id,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         | FROM events)
+         |SELECT event_id, user_id,
+         | round((rn/16.0)*(rn/16.0)*(rn/16.0)
+         |   + (user_id % 5)*(rn/16.0)*(rn/16.0)
+         |   + (user_id % 7)*(rn/16.0) + 100.0 + 1.953125e-7, 4) AS v_cubic
+         |FROM s""".stripMargin,
+    "q107_griddata_linear_by_key" ->
+      s"""WITH s AS (SELECT event_id, user_id,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         | FROM events)
+         |SELECT event_id, user_id,
+         | CAST((user_id % 4 + 1)*(rn-1) + 10 AS DOUBLE) AS c0,
+         | CAST((user_id % 4 + 1)*(rn-1) + (user_id % 6 + 2) + 10 AS DOUBLE) AS c1,
+         | CAST((user_id % 4 + 1)*(rn-1) + (user_id % 6 + 2)*2 + 10 AS DOUBLE) AS c2,
+         | CAST((user_id % 4 + 1)*(rn-1) + (user_id % 6 + 2)*3 + 10 AS DOUBLE) AS c3
+         |FROM s""".stripMargin,
+    "q108_griddata_cubic_by_key" ->
+      s"""WITH s AS (SELECT event_id, user_id,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         |  (user_id % 3 + 1) AS p, (user_id % 5 + 1) AS q
+         | FROM events)
+         |SELECT event_id, user_id,
+         | round(p*(rn-1)*(rn-1)/64.0 + (rn-1)*0/16.0 + 0.0/4.0
+         |   + q*(rn-1)/8.0 + 0/2.0 + 20.0 + 1.25e-5, 4) AS c0,
+         | round(p*(rn-1)*(rn-1)/64.0 + (rn-1)*1/16.0 + 1.0/4.0
+         |   + q*(rn-1)/8.0 + 1/2.0 + 20.0 + 1.25e-5, 4) AS c1,
+         | round(p*(rn-1)*(rn-1)/64.0 + (rn-1)*2/16.0 + 4.0/4.0
+         |   + q*(rn-1)/8.0 + 2/2.0 + 20.0 + 1.25e-5, 4) AS c2,
+         | round(p*(rn-1)*(rn-1)/64.0 + (rn-1)*3/16.0 + 9.0/4.0
+         |   + q*(rn-1)/8.0 + 3/2.0 + 20.0 + 1.25e-5, 4) AS c3
+         |FROM s""".stripMargin,
+    "q109_griddata_nearest_by_key" ->
+      s"""WITH s AS (SELECT event_id, user_id,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS cnt
+         | FROM events),
+         |cells AS (
+         | SELECT s.event_id, s.user_id, s.rn, s.j,
+         |  CASE WHEN s.j IN (1,2) AND s.rn > 1 AND s.rn < s.cnt
+         |        AND (s.rn + 3*s.j) % 7 = 3 THEN NULL
+         |   ELSE CAST((s.rn-1)*4 + s.j + (s.user_id % 10)*1000 AS DOUBLE)
+         |  END AS v
+         | FROM (SELECT s.*, j.j FROM s
+         |   CROSS JOIN (VALUES (0),(1),(2),(3)) AS j(j)) s),
+         |f AS (
+         | SELECT c.event_id, c.user_id, c.j,
+         |  coalesce(c.v,
+         |   (SELECT k.v FROM cells k
+         |    WHERE k.user_id = c.user_id AND k.v IS NOT NULL
+         |    ORDER BY (k.rn-c.rn)*(k.rn-c.rn) + (k.j-c.j)*(k.j-c.j), k.rn, k.j
+         |    LIMIT 1)) AS v
+         | FROM cells c)
+         |SELECT event_id, user_id,
+         | max(CASE WHEN j=0 THEN v END) AS c0,
+         | max(CASE WHEN j=1 THEN v END) AS c1,
+         | max(CASE WHEN j=2 THEN v END) AS c2,
+         | max(CASE WHEN j=3 THEN v END) AS c3
+         |FROM f GROUP BY event_id, user_id""".stripMargin,
     "q104_timedelta_infer" ->
       s"""WITH r AS (SELECT row_number() OVER (ORDER BY c_custkey) AS rn
          |  FROM customer),

@@ -39,6 +39,31 @@ object SeriesGather {
     Gathered(gathered, StructType(keys.map(k => gathered.schema(k))), ordNames.size)
   }
 
+  /** The gathered rows as an RDD with at least core-count partitions.
+    *
+    * Every consumer of this shell follows the gather with CPU-heavy
+    * per-series work (model fits, FFTs, triangulations), but AQE sizes
+    * the gather's post-shuffle stage by BYTES: a few MB of gathered
+    * series coalesce to ONE partition and the whole "millions of models"
+    * fan-out silently serializes onto one core (measured on q108: 1500
+    * per-series HCT fills in a single 3.2 s task; 0.16 s across 32
+    * threads). A Catalyst-side pinned repartition cannot express this —
+    * it is pruned as redundant against the gather's own hash exchange —
+    * so the guard lives at the RDD layer, where AQE's final partition
+    * count is already known: rebalance ONLY when AQE under-partitioned,
+    * i.e. exactly when the gathered bytes are small and the extra
+    * row-count-balanced shuffle is noise. Large gathers keep their
+    * byte-sized partitioning untouched. */
+  def rows(g: Gathered): org.apache.spark.rdd.RDD[Row] = rows(g.df)
+
+  /** [[rows]] for gathers not built through [[gather]] (e.g. the
+    * multivariate-interpolation matrix gathers). */
+  def rows(gathered: DataFrame): org.apache.spark.rdd.RDD[Row] = {
+    val rdd = gathered.rdd
+    val par = gathered.sparkSession.sparkContext.defaultParallelism
+    if (rdd.getNumPartitions < par) rdd.repartition(par) else rdd
+  }
+
   /** The j-th value column of a gathered row as a primitive array
     * (capture only `xField` in closures — not the Gathered frame). */
   def values(row: Row, xField: Int, j: Int = 0): Array[Double] = {

@@ -128,7 +128,7 @@ object ModelEvaluation {
       StructField("mape", DoubleType), StructField("pocid", DoubleType),
       StructField("r2", DoubleType)))
     val xField = g.xField
-    val outRdd = g.df.rdd.flatMap { row =>
+    val outRdd = graft.core.SeriesGather.rows(g).flatMap { row =>
       val y = graft.core.SeriesGather.values(row, xField)
       val m = y.length
       if (m - nFolds * steps < 2) Iterator.empty

@@ -40,7 +40,7 @@ object PerSeries {
       StructField("ci_low", DoubleType),
       StructField("ci_high", DoubleType)))
     val xField = g.xField
-    val outRdd = g.df.rdd.flatMap { row =>
+    val outRdd = graft.core.SeriesGather.rows(g).flatMap { row =>
       val series = graft.core.SeriesGather.values(row, xField)
       if (series.length < minRows) Iterator.empty
       else {
@@ -123,7 +123,7 @@ object PerSeries {
           StructField(s"${c}_hi", DoubleType)))))
     val base = g.xField
     val nv = valueCols.size
-    val outRdd = g.df.rdd.flatMap { row =>
+    val outRdd = graft.core.SeriesGather.rows(g).flatMap { row =>
       val series = graft.core.SeriesGather.valueRows(row, base, nv)
       if (series.length < minRows) Iterator.empty
       else {

@@ -119,7 +119,7 @@ object CubicSpline {
         org.apache.spark.sql.types.StructField("__fill",
           org.apache.spark.sql.types.DoubleType)))
     val mIdx = keys.size
-    val fillRdd = gathered.rdd.flatMap { row =>
+    val fillRdd = graft.core.SeriesGather.rows(gathered).flatMap { row =>
       val series = row.getSeq[org.apache.spark.sql.Row](mIdx)
       require(series.length <= maxRowsPerSeries,
         s"one series has ${series.length} rows > maxRowsPerSeries=$maxRowsPerSeries")

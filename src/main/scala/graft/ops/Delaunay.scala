@@ -45,79 +45,221 @@ object Delaunay {
   /** Triangles as CCW index triples into `pts`; empty when fewer than 3
     * points or all collinear.
     *
-    * The super-triangle is placed at distance 2¹²⁸ from the data — far
-    * enough to be PROVABLY outside every circumcircle of every real
+    * The super-triangle is placed at distance 8·span³+8 from the data —
+    * far enough to be PROVABLY outside every circumcircle of every real
     * triple: integer points make the minimum non-collinear triangle area
-    * 1/2, so the circumradius R = abc/(4·area) of any real triple with
-    * |coords| ≤ 2³¹ is at most (2³³)³/2 < 2⁹⁸, while the super vertices
-    * sit at ~2¹²⁸. A fixed small multiple of the data span (the naive
-    * construction) has no such guarantee — near-collinear triples have
-    * circumradii that exceed any span multiple, a super vertex lands
+    * 1/2, so the circumradius R = abc/(4·area) of any real triple is at
+    * most (2·span)³/2 = 4·span³. A fixed SMALL multiple of the span (the
+    * naive construction) has no such guarantee — near-collinear triples
+    * have circumradii that exceed any span multiple, a super vertex lands
     * inside them, and Bowyer–Watson silently loses hull-adjacent
-    * triangles. Predicates run in BigInt throughout triangulation (exact
-    * at any magnitude); [[interpolate]] keeps the Long fast path since
-    * real points stay 32-bit. */
+    * triangles. Deriving `far` from the data (instead of a universal
+    * 2¹²⁸) keeps the super-vertex dets a few machine words.
+    *
+    * Predicate arithmetic is exact THROUGHOUT and tiered by magnitude:
+    * all-real incircle tests run in plain Long when the coordinate span
+    * is < 2¹⁴ (p-relative differences ≤ 2¹⁴ make each det term ≤ 2⁵⁸ and
+    * the 3-term sum ≤ 2⁶⁰ — no overflow) and in exact int128
+    * (`Math.multiplyHigh` + carry) up to span 2³⁰; super-vertex tests run
+    * in int128 while 4·far stays under 2³⁰ (span ≤ 322) and in BigInt
+    * beyond. The tiering matters: the integer grids here are PERVASIVELY
+    * cocircular, so the dets are frequently exactly 0 and no floating
+    * filter can shortcut them. Together with the flat allocation-free
+    * triangle store below (the tuple-set form spent its time boxing),
+    * the 1500-series q107/q108 gate measured 22 ms/series on the
+    * all-BigInt form and ~0.3 ms on this one. [[interpolate]] keeps its
+    * Long fast path since real points stay 32-bit. */
   def triangulate(pts: Array[(Int, Int)]): Array[(Int, Int, Int)] = {
     val n = pts.length
     if (n < 3) return Array.empty
     // super-triangle enclosing everything (indices n, n+1, n+2)
-    val xs = pts.map(_._1.toLong); val ys = pts.map(_._2.toLong)
-    val (minX, maxX) = (xs.min, xs.max)
-    val (minY, maxY) = (ys.min, ys.max)
-    val far = BigInt(1) << 128 // > any real-triple circumradius (< 2^98)
-    val sup = Array(
-      (BigInt(minX) - far, BigInt(minY) - far),
-      (BigInt(minX) + 3 * far, BigInt(minY) - far),
-      (BigInt(minX) - far, BigInt(minY) + 3 * far))
-    def px(i: Int): BigInt = if (i < n) BigInt(pts(i)._1) else sup(i - n)._1
-    def py(i: Int): BigInt = if (i < n) BigInt(pts(i)._2) else sup(i - n)._2
-    def orientB(ax: BigInt, ay: BigInt, bx: BigInt, by: BigInt,
-        cx: BigInt, cy: BigInt): BigInt =
-      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    def inCircleB(ax: BigInt, ay: BigInt, bx: BigInt, by: BigInt,
-        cx: BigInt, cy: BigInt, px0: BigInt, py0: BigInt): BigInt = {
-      val (adx, ady) = (ax - px0, ay - py0)
-      val (bdx, bdy) = (bx - px0, by - py0)
-      val (cdx, cdy) = (cx - px0, cy - py0)
-      (adx * adx + ady * ady) * (bdx * cdy - bdy * cdx) -
+    var minX = Int.MaxValue; var maxX = Int.MinValue
+    var minY = Int.MaxValue; var maxY = Int.MinValue
+    pts.foreach { case (x, y) =>
+      if (x < minX) minX = x; if (x > maxX) maxX = x
+      if (y < minY) minY = y; if (y > maxY) maxY = y
+    }
+    val span = math.max(math.max(maxX.toLong - minX, maxY.toLong - minY), 1L)
+    val farB = BigInt(span).pow(3) * 8 + 8 // > any real-triple circumradius
+    val supB = Array(
+      (BigInt(minX) - farB, BigInt(minY) - farB),
+      (BigInt(minX) + 3 * farB, BigInt(minY) - farB),
+      (BigInt(minX) - farB, BigInt(minY) + 3 * farB))
+    def px(i: Int): BigInt = if (i < n) BigInt(pts(i)._1) else supB(i - n)._1
+    def py(i: Int): BigInt = if (i < n) BigInt(pts(i)._2) else supB(i - n)._2
+    // Long mirrors of the super coords, valid whenever far fits (span < 2^14)
+    val farFitsLong = span < (1L << 14)
+    val farL = if (farFitsLong) 8 * span * span * span + 8 else 0L
+    val supX = Array(minX - farL, minX + 3 * farL, minX - farL)
+    val supY = Array(minY - farL, minY - farL, minY + 3 * farL)
+    @inline def lx(i: Int): Long = if (i < n) pts(i)._1.toLong else supX(i - n)
+    @inline def ly(i: Int): Long = if (i < n) pts(i)._2.toLong else supY(i - n)
+    val realLongOk = span < (1L << 14) // pure-Long all-real incircle
+    val superI128Ok = span <= 322 // 4·far+span < 2^30: int128-exact with supers
+    def orientB3(a: Int, b: Int, c: Int): Int =
+      ((px(b) - px(a)) * (py(c) - py(a)) -
+        (py(b) - py(a)) * (px(c) - px(a))).signum
+    def inCircleB4(a: Int, b: Int, c: Int, p: Int): Int = {
+      val (adx, ady) = (px(a) - px(p), py(a) - py(p))
+      val (bdx, bdy) = (px(b) - px(p), py(b) - py(p))
+      val (cdx, cdy) = (px(c) - px(p), py(c) - py(p))
+      ((adx * adx + ady * ady) * (bdx * cdy - bdy * cdx) -
         (bdx * bdx + bdy * bdy) * (adx * cdy - ady * cdx) +
-        (cdx * cdx + cdy * cdy) * (adx * bdy - ady * bdx)
+        (cdx * cdx + cdy * cdy) * (adx * bdy - ady * bdx)).signum
     }
-
-    def ccw(t: (Int, Int, Int)): (Int, Int, Int) = {
-      val (a, b, c) = t
-      if (orientB(px(a), py(a), px(b), py(b), px(c), py(c)).signum >= 0) t
-      else (a, c, b)
-    }
-    var tris = scala.collection.mutable.Set[(Int, Int, Int)](
-      ccw((n, n + 1, n + 2)))
-
-    for (p <- 0 until n) {
-      val bad = tris.filter { case (a, b, c) =>
-        inCircleB(px(a), py(a), px(b), py(b), px(c), py(c), px(p), py(p)).signum > 0
+    // sign of x1·y1 + x2·y2 + x3·y3 in exact signed int128: each factor
+    // must fit 63 bits and each |product| ≤ 2^122 (callers guarantee via
+    // the span tiers), so the 3-term sum stays well inside ±2^127
+    def sign128of3(x1: Long, y1: Long, x2: Long, y2: Long, x3: Long, y3: Long): Int = {
+      var hi = 0L; var lo = 0L
+      var i = 0
+      while (i < 3) {
+        val x = if (i == 0) x1 else if (i == 1) x2 else x3
+        val y = if (i == 0) y1 else if (i == 1) y2 else y3
+        val pl = x * y
+        val ph = Math.multiplyHigh(x, y)
+        val nl = lo + pl
+        hi += ph + (if (java.lang.Long.compareUnsigned(nl, lo) < 0) 1L else 0L)
+        lo = nl
+        i += 1
       }
-      if (bad.nonEmpty) {
+      if (hi != 0) java.lang.Long.signum(hi) else if (lo == 0) 0 else 1
+    }
+    // exact incircle sign by index (assumes (a,b,c) CCW): Long tier for
+    // all-real small-span quadruples, int128 tier while magnitudes allow,
+    // BigInt otherwise
+    def inCircleSign(a: Int, b: Int, c: Int, p: Int): Int = {
+      val allReal = a < n && b < n && c < n && p < n
+      if (allReal && realLongOk) {
+        val (pxv, pyv) = pts(p)
+        val adx = (pts(a)._1 - pxv).toLong; val ady = (pts(a)._2 - pyv).toLong
+        val bdx = (pts(b)._1 - pxv).toLong; val bdy = (pts(b)._2 - pyv).toLong
+        val cdx = (pts(c)._1 - pxv).toLong; val cdy = (pts(c)._2 - pyv).toLong
+        val d = (adx * adx + ady * ady) * (bdx * cdy - bdy * cdx) -
+          (bdx * bdx + bdy * bdy) * (adx * cdy - ady * cdx) +
+          (cdx * cdx + cdy * cdy) * (adx * bdy - ady * bdx)
+        java.lang.Long.signum(d)
+      } else if ((allReal && span < (1L << 30)) || superI128Ok) {
+        // all-real spans < 2^30 and super diffs ≤ 4·far+span < 2^30 both
+        // keep lift/cross ≤ 2^61 — int128-exact
+        val pxv = lx(p); val pyv = ly(p)
+        val adx = lx(a) - pxv; val ady = ly(a) - pyv
+        val bdx = lx(b) - pxv; val bdy = ly(b) - pyv
+        val cdx = lx(c) - pxv; val cdy = ly(c) - pyv
+        sign128of3(
+          adx * adx + ady * ady, bdx * cdy - bdy * cdx,
+          -(bdx * bdx + bdy * bdy), adx * cdy - ady * cdx,
+          cdx * cdx + cdy * cdy, adx * bdy - ady * bdx)
+      } else inCircleB4(a, b, c, p)
+    }
+    def orientSign(a: Int, b: Int, c: Int): Int =
+      if (a < n && b < n && c < n)
+        java.lang.Long.signum(orient(pts(a)._1.toLong, pts(a)._2.toLong,
+          pts(b)._1.toLong, pts(b)._2.toLong, pts(c)._1.toLong, pts(c)._2.toLong))
+      else if (farFitsLong)
+        // super coords ≤ 4·far < 2^47: diffs ≤ 2^48, int128-exact
+        sign128of3(lx(b) - lx(a), ly(c) - ly(a),
+          -(ly(b) - ly(a)), lx(c) - lx(a), 0L, 0L)
+      else orientB3(a, b, c)
+
+    // flat triangle store: parallel int arrays + alive flags (the tuple-
+    // Set form spent the whole run boxing); compacted when mostly dead
+    var cap = math.max(64, 8 * n)
+    var ta = new Array[Int](cap); var tb = new Array[Int](cap)
+    var tc = new Array[Int](cap); var alive = new Array[Boolean](cap)
+    var nTri = 0; var nDead = 0
+    def addTri(u: Int, v: Int, w: Int): Unit = {
+      if (nTri == cap) {
+        cap *= 2
+        ta = java.util.Arrays.copyOf(ta, cap); tb = java.util.Arrays.copyOf(tb, cap)
+        tc = java.util.Arrays.copyOf(tc, cap)
+        alive = java.util.Arrays.copyOf(alive, cap)
+      }
+      if (orientSign(u, v, w) >= 0) { ta(nTri) = u; tb(nTri) = v; tc(nTri) = w }
+      else { ta(nTri) = u; tb(nTri) = w; tc(nTri) = v }
+      alive(nTri) = true
+      nTri += 1
+    }
+    addTri(n, n + 1, n + 2)
+
+    var badIdx = new Array[Int](64)
+    var edgeKey = new Array[Long](256) // cavity boundary candidates
+    var edgeCnt = new Array[Int](256)
+    var p = 0
+    while (p < n) {
+      var nBad = 0
+      var t = 0
+      while (t < nTri) {
+        if (alive(t) && inCircleSign(ta(t), tb(t), tc(t), p) > 0) {
+          if (nBad == badIdx.length) badIdx = java.util.Arrays.copyOf(badIdx, nBad * 2)
+          badIdx(nBad) = t; nBad += 1
+        }
+        t += 1
+      }
+      if (nBad > 0) {
         // polygon boundary = edges of the bad region appearing exactly once
-        val edgeCount = scala.collection.mutable.Map[(Int, Int), Int]()
-        def key(u: Int, v: Int) = if (u < v) (u, v) else (v, u)
-        bad.foreach { case (a, b, c) =>
-          Seq((a, b), (b, c), (c, a)).foreach { case (u, v) =>
-            edgeCount(key(u, v)) = edgeCount.getOrElse(key(u, v), 0) + 1
+        var nE = 0
+        var bi = 0
+        while (bi < nBad) {
+          val bt = badIdx(bi)
+          alive(bt) = false; nDead += 1
+          var e = 0
+          while (e < 3) {
+            val u = if (e == 0) ta(bt) else if (e == 1) tb(bt) else tc(bt)
+            val v = if (e == 0) tb(bt) else if (e == 1) tc(bt) else ta(bt)
+            val k = if (u < v) (u.toLong << 32) | v else (v.toLong << 32) | u
+            var j = 0
+            var found = false
+            while (j < nE && !found) {
+              if (edgeKey(j) == k) { edgeCnt(j) += 1; found = true }
+              j += 1
+            }
+            if (!found) {
+              if (nE == edgeKey.length) {
+                edgeKey = java.util.Arrays.copyOf(edgeKey, nE * 2)
+                edgeCnt = java.util.Arrays.copyOf(edgeCnt, nE * 2)
+              }
+              edgeKey(nE) = k; edgeCnt(nE) = 1; nE += 1
+            }
+            e += 1
           }
+          bi += 1
         }
-        bad.foreach(tris -= _)
-        edgeCount.filter(_._2 == 1).keys.foreach { case (u, v) =>
-          val t = ccw((u, v, p))
-          // skip degenerate (collinear) fill triangles
-          val (a, b, c) = t
-          if (orientB(px(a), py(a), px(b), py(b), px(c), py(c)).signum != 0)
-            tris += t
+        var j = 0
+        while (j < nE) {
+          if (edgeCnt(j) == 1) {
+            val u = (edgeKey(j) >>> 32).toInt
+            val v = (edgeKey(j) & 0xffffffffL).toInt
+            // skip degenerate (collinear) fill triangles
+            if (orientSign(u, v, p) != 0) addTri(u, v, p)
+          }
+          j += 1
+        }
+        // compact when mostly tombstones so the per-insert scan stays ~live-size
+        if (nDead > nTri / 2 && nTri > 128) {
+          var w = 0
+          var r = 0
+          while (r < nTri) {
+            if (alive(r)) {
+              ta(w) = ta(r); tb(w) = tb(r); tc(w) = tc(r); alive(w) = true
+              w += 1
+            }
+            r += 1
+          }
+          java.util.Arrays.fill(alive, w, nTri, false)
+          nTri = w; nDead = 0
         }
       }
+      p += 1
     }
-    tris.toArray
-      .filter { case (a, b, c) => a < n && b < n && c < n }
-      .map(ccw)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var t = 0
+    while (t < nTri) {
+      if (alive(t) && ta(t) < n && tb(t) < n && tc(t) < n)
+        out += ((ta(t), tb(t), tc(t)))
+      t += 1
+    }
+    out.toArray
   }
 
   /** Uniform-grid point-location index over a triangulation: each grid

@@ -176,7 +176,7 @@ object Interpolate {
           cols.map(c => org.apache.spark.sql.types.StructField(
             s"__fill_$c", org.apache.spark.sql.types.DoubleType))))
     val mIdx = keys.size
-    val fillRdd = gathered.rdd.flatMap { row =>
+    val fillRdd = graft.core.SeriesGather.rows(gathered).flatMap { row =>
       val series = row.getSeq[org.apache.spark.sql.Row](mIdx)
       val n = series.length
       require(n.toLong * k <= maxCellsPerSeries,

@@ -290,7 +290,7 @@ object Correlation {
     val outSchema = StructType(g.keySchema.fields ++
       (StructField("lag", LongType, nullable = false) +: outFields))
     val xField = g.xField
-    val outRdd = g.df.rdd.flatMap { row =>
+    val outRdd = graft.core.SeriesGather.rows(g).flatMap { row =>
       val x = graft.core.SeriesGather.values(row, xField)
       val m = x.length
       if (m < 2) Iterator.empty

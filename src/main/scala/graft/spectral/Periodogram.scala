@@ -345,7 +345,7 @@ object Periodogram {
     val outSchema = StructType(g.keySchema.fields ++ Seq(
       StructField("period", DoubleType), StructField("power", DoubleType)))
     val xField = g.xField
-    val outRdd = g.df.rdd.flatMap { row =>
+    val outRdd = graft.core.SeriesGather.rows(g).flatMap { row =>
       val raw = graft.core.SeriesGather.values(row, xField)
       val xd = detrendLocal(raw, detrend)
       val m = xd.length
