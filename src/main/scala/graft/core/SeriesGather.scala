@@ -64,6 +64,105 @@ object SeriesGather {
     if (rdd.getNumPartitions < par) rdd.repartition(par) else rdd
   }
 
+  /** One-shuffle per-series fill-in-place: gathers each series' FULL rows
+    * in series order, hands the per-series value matrix (+ time axis) to
+    * `fillFn`, and emits every original row with the returned replacements
+    * coalesced in. This replaces the previous gather → fill-RDD →
+    * join-back shape, which executed the input scan (and its window
+    * stack) TWICE — the fill RDD's lineage re-ran the gather while the
+    * join's base side re-ran the scan, with no ReusedExchange across the
+    * RDD boundary — and shuffled the full table two more times for the
+    * sort-merge join. Here the input is scanned ONCE and shuffled ONCE
+    * (the gather itself); at 100 TB that is the difference between one
+    * pass over the corpus and three.
+    *
+    * Value columns are emitted as nullable doubles with NaN normalized to
+    * null — exactly the join path's `coalesce(nanToNull(c), fill)`
+    * contract; all other columns pass through untouched. Row order within
+    * the output is the series order (immaterial to DataFrame semantics).
+    *
+    * `fillFn(times, vals)`: `times` is the time column cast to double
+    * (all-NaN when the frame has no time column), `vals` the row-major
+    * matrix of the value columns with null/NaN as NaN. It returns
+    * `(rowIdx, replacements)` pairs where a null entry leaves that cell's
+    * (null-normalized) original value; unmentioned rows pass through. */
+  def fillSeries(tsf: TimeseriesFrame, valueCols: Seq[String], opName: String,
+      maxCellsPerSeries: Long)(
+      fillFn: (Array[Double], Array[Array[Double]]) => Iterator[(Int, Array[java.lang.Double])]): DataFrame = {
+    require(tsf.seriesKeys.nonEmpty, s"$opName needs seriesKeys")
+    val df = tsf.df
+    val schema = df.schema
+    val keys = tsf.seriesKeys
+    val ordNames = tsf.timeCol.toSeq ++ tsf.tieBreak
+    require(ordNames.nonEmpty, s"$opName needs a time column or tieBreak order")
+    val hasT = tsf.timeCol.isDefined
+    val o = ordNames.size
+    val tSlot = o // __t slot right after the sort prefix (valid when hasT)
+    val baseSlot = o + (if (hasT) 1 else 0)
+    val valueIdx: Map[String, Int] = valueCols.zipWithIndex.toMap
+    val k = valueCols.size
+    // struct layout: [sort prefix (original types), __t?, every schema
+    // column in order — value columns null-normalized doubles]
+    val cellFields =
+      ordNames.zipWithIndex.map { case (c, i) => col(c).as(s"__o$i") } ++
+        (if (hasT) Seq(col(tsf.timeCol.get).cast("double").as("__t")) else Nil) ++
+        schema.fields.toSeq.map { f =>
+          if (valueIdx.contains(f.name))
+            graft.agg.AggRegistry.nanToNull(col(f.name).cast("double")).as(f.name)
+          else col(f.name)
+        }
+    val gathered = df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(cellFields: _*))).as("__series"))
+    val outSchema = StructType(schema.fields.map { f =>
+      if (valueIdx.contains(f.name))
+        f.copy(dataType = org.apache.spark.sql.types.DoubleType, nullable = true)
+      else f
+    })
+    val nKeys = keys.size
+    val nF = schema.fields.length
+    // per-output-field: value-column index, or -1 for pass-through
+    val fieldValIdx: Array[Int] =
+      schema.fields.map(f => valueIdx.getOrElse(f.name, -1))
+    val kSafe = math.max(k, 1).toLong
+    // struct slot of each value column (precomputed — not per row)
+    val valSlot: Array[Int] =
+      valueCols.map(c => baseSlot + schema.fieldIndex(c)).toArray
+    val outRdd = rows(gathered).flatMap { row =>
+      val series = row.getSeq[Row](nKeys)
+      val n = series.length
+      require(n * kSafe <= maxCellsPerSeries,
+        s"one series has ${n * kSafe} cells > maxCellsPerSeries=$maxCellsPerSeries ($opName)")
+      val times = Array.tabulate(n) { i =>
+        if (hasT && !series(i).isNullAt(tSlot)) series(i).getDouble(tSlot)
+        else Double.NaN
+      }
+      val vals = Array.tabulate(n, k) { (i, j) =>
+        val slot = valSlot(j)
+        if (series(i).isNullAt(slot)) Double.NaN else series(i).getDouble(slot)
+      }
+      val fills = new java.util.HashMap[Int, Array[java.lang.Double]]()
+      fillFn(times, vals).foreach { case (i, a) => fills.put(i, a) }
+      (0 until n).iterator.map { i =>
+        val out = new Array[Any](nF)
+        var fi = 0
+        while (fi < nF) {
+          val j = fieldValIdx(fi)
+          if (j >= 0) {
+            val f = fills.get(i)
+            val repl: java.lang.Double = if (f != null) f(j) else null
+            out(fi) =
+              if (repl != null) repl
+              else if (vals(i)(j).isNaN) null
+              else Double.box(vals(i)(j))
+          } else out(fi) = series(i).get(baseSlot + fi)
+          fi += 1
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      }
+    }
+    df.sparkSession.createDataFrame(outRdd, outSchema)
+  }
+
   /** The j-th value column of a gathered row as a primitive array
     * (capture only `xField` in closures — not the Gathered frame). */
   def values(row: Row, xField: Int, j: Int = 0): Array[Double] = {

@@ -88,58 +88,34 @@ object CubicSpline {
   /** Per-series executor fan-out of [[interpolate]] for grouped corpora
     * (VERDICT r6 task 7; reference anchor `functions.py:319-345` — the
     * reference is single-table, so this is the scale extension): each
-    * series is gathered into ONE grouped row (`sort_array(collect_list)`
-    * — map-side partials, one shuffle), the not-a-knot solve AND the
-    * evaluation run inside the executor task, and only the fill rows for
-    * null cells are hash-joined back on (keys, row index) — no driver
-    * involvement per series, the [[graft.models.PerSeries]] recipe.
-    * Series with fewer than 4 knots are left untouched, exactly like the
-    * driver path; per-series length is bounded by `maxRowsPerSeries`
-    * (must fit one executor task), the same bound every keyed gather in
-    * this library carries. */
+    * series' full rows are gathered into ONE grouped row
+    * (`sort_array(collect_list)` — map-side partials, ONE shuffle, one
+    * input scan), the not-a-knot solve AND the evaluation run inside the
+    * executor task, and the filled rows are emitted directly
+    * ([[graft.core.SeriesGather.fillSeries]] — no join-back, no second
+    * scan, no driver involvement per series). Series with fewer than 4
+    * knots are left untouched, exactly like the driver path; per-series
+    * length is bounded by `maxRowsPerSeries` (must fit one executor
+    * task), the same bound every keyed gather in this library carries. */
   def interpolateByKey(tsf: TimeseriesFrame, c: String,
       maxRowsPerSeries: Long = 10L * 1000 * 1000): DataFrame = {
     require(tsf.seriesKeys.nonEmpty,
       "interpolateByKey needs seriesKeys (use interpolate for one series)")
-    val t = tsf.timeCol.getOrElse(
+    tsf.timeCol.getOrElse(
       throw new IllegalArgumentException("cubic interpolation needs a time column"))
-    val keys = tsf.seriesKeys
-    val base = tsf.df.withColumn("__rn", row_number().over(tsf.window).cast("long"))
-    val cell = struct(col("__rn"),
-      col(t).cast("double").as("__t"), nanToNull(col(c)).as("__v"))
-    val gathered = base
-      .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(cell)).as("__m"))
-    val keySchema = org.apache.spark.sql.types.StructType(
-      keys.map(kn => gathered.schema(kn)))
-    val outSchema = org.apache.spark.sql.types.StructType(
-      keySchema.fields ++ Seq(
-        org.apache.spark.sql.types.StructField("__rn",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("__fill",
-          org.apache.spark.sql.types.DoubleType)))
-    val mIdx = keys.size
-    val fillRdd = graft.core.SeriesGather.rows(gathered).flatMap { row =>
-      val series = row.getSeq[org.apache.spark.sql.Row](mIdx)
-      require(series.length <= maxRowsPerSeries,
-        s"one series has ${series.length} rows > maxRowsPerSeries=$maxRowsPerSeries")
-      val known = series.iterator.filterNot(_.isNullAt(2))
-        .map(r => (r.getDouble(1), r.getDouble(2))).toArray
-      if (known.length < 4) Iterator.empty // too few knots: untouched
+    graft.core.SeriesGather.fillSeries(tsf, Seq(c), "interpolateByKey",
+      maxRowsPerSeries) { (times, vals) =>
+      val n = vals.length
+      val knownIdx = (0 until n).filterNot(i => vals(i)(0).isNaN)
+      if (knownIdx.length < 4) Iterator.empty // too few knots: untouched
       else {
-        val knots = solveNotAKnot(known.map(_._1), known.map(_._2))
-        val keyVals = (0 until mIdx).map(row.get)
-        series.iterator.filter(_.isNullAt(2)).map { r =>
-          // box explicitly: Seq(long, double) would widen the Long to Double
-          org.apache.spark.sql.Row.fromSeq(keyVals ++
-            Seq[Any](Long.box(r.getLong(0)), Double.box(evalAt(knots, r.getDouble(1)))))
+        val knots = solveNotAKnot(
+          knownIdx.map(times).toArray, knownIdx.map(i => vals(i)(0)).toArray)
+        (0 until n).iterator.filter(i => vals(i)(0).isNaN).map { i =>
+          (i, Array[java.lang.Double](evalAt(knots, times(i))))
         }
       }
     }
-    val fillDf = tsf.df.sparkSession.createDataFrame(fillRdd, outSchema)
-    base.join(fillDf, keys :+ "__rn", "left")
-      .withColumn(c, coalesce(nanToNull(col(c)), col("__fill")))
-      .drop("__rn", "__fill")
   }
 
   /** Fill nulls in `c` with cubic-spline values over the time axis. */

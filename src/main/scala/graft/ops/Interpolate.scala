@@ -144,56 +144,22 @@ object Interpolate {
     * many-series scale path: the driver variants above collect EVERY
     * series' cells and triangulate serially (the reference's
     * single-table semantics, measured ~5s at 5k cells — a wall at 10k
-    * series), while this one gathers each series into one grouped row
-    * (`sort_array(collect_list(...))` — map-side partials, one shuffle)
-    * and triangulates/fills on the executors, the
-    * [[graft.models.PerSeries]] "millions of models" recipe. Fill rows
-    * then hash-join back on (keys, row index) — no driver involvement
-    * per series, no broadcast of the (possibly large) fill set.
-    * Per-series matrices must fit an executor task (`maxCellsPerSeries`),
-    * the same bound every keyed gather in this library carries. */
+    * series), while this one gathers each series' full rows into one
+    * grouped row (`sort_array(collect_list(...))` — map-side partials,
+    * ONE shuffle, one input scan) and triangulates/fills on the
+    * executors, emitting the filled rows directly
+    * ([[graft.core.SeriesGather.fillSeries]] — no join-back, no second
+    * scan). Per-series matrices must fit an executor task
+    * (`maxCellsPerSeries`), the same bound every keyed gather in this
+    * library carries. */
   def multivariateByKey(tsf: TimeseriesFrame, cols: Seq[String],
       method: String = "linear",
       maxCellsPerSeries: Long = 10L * 1000 * 1000): DataFrame = {
     require(cols.size >= 3, "reference skips multivariate below 3 continuous columns")
     require(tsf.seriesKeys.nonEmpty, "multivariateByKey needs seriesKeys " +
       "(use multivariateNearest/Linear/Cubic for a single series)")
-    val keys = tsf.seriesKeys
-    val k = cols.size
-    val rn = row_number().over(tsf.window).cast("long").as("__rn")
-    val base = tsf.df.withColumn("__rn", rn)
-    val cell = struct(col("__rn") +: cols.map(c => nanToNull(col(c))): _*)
-    val gathered = base
-      .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(cell)).as("__m"))
-
-    val keySchema = org.apache.spark.sql.types.StructType(
-      keys.map(kn => gathered.schema(kn)))
-    val outSchema = org.apache.spark.sql.types.StructType(
-      keySchema.fields ++
-        (org.apache.spark.sql.types.StructField("__rn",
-          org.apache.spark.sql.types.LongType) +:
-          cols.map(c => org.apache.spark.sql.types.StructField(
-            s"__fill_$c", org.apache.spark.sql.types.DoubleType))))
-    val mIdx = keys.size
-    val fillRdd = graft.core.SeriesGather.rows(gathered).flatMap { row =>
-      val series = row.getSeq[org.apache.spark.sql.Row](mIdx)
-      val n = series.length
-      require(n.toLong * k <= maxCellsPerSeries,
-        s"one series has ${n.toLong * k} cells > maxCellsPerSeries=$maxCellsPerSeries")
-      val vals = Array.tabulate(n, k)((i, j) =>
-        if (series(i).isNullAt(1 + j)) Double.NaN else series(i).getDouble(1 + j))
-      val keyVals = (0 until mIdx).map(row.get)
-      fillMatrix(vals, method).iterator.map { case (i, fills) =>
-        org.apache.spark.sql.Row.fromSeq(
-          keyVals ++ (series(i).getLong(0) +: fills.toSeq))
-      }
-    }
-    val fillDf = tsf.df.sparkSession.createDataFrame(fillRdd, outSchema)
-    val joined = base.join(fillDf, keys :+ "__rn", "left")
-    cols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, coalesce(nanToNull(col(c)), col(s"__fill_$c")))
-    }.drop("__rn" +: cols.map(c => s"__fill_$c"): _*)
+    graft.core.SeriesGather.fillSeries(tsf, cols, "multivariateByKey",
+      maxCellsPerSeries)((_, vals) => fillMatrix(vals, method).iterator)
   }
 
   /** [[multivariateByKey]] with the griddata-'linear' fill — the keyed
