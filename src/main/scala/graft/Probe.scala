@@ -210,6 +210,63 @@ object Probe {
           println(s"[probe] clean n=$n survivors: $counts")
           counts.length.toLong
         }
+      case "gridfill" =>
+        // the r9 §2.7 per-series fill spine at scale: n rows of 67-row
+        // series (the gate shape) with the q108 quadratic field and
+        // planted interior gaps in 2 of 4 columns. Times the ONE-shuffle
+        // SeriesGather.fillSeries path end-to-end for griddata-cubic
+        // (Delaunay + HCT per series) and the 1-D not-a-knot spline.
+        // Correctness invariant: the fully-known border makes the hull
+        // the whole rectangle, so every planted gap must be filled.
+        import graft.core.TimeseriesFrame
+        import graft.ops.{CubicSpline, Interpolate}
+        val len = 67
+        val base = spark.range(n).select(
+          (col("id") / len).cast("long").as("series"),
+          (col("id") % len + 1).cast("double").as("t"))
+        val i0 = col("t") - 1.0
+        val p = (col("series") % 3 + 1).cast("double")
+        val q = (col("series") % 5 + 1).cast("double")
+        def vAt(j: Int) =
+          p * i0 * i0 / 64.0 + i0 * lit(j) / 16.0 + lit(j * j) / 4.0 +
+            q * i0 / 8.0 + lit(j) / 2.0 + lit(20.0)
+        def gapAt(j: Int) =
+          col("t") > 1 && col("t") < len && (col("t") + lit(3 * j)) % 4 === 1
+        val df = (0 until 4).foldLeft(base) { (d, j) =>
+          val v = if (j == 0 || j == 3) vAt(j)
+          else when(gapAt(j), lit(null).cast("double")).otherwise(vAt(j))
+          d.withColumn(s"c$j", v)
+        }.localCheckpoint(true)
+        val nRows = df.count()
+        val gaps = df.filter(col("c1").isNull || col("c2").isNull).count()
+        val tsf = TimeseriesFrame(df, Some("t"), Nil, Seq("series"))
+        def phase(tag: String)(f: => Long): Unit = {
+          Thread.sleep(1000)
+          val b0 = listener.shuffleWriteBytes; val s0 = System.nanoTime()
+          val rows = f
+          Thread.sleep(1000)
+          println(f"[probe] gridfill n=$n $tag rows=$rows " +
+            f"wall=${(System.nanoTime() - s0) / 1e9}%.1fs " +
+            f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f")
+        }
+        println(s"[probe] gridfill n=$n series=${nRows / len} planted_gaps=$gaps")
+        phase("griddata_cubic_pass1") {
+          val out = Interpolate.multivariateByKey(tsf, Seq("c0", "c1", "c2", "c3"), "cubic")
+          val left = out.filter(col("c1").isNull || col("c2").isNull).count()
+          require(left == 0, s"$left unfilled cells survived the cubic fill")
+          nRows
+        }
+        phase("griddata_cubic_pass2") {
+          Interpolate.multivariateByKey(tsf, Seq("c0", "c1", "c2", "c3"), "cubic").count()
+        }
+        phase("spline_1d") {
+          val out = CubicSpline.interpolateByKey(tsf.copy(df =
+            df.withColumn("v", when(gapAt(1), lit(null).cast("double"))
+              .otherwise(vAt(1)))), "v")
+          val left = out.filter(col("v").isNull).count()
+          require(left == 0, s"$left unfilled rows survived the spline fill")
+          nRows
+        }
       case "banding" =>
         // native BandKeysExpr vs the interpreted HOF twin over the same
         // signatures: the banding projection is a per-document scan stage,
