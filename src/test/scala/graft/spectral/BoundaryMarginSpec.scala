@@ -98,4 +98,61 @@ class BoundaryMarginSpec extends SparkSpec {
     val l = Periodogram.lombSpectrumByKey(withT, "value", nPeriods = 60)
     assertMargins(l, Seq("power"), 1e-6, 0.0, _ => 1e-12, "q49")
   }
+
+  // ---- r9 interpolation gates (q106/q108): values land on a binary
+  // lattice (2⁻¹²/2⁻⁶) whose residues mod 1e-4 CONTAIN the HALF_UP
+  // boundaries, so the gate quantization shifts by half the lattice gap.
+  // The margin is then guaranteed by arithmetic; what this spec pins is
+  // that the SOLVE error (tridiagonal spline / HCT with LS gradients)
+  // stays far inside it on the actual gate data.
+
+  private def rnFrame: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    graft.SparkEntry.tbl(spark, sfDir, "events")
+      .select(F.col("event_id"), F.col("user_id"), F.col("ts"))
+      .withColumn("rn", F.row_number().over(wU))
+      .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+  }
+
+  test("q106 spline fills clear the shifted 4dp grid (2^-12 lattice)") {
+    assume(haveData)
+    val base = rnFrame
+    val x = F.col("rn") / F.lit(16.0)
+    val a = F.col("user_id") % 5
+    val b = F.col("user_id") % 7
+    val vExact = x * x * x + a * x * x + b * x + F.lit(100.0)
+    val gap = F.col("rn") % 4 === 2 && F.col("rn") < F.col("cnt")
+    val df = base.withColumn("t", x)
+      .withColumn("v", F.when(gap, F.lit(null).cast("double")).otherwise(vExact))
+    val tsf = TimeseriesFrame(df, Some("t"), Seq("event_id"), Seq("user_id"))
+    val filled = graft.ops.CubicSpline.interpolateByKey(tsf, "v")
+    // solve error measured ≤ ~3e-10 at |v|≤300; bar 1e-9, margin 1.95e-7
+    assertMargins(filled, Seq("v"), 1e-4, 1.953125e-7, _ => 1e-9, "q106")
+  }
+
+  test("q108 HCT fills clear the shifted 4dp grid (2^-6 lattice)") {
+    assume(haveData)
+    val base = rnFrame
+    val i = (F.col("rn") - 1).cast("double")
+    val p = (F.col("user_id") % 3 + 1).cast("double")
+    val q = (F.col("user_id") % 5 + 1).cast("double")
+    def vAt(j: Int) =
+      p * i * i / 64.0 + i * F.lit(j) / 16.0 + F.lit(j * j) / 4.0 +
+        q * i / 8.0 + F.lit(j) / 2.0 + F.lit(20.0)
+    def gapAt(j: Int) =
+      F.col("rn") > 1 && F.col("rn") < F.col("cnt") &&
+        (F.col("rn") + F.lit(3 * j)) % 4 === 1
+    val df = (0 until 4).foldLeft(base) { (d, j) =>
+      val v = if (j == 0 || j == 3) vAt(j)
+      else F.when(gapAt(j), F.lit(null).cast("double")).otherwise(vAt(j))
+      d.withColumn(s"c$j", v)
+    }
+    val tsf = TimeseriesFrame(df, Some("ts"), Seq("event_id"), Seq("user_id"))
+    val filled = graft.ops.Interpolate.multivariateByKey(
+      tsf, Seq("c0", "c1", "c2", "c3"), "cubic")
+    // estimated-gradient error ~1e-7 envelope; margin 1.25e-5 by lattice
+    assertMargins(filled, Seq("c0", "c1", "c2", "c3"), 1e-4, 1.25e-5,
+      _ => 1e-6, "q108")
+  }
 }
