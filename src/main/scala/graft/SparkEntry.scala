@@ -1559,6 +1559,22 @@ object SparkEntry {
           round(col("avg_logp"), 4).as("avg_logp"),
           round(col("ppl"), 4).as("ppl"))
     }),
+    "q110_kneser_ney_ppl" -> ((s, dir) => {
+      // interpolated Kneser–Ney twin of q90: the smoothing KenLM/CCNet
+      // actually use. Every probability is a count ratio plus the fixed
+      // D=0.75 discount — identical IEEE op sequence in the Spark
+      // projection and the oracle's CTE replay, with ln/avg absorbed by
+      // the same 4dp grid q90 rides.
+      // margins measured on the gate data: avg_logp min 5.3e-8 to its 4dp
+      // boundary vs ~5e-14 ln/sum-order deviation; ppl (∈[26,39]) min
+      // 7.7e-10 at 4dp — too tight — vs 1.1e-5 at 2dp, hence the grids
+      val d = tbl(s, dir, "documents")
+      val model = graft.text.NgramLm.trainKneserNey(d, "text")
+      graft.text.NgramLm.kneserNeyPerplexity(d, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 4).as("avg_logp"),
+          round(col("ppl"), 2).as("ppl"))
+    }),
     "q91_audio_spectrogram" -> ((s, dir) => {
       // STFT spectrogram over planted PCM16 WAVs (q79's closed-form
       // payloads — even doc_ids, stereo when id%4=0): the executor-side
@@ -2037,6 +2053,7 @@ object SparkEntry {
     "q58_ivf_topk" -> knnTopkSql,
     "q89_pq_adc_topk" -> pqAdcTopkSql,
     "q90_lm_perplexity" -> lmPerplexitySql,
+    "q110_kneser_ney_ppl" -> kneserNeySql,
     "q91_audio_spectrogram" -> audioSpectrogramSql,
     "q92_semdedup" -> semdedupSql,
     "q93_dsir" -> dsirSql,
@@ -3900,6 +3917,35 @@ object SparkEntry {
       |SELECT doc_id, count(*) AS n_bigrams,
       | round(avg(logp), 4) AS avg_logp,
       | round(exp(-avg(logp)), 4) AS ppl
+      |FROM sc GROUP BY 1""".stripMargin
+
+  /** q110: interpolated KN in SQL. The op sequence inside ln() mirrors the
+    * Spark projection exactly — greatest(c2−D,0)/ch + D·nf/ch·pc with
+    * left-associative products — so p is bit-identical and only ln/avg
+    * (libm vs Math.log, sum order) ride the 4dp grid, as in q90. */
+  private def kneserNeySql: String =
+    """WITH tk AS (SELECT doc_id, list_filter(
+      |   regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      | FROM documents),
+      |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      | FROM tk, unnest(range(1, len(t))) r(i) WHERE len(t) >= 2),
+      |b AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      |f AS (SELECT w1, count(*) AS nf, CAST(sum(c2) AS DOUBLE) AS ch
+      | FROM b GROUP BY 1),
+      |pr AS (SELECT w2, count(*) AS np FROM b GROUP BY 1),
+      |st AS (SELECT CAST((SELECT count(*) FROM b) AS DOUBLE) AS ty,
+      |  (SELECT count(DISTINCT w) FROM (SELECT unnest(t) AS w FROM tk)) AS v),
+      |sc AS (SELECT g.doc_id,
+      |  ln(CASE WHEN f.ch IS NOT NULL
+      |   THEN greatest(coalesce(b.c2, 0) - 0.75, 0.0) / f.ch
+      |        + 0.75 * f.nf / f.ch *
+      |          coalesce(pr.np / st.ty, 1.0 / (st.v + 1.0))
+      |   ELSE coalesce(pr.np / st.ty, 1.0 / (st.v + 1.0)) END) AS logp
+      | FROM bg g LEFT JOIN b USING (w1, w2) LEFT JOIN f USING (w1)
+      | LEFT JOIN pr ON g.w2 = pr.w2, st)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      | round(avg(logp), 4) AS avg_logp,
+      | round(exp(-avg(logp)), 2) AS ppl
       |FROM sc GROUP BY 1""".stripMargin
 
   /** q89: the full PQ pipeline in SQL — normalize+round 6dp, codebook =

@@ -71,4 +71,85 @@ class NgramLmSpec extends SparkSpec {
     val eligible = d.filter(size(TextFunctions.tokens(lower(col("text")))) >= 2).count()
     assert(scored.count() == eligible)
   }
+
+  // ---- interpolated Kneser–Ney --------------------------------------
+
+  // tiny-corpus KN facts (D = 0.75): bigrams (a,b):3 (b,a):1 (b,c):1
+  // (c,c):1, T = 4 types; follow a→(1,3) b→(2,2) c→(1,1); prec a→1 b→1
+  // c→2; V = 4 → OOV floor 1/5. All ratios are exact in binary.
+  test("hand-computed interpolated-KN probabilities on the tiny corpus") {
+    val m = NgramLm.trainKneserNey(tiny, "text")
+    assert(m.bigramTypes == 4L && m.vocabSize == 4L)
+    val got = NgramLm.kneserNeyPerplexity(tiny, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pBgA = 0.8125 // (3-.75)/3 + .75*1/3 * 1/4
+    val pAgB = 0.3125 // (1-.75)/2 + .75*2/2 * 1/4
+    val pCgB = 0.5    // (1-.75)/2 + .75*2/2 * 2/4
+    val pCgC = 0.625  // (1-.75)/1 + .75*1/1 * 2/4
+    val d1 = (math.log(pBgA) + math.log(pAgB) + math.log(pBgA)) / 3
+    val d2 = (math.log(pBgA) + math.log(pCgB)) / 2
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - d1) < 1e-14)
+    assert(math.abs(got(2L)._2 - d2) < 1e-14)
+    assert(math.abs(got(3L)._2 - math.log(pCgC)) < 1e-14)
+    assert(!got.contains(4L) && !got.contains(5L)) // < 2 tokens → unscored
+  }
+
+  test("KN probabilities sum to exactly 1 over the continuation vocab") {
+    import spark.implicits._
+    val m = NgramLm.trainKneserNey(tiny, "text")
+    // every seen context × every continuation-seen word (np > 0)
+    val contexts = m.follow.select("w1").as[String].collect()
+    val cont = m.prec.select("w2").as[String].collect()
+    val probe = contexts.flatMap(w1 => cont.map(w2 => (w1, s"$w1 $w2")))
+      .zipWithIndex.map { case ((w1, txt), i) => (i.toLong, w1, txt) }
+      .toSeq.toDF("doc_id", "ctx", "text")
+    val p = NgramLm.kneserNeyPerplexity(probe, "doc_id", "text", m)
+      .withColumn("p", exp(col("avg_logp")))
+    val sums = probe.join(p, "doc_id").groupBy("ctx").agg(sum("p").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    contexts.foreach { w1 =>
+      assert(math.abs(sums(w1) - 1.0) < 1e-12,
+        s"sum over continuations for context '$w1' = ${sums(w1)}")
+    }
+  }
+
+  test("KN unseen-context and OOV branches fall back to continuation/floor") {
+    import spark.implicits._
+    val m = NgramLm.trainKneserNey(tiny, "text")
+    val probe = Seq((1L, "solo b"), (2L, "zzz c"), (3L, "a qqq"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.kneserNeyPerplexity(probe, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // 'solo' occurs but never as a bigram head; 'zzz' is fully unknown:
+    // both contexts fall back to pc alone
+    assert(math.abs(got(1L) - math.log(1.0 / 4)) < 1e-14) // pc(b) = 1/4
+    assert(math.abs(got(2L) - math.log(2.0 / 4)) < 1e-14) // pc(c) = 2/4
+    // OOV continuation after a seen head: discounted mass times the floor
+    val pQgA = math.max(0.0 - 0.75, 0.0) / 3 + 0.75 * 1 / 3.0 * (1.0 / 5)
+    assert(math.abs(got(3L) - math.log(pQgA)) < 1e-14)
+  }
+
+  test("KN on real documents: finite, and sharper than stupid backoff on seen text") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = NgramLm.trainKneserNey(d, "text")
+    val scored = NgramLm.kneserNeyPerplexity(d, "doc_id", "text", m)
+    val bad = scored.filter(col("ppl").isNull || isnan(col("ppl")) ||
+      col("ppl") <= 0.0).count()
+    assert(bad == 0L)
+    val eligible = d.filter(size(TextFunctions.tokens(lower(col("text")))) >= 2).count()
+    assert(scored.count() == eligible)
+  }
+
+  test("KN persist lifecycle: persisted model scores identically") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cold = NgramLm.trainKneserNey(d, "text")
+    val warm = NgramLm.trainKneserNey(d, "text").persist()
+    try {
+      val a = NgramLm.kneserNeyPerplexity(d, "doc_id", "text", cold)
+        .orderBy("doc_id").collect()
+      val b = NgramLm.kneserNeyPerplexity(d, "doc_id", "text", warm)
+        .orderBy("doc_id").collect()
+      assert(a.toSeq == b.toSeq)
+    } finally warm.release()
+  }
 }
