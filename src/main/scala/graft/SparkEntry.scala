@@ -1685,6 +1685,33 @@ object SparkEntry {
       // threshold comparisons agree without pre-rounding; the emitted
       // signal columns round 6dp for the hash only)
       TextFunctions.gopherRules(tbl(s, dir, "documents"), "doc_id", "text")),
+    "q111_c4_rules" -> ((s, dir) => {
+      // C4 page cleaning (Raffel et al. 2020 §2.2) under the hash gate.
+      // The corpus is single-line, so each doc becomes a constructed
+      // 8-line page hitting every branch: kept lines (terminal . ! ? ",
+      // leading whitespace trimmed), dropped lines (no terminal punct /
+      // < 3 words / "JavaScript"), and doc-level vetoes keyed off doc_id
+      // (%3 loses the '?' sentence → too-few-sentences, %7 plants lorem
+      // ipsum, %11 a curly-brace code line). Everything is integer counts
+      // and exact string edits — no rounding anywhere.
+      val d = tbl(s, dir, "documents")
+      val l0 = lit("one more decent sentence to start.")
+      val l1 = concat(substring(col("text"), 1, 40), lit(" end."))
+      val l2 = lit("short.")
+      val l3 = concat(lit("  "), substring(col("text"), 8, 30), lit(" tail!"))
+      val l4 = lit("no terminal punctuation here")
+      val l5 = when(col("doc_id") % 3 === 0,
+        lit("please enable JavaScript to view this page."))
+        .otherwise(lit("a perfectly good sentence appears here?"))
+      val l6 = when(col("doc_id") % 7 === 0,
+        lit("hidden lorem ipsum filler text here."))
+        .otherwise(lit("closing line ending with a quote\""))
+      val l7 = when(col("doc_id") % 11 === 0, lit("var x = { a: 1 };"))
+        .otherwise(lit("final good sentence number three."))
+      val page = concat_ws("\n", l0, l1, l2, l3, l4, l5, l6, l7)
+      TextFunctions.c4Rules(
+        d.select(col("doc_id"), page.as("text")), "doc_id", "text")
+    }),
     "q96_bm25_dfcut" -> ((s, dir) => {
       // q94's queries under the query-time stopword cut: maxDfFrac=0.79
       // lands BETWEEN this corpus's term dfs (cut 395 drops scan@398,
@@ -2059,6 +2086,7 @@ object SparkEntry {
     "q93_dsir" -> dsirSql,
     "q94_bm25_topk" -> bm25TopkSql,
     "q97_gopher_rules" -> gopherRulesSql,
+    "q111_c4_rules" -> c4RulesSql,
     "q98_semdedup_hier" -> semdedupHierSql,
     "q96_bm25_dfcut" -> {
       val r = bm25TopkSql.replace(
@@ -3918,6 +3946,50 @@ object SparkEntry {
       | round(avg(logp), 4) AS avg_logp,
       | round(exp(-avg(logp)), 4) AS ppl
       |FROM sc GROUP BY 1""".stripMargin
+
+  /** q111: the C4 kernel replayed as DuckDB list ops — same page
+    * construction, same trim set (space/tab/CR/FF/VT), same terminal-punct
+    * set, word-count regex over the kernel's whitespace class, and the
+    * same doc-level vetoes on the original page. Integer counts and exact
+    * string edits throughout — nothing to round. */
+  private def c4RulesSql: String =
+    """WITH pages AS (SELECT doc_id,
+      |  'one more decent sentence to start.' || chr(10) ||
+      |  substr(text, 1, 40) || ' end.' || chr(10) ||
+      |  'short.' || chr(10) ||
+      |  '  ' || substr(text, 8, 30) || ' tail!' || chr(10) ||
+      |  'no terminal punctuation here' || chr(10) ||
+      |  CASE WHEN doc_id % 3 = 0 THEN 'please enable JavaScript to view this page.'
+      |       ELSE 'a perfectly good sentence appears here?' END || chr(10) ||
+      |  CASE WHEN doc_id % 7 = 0 THEN 'hidden lorem ipsum filler text here.'
+      |       ELSE 'closing line ending with a quote"' END || chr(10) ||
+      |  CASE WHEN doc_id % 11 = 0 THEN 'var x = { a: 1 };'
+      |       ELSE 'final good sentence number three.' END AS page
+      | FROM documents),
+      |k AS (SELECT doc_id, page,
+      |  list_filter(list_transform(string_split(page, chr(10)),
+      |    x -> trim(x, ' ' || chr(9) || chr(13) || chr(12) || chr(11))),
+      |   x -> len(x) > 0 AND right(x, 1) IN ('.', '!', '?', '"')
+      |    AND len(list_filter(regexp_split_to_array(x, '[ \t\f\v\r]+'),
+      |          w -> w != '')) >= 3
+      |    AND NOT contains(lower(x), 'javascript')) AS keptl,
+      |  len(string_split(page, chr(10))) AS n_lines
+      | FROM pages),
+      |c AS (SELECT doc_id, page, array_to_string(keptl, chr(10)) AS clean,
+      |  len(keptl) AS n_kept, n_lines - len(keptl) AS n_dropped FROM k),
+      |v AS (SELECT doc_id, clean, n_kept, n_dropped,
+      |  length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) AS ns,
+      |  NOT contains(lower(page), 'lorem ipsum') AS pl,
+      |  NOT contains(lower(page), '{') AS pc
+      | FROM c)
+      |SELECT doc_id, clean AS text_clean,
+      | CAST(n_kept AS BIGINT) AS n_lines_kept,
+      | CAST(n_dropped AS BIGINT) AS n_lines_dropped,
+      | CAST(ns AS BIGINT) AS n_sentences,
+      | ns >= 5 AS pass_sentences, pl AS pass_lorem, pc AS pass_curly,
+      | TRUE AS pass_blocklist,
+      | (ns >= 5 AND pl AND pc) AS keep
+      |FROM v""".stripMargin
 
   /** q110: interpolated KN in SQL. The op sequence inside ln() mirrors the
     * Spark projection exactly — greatest(c2−D,0)/ch + D·nf/ch·pc with

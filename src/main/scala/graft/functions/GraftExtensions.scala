@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_lsh_bucket", classOf[LshBucketExpr],
       exprs => LshBucketExpr(exprs.head,
         intArg(exprs, 1, 12), intArg(exprs, 2, 0), intArg(exprs, 3, 64)))
+    // c4_clean(text[, minWords]) → STRUCT<clean, n_kept, n_dropped>
+    reg("graft_c4_clean", classOf[C4CleanExpr],
+      exprs => C4CleanExpr(exprs.head, intArg(exprs, 1, 3)))
   }
 }
 

@@ -261,6 +261,51 @@ object TextFunctions {
         passAlpha && passStop).as("keep"))
   }
 
+  /** C4 line-level clean ([[graft.functions.C4Clean]]): struct of
+    * (clean, n_kept, n_dropped). */
+  def c4Clean(c: Column, minWords: Int = 3): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.C4CleanExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), minWords))
+
+  /** The C4 page-cleaning bundle (Raffel et al. 2020, §2.2) — the other
+    * canonical rule set beside [[gopherRules]], and the one that EDITS
+    * the page rather than only vetoing it: the native [[c4Clean]] kernel
+    * keeps lines that end in terminal punctuation {. ! ? "}, have ≥
+    * `minWords` words, and don't mention "javascript"; the page verdict
+    * then requires ≥ `minSentences` sentences in the cleaned text
+    * (counted as [.!?] occurrences) and vetoes pages whose ORIGINAL text
+    * contains "lorem ipsum", a curly brace (the paper's source-code
+    * tell), or any blocklisted token. Two projections pin the kernel to
+    * one evaluation and `keep` is a plain boolean chain — the q72
+    * codegen/pushdown recipe. Scan-stage only: no shuffle at any corpus
+    * size. */
+  def c4Rules(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 3, minSentences: Long = 5L,
+      blocklist: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val base = df.select(col(idCol), c4Clean(t, minWords).as("__c4"),
+      lower(t).as("__lower"),
+      (if (blocklist.isEmpty) lit(0)
+       else size(array_intersect(tokensLower(t),
+         array(blocklist.map(w => lit(w.toLowerCase)): _*)))).as("__blockhits"))
+    val clean = col("__c4").getField("clean")
+    val sentences = (length(clean) -
+      length(regexp_replace(clean, "[.!?]", ""))).cast("long")
+    val passSentences = sentences >= minSentences
+    val passLorem = !col("__lower").contains("lorem ipsum")
+    val passCurly = !col("__lower").contains("{")
+    val passBlock = col("__blockhits") === 0
+    base.select(col(idCol),
+      clean.as("text_clean"),
+      col("__c4").getField("n_kept").as("n_lines_kept"),
+      col("__c4").getField("n_dropped").as("n_lines_dropped"),
+      sentences.as("n_sentences"),
+      passSentences.as("pass_sentences"), passLorem.as("pass_lorem"),
+      passCurly.as("pass_curly"), passBlock.as("pass_blocklist"),
+      (passSentences && passLorem && passCurly && passBlock).as("keep"))
+  }
+
   /** Polynomial rolling-hash document fingerprint over character codes:
     * `h = (h*31 + code) mod 1e9+7`. Stable across engines (pure integer
     * arithmetic), usable as a cheap content id for dedup joins. */
