@@ -1559,6 +1559,27 @@ object SparkEntry {
           round(col("avg_logp"), 4).as("avg_logp"),
           round(col("ppl"), 4).as("ppl"))
     }),
+    "q112_dedup_paragraphs" -> ((s, dir) => {
+      // Dolma-style paragraph dedupe under the hash gate. Constructed
+      // 6-paragraph pages: p0 shared by ALL docs (one global survivor),
+      // p2/p4 a recurring promo block on %3/%5 (cross- AND within-doc
+      // dups — %15 docs carry both), p3 empty (exempt, always kept),
+      // p1/p5 text-derived (dup'd only when corpus prefixes coincide —
+      // the oracle replays string equality so either way agrees). All
+      // outputs are exact strings and integer counts.
+      val d = tbl(s, dir, "documents")
+      val p0 = lit("shared header paragraph alpha")
+      val p1 = substring(col("text"), 1, 50)
+      val p2 = when(col("doc_id") % 3 === 0, lit("recurring promo block beta"))
+        .otherwise(substring(col("text"), 20, 40))
+      val p3 = lit("")
+      val p4 = when(col("doc_id") % 5 === 0, lit("recurring promo block beta"))
+        .otherwise(concat(lit("unique tail "), substring(col("text"), 60, 30)))
+      val p5 = concat(lit("closing "), substring(col("text"), 90, 25))
+      val page = concat_ws("\n", p0, p1, p2, p3, p4, p5)
+      Dedup.dedupParagraphs(
+        d.select(col("doc_id"), page.as("text")), "doc_id", "text")
+    }),
     "q110_kneser_ney_ppl" -> ((s, dir) => {
       // interpolated Kneser–Ney twin of q90: the smoothing KenLM/CCNet
       // actually use. Every probability is a count ratio plus the fixed
@@ -2081,6 +2102,7 @@ object SparkEntry {
     "q89_pq_adc_topk" -> pqAdcTopkSql,
     "q90_lm_perplexity" -> lmPerplexitySql,
     "q110_kneser_ney_ppl" -> kneserNeySql,
+    "q112_dedup_paragraphs" -> dedupParagraphsSql,
     "q91_audio_spectrogram" -> audioSpectrogramSql,
     "q92_semdedup" -> semdedupSql,
     "q93_dsir" -> dsirSql,
@@ -3990,6 +4012,39 @@ object SparkEntry {
       | TRUE AS pass_blocklist,
       | (ns >= 5 AND pl AND pc) AS keep
       |FROM v""".stripMargin
+
+  /** q112: paragraph dedupe replayed over the paragraph STRING (the
+    * Spark side keys on the ~60-bit fingerprint — equivalent absent
+    * collisions): first occurrence by (doc_id, pos) wins, space-trimmed
+    * empties are exempt, kept paragraphs re-join in position order. */
+  private def dedupParagraphsSql: String =
+    """WITH pages AS (SELECT doc_id,
+      |  'shared header paragraph alpha' AS p0,
+      |  substr(text, 1, 50) AS p1,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'recurring promo block beta'
+      |       ELSE substr(text, 20, 40) END AS p2,
+      |  '' AS p3,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'recurring promo block beta'
+      |       ELSE 'unique tail ' || substr(text, 60, 30) END AS p4,
+      |  'closing ' || substr(text, 90, 25) AS p5
+      | FROM documents),
+      |parts AS (SELECT doc_id, v.pos,
+      |  CASE v.pos WHEN 0 THEN p0 WHEN 1 THEN p1 WHEN 2 THEN p2
+      |   WHEN 3 THEN p3 WHEN 4 THEN p4 ELSE p5 END AS p
+      | FROM pages, (VALUES (0), (1), (2), (3), (4), (5)) v(pos)),
+      |j AS (
+      | SELECT doc_id, pos, p,
+      |  row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) = 1 AS keep
+      | FROM parts WHERE length(trim(p)) >= 1
+      | UNION ALL
+      | SELECT doc_id, pos, p, TRUE AS keep
+      | FROM parts WHERE length(trim(p)) < 1)
+      |SELECT doc_id,
+      | CAST(count(*) AS BIGINT) AS n_paragraphs,
+      | CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+      | coalesce(string_agg(CASE WHEN keep THEN p END, chr(10) ORDER BY pos),
+      |   '') AS text_dedup
+      |FROM j GROUP BY 1""".stripMargin
 
   /** q110: interpolated KN in SQL. The op sequence inside ln() mirrors the
     * Spark projection exactly — greatest(c2−D,0)/ch + D·nf/ch·pc with

@@ -358,6 +358,60 @@ object Dedup {
     * coverage expands flagged positions to token indices (bounded by
     * tokens per doc); the rebuild is a keyed anti-join + sorted-struct
     * gather per doc. No driver involvement. */
+  /** Corpus-wide EXACT paragraph dedup (the Dolma / RefinedWeb
+    * "paragraph dedupe" stage): each paragraph — a `sep`-separated
+    * segment — keeps only its globally FIRST occurrence in (doc id,
+    * position) order; every later copy, within or across documents, is
+    * removed from the reassembled text. Complements
+    * [[removeRepeatedSpans]] (n-gram-df boilerplate inside lines) and
+    * the document-level dedups: this one EDITS pages. Output:
+    * (idCol, n_paragraphs, n_removed, text_dedup).
+    *
+    * Scale shape: paragraphs explode scan-side; the winner per key is a
+    * groupBy-min — map-side partial aggregation absorbs hot keys (a
+    * boilerplate paragraph shared by 10⁹ pages combines per task before
+    * the shuffle) — and winners join back on a ~60-bit
+    * [[graft.text.TextFunctions.fingerprint]] (so only 8-byte keys plus
+    * the one winner row per key shuffle twice; the paragraph text
+    * itself moves once, into the per-document reassembly gather). AQE's
+    * skew-join split covers the residual hot-key fan-in on the join.
+    * Paragraphs whose space-trimmed length is below `minChars` are
+    * exempt — always kept — both semantically (blank separators are not
+    * content) and physically (they would otherwise pile onto one global
+    * key = one shuffle partition). The oracle replay groups by the
+    * paragraph STRING; equivalent absent fingerprint collisions, which
+    * the two-chain ~60-bit key makes negligible below ~10⁸ distinct
+    * paragraphs per corpus. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minChars: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val parts = docs.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__p")))
+      .withColumn("__exempt", length(trim(col("__p"))) < minChars)
+    val keyed = parts.filter(!col("__exempt"))
+      .withColumn("__k", TextFunctions.fingerprint(col("__p")))
+    val winners = keyed.groupBy("__k")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
+    val judged = keyed.join(winners, "__k")
+      .withColumn("__keep",
+        col("__w").getField(idCol) === col(idCol) &&
+          col("__w").getField("__pos") === col("__pos"))
+      .select(col(idCol), col("__pos"), col("__p"), col("__keep"))
+    val all = judged.unionByName(
+      parts.filter(col("__exempt"))
+        .select(col(idCol), col("__pos"), col("__p"), lit(true).as("__keep")))
+    all.groupBy(idCol).agg(
+      count(lit(1)).as("n_paragraphs"),
+      sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__p"))))),
+          x => x.getField("__p")),
+        sep).as("text_dedup"))
+  }
+
   def removeRepeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDf: Long = 2L): DataFrame = {

@@ -416,4 +416,44 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(distributed == got)
   }
+
+  test("dedupParagraphs: global first occurrence wins, empties exempt") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "header\nalpha one\n\nbeta two"),
+      (2L, "header\ngamma three\nbeta two"),   // header + beta two dup'd
+      (3L, "delta\ndelta\n  \nheader"),        // within-doc dup + ws-only
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(pages, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1 is first everywhere: untouched (incl. its empty paragraph)
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 0L)
+    assert(out(0).getString(3) == "header\nalpha one\n\nbeta two")
+    // doc 2: header and beta two removed
+    assert(out(1).getLong(2) == 2L)
+    assert(out(1).getString(3) == "gamma three")
+    // doc 3: first delta kept, second removed (within-doc), whitespace
+    // paragraph exempt, header removed
+    assert(out(2).getLong(2) == 2L)
+    assert(out(2).getString(3) == "delta\n  ")
+    // null text → one empty exempt paragraph
+    assert(out(3).getLong(1) == 1L && out(3).getLong(2) == 0L)
+    assert(out(3).getString(3) == "")
+  }
+
+  test("dedupParagraphs: sep and minChars parameters") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "aa|b|cc"),
+      (2L, "cc|b|dd"))
+      .toDF("doc_id", "text")
+    // minChars=2: the 1-char paragraph "b" is exempt in BOTH docs
+    val out = Dedup.dedupParagraphs(pages, "doc_id", "text",
+      sep = "|", minChars = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(3) == "aa|b|cc")
+    assert(out(1).getString(3) == "b|dd")
+    assert(out(1).getLong(2) == 1L)
+  }
 }
