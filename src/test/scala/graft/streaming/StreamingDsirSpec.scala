@@ -79,6 +79,30 @@ class StreamingDsirSpec extends SparkSpec {
     assert(got == batch && got(1L) && !got(2L))
   }
 
+  test("c4Rules is stateless column arithmetic: runs on a stream as-is") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the C4 kernel + verdicts are a pure per-row select (two collapsed
+    // projections) — batch ≡ stream with no state or watermark
+    val good = "a one two.\nb one two.\nc one two.\nd one two.\ne one two."
+    val rows = Seq((1L, good), (2L, "lorem ipsum\n" + good), (3L, "nope"))
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.text.TextFunctions.c4Rules(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val query = out.writeStream.format("memory")
+      .queryName("c4_stream").outputMode("append").start()
+    mem.addData(rows: _*)
+    query.processAllAvailable()
+    val got = spark.sql("select doc_id, text_clean, keep from c4_stream")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    query.stop()
+    val batch = graft.text.TextFunctions.c4Rules(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "text_clean", "keep")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(got == batch && got(1L)._2 && !got(2L)._2 && !got(3L)._2)
+  }
+
   test("qualityFilter is stateless column arithmetic: runs on a stream as-is") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
