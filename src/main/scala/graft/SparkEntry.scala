@@ -1559,6 +1559,25 @@ object SparkEntry {
           round(col("avg_logp"), 4).as("avg_logp"),
           round(col("ppl"), 4).as("ppl"))
     }),
+    "q113_bpe_tokens" -> ((s, dir) => {
+      // REAL trained BPE under the hash gate: the corpus is constructed
+      // so the merge ORDER is forced by global frequency arithmetic —
+      // pair (z,z) ≈ 6.5n > (zz,q) ≈ 4n > (m,n) ≈ 2n > (zz,z) ≈ 0.5n for
+      // any doc count n — so the trained 3-merge model, every per-doc
+      // token count, and the probe encoding are all closed-form. The
+      // train pass is the real pipeline (distributed word counts → merge
+      // loop); the oracle replays the arithmetic.
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), trim(concat(
+        expr("repeat('zz ', cast(doc_id % 4 as int))"),
+        expr("repeat('zzq ', cast(doc_id % 5 + 2 as int))"),
+        expr("repeat('mn ', cast(doc_id % 3 + 1 as int))"),
+        expr("repeat('zzz ', cast(doc_id % 2 as int))"))).as("text"))
+      val model = graft.text.Bpe.train(corpus, "text", numMerges = 3)
+      corpus.select(col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text"), model).cast("long").as("n_bpe"),
+        array_join(graft.text.Bpe.tokens(lit("zzzq zq"), model), " ").as("probe"))
+    }),
     "q112_dedup_paragraphs" -> ((s, dir) => {
       // Dolma-style paragraph dedupe under the hash gate. Constructed
       // 6-paragraph pages: p0 shared by ALL docs (one global survivor),
@@ -2103,6 +2122,15 @@ object SparkEntry {
     "q90_lm_perplexity" -> lmPerplexitySql,
     "q110_kneser_ney_ppl" -> kneserNeySql,
     "q112_dedup_paragraphs" -> dedupParagraphsSql,
+    // q113: the forced merge order makes BPE token counts pure modular
+    // arithmetic — zz/zzq/mn collapse to 1 token, zzz to 2 ([zz, z]);
+    // the probe literal "zzzq zq" encodes to [zz, z, q] [z, q]
+    "q113_bpe_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(doc_id % 4 + (doc_id % 5 + 2) + (doc_id % 3 + 1)
+         |   + 2 * (doc_id % 2) AS BIGINT) AS n_bpe,
+         | 'zz z q z q' AS probe
+         |FROM documents""".stripMargin,
     "q91_audio_spectrogram" -> audioSpectrogramSql,
     "q92_semdedup" -> semdedupSql,
     "q93_dsir" -> dsirSql,
