@@ -296,6 +296,37 @@ object Probe {
         require(agg.getLong(0) == 4 * n, s"paragraph count ${agg.getLong(0)} != ${4 * n}")
         require(agg.getLong(1) == expectRemoved,
           s"removed ${agg.getLong(1)} != $expectRemoved")
+      case "bpe" =>
+        // BPE at scale: train on the n-doc corpus (one distributed word
+        // count + in-memory merges over the distinct-word table), then
+        // measure the encode scan — the reference-object codegen kernel —
+        // as corpus-wide token totals. Fixed ~200k-word vocabulary: real
+        // corpora have Zipf vocabularies that grow sub-linearly in corpus
+        // size, which is exactly why the word table is the driver-sized
+        // sufficient statistic (cleanCorpus's unique-per-doc words would
+        // grow the vocab linearly — a tokenizer-training antipattern).
+        import graft.text.Bpe
+        // no checkpoint: the generator is a cheap deterministic projection
+        // and pinning 20M docs in block memory starves the shuffle
+        val docs = spark.range(n).select(col("id"), concat_ws(" ",
+          (0 until 30).map(i => translate(
+            concat(lit("w"), pmod(hash(col("id") * 31 + lit(i)), lit(200000))),
+            "0123456789", "abcdefghij")): _*).as("text"))
+        docs.count()
+        val t0 = System.nanoTime()
+        val model = Bpe.train(docs, "text", numMerges = 1000,
+          maxWords = 100L * 1000 * 1000)
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        def encodePass(tag: String): Unit = {
+          val s0 = System.nanoTime()
+          val tot = docs.select(Bpe.tokenCount(col("text"), model).as("k"))
+            .agg(sum("k")).head().getLong(0)
+          println(f"[probe] bpe n=$n $tag total_tokens=$tot " +
+            f"wall=${(System.nanoTime() - s0) / 1e9}%.1fs")
+        }
+        println(f"[probe] bpe n=$n merges=${model.merges.size} train=$tTrain%.1fs")
+        encodePass("encode_pass1")
+        encodePass("encode_pass2")
       case "banding" =>
         // native BandKeysExpr vs the interpreted HOF twin over the same
         // signatures: the banding projection is a per-document scan stage,
