@@ -137,4 +137,37 @@ class CurationPropertySpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
     assert(run(1) == run(7))
   }
+
+  test("dedupParagraphs == from-scratch first-wins on random pages, any layout") {
+    import spark.implicits._
+    val pages = (1L to 80L).map { i =>
+      // small paragraph vocab so cross-doc and within-doc dups are dense;
+      // ~1 in 6 paragraphs is blank (exempt)
+      val ps = (0 until (1 + rnd.nextInt(6))).map { _ =>
+        if (rnd.nextInt(6) == 0) "" else s"para${rnd.nextInt(12)}"
+      }
+      (i, ps.mkString("\n"))
+    }
+    // from-scratch reference
+    val seen = scala.collection.mutable.HashSet[String]()
+    val expect = pages.map { case (id, text) =>
+      val ps = text.split("\n", -1)
+      val kept = ps.filter { p =>
+        if (p.trim.isEmpty) true else seen.add(p)
+      }
+      id -> ((ps.length.toLong, (ps.length - kept.length).toLong,
+        kept.mkString("\n")))
+    }.toMap
+    for (parts <- Seq(1, 7)) {
+      val got = graft.dedup.Dedup.dedupParagraphs(
+        pages.toDF("doc_id", "text").repartition(parts), "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      pages.foreach { case (id, _) =>
+        val e = expect(id)
+        assert(got(id) == e, s"doc $id parts=$parts")
+      }
+    }
+  }
 }
