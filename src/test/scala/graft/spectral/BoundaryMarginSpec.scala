@@ -131,6 +131,18 @@ class BoundaryMarginSpec extends SparkSpec {
     assertMargins(filled, Seq("v"), 1e-4, 1.953125e-7, _ => 1e-9, "q106")
   }
 
+  test("q110 KN avg_logp/ppl clear their grids (4dp / 2dp)") {
+    assume(haveData)
+    val d = graft.SparkEntry.tbl(spark, sfDir, "documents")
+    val model = graft.text.NgramLm.trainKneserNey(d, "text")
+    val scored = graft.text.NgramLm.kneserNeyPerplexity(d, "doc_id", "text", model)
+    // measured cross-engine deviation ~5e-14 (avg_logp) / ~2e-12 (ppl);
+    // bars 1e-10 / 1e-8 leave 500-5000× beyond that, and the r9-measured
+    // margins (5.3e-8 / 1.1e-5) clear the bars by 500×+
+    assertMargins(scored, Seq("avg_logp"), 1e-4, 0.0, _ => 1e-10, "q110 logp")
+    assertMargins(scored, Seq("ppl"), 1e-2, 0.0, _ => 1e-8, "q110 ppl")
+  }
+
   test("q108 HCT fills clear the shifted 4dp grid (2^-6 lattice)") {
     assume(haveData)
     val base = rnFrame
