@@ -103,6 +103,26 @@ class StreamingDsirSpec extends SparkSpec {
     assert(got == batch && got(1L)._2 && !got(2L)._2 && !got(3L)._2)
   }
 
+  test("BPE encode is stateless under a trained model: runs on a stream as-is") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train is batch (it aggregates the corpus); ENCODE under the frozen
+    // model is a pure per-row expression → batch ≡ stream
+    val model = graft.text.Bpe.Model(Seq(("z", "z"), ("zz", "q")))
+    val rows = Seq((1L, "zz zzq"), (2L, "zzz mn"))
+    val mem = MemoryStream[(Long, String)]
+    val out = mem.toDF().toDF("doc_id", "text").select(col("doc_id"),
+      graft.text.Bpe.tokenCount(col("text"), model).as("n"))
+    val query = out.writeStream.format("memory")
+      .queryName("bpe_stream").outputMode("append").start()
+    mem.addData(rows: _*)
+    query.processAllAvailable()
+    val got = spark.sql("select doc_id, n from bpe_stream").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    query.stop()
+    assert(got == Map(1L -> 2, 2L -> 4)) // [zz][zzq] ; [zz,z][m,n]
+  }
+
   test("qualityFilter is stateless column arithmetic: runs on a stream as-is") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
