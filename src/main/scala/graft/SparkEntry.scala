@@ -1559,6 +1559,39 @@ object SparkEntry {
           round(col("avg_logp"), 4).as("avg_logp"),
           round(col("ppl"), 4).as("ppl"))
     }),
+    "q114_clean_corpus_v2" -> ((s, dir) => {
+      // integration gate for the r9 curation additions (the q72 pattern):
+      // constructed pages → corpus-wide paragraph dedup (EDITS pages) →
+      // C4 line+page rules on the deduped text → deterministic split of
+      // the survivors, one DataFrame program under one oracle. Branch
+      // spread by construction: the first doc owns the shared header but
+      // carries lorem (%9 veto); %4 docs lose their promo paragraph to
+      // dedup and fall under the 4-sentence floor; everyone loses the
+      // cross-doc "tiny." paragraph to dedup — and its single owner
+      // loses it to C4's word minimum instead.
+      val d = tbl(s, dir, "documents")
+      val l0 = lit("shared boilerplate header for every page.")
+      val l1 = concat(substring(col("text"), 1, 40), lit(" content."))
+      val l2 = when(col("doc_id") % 4 === 0,
+        lit("recurring promo paragraph today."))
+        .otherwise(concat(substring(col("text"), 45, 35), lit(" more.")))
+      val l3 = lit("tiny.")
+      val l4 = concat(substring(col("text"), 85, 30), lit(" closing words here."))
+      val l5 = when(col("doc_id") % 9 === 0,
+        lit("hidden lorem ipsum footer text."))
+        .otherwise(concat(substring(col("text"), 120, 25), lit(" final line!")))
+      val pages = d.select(col("doc_id"),
+        concat_ws("\n", l0, l1, l2, l3, l4, l5).as("text"))
+      val pd = Dedup.dedupParagraphs(pages, "doc_id", "text")
+      val c4 = TextFunctions.c4Rules(pd, "doc_id", "text_dedup",
+        minSentences = 4L)
+      val kept = c4.filter(col("keep"))
+      val split = graft.pipeline.Sampling.deterministicSplit(kept, "doc_id",
+        Seq("train" -> 204, "val" -> 26, "test" -> 26))
+      split.join(pd.select(col("doc_id"), col("n_removed")), "doc_id")
+        .select(col("doc_id"), col("n_removed"), col("n_sentences"),
+          col("split"))
+    }),
     "q113_bpe_tokens" -> ((s, dir) => {
       // REAL trained BPE under the hash gate: the corpus is constructed
       // so the merge ORDER is forced by global frequency arithmetic —
@@ -2122,6 +2155,7 @@ object SparkEntry {
     "q90_lm_perplexity" -> lmPerplexitySql,
     "q110_kneser_ney_ppl" -> kneserNeySql,
     "q112_dedup_paragraphs" -> dedupParagraphsSql,
+    "q114_clean_corpus_v2" -> cleanCorpusV2Sql,
     // q113: the forced merge order makes BPE token counts pure modular
     // arithmetic — zz/zzq/mn collapse to 1 token, zzz to 2 ([zz, z]);
     // the probe literal "zzzq zq" encodes to [zz, z, q] [z, q]
@@ -4073,6 +4107,59 @@ object SparkEntry {
       | coalesce(string_agg(CASE WHEN keep THEN p END, chr(10) ORDER BY pos),
       |   '') AS text_dedup
       |FROM j GROUP BY 1""".stripMargin
+
+  /** q114: the v2 pipeline replayed end-to-end — page construction,
+    * string-keyed paragraph first-wins, the C4 line filter + sentence
+    * floor + lorem veto over the deduped text, and the md5-bucket split
+    * (q61's bounds for 204/26/26). */
+  private def cleanCorpusV2Sql: String =
+    """WITH pages AS (SELECT doc_id,
+      |  'shared boilerplate header for every page.' AS p0,
+      |  substr(text, 1, 40) || ' content.' AS p1,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'recurring promo paragraph today.'
+      |       ELSE substr(text, 45, 35) || ' more.' END AS p2,
+      |  'tiny.' AS p3,
+      |  substr(text, 85, 30) || ' closing words here.' AS p4,
+      |  CASE WHEN doc_id % 9 = 0 THEN 'hidden lorem ipsum footer text.'
+      |       ELSE substr(text, 120, 25) || ' final line!' END AS p5
+      | FROM documents),
+      |parts AS (SELECT doc_id, v.pos,
+      |  CASE v.pos WHEN 0 THEN p0 WHEN 1 THEN p1 WHEN 2 THEN p2
+      |   WHEN 3 THEN p3 WHEN 4 THEN p4 ELSE p5 END AS p
+      | FROM pages, (VALUES (0), (1), (2), (3), (4), (5)) v(pos)),
+      |j AS (
+      | SELECT doc_id, pos, p,
+      |  row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) = 1 AS keep
+      | FROM parts WHERE length(trim(p)) >= 1
+      | UNION ALL
+      | SELECT doc_id, pos, p, TRUE AS keep
+      | FROM parts WHERE length(trim(p)) < 1),
+      |pd AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN keep THEN p END, chr(10) ORDER BY pos),
+      |    '') AS text_dedup
+      | FROM j GROUP BY 1),
+      |c4 AS (SELECT doc_id, n_removed, text_dedup,
+      |  array_to_string(list_filter(list_transform(
+      |    string_split(text_dedup, chr(10)),
+      |    x -> trim(x, ' ' || chr(9) || chr(13) || chr(12) || chr(11))),
+      |   x -> len(x) > 0 AND right(x, 1) IN ('.', '!', '?', '"')
+      |    AND len(list_filter(regexp_split_to_array(x, '[ \t\f\v\r]+'),
+      |          w -> w != '')) >= 3
+      |    AND NOT contains(lower(x), 'javascript')), chr(10)) AS clean
+      | FROM pd),
+      |v AS (SELECT doc_id, n_removed,
+      |  CAST(length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g'))
+      |    AS BIGINT) AS n_sentences,
+      |  (length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) >= 4
+      |   AND NOT contains(lower(text_dedup), 'lorem ipsum')
+      |   AND NOT contains(lower(text_dedup), '{')) AS keep
+      | FROM c4)
+      |SELECT doc_id, n_removed, n_sentences,
+      | CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+      |  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+      |  ELSE 'test' END AS split
+      |FROM v WHERE keep""".stripMargin
 
   /** q110: interpolated KN in SQL. The op sequence inside ln() mirrors the
     * Spark projection exactly — greatest(c2−D,0)/ch + D·nf/ch·pc with
