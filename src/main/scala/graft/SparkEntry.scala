@@ -1584,11 +1584,10 @@ object SparkEntry {
         concat_ws("\n", l0, l1, l2, l3, l4, l5).as("text"))
       val pd = Dedup.dedupParagraphs(pages, "doc_id", "text")
       val c4 = TextFunctions.c4Rules(pd, "doc_id", "text_dedup",
-        minSentences = 4L)
+        minSentences = 4L, passThrough = Seq("n_removed"))
       val kept = c4.filter(col("keep"))
-      val split = graft.pipeline.Sampling.deterministicSplit(kept, "doc_id",
+      graft.pipeline.Sampling.deterministicSplit(kept, "doc_id",
         Seq("train" -> 204, "val" -> 26, "test" -> 26))
-      split.join(pd.select(col("doc_id"), col("n_removed")), "doc_id")
         .select(col("doc_id"), col("n_removed"), col("n_sentences"),
           col("split"))
     }),

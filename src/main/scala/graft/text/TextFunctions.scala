@@ -279,16 +279,20 @@ object TextFunctions {
     * tell), or any blocklisted token. Two projections pin the kernel to
     * one evaluation and `keep` is a plain boolean chain — the q72
     * codegen/pushdown recipe. Scan-stage only: no shuffle at any corpus
-    * size. */
+    * size. `passThrough` columns of the input are carried into the
+    * output unchanged — at corpus scale that is the difference between
+    * a select and a doc-keyed join-back to recover upstream columns. */
   def c4Rules(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minWords: Int = 3, minSentences: Long = 5L,
-      blocklist: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+      blocklist: Seq[String] = Nil,
+      passThrough: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    val base = df.select(col(idCol), c4Clean(t, minWords).as("__c4"),
+    val base = df.select(col(idCol) +: passThrough.map(col) ++: Seq(
+      c4Clean(t, minWords).as("__c4"),
       lower(t).as("__lower"),
       (if (blocklist.isEmpty) lit(0)
        else size(array_intersect(tokensLower(t),
-         array(blocklist.map(w => lit(w.toLowerCase)): _*)))).as("__blockhits"))
+         array(blocklist.map(w => lit(w.toLowerCase)): _*)))).as("__blockhits")): _*)
     val clean = col("__c4").getField("clean")
     val sentences = (length(clean) -
       length(regexp_replace(clean, "[.!?]", ""))).cast("long")
@@ -296,14 +300,14 @@ object TextFunctions {
     val passLorem = !col("__lower").contains("lorem ipsum")
     val passCurly = !col("__lower").contains("{")
     val passBlock = col("__blockhits") === 0
-    base.select(col(idCol),
+    base.select(col(idCol) +: passThrough.map(col) ++: Seq(
       clean.as("text_clean"),
       col("__c4").getField("n_kept").as("n_lines_kept"),
       col("__c4").getField("n_dropped").as("n_lines_dropped"),
       sentences.as("n_sentences"),
       passSentences.as("pass_sentences"), passLorem.as("pass_lorem"),
       passCurly.as("pass_curly"), passBlock.as("pass_blocklist"),
-      (passSentences && passLorem && passCurly && passBlock).as("keep"))
+      (passSentences && passLorem && passCurly && passBlock).as("keep")): _*)
   }
 
   /** Polynomial rolling-hash document fingerprint over character codes:

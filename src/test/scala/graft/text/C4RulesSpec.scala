@@ -63,6 +63,14 @@ class C4RulesSpec extends SparkSpec {
     assert(out(4).getBoolean(8) == false) // pass_blocklist
     // the lorem footer line has no terminal punct → also dropped as a line
     assert(out(2).getString(1) == five)
+    // passThrough carries upstream columns without a join-back
+    val pt = TextFunctions.c4Rules(
+      docs.withColumn("extra", col("doc_id") * 10), "doc_id", "text",
+      passThrough = Seq("extra"))
+      .orderBy("doc_id").collect()
+    assert(pt(0).schema.fieldNames.take(3).toSeq ==
+      Seq("doc_id", "extra", "text_clean"))
+    assert(pt.map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L, 40L, 50L))
   }
 
   test("c4_clean registered for SQL; keep-filter stays in codegen") {
