@@ -327,6 +327,46 @@ object Probe {
         println(f"[probe] bpe n=$n merges=${model.merges.size} train=$tTrain%.1fs")
         encodePass("encode_pass1")
         encodePass("encode_pass2")
+      case "cleanv2" =>
+        // the q114 spine at scale: paragraph dedup (hot header on every
+        // page) → C4 rules over the deduped text (scan-stage) → split.
+        // Phase-timed behind eager barriers, same methodology as "clean".
+        import graft.dedup.Dedup
+        import graft.text.TextFunctions
+        import graft.pipeline.Sampling
+        val pages = spark.range(n).select(col("id").as("doc_id"), concat_ws("\n",
+          lit("shared boilerplate header for every page."),
+          concat(lit("unique u"), col("id"), lit(" filler content line one.")),
+          when(col("id") % 3 === 0, lit("recurring promo block today."))
+            .otherwise(concat(lit("unique v"), col("id"), lit(" second line."))),
+          concat(lit("unique w"), col("id"), lit(" third good sentence here.")),
+          concat(lit("unique x"), col("id"), lit(" fourth good sentence too."))
+        ).as("text"))
+        def phase(tag: String)(f: => Long): Unit = {
+          Thread.sleep(1000)
+          val b0 = listener.shuffleWriteBytes; val s0 = System.nanoTime()
+          val rows = f
+          Thread.sleep(1000)
+          println(f"[probe] cleanv2 n=$n $tag rows=$rows " +
+            f"wall=${(System.nanoTime() - s0) / 1e9}%.1fs " +
+            f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f")
+        }
+        var pd: DataFrame = null
+        phase("paragraph_dedup") {
+          pd = Dedup.dedupParagraphs(pages, "doc_id", "text")
+            .localCheckpoint(true)
+          pd.count()
+        }
+        phase("c4_split") {
+          val c4 = TextFunctions.c4Rules(pd, "doc_id", "text_dedup",
+            minSentences = 4L, passThrough = Seq("n_removed"))
+          val out = Sampling.deterministicSplit(c4.filter(col("keep")),
+            "doc_id", Seq("train" -> 204, "val" -> 26, "test" -> 26))
+          val counts = out.groupBy("split").count().collect()
+            .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+          println(s"[probe] cleanv2 n=$n survivors: $counts")
+          counts.length.toLong
+        }
       case "banding" =>
         // native BandKeysExpr vs the interpreted HOF twin over the same
         // signatures: the banding projection is a per-document scan stage,
