@@ -53,7 +53,15 @@ object SeriesGather {
     * count is already known: rebalance ONLY when AQE under-partitioned,
     * i.e. exactly when the gathered bytes are small and the extra
     * row-count-balanced shuffle is noise. Large gathers keep their
-    * byte-sized partitioning untouched. */
+    * byte-sized partitioning untouched.
+    *
+    * Measured trade (r9 A/B at sf0.1, local[32]): the extra stage costs
+    * ~0.09 s per gathered gate query (q83–q86 moved 0.28→0.41 s, stable
+    * across passes) and buys a 20× wall drop the moment per-series work
+    * is real (q108's probe). The fixed gate cost is accepted — the
+    * discriminator (per-series CPU work) is unknowable at plan time, and
+    * under-parallelized model fleets are the failure mode that matters
+    * at 100 TB. */
   def rows(g: Gathered): org.apache.spark.rdd.RDD[Row] = rows(g.df)
 
   /** [[rows]] for gathers not built through [[gather]] (e.g. the
