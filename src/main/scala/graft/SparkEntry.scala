@@ -95,7 +95,7 @@ object SparkEntry {
 
   /** Daily aggregate series (deterministic exact-cents means): one row per
     * day with (d, v = daily mean value, c = daily event count). */
-  private def daily(s: SparkSession, dir: String): TimeseriesFrame = {
+  private[graft] def daily(s: SparkSession, dir: String): TimeseriesFrame = {
     val t = ev(s, dir)
     val df = MovingTransform.timePeriods(t, "days", Seq("value_cents" -> "sum"))
       .select(col("days").as("d"),
@@ -1363,12 +1363,19 @@ object SparkEntry {
       // naive/drift fold pools + all five reference metrics computed
       // executor-side per user; the oracle replays q47's whole pipeline
       // PARTITIONed by user (per-user n, folds, pooled windows)
+      // 4dp + scanned boundary shift (the q48 recipe): the metrics are
+      // ratios of exact-cents sums, whose terminating decimals land ON
+      // 6dp AND unshifted-4dp boundaries (measured: an sf0.01 mae sits
+      // 1.7e-9 from its 6dp boundary, 23.06425 exactly on 4dp; an sf0.1
+      // rmse actually flipped). δ = metricShift maximizes the scanned
+      // min margin: 3.8e-7 over all 1500 gate values ≈ 3800× the
+      // cross-engine deviation. BoundaryMarginSpec asserts it stays so.
       val t = ev(s, dir).withSeriesKeys("user_id")
       val raw = ModelEvaluation.evaluateNaiveDriftByKey(t, "value",
         nFolds = 3, steps = 3)
       raw.select(col("user_id") +: col("model") +:
         Seq("rmse", "mae", "mape", "pocid", "r2").map(c =>
-          round(col(c), 6).as(c)): _*)
+          round(col(c) + lit(metricShift), 4).as(c)): _*)
     }),
     "q52_arma_forecast_by_key" -> ((s, dir) => {
       // the millions-of-models fan-out under the HASH gate: one
@@ -2019,13 +2026,13 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'daily', TRUE, 86400.0, '86400.0', '86400.0', '1 day'""".stripMargin,
     "q105_timeslice_playback" ->
-      s"""WITH b AS (SELECT min(CAST(epoch(ts) AS BIGINT)) AS lo,
-         |  max(CAST(epoch(ts) AS BIGINT)) + 1 AS hi FROM events),
+      s"""WITH b AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
+         |  max(CAST(floor(epoch(ts)) AS BIGINT)) + 1 AS hi FROM events),
          |w AS (SELECT unnest(generate_series((SELECT lo FROM b),
          |    (SELECT hi FROM b) - 1, 259200)) AS win_lo),
          |w2 AS (SELECT win_lo,
          |  least(win_lo + 604800, (SELECT hi FROM b)) AS win_hi FROM w),
-         |e AS (SELECT CAST(epoch(ts) AS BIGINT) AS es, $centsSql AS vc
+         |e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, $centsSql AS vc
          | FROM events)
          |SELECT w2.win_lo, w2.win_hi, count(e.es) AS n_rows,
          | coalesce(sum(e.vc), 0) / 100.0 AS v_sum
@@ -3082,9 +3089,12 @@ object SparkEntry {
       |          lead(yp) OVER (PARTITION BY user_id, model ORDER BY seq) AS ypn
       |        FROM pairs)
       |  WHERE ytn IS NOT NULL GROUP BY 1, 2)
-      |SELECT s.user_id, s.model, round(s.rmse, 6) AS rmse,
-      | round(s.mae, 6) AS mae, round(s.mape, 6) AS mape,
-      | round(p.pocid, 6) AS pocid, round(r.r2, 6) AS r2
+      |SELECT s.user_id, s.model,
+      | round(s.rmse + 0.000023367, 4) AS rmse,
+      | round(s.mae + 0.000023367, 4) AS mae,
+      | round(s.mape + 0.000023367, 4) AS mape,
+      | round(p.pocid + 0.000023367, 4) AS pocid,
+      | round(r.r2 + 0.000023367, 4) AS r2
       |FROM scored s
       |JOIN r2t r ON r.user_id = s.user_id AND r.model = s.model
       |JOIN pocidt p ON p.user_id = s.user_id AND p.model = s.model""".stripMargin
@@ -3861,6 +3871,10 @@ object SparkEntry {
     * DuckDB oracle apply the identical shift, so values stay comparable. */
   private[graft] val powerShiftByKey = 0.000569
   private[graft] val powerShiftPoly = 0.000559
+  /** q86's metric-grid shift (same recipe, 4dp grid): scanned to
+    * maximize the min margin over all sf0.01 rolling-origin metric
+    * values — 3.8e-7, ≈3800× the measured cross-engine deviation. */
+  private[graft] val metricShift = 0.000023367
 
   private def periodogramByKeySql: String =
     """WITH s AS (SELECT user_id, value,

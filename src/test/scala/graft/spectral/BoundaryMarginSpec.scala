@@ -34,9 +34,11 @@ class BoundaryMarginSpec extends SparkSpec {
     graft.SparkEntry.tbl(spark, sfDir, "events"), "ts", Seq("event_id"))
     .withSeriesKeys("user_id")
 
-  /** distance of |v|+shift to the nearest 0.5·grid HALF_UP boundary */
+  /** distance of the rounded quantity v+shift to the nearest 0.5·grid
+    * HALF_UP boundary (HALF_UP is symmetric: boundaries at ±(k+½)·grid,
+    * so the distance is computed on |v + shift|) */
   private def margin(v: Double, grid: Double, shift: Double): Double = {
-    val f = ((math.abs(v) + shift) / grid) % 1.0
+    val f = (math.abs(v + shift) / grid) % 1.0
     math.abs(f - 0.5) * grid
   }
 
@@ -141,6 +143,55 @@ class BoundaryMarginSpec extends SparkSpec {
     // margins (5.3e-8 / 1.1e-5) clear the bars by 500×+
     assertMargins(scored, Seq("avg_logp"), 1e-4, 0.0, _ => 1e-10, "q110 logp")
     assertMargins(scored, Seq("ppl"), 1e-2, 0.0, _ => 1e-8, "q110 ppl")
+  }
+
+  test("q86 rolling-origin metrics clear the shifted 4dp grid") {
+    assume(haveData)
+    // the q81 class can land anywhere cross-engine float pipelines meet
+    // a grid: exact-cents metric ratios terminate in decimal ON 6dp AND
+    // unshifted-4dp boundaries (an sf0.1 rmse actually flipped; an
+    // sf0.01 mae sat 1.7e-9 from its 6dp boundary, and 23.06425 exactly
+    // on 4dp) — hence the scanned metricShift on a 4dp grid
+    val t = graft.SparkEntry.tbl(spark, sfDir, "events")
+    val tsf = TimeseriesFrame.fromColumn(t, "ts", Seq("event_id"))
+      .withSeriesKeys("user_id")
+    val m = graft.models.ModelEvaluation.evaluateNaiveDriftByKey(
+      tsf, "value", nFolds = 3, steps = 3)
+    assertMargins(m, Seq("rmse", "mae", "mape", "pocid", "r2"),
+      1e-4, graft.SparkEntry.metricShift,
+      va => 1e-12 * math.max(1.0, va) * 100, "q86")
+  }
+
+  test("q47 single-series metrics clear the 6dp grid") {
+    assume(haveData)
+    // q47's twin surface: 10 values over the daily means (not exact
+    // cents), so 6dp margins are healthy — locked here so a testdata
+    // regeneration that lands one on a boundary fails loudly instead of
+    // flaking the gate (the q86 lesson)
+    import graft.models.{Metrics, ModelEvaluation}
+    val y = ModelEvaluation.collectSeries(
+      graft.SparkEntry.daily(spark, sfDir), Seq("v")).map(_.head)
+    val steps = 3; val nFolds = 3
+    def pool(pred: (Int, Int) => Double): (Array[Double], Array[Double]) = {
+      val pairs = for {
+        fold <- 1 to nFolds
+        te = y.length - fold * steps
+        h <- 0 until steps
+      } yield (y(te + h), pred(te, h))
+      (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+    }
+    val vals = Seq[(Int, Int) => Double](
+      (te, _) => y(te - 1),
+      (te, h) => y(te - 1) + (h + 1) * (y(te - 1) - y(0)) / (te - 1))
+      .flatMap { p =>
+        val (t, pr) = pool(p)
+        Seq(Metrics.rmse(t, pr), Metrics.mae(t, pr), Metrics.mape(t, pr),
+          Metrics.pocid(t, pr), Metrics.r2(t, pr))
+      }
+    vals.foreach { v =>
+      val m = margin(v, 1e-6, 0.0)
+      assert(m >= 1e-9, s"q47: value $v margin $m < 1e-9")
+    }
   }
 
   test("q108 HCT fills clear the shifted 4dp grid (2^-6 lattice)") {
