@@ -98,23 +98,42 @@ object CubicSpline {
     * length is bounded by `maxRowsPerSeries` (must fit one executor
     * task), the same bound every keyed gather in this library carries. */
   def interpolateByKey(tsf: TimeseriesFrame, c: String,
-      maxRowsPerSeries: Long = 10L * 1000 * 1000): DataFrame = {
+      maxRowsPerSeries: Long = 10L * 1000 * 1000): DataFrame =
+    interpolateByKey(tsf, Seq(c), maxRowsPerSeries)
+
+  /** Multi-column [[interpolateByKey]]: ONE gather serves every column's
+    * per-series spline (independent solves on the shared time axis) —
+    * per-column calls would scan and shuffle the corpus k times for
+    * k columns. Columns with fewer than 4 knots in a series are left
+    * untouched there, exactly like the single-column path. */
+  def interpolateByKey(tsf: TimeseriesFrame, cols: Seq[String],
+      maxRowsPerSeries: Long): DataFrame = {
+    require(cols.nonEmpty, "interpolateByKey needs at least one column")
     require(tsf.seriesKeys.nonEmpty,
       "interpolateByKey needs seriesKeys (use interpolate for one series)")
     tsf.timeCol.getOrElse(
       throw new IllegalArgumentException("cubic interpolation needs a time column"))
-    graft.core.SeriesGather.fillSeries(tsf, Seq(c), "interpolateByKey",
-      maxRowsPerSeries) { (times, vals) =>
+    val k = cols.size
+    graft.core.SeriesGather.fillSeries(tsf, cols, "interpolateByKey",
+      maxRowsPerSeries * k) { (times, vals) =>
       val n = vals.length
-      val knownIdx = (0 until n).filterNot(i => vals(i)(0).isNaN)
-      if (knownIdx.length < 4) Iterator.empty // too few knots: untouched
-      else {
-        val knots = solveNotAKnot(
-          knownIdx.map(times).toArray, knownIdx.map(i => vals(i)(0)).toArray)
-        (0 until n).iterator.filter(i => vals(i)(0).isNaN).map { i =>
-          (i, Array[java.lang.Double](evalAt(knots, times(i))))
+      val fills = new java.util.HashMap[Int, Array[java.lang.Double]]()
+      var j = 0
+      while (j < k) {
+        val knownIdx = (0 until n).filterNot(i => vals(i)(j).isNaN)
+        if (knownIdx.length >= 4) { // too few knots: column untouched
+          val knots = solveNotAKnot(
+            knownIdx.map(times).toArray, knownIdx.map(i => vals(i)(j)).toArray)
+          (0 until n).iterator.filter(i => vals(i)(j).isNaN).foreach { i =>
+            var a = fills.get(i)
+            if (a == null) { a = new Array[java.lang.Double](k); fills.put(i, a) }
+            a(j) = evalAt(knots, times(i))
+          }
         }
+        j += 1
       }
+      import scala.jdk.CollectionConverters._
+      fills.entrySet().iterator().asScala.map(e => (e.getKey.intValue, e.getValue))
     }
   }
 

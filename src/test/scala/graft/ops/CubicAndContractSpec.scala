@@ -60,6 +60,32 @@ class CubicAndContractSpec extends SparkSpec {
     // null survives both paths
     assert(got.count(_._1 == 3L) == 3)
     assert(got.filter(_._1 == 3L).count(_._3.isEmpty) == 1)
+
+    // multi-column overload: ONE gather ≡ per-column calls (second
+    // column = a different shape with its own gaps, incl. an all-null
+    // column on the short series)
+    val df2 = df.withColumn("y",
+      when(col("t") * 7 % 5 < 1 || col("k") === 3, lit(null).cast("double"))
+        .otherwise(col("t") * col("t") / (col("k") + 1.0) + 2.0))
+    val g2 = TimeseriesFrame(df2, Some("t"), seriesKeys = Seq("k"))
+    val multi = CubicSpline.interpolateByKey(g2, Seq("x", "y"), 1000000L)
+      .orderBy("k", "t").collect()
+    val seq2 = CubicSpline.interpolateByKey(
+      TimeseriesFrame(CubicSpline.interpolateByKey(g2, "x"),
+        Some("t"), seriesKeys = Seq("k")), "y")
+      .orderBy("k", "t").collect()
+    assert(multi.length == seq2.length)
+    multi.zip(seq2).foreach { case (a, b) =>
+      (2 to 3).foreach { i =>
+        val (av, bv) = (if (a.isNullAt(i)) None else Some(a.getDouble(i)),
+          if (b.isNullAt(i)) None else Some(b.getDouble(i)))
+        (av, bv) match {
+          case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9,
+            s"col $i at (${a.get(0)},${a.get(1)}): $x vs $y")
+          case (x, y) => assert(x == y, s"col $i at (${a.get(0)},${a.get(1)})")
+        }
+      }
+    }
   }
 
   test("discrete mode fill: most frequent value, smallest wins ties") {
