@@ -113,7 +113,7 @@ object SparkEntry {
     * pure integer function of doc_id, so the DuckDB oracles replay the
     * DECODED surfaces with integer arithmetic end to end. `parity`
     * restricts to even (Some(0): WAVs) or odd (Some(1): PPMs) ids. */
-  private def plantedMedia(s: SparkSession, dir: String,
+  private[graft] def plantedMedia(s: SparkSession, dir: String,
       parity: Option[Int]): DataFrame = {
     import s.implicits._
     val base = tbl(s, dir, "documents")

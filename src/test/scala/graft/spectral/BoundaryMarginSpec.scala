@@ -162,6 +162,17 @@ class BoundaryMarginSpec extends SparkSpec {
       va => 1e-12 * math.max(1.0, va) * 100, "q86")
   }
 
+  test("q91 spectrogram magnitudes clear the 4dp grid") {
+    assume(haveData)
+    // FFT (JTransforms) vs the oracle's direct DFT — cross-algorithm like
+    // q81; measured min margin 9.2e-7 on the gate data (~10⁶× deviation)
+    val m = graft.multimodal.Multimodal.audioSpectrogram(
+      graft.SparkEntry.plantedMedia(spark, sfDir, parity = Some(0)),
+      "id", "payload")
+    assertMargins(m, Seq("mag"), 1e-4, 0.0,
+      va => 1e-12 * math.max(1.0, va) * 100, "q91")
+  }
+
   test("q47 single-series metrics clear the 6dp grid") {
     assume(haveData)
     // q47's twin surface: 10 values over the daily means (not exact
