@@ -54,6 +54,23 @@ class FillSeriesSpec extends SparkSpec {
     assert(out(6).getDouble(3) == 7.0, "known values pass through")
   }
 
+  test("fill results invariant under input repartitioning") {
+    import spark.implicits._
+    val rows = for (k <- 1L to 12L; i <- 1L to 20L) yield {
+      def v(j: Int): java.lang.Double =
+        if ((k * 31 + i * 7 + j * 13) % 6 == 0) null
+        else Double.box(k + 2.0 * i - 3.0 * j + 0.25)
+      (k, i, v(0), v(1), v(2))
+    }
+    def run(parts: Int) = {
+      val df = rows.toDF("k", "t", "c0", "c1", "c2").repartition(parts)
+      Interpolate.multivariateByKey(
+        TimeseriesFrame(df, Some("t"), Nil, Seq("k")), Seq("c0", "c1", "c2"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(run(1) == run(11))
+  }
+
   test("integer value columns promote to nullable double") {
     import spark.implicits._
     val df = Seq((1L, 1L, 1, 2, 3), (1L, 2L, 2, 3, 4), (1L, 3L, 3, 4, 5))
