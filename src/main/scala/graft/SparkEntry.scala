@@ -982,7 +982,11 @@ object SparkEntry {
       val a = col("user_id") % 5
       val b = col("user_id") % 7
       val vExact = x * x * x + a * x * x + b * x + lit(100.0)
-      val gap = col("rn") % 4 === 2 && col("rn") < col("cnt")
+      // cnt >= 5 keeps every gapped series at >= 4 knots (the spline's
+      // minimum); shorter series get NO gaps, pass through exactly, and
+      // still match the oracle's closed form — so the gate is robust to
+      // testdata with tiny users, not reliant on this corpus's ~67
+      val gap = col("rn") % 4 === 2 && col("rn") < col("cnt") && col("cnt") >= 5
       val df = base.withColumn("t", x)
         .withColumn("v", when(gap, lit(null).cast("double")).otherwise(vExact))
       val tsf = graft.core.TimeseriesFrame(df, Some("t"), Seq("event_id"), Seq("user_id"))
@@ -1044,8 +1048,11 @@ object SparkEntry {
       def vAt(j: Int) =
         p * i * i / 64.0 + i * lit(j) / 16.0 + lit(j * j) / 4.0 +
           q * i / 8.0 + lit(j) / 2.0 + lit(20.0)
+      // cnt >= 8 keeps every gapped matrix comfortably inside the
+      // spec-pinned quadratic-exactness regime of the LS-gradient HCT;
+      // shorter series get no gaps and pass through exactly (q106 note)
       def gapAt(j: Int) =
-        col("rn") > 1 && col("rn") < col("cnt") &&
+        col("rn") > 1 && col("rn") < col("cnt") && col("cnt") >= 8 &&
           (col("rn") + lit(3 * j)) % 4 === 1
       val df = (0 until 4).foldLeft(base) { (d, j) =>
         val v = if (j == 0 || j == 3) vAt(j)

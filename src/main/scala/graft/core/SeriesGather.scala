@@ -105,22 +105,29 @@ object SeriesGather {
     require(ordNames.nonEmpty, s"$opName needs a time column or tieBreak order")
     val hasT = tsf.timeCol.isDefined
     val o = ordNames.size
-    val tSlot = o // __t slot right after the sort prefix (valid when hasT)
-    val baseSlot = o + (if (hasT) 1 else 0)
+    val baseSlot = o
     val valueIdx: Map[String, Int] = valueCols.zipWithIndex.toMap
     val k = valueCols.size
-    // struct layout: [sort prefix (original types), __t?, every schema
-    // column in order — value columns null-normalized doubles]
+    // struct layout: [sort prefix (ord columns cast to double — the
+    // gather() convention; exact for epoch-micro timestamps and ids
+    // < 2⁵³), every schema column in order — value columns
+    // null-normalized doubles]. The series is sorted JVM-SIDE on the
+    // numeric prefix instead of via sort_array, so pass-through columns
+    // of NON-ORDERABLE types (maps, structs of maps) gather fine — the
+    // old join-back path never gathered them and a sort_array here
+    // would reject the whole frame at analysis. Rows tying on the full
+    // (time, tieBreak) prefix keep an unspecified relative order, the
+    // same nondeterminism the row_number formulation had.
     val cellFields =
-      ordNames.zipWithIndex.map { case (c, i) => col(c).as(s"__o$i") } ++
-        (if (hasT) Seq(col(tsf.timeCol.get).cast("double").as("__t")) else Nil) ++
+      ordNames.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"__o$i") } ++
         schema.fields.toSeq.map { f =>
           if (valueIdx.contains(f.name))
             graft.agg.AggRegistry.nanToNull(col(f.name).cast("double")).as(f.name)
           else col(f.name)
         }
     val gathered = df.groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(struct(cellFields: _*))).as("__series"))
+      .agg(collect_list(struct(cellFields: _*)).as("__series"))
     val outSchema = StructType(schema.fields.map { f =>
       if (valueIdx.contains(f.name))
         f.copy(dataType = org.apache.spark.sql.types.DoubleType, nullable = true)
@@ -136,12 +143,29 @@ object SeriesGather {
     val valSlot: Array[Int] =
       valueCols.map(c => baseSlot + schema.fieldIndex(c)).toArray
     val outRdd = rows(gathered).flatMap { row =>
-      val series = row.getSeq[Row](nKeys)
-      val n = series.length
+      val unsorted = row.getSeq[Row](nKeys)
+      val n = unsorted.length
       require(n * kSafe <= maxCellsPerSeries,
         s"one series has ${n * kSafe} cells > maxCellsPerSeries=$maxCellsPerSeries ($opName)")
+      // series order: the double prefix, nulls first (asc nulls-first)
+      val series = unsorted.toArray
+      java.util.Arrays.sort(series, new java.util.Comparator[Row] {
+        override def compare(a: Row, b: Row): Int = {
+          var s = 0
+          var c = 0
+          while (s < o && c == 0) {
+            val an = a.isNullAt(s); val bn = b.isNullAt(s)
+            c = if (an && bn) 0
+            else if (an) -1
+            else if (bn) 1
+            else java.lang.Double.compare(a.getDouble(s), b.getDouble(s))
+            s += 1
+          }
+          c
+        }
+      })
       val times = Array.tabulate(n) { i =>
-        if (hasT && !series(i).isNullAt(tSlot)) series(i).getDouble(tSlot)
+        if (hasT && !series(i).isNullAt(0)) series(i).getDouble(0)
         else Double.NaN
       }
       val vals = Array.tabulate(n, k) { (i, j) =>
@@ -159,7 +183,10 @@ object SeriesGather {
             val f = fills.get(i)
             val repl: java.lang.Double = if (f != null) f(j) else null
             out(fi) =
-              if (repl != null) repl
+              // a NaN replacement (e.g. a spline solved on NaN abscissae
+              // from null times) normalizes to null like any other NaN —
+              // the documented value-column contract
+              if (repl != null && !repl.isNaN) repl
               else if (vals(i)(j).isNaN) null
               else Double.box(vals(i)(j))
           } else out(fi) = series(i).get(baseSlot + fi)

@@ -54,6 +54,24 @@ class FillSeriesSpec extends SparkSpec {
     assert(out(6).getDouble(3) == 7.0, "known values pass through")
   }
 
+  test("non-orderable pass-through columns (maps) survive the gather") {
+    import spark.implicits._
+    // sort_array would reject a struct containing a map at analysis time;
+    // the JVM-side prefix sort must not (review finding, r9)
+    val df = Seq(
+      (1L, 1L, 1.0, 2.0, 3.0, Map("a" -> 1L)),
+      (1L, 2L, 2.0, Double.NaN, 4.0, Map("b" -> 2L)),
+      (1L, 3L, 3.0, 4.0, 5.0, Map.empty[String, Long]))
+      .toDF("k", "t", "c0", "c1", "c2", "meta")
+    val out = Interpolate.multivariateByKey(
+      TimeseriesFrame(df, Some("t"), Nil, Seq("k")), Seq("c0", "c1", "c2"))
+      .orderBy("t").collect()
+    assert(out.length == 3)
+    assert(out(0).getMap[String, Long](5) == Map("a" -> 1L))
+    assert(out(1).getMap[String, Long](5) == Map("b" -> 2L))
+    assert(!out(1).isNullAt(3), "the c1 hole still fills")
+  }
+
   test("fill results invariant under input repartitioning") {
     import spark.implicits._
     val rows = for (k <- 1L to 12L; i <- 1L to 20L) yield {
