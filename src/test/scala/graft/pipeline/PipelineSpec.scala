@@ -130,4 +130,40 @@ class PipelineSpec extends SparkSpec {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("temperatureSample: rates match p^(α−1)/max, smallest group keeps all") {
+    import spark.implicits._
+    // 3 groups, shares 0.7 / 0.2 / 0.1: α=0.5 rates = sqrt(0.1/p)
+    val df = (0L until 1000L).map { i =>
+      val g = if (i < 700) "big" else if (i < 900) "mid" else "small"
+      (i, g)
+    }.toDF("doc_id", "lang")
+    val kept = Sampling.temperatureSample(df, "doc_id", "lang", alpha = 0.5)
+    val rates = kept.select("lang", "sample_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def want(p: Double) = math.sqrt(0.1) / math.sqrt(p)
+    assert(math.abs(rates("big") - want(0.7)) < 1e-12, rates.toString)
+    assert(math.abs(rates("mid") - want(0.2)) < 1e-12, rates.toString)
+    assert(rates("small") == 1.0, rates.toString)
+    val per = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per("small") == 100L, "rate-1 group survives whole")
+    // realized counts concentrate near n·r (md5 is uniform; 5σ slack)
+    def near(n: Long, r: Double, got: Long) = {
+      val sd = math.sqrt(n * r * (1 - r))
+      math.abs(got - n * r) <= 5 * sd + 1
+    }
+    assert(near(700, want(0.7), per("big")), per.toString)
+    assert(near(200, want(0.2), per("mid")), per.toString)
+    // deterministic and layout-invariant
+    val again = Sampling.temperatureSample(
+      df.repartition(7), "doc_id", "lang", alpha = 0.5)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // α = 1 is the identity mix: every row survives at rate 1
+    val all = Sampling.temperatureSample(df, "doc_id", "lang", alpha = 1.0)
+    assert(all.count() == 1000L)
+    assert(all.select("sample_rate").distinct().collect()
+      .map(_.getDouble(0)).toSeq == Seq(1.0))
+  }
 }
