@@ -1605,6 +1605,27 @@ object SparkEntry {
         .select(col("doc_id"), col("n_removed"), col("n_sentences"),
           col("split"))
     }),
+    "q116_minhash_index_search" -> ((s, dir) => {
+      // incremental-ingestion near-dup: build a MinhashIndex over the
+      // corpus as the reference, then screen a constructed arriving batch
+      // against it — %3 batch docs are tail-perturbed copies of their
+      // source doc (guaranteed high-Jaccard hits), the rest are 3-token
+      // synthetic strings unique per doc (no shared shingles). The oracle
+      // replays the identical integer signature arithmetic over the
+      // union corpus with the candidate join restricted to batch × ref.
+      val d = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val ref = d.select(col("doc_id"), col("text"))
+      val batch = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" extra trailing words here")))
+          .otherwise(concat(
+            lit("u"), col("doc_id").cast("string"),
+            lit("x v"), col("doc_id").cast("string"),
+            lit("y w"), col("doc_id").cast("string"), lit("z"))).as("text"))
+      val idx = Dedup.minhashIndex(ref, "doc_id", "text")
+      Dedup.minhashSearch(idx, batch, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+    }),
     "q115_temperature_sample" -> ((s, dir) => {
       // Temperature (α=0.5) mixture sampling over the language mix — the
       // XLM-R/mT5 up/down-sampling recipe, realized deterministically via
@@ -2181,6 +2202,7 @@ object SparkEntry {
     "q89_pq_adc_topk" -> pqAdcTopkSql,
     "q90_lm_perplexity" -> lmPerplexitySql,
     "q110_kneser_ney_ppl" -> kneserNeySql,
+    "q116_minhash_index_search" -> minhashAcrossSql,
     // α=0.5 temperature sampling: every arithmetic step (divide, sqrt,
     // multiply, floor) is IEEE correctly-rounded, so the integer
     // thresholds and the md5-prefix survivor set replay bit-identically
@@ -3642,25 +3664,27 @@ object SparkEntry {
       |   (a, c) -> (a * 37 + c) % 1000000009)) AS h2s
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
-  private val tokHashSql: String =
-    """SELECT doc_id,
-      | list_transform(
-      |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''),
-      |  t -> list_reduce(
-      |   list_transform(list_filter(string_split(t, ''), c -> c != ''),
-      |    c -> CAST(ascii(c) AS BIGINT)),
-      |   (a, c) -> (a * 31 + c) % 1000000007)) AS th
-      |FROM documents WHERE text IS NOT NULL""".stripMargin
+  private def tokHashSqlFrom(rel: String): String =
+    s"""SELECT doc_id,
+       | list_transform(
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''),
+       |  t -> list_reduce(
+       |   list_transform(list_filter(string_split(t, ''), c -> c != ''),
+       |    c -> CAST(ascii(c) AS BIGINT)),
+       |   (a, c) -> (a * 31 + c) % 1000000007)) AS th
+       |FROM $rel WHERE text IS NOT NULL""".stripMargin
+
+  private val tokHashSql: String = tokHashSqlFrom("documents")
 
   private def minhashSql: String =
     s"WITH $minhashPairCtes\nSELECT * FROM scored WHERE est_jaccard >= 0.5"
 
-  /** The shared CTE chain producing `scored` (id_a, id_b, est_jaccard) —
-    * the tail of [[minhashSql]] and the front of [[dedupClustersSql]]. */
-  private def minhashPairCtes: String = {
+  /** CTE chain up through per-doc signatures + band keys (`sigs`, `bnd`)
+    * for a 64-hash / 8-band layout over `srcSql`'s (doc_id, text). */
+  private def minhashSigCtes(srcSql: String): String = {
     val paramRows = Dedup.minhashParams(64).zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
-    s"""th AS ($tokHashSql),
+    s"""th AS ($srcSql),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(th) >= 3 THEN list_distinct(list_transform(range(1, len(th) - 1),
        |    i -> (((th[i]*1000003 + th[i+1]) % 1000000007) * 1000003 + th[i+2]) % 1000000007))
@@ -3675,13 +3699,41 @@ object SparkEntry {
        |bnd AS (SELECT doc_id, b.b,
        |  list_reduce(list_prepend(CAST(b.b AS BIGINT), list_slice(sig, b.b*8 + 1, b.b*8 + 8)),
        |    (acc, s) -> (acc * 31 + s) % 2147483647) AS bkey
-       | FROM sigs CROSS JOIN range(0, 8) b(b)),
+       | FROM sigs CROSS JOIN range(0, 8) b(b))""".stripMargin
+  }
+
+  /** The shared CTE chain producing `scored` (id_a, id_b, est_jaccard) —
+    * the tail of [[minhashSql]] and the front of [[dedupClustersSql]]. */
+  private def minhashPairCtes: String =
+    s"""${minhashSigCtes(tokHashSql)},
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        | FROM bnd x JOIN bnd y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |scored AS (SELECT c.id_a, c.id_b,
        |  list_sum(list_transform(range(1, 65),
        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 64 AS est_jaccard
        | FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b)""".stripMargin
+
+  /** q116: the same signature arithmetic over ref ∪ shifted batch, with the
+    * candidate join restricted to batch × ref — replays
+    * [[Dedup.minhashSearch]] against a [[Dedup.minhashIndex]]. */
+  private def minhashAcrossSql: String = {
+    val corpus =
+      """(SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        | UNION ALL
+        | SELECT doc_id + 1000000,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' extra trailing words here'
+        |   ELSE 'u' || CAST(doc_id AS VARCHAR) || 'x v' || CAST(doc_id AS VARCHAR) ||
+        |        'y w' || CAST(doc_id AS VARCHAR) || 'z' END AS text
+        | FROM documents WHERE text IS NOT NULL) c""".stripMargin
+    s"""WITH ${minhashSigCtes(tokHashSqlFrom(corpus))},
+       |cand AS (SELECT DISTINCT x.doc_id AS id_new, y.doc_id AS id_ref
+       | FROM bnd x JOIN bnd y ON x.b = y.b AND x.bkey = y.bkey
+       | WHERE x.doc_id >= 1000000 AND y.doc_id < 1000000),
+       |scored AS (SELECT c.id_new, c.id_ref,
+       |  list_sum(list_transform(range(1, 65),
+       |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 64 AS est_jaccard
+       | FROM cand c JOIN sigs sa ON sa.doc_id = c.id_new JOIN sigs sb ON sb.doc_id = c.id_ref)
+       |SELECT * FROM scored WHERE est_jaccard >= 0.5""".stripMargin
   }
 
   /** Duplicate clusters: transitive closure of the ≥0.5 minhash pair graph

@@ -186,6 +186,94 @@ object Dedup {
     if (materialize) out.localCheckpoint(true) else out
   }
 
+  /** A built MinHash near-dup index over a reference corpus — the
+    * incremental-ingestion tier of [[minhashCandidates]]: build once over
+    * the existing corpus, then screen each ARRIVING batch against it
+    * without ever re-hashing or re-banding the reference side (the batch
+    * twin of [[graft.streaming.StreamingOps.streamingMinhashCandidates]],
+    * which holds the same banded state in a stream checkpoint).
+    *
+    * Production lifecycle (the [[graft.similarity.IvfIndex.Index]]
+    * contract): [[persist]] pins and materializes both frames, after
+    * which every [[minhashSearch]] plans in-memory table scans on the
+    * reference side — per-batch cost is the batch scan plus the band
+    * join. [[release]] retires it. Unpersisted handles stay valid (the
+    * gate query keeps end-to-end build+search semantics).
+    *
+    * Scale shape: the index is (bucket, id) + (id, sig) — ~32 B and
+    * ~270 B per reference doc respectively, never the document bodies.
+    * The band join shuffles the BATCH side by bucket; the reference side
+    * is already bucket-keyed, and over-cap buckets (boilerplate floods)
+    * were dropped at build time, so a hot bucket cannot quadratic-blow a
+    * batch screen. */
+  final case class MinhashIndex(
+      numHashes: Int, bands: Int, maxBucket: Long,
+      shingleHashesOf: Column => Column,
+      sigs: DataFrame, banded: DataFrame) {
+    /** Pin + materialize both index frames; returns this handle. */
+    def persist(): MinhashIndex = {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      sigs.persist(lvl); banded.persist(lvl)
+      sigs.count(); banded.count()
+      this
+    }
+    /** Drop the pinned frames (no-op if never persisted). */
+    def release(): Unit = { sigs.unpersist(); banded.unpersist(); () }
+  }
+
+  /** Build a [[MinhashIndex]] over `ref`. Same parameter semantics as
+    * [[minhashCandidates]] (which remains the one-corpus self-join form);
+    * the pair-cap note there applies to `maxBucket` here too. */
+  def minhashIndex(
+      ref: DataFrame, idCol: String, textCol: String,
+      shingleHashesOf: Column => Column = TextFunctions.shingleHashes(_, 3),
+      numHashes: Int = 64, bands: Int = 8,
+      maxBucket: Long = 2000L): MinhashIndex = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes, bands=$bands)")
+    val params = minhashParams(numHashes)
+    val sigs = ref.select(col(idCol).as("id"),
+      minhashSignature(shingleHashesOf(col(textCol)), params).as("sig"))
+    val banded = sigs.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bucket"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    MinhashIndex(numHashes, bands, maxBucket, shingleHashesOf, sigs, banded)
+  }
+
+  /** Screen a batch against a [[MinhashIndex]]: (id_new, id_ref,
+    * est_jaccard) for every batch/reference pair sharing at least one
+    * LSH band bucket. The batch's own internal duplicates are NOT
+    * reported — run [[minhashCandidates]] on the batch for those. The
+    * batch side gets the same per-bucket cap as the index so a
+    * boilerplate flood in the arriving data cannot blow the join. */
+  def minhashSearch(index: MinhashIndex, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val params = minhashParams(index.numHashes)
+    // eager localCheckpoint: consumed twice (banding + the scoring join);
+    // see the deadlock note in minhashCandidates for why eager
+    val bSigs = batch.select(col(idCol).as("id"),
+      minhashSignature(index.shingleHashesOf(col(textCol)), params).as("sig"))
+      .localCheckpoint(true)
+    val bBanded = bSigs.select(col("id"),
+        explode(lshBandKeys(col("sig"), index.bands,
+          index.numHashes / index.bands)).as("bucket"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__bn") <= index.maxBucket)
+      .drop("__bn")
+    val pairs = bBanded.select(col("bucket"), col("id").as("id_new"))
+      .join(index.banded.select(col("bucket"), col("id").as("id_ref")),
+        Seq("bucket"))
+      .select(col("id_new"), col("id_ref")).distinct()
+    pairs
+      .join(bSigs.select(col("id").as("id_new"), col("sig").as("sig_n")), "id_new")
+      .join(index.sigs.select(col("id").as("id_ref"), col("sig").as("sig_r")), "id_ref")
+      .select(col("id_new"), col("id_ref"),
+        (graft.functions.TextHash.slotMatchCount(col("sig_n"), col("sig_r"))
+          .cast("double") / index.numHashes).as("est_jaccard"))
+  }
+
   /** SimHash over precomputed feature-hash values: `bits`-bit signature
     * where bit k is the sign of the sum over features of ±1 votes (bit k of
     * each feature's hash). Near-duplicates are signatures within a small

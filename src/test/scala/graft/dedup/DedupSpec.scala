@@ -474,4 +474,43 @@ class DedupSpec extends SparkSpec {
     assert(viaHot(1).getLong(2) == 1L) // doc 2 owns the first "recurring block"
     assert(viaHot(3).getLong(2) == 2L) // doc 4: header + recurring block
   }
+
+  test("minhashIndex/minhashSearch ≡ cross-corpus slice of the self-join") {
+    import spark.implicits._
+    // split one corpus in half; screening the odd half against an index
+    // of the even half must reproduce exactly the even×odd pairs the
+    // one-corpus self-join reports (same signatures, same band keys)
+    val corpus = (0L until 40L).map { i =>
+      val fam = i % 6
+      (i, s"family $fam shares this long sentence body variant ${i % 12} " +
+        "with trailing words common to the group")
+    }.toDF("doc_id", "text")
+    val ref = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val self = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, materialize = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, j) => // orient as (new=odd, ref=even)
+        if (a % 2 == 1) (a, b, j) else (b, a, j) }
+      .sorted.toSeq
+    val idx = Dedup.minhashIndex(ref, "doc_id", "text",
+      numHashes = 64, bands = 16)
+    val viaIndex = Dedup.minhashSearch(idx, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+      .sorted.toSeq // columns are (id_new, id_ref, est); getLong(1)=id_ref
+    val viaIndexOriented = viaIndex.map { case (ref0, nw, j) => (nw, ref0, j) }
+      .sorted
+    assert(viaIndexOriented == self,
+      s"index=${viaIndexOriented.take(5)} self=${self.take(5)}")
+    assert(self.nonEmpty, "construction must produce cross pairs")
+    // persist lifecycle: pinned index returns the identical result
+    val pinned = idx.persist()
+    val again = Dedup.minhashSearch(pinned, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    pinned.release()
+    assert(again == viaIndex.map { case (r2, n, j) => (n, r2, j) }.sorted)
+  }
 }
