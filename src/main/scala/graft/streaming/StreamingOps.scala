@@ -99,6 +99,56 @@ object StreamingOps {
       .drop("__sig")
   }
 
+  /** Streaming corpus-wide paragraph dedup — the incremental form of
+    * [[graft.dedup.Dedup.dedupParagraphs]]: pages explode into
+    * paragraphs, each paragraph's ~60-bit fingerprint keys a one-bit
+    * "seen" state, and the FIRST occurrence ever (earliest micro-batch;
+    * (doc, pos) order within a batch, matching the batch operator's
+    * min-struct winner) keeps — every later copy, in the same batch or
+    * any later one, is flagged removed. Emits one verdict row per
+    * paragraph (idCol, pos, paragraph, keep); page reassembly is a
+    * per-batch stateless groupBy downstream of the sink, exactly like
+    * the batch operator's tail. Space-trimmed paragraphs under
+    * `minChars` bypass state and always keep (the batch exemption rule).
+    * State is one boolean per distinct paragraph fingerprint — the same
+    * asymptotic footprint as the batch winners table, with no timeout
+    * because paragraph identity must not expire for first-wins to hold
+    * corpus-wide. */
+  final case class ParaVerdict(id: Long, pos: Int, p: String, keep: Boolean)
+
+  def streamingDedupParagraphs(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minChars: Int = 1): Dataset[ParaVerdict] = {
+    import graft.text.TextFunctions
+    require(sep.nonEmpty, "sep must be non-empty")
+    val parts = stream.select(col(idCol).cast("long").as("id"),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "p")))
+    val exempt = parts.filter(length(trim(col("p"))) < minChars)
+      .select(col("id"), col("pos"), col("p"), lit(true).as("keep"))
+      .as(Encoders.product[ParaVerdict])
+    val adjudicated = parts.filter(length(trim(col("p"))) >= minChars)
+      .select(TextFunctions.fingerprint(col("p")).as("k"),
+        col("id"), col("pos"), col("p"))
+      .as(Encoders.product[(Long, Long, Int, String)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long, Int, String)],
+         state: GroupState[Boolean]) => {
+          val seen = state.exists
+          if (!seen) state.update(true)
+          val sorted = rows.toVector.sortBy(t => (t._2, t._3))
+          sorted.iterator.zipWithIndex.map { case ((_, id, pos, p), i) =>
+            ParaVerdict(id, pos, p, !seen && i == 0)
+          }
+        })(Encoders.scalaBoolean, Encoders.product[ParaVerdict])
+    adjudicated.unionByName(exempt)
+  }
+
   /** Streaming MinHash band-key near-duplicate detection — the tier above
     * exact-signature collision that the batch `Dedup.minhashCandidates`
     * bucket join provides offline. Each document's minhash signature is

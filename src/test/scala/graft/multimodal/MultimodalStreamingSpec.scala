@@ -326,6 +326,43 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(got.count(t => t._1 == 0L && t._2 == 3L) == 2)
   }
 
+  test("streaming paragraph dedup ≡ batch dedupParagraphs (doc-order arrival)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def page(id: Long): (Long, String) = {
+      val promo = if (id % 3 == 0) "recurring promo block" else s"body $id middle"
+      (id, s"shared header line\nunique lead $id\n$promo\n\nclosing $id words")
+    }
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingDedupParagraphs(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory")
+      .queryName("paradedup_stream_test").outputMode("append").start()
+    // arrival order == doc order, so streaming first-wins must equal the
+    // batch operator's global min-(doc,pos) winner rule; the shared
+    // header and the %3 promo recur ACROSS the batch cut
+    mem.addData(page(0), page(1), page(2))
+    q.processAllAvailable()
+    mem.addData(page(3), page(4), page(5))
+    q.processAllAvailable()
+    val got = spark.sql("select * from paradedup_stream_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(3)).toMap
+    q.stop()
+    val batch = graft.dedup.Dedup.dedupParagraphs(
+      (0L until 6L).map(page).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // id -> n_removed
+    // per-page removed counts agree with the batch operator
+    val gotRemoved = got.groupBy(_._1._1)
+      .map { case (id, m) => id -> m.count(!_._2).toLong }
+    assert(gotRemoved == batch, s"$gotRemoved vs $batch")
+    // the cross-batch copies really were adjudicated against state:
+    // doc 3's header (pos 0) and promo (pos 2, first seen on doc 0)
+    // arrive in batch 2 and must both be removed
+    assert(!got((3L, 0)) && !got((3L, 2)))
+    // empty paragraph (pos 3) is exempt everywhere
+    assert((0L until 6L).forall(id => got((id, 3))))
+  }
+
   test("streaming canonical keep: 3-doc cluster across micro-batches -> one survivor (batch min-id rule)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
