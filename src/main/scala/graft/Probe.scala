@@ -367,6 +367,67 @@ object Probe {
           println(s"[probe] cleanv2 n=$n survivors: $counts")
           counts.length.toLong
         }
+      case "indexscreen" =>
+        // MinhashIndex lifecycle at scale: one persisted build over the
+        // n-doc reference corpus, then repeated batch screens of n/10
+        // arriving docs — the incremental-crawl shape. Perturbed batch
+        // docs (%3, tail-appended copies of a ref doc) MUST find their
+        // source; the identical low-quality stubs (%50==7 in cleanCorpus)
+        // form an over-cap bucket that the build-time flood guard drops,
+        // so a perturbed stub finds nothing — both behaviors asserted.
+        import graft.dedup.Dedup
+        val ref = cleanCorpus(spark, n).localCheckpoint(true)
+        // optional 3rd arg: batch size (default n/10) — lets the
+        // batch-bound-shuffle claim be tested with m fixed as n grows
+        val m = args.lift(2).map(_.toLong).getOrElse(n / 10)
+        val mSel = math.max(1L, n / math.max(1L, m)) * 3 // ids % (3·n/m)
+        def batchOf(salt: Int): org.apache.spark.sql.DataFrame = {
+          // single appended token: J ≈ 0.97, and with 16 bands of 4 the
+          // per-doc band-miss probability is ~(1-0.97⁴)¹⁶ ≈ 1e-18 — the
+          // screen's recall floor below is arithmetic, not hope
+          val perturbed = ref.filter(col("doc_id") % mSel === salt)
+            .select((col("doc_id") + n).as("doc_id"),
+              concat(col("text"), lit(" tailtok")).as("text"))
+          val fresh = spark.range(m - m / 3).select(
+            (col("id") + 10 * n + salt * 100 * n).as("doc_id"),
+            concat_ws(" ", (0 until 30).map(i =>
+              translate(concat(lit("z"), pmod(hash(col("id") * (53 + salt) + lit(i)),
+                lit(1000000))), "0123456789", "klmnopqrst")): _*).as("text"))
+          perturbed.unionByName(fresh).localCheckpoint(true)
+        }
+        val s0 = System.nanoTime()
+        val idx = Dedup.minhashIndex(ref, "doc_id", "text",
+          numHashes = 64, bands = 16).persist()
+        val tBuild = (System.nanoTime() - s0) / 1e9
+        def screen(tag: String, salt: Int): Unit = {
+          val batch = batchOf(salt)
+          batch.count()
+          val b0 = listener.shuffleWriteBytes; val t1 = System.nanoTime()
+          val hits = Dedup.minhashSearch(idx, batch, "doc_id", "text")
+            .filter(col("est_jaccard") >= 0.5)
+          val stats = hits.agg(count(lit(1)),
+            count_distinct(col("id_new"))).head()
+          println(f"[probe] indexscreen n=$n m=$m $tag pairs=${stats.getLong(0)} " +
+            f"matched_new=${stats.getLong(1)} " +
+            f"wall=${(System.nanoTime() - t1) / 1e9}%.1fs " +
+            f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f " +
+            f"worstTask=${listener.worstRatio()}%.1f")
+          // every non-stub perturbed doc finds its source (up to the
+          // ~1e-18/doc band-miss floor); stubs cannot — their bucket was
+          // capped away at build; fresh docs share no shingles with
+          // anything, so matched_new cannot exceed the perturbed count
+          val nPerturbed = ref.filter(col("doc_id") % mSel === salt).count()
+          val nStub = ref.filter(col("doc_id") % mSel === salt &&
+            col("doc_id") % 50 === 7).count()
+          val expect = nPerturbed - nStub
+          require(stats.getLong(1) <= expect &&
+            stats.getLong(1) >= expect - expect / 1000,
+            s"matched ${stats.getLong(1)} outside [${expect - expect / 1000}, $expect]")
+        }
+        screen("cold", 1)
+        screen("steady", 2)
+        println(f"[probe] indexscreen build+persist=$tBuild%.1fs")
+        idx.release()
       case "banding" =>
         // native BandKeysExpr vs the interpreted HOF twin over the same
         // signatures: the banding projection is a per-document scan stage,

@@ -158,12 +158,8 @@ object Dedup {
       .localCheckpoint(true)
     val banded0 = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
-    // one keyed window pass drops over-cap buckets before the self-join
-    val banded = banded0
-      .withColumn("__bn", count(lit(1))
-        .over(Window.partitionBy(col("bucket"))))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    // flood cap before the self-join (see dropOverCapBuckets for shape)
+    val banded = dropOverCapBuckets(banded0, Seq("bucket"), maxBucket)
     val a = banded.select(col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("bucket"), col("id").as("id_b"))
     // dedupe pairs BEFORE scoring: docs sharing many bands would otherwise
@@ -184,6 +180,24 @@ object Dedup {
     // signature scan runs at most once per consuming action, and the
     // ContextCleaner owns the block lifetime on both paths
     if (materialize) out.localCheckpoint(true) else out
+  }
+
+  /** Drop every row of band buckets holding more than `maxBucket` members
+    * — the flood cap shared by the minhash/simhash candidate generators.
+    * Shape matters at scale: a groupBy count (map-side combine absorbs a
+    * 10⁹-member boilerplate bucket to one partial per task) plus a
+    * left-anti join against the tiny over-cap list, which AQE broadcasts
+    * when small and skew-splits otherwise. The previous window-count
+    * formulation sorted the ENTIRE hot bucket in one partition — windows
+    * get no AQE skew mitigation, and the 20M indexscreen probe measured
+    * its build stage at a 7× max/median straggler. */
+  private def dropOverCapBuckets(banded: DataFrame, keyCols: Seq[String],
+      maxBucket: Long): DataFrame = {
+    val over = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket)
+      .select(keyCols.map(col): _*)
+    banded.join(over, keyCols, "left_anti")
   }
 
   /** A built MinHash near-dup index over a reference corpus — the
@@ -210,15 +224,15 @@ object Dedup {
       numHashes: Int, bands: Int, maxBucket: Long,
       shingleHashesOf: Column => Column,
       sigs: DataFrame, banded: DataFrame) {
-    /** Pin + materialize both index frames; returns this handle. */
+    /** Pin + materialize the banded frame (`sigs` is already materialized
+      * checkpoint blocks from build time); returns this handle. */
     def persist(): MinhashIndex = {
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      sigs.persist(lvl); banded.persist(lvl)
-      sigs.count(); banded.count()
+      banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      banded.count()
       this
     }
-    /** Drop the pinned frames (no-op if never persisted). */
-    def release(): Unit = { sigs.unpersist(); banded.unpersist(); () }
+    /** Drop the pinned banded frame (no-op if never persisted). */
+    def release(): Unit = { banded.unpersist(); () }
   }
 
   /** Build a [[MinhashIndex]] over `ref`. Same parameter semantics as
@@ -232,13 +246,20 @@ object Dedup {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands must divide numHashes (got numHashes=$numHashes, bands=$bands)")
     val params = minhashParams(numHashes)
+    // eager localCheckpoint, not .persist: the sigs subplan appears in a
+    // search query BESIDE the banded cache, where the analyzer re-mints
+    // its relation and the cache lookup MISSES — every screen then
+    // recomputes (and at scale reshuffles) the full reference signature
+    // table (measured: 947 MB/screen at 2M docs). Checkpoint blocks are
+    // immune to that: the signature scan runs exactly once, at build.
+    // Same non-resilience trade as minhashCandidates' sig checkpoint.
     val sigs = ref.select(col(idCol).as("id"),
       minhashSignature(shingleHashesOf(col(textCol)), params).as("sig"))
-    val banded = sigs.select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bucket"))
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+      .localCheckpoint(true)
+    val banded = dropOverCapBuckets(
+      sigs.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bucket")),
+      Seq("bucket"), maxBucket)
     MinhashIndex(numHashes, bands, maxBucket, shingleHashesOf, sigs, banded)
   }
 
@@ -256,19 +277,31 @@ object Dedup {
     val bSigs = batch.select(col(idCol).as("id"),
       minhashSignature(index.shingleHashesOf(col(textCol)), params).as("sig"))
       .localCheckpoint(true)
-    val bBanded = bSigs.select(col("id"),
+    val bBanded = dropOverCapBuckets(
+      bSigs.select(col("id"),
         explode(lshBandKeys(col("sig"), index.bands,
-          index.numHashes / index.bands)).as("bucket"))
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("__bn") <= index.maxBucket)
-      .drop("__bn")
+          index.numHashes / index.bands)).as("bucket")),
+      Seq("bucket"), index.maxBucket)
+    // eager checkpoint: the candidate set is consumed twice (the ref-id
+    // prune below + the scoring join) and is candidate-bound small
     val pairs = bBanded.select(col("bucket"), col("id").as("id_new"))
       .join(index.banded.select(col("bucket"), col("id").as("id_ref")),
         Seq("bucket"))
       .select(col("id_new"), col("id_ref")).distinct()
+      .localCheckpoint(true)
+    // prune the reference sig table to the candidates' refs via a
+    // broadcast semi-join BEFORE any exchange: a screen must never
+    // shuffle the index (measured without this: the scoring join's
+    // planned SMJ exchange wrote the full 2M-doc sig table — ~800 MB —
+    // per screen, and AQE's late BHJ conversion cannot un-pay a shuffle
+    // WRITE that already ran). Everything that moves is batch- or
+    // candidate-bound: bSigs (batch), pairs + pruned ref sigs
+    // (candidates), the broadcast ref-id list (8 B/candidate ref).
+    val refSigs = index.sigs.select(col("id").as("id_ref"), col("sig").as("sig_r"))
+      .join(broadcast(pairs.select(col("id_ref")).distinct()), "id_ref")
     pairs
       .join(bSigs.select(col("id").as("id_new"), col("sig").as("sig_n")), "id_new")
-      .join(index.sigs.select(col("id").as("id_ref"), col("sig").as("sig_r")), "id_ref")
+      .join(refSigs, "id_ref")
       .select(col("id_new"), col("id_ref"),
         (graft.functions.TextHash.slotMatchCount(col("sig_n"), col("sig_r"))
           .cast("double") / index.numHashes).as("est_jaccard"))
@@ -337,19 +370,16 @@ object Dedup {
     val bandStructs = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col(sigCol), b * bandBits).bitwiseAND(lit(mask)).as("bval"))): _*)
-    val banded = in
+    val banded0 = in
       .select(col(idCol).as("__id"), col(sigCol).as("__sig"),
         explode(bandStructs).as("__bk"))
       .select(col("__id"), col("__sig"),
         col("__bk.band").as("__band"), col("__bk.bval").as("__bval"))
-      // same copy-flood guard as minhashCandidates (same pair-budget
-      // sizing rule — see its scaladoc): a mostly-duplicate corpus floods
-      // a few buckets and the self-join goes quadratic in the copy
-      // count; over-cap buckets belong to the exact-dedup tier
-      .withColumn("__bn", count(lit(1))
-        .over(Window.partitionBy(col("__band"), col("__bval"))))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    // same copy-flood guard as minhashCandidates (same pair-budget
+    // sizing rule — see its scaladoc): a mostly-duplicate corpus floods
+    // a few buckets and the self-join goes quadratic in the copy
+    // count; over-cap buckets belong to the exact-dedup tier
+    val banded = dropOverCapBuckets(banded0, Seq("__band", "__bval"), maxBucket)
     val a = banded.select(col("__band"), col("__bval"),
       col("__id").as("id_a"), col("__sig").as("sig_a"))
     val b = banded.select(col("__band"), col("__bval"),
