@@ -367,12 +367,19 @@ object Dedup {
     // corpus scale is a quadratic single-bucket blowup of meaningless
     // pairs — drop them (the exact-dedup tier already groups empty docs)
     val in = if (dropZeroSig) df.filter(col(sigCol) =!= 0L) else df
+    // eager checkpoint of the (id, sig) projection: the caller usually
+    // passes sigCol as a LAZY simhash expression over the raw text, and
+    // the flood cap's two consumers (count + anti-join probe) would
+    // otherwise evaluate the whole hashing chain twice (measured on the
+    // sf0.1 gate: q59 0.53 s → 1.2 s when the cap switched to the
+    // anti-join shape without this). Same recipe as minhashCandidates.
+    val sigs = in.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .localCheckpoint(true)
     val bandStructs = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col(sigCol), b * bandBits).bitwiseAND(lit(mask)).as("bval"))): _*)
-    val banded0 = in
-      .select(col(idCol).as("__id"), col(sigCol).as("__sig"),
-        explode(bandStructs).as("__bk"))
+        shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("bval"))): _*)
+    val banded0 = sigs
+      .select(col("__id"), col("__sig"), explode(bandStructs).as("__bk"))
       .select(col("__id"), col("__sig"),
         col("__bk.band").as("__band"), col("__bk.bval").as("__bval"))
     // same copy-flood guard as minhashCandidates (same pair-budget
