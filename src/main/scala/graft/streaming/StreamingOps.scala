@@ -201,6 +201,50 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("id_a", "id_b")
   }
 
+  /** Streaming screen of arriving documents against a STATIC
+    * [[graft.dedup.Dedup.MinhashIndex]] — the stream-static form of
+    * [[graft.dedup.Dedup.minhashSearch]] and the production shape for
+    * deduping a live crawl against an indexed corpus: each arriving
+    * doc's signature and band keys are scan-stage expressions, candidate
+    * pairing is a STATELESS stream-static equi-join on the band bucket
+    * (no join state at all — the static side is the index), rescoring is
+    * a second stream-static join to the index's sig table, and the
+    * trailing `dropDuplicatesWithinWatermark` emits each (new, ref) pair
+    * once (a doc sharing several bands with its match would otherwise
+    * emit per band). Persist the index ([[graft.dedup.Dedup.MinhashIndex.persist]])
+    * so every micro-batch joins against in-memory tables. */
+  def streamingMinhashIndexScreen(
+      stream: DataFrame,
+      timeCol: String,
+      idCol: String,
+      textCol: String,
+      index: graft.dedup.Dedup.MinhashIndex,
+      threshold: Double = 0.5,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.dedup.Dedup
+    val params = Dedup.minhashParams(index.numHashes)
+    val banded = stream
+      .withColumn("__sig", Dedup.minhashSignature(
+        index.shingleHashesOf(col(textCol)), params))
+      .select(
+        explode(Dedup.lshBandKeys(col("__sig"), index.bands,
+          index.numHashes / index.bands)).as("bucket"),
+        col(idCol).cast("long").as("id_new"), col("__sig").as("sig_n"),
+        col(timeCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermark)
+    val est = graft.functions.TextHash.slotMatchCount(col("sig_n"), col("sig_r"))
+      .cast("double") / index.numHashes
+    banded
+      .join(index.banded.select(col("bucket"), col("id").as("id_ref")),
+        Seq("bucket"))
+      .join(index.sigs.select(col("id").as("id_ref"), col("sig").as("sig_r")),
+        Seq("id_ref"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_new"), col("id_ref"), col("est_jaccard"), col("__ts"))
+      .dropDuplicatesWithinWatermark("id_new", "id_ref")
+  }
+
   /** Streaming cluster keep-decision — the tier the batch pipeline gets
     * from `connectedComponents` + canonical keep (survivor = smallest id
     * per near-dup cluster): a watermark-bounded MIN-ID CARRY per LSH band

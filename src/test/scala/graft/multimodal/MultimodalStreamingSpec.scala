@@ -326,6 +326,50 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(got.count(t => t._1 == 0L && t._2 == 3L) == 2)
   }
 
+  test("streaming minhash index screen ≡ batch minhashSearch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    // reference corpus: 6 docs in 2 families of shared long sentences
+    val ref = (0L until 6L).map { i =>
+      (i, s"family ${i % 2} shares this long sentence body with trailing " +
+        s"words common to the group variant ${i % 3}")
+    }.toDF("doc_id", "text")
+    val idx = graft.dedup.Dedup.minhashIndex(ref, "doc_id", "text",
+      numHashes = 64, bands = 16).persist()
+    // arriving docs: 100+ are near-copies of ref docs, 200 is unrelated
+    def arriving(id: Long) =
+      if (id == 200L) (new Timestamp(base + id), id, "completely different text")
+      else (new Timestamp(base + id),
+        id, s"family ${id % 2} shares this long sentence body with trailing " +
+          s"words common to the group variant ${(id - 100) % 3} now")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.streamingMinhashIndexScreen(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text", idx)
+    val q = out.writeStream.format("memory")
+      .queryName("idxscreen_stream_test").outputMode("append").start()
+    mem.addData(arriving(100), arriving(101))
+    q.processAllAvailable()
+    mem.addData(arriving(102), arriving(200))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "select id_new, id_ref, est_jaccard from idxscreen_stream_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    q.stop()
+    val batch = graft.dedup.Dedup.minhashSearch(idx,
+      (100L to 102L).map(i => (i, arriving(i)._3)).toDF("doc_id", "text")
+        .union(Seq((200L, arriving(200L)._3)).toDF("doc_id", "text")),
+      "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    idx.release()
+    assert(got == batch, s"\n$got\nvs\n$batch")
+    assert(got.nonEmpty && !got.exists(_._1 == 200L),
+      "near-copies hit, the unrelated doc does not")
+  }
+
   test("streaming paragraph dedup ≡ batch dedupParagraphs (doc-order arrival)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
