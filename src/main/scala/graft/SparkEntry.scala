@@ -1626,6 +1626,34 @@ object SparkEntry {
       Dedup.minhashSearch(idx, batch, "doc_id", "text")
         .filter(col("est_jaccard") >= 0.5)
     }),
+    "q117_split_by_cluster" -> ((s, dir) => {
+      // leakage-safe train/val/test: the split key is the near-dup
+      // CLUSTER representative (q50's components), so a doc and its fuzzy
+      // copies always land in the same split; singletons key on their own
+      // id. Oracle = the q50 recursive-CTE closure + the q61 md5 carve on
+      // coalesce(component, doc_id).
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleHashesOf = TextFunctions.shingleHashes(_, 3),
+          numHashes = 64, bands = 8)
+        .filter(col("est_jaccard") >= 0.5)
+      val clusters = Dedup.connectedComponents(pairs)
+      graft.pipeline.Sampling.splitByCluster(docs, "doc_id", clusters,
+          Seq("train" -> 204, "val" -> 26, "test" -> 26))
+        .select(col("doc_id"), col("split_key"), col("split"))
+    }),
+    "q118_shuffle_shards" -> ((s, dir) => {
+      // deterministic global shuffle + balanced striping into 16 shards —
+      // the final layout step of a dataset build: rank docs by md5(id),
+      // shard = rank % 16, pos = rank div 16. The oracle replays the
+      // permutation with one row_number window; the operator computes the
+      // identical ranks via parallel range sort + partition offsets (no
+      // global window).
+      val d = tbl(s, dir, "documents")
+      graft.pipeline.Sampling.shuffleShards(
+          d.select(col("doc_id")), "doc_id", numShards = 16)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
     "q115_temperature_sample" -> ((s, dir) => {
       // Temperature (α=0.5) mixture sampling over the language mix — the
       // XLM-R/mT5 up/down-sampling recipe, realized deterministically via
@@ -2203,6 +2231,14 @@ object SparkEntry {
     "q90_lm_perplexity" -> lmPerplexitySql,
     "q110_kneser_ney_ppl" -> kneserNeySql,
     "q116_minhash_index_search" -> minhashAcrossSql,
+    "q117_split_by_cluster" -> splitByClusterSql,
+    // the shuffled-order permutation replayed as one window; shard/pos
+    // are integer arithmetic on the 0-based rank
+    "q118_shuffle_shards" ->
+      """WITH s AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS rk
+        | FROM documents)
+        |SELECT doc_id, rk % 16 AS shard, rk // 16 AS pos FROM s""".stripMargin,
     // α=0.5 temperature sampling: every arithmetic step (divide, sqrt,
     // multiply, floor) is IEEE correctly-rounded, so the integer
     // thresholds and the md5-prefix survivor set replay bit-identically
@@ -3751,6 +3787,30 @@ object SparkEntry {
        |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id)
        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
        |FROM reach GROUP BY 1""".stripMargin
+
+  /** q117: [[dedupClustersSql]]'s closure + the q61 md5 carve keyed on
+    * `coalesce(component, doc_id)` — replays
+    * [[graft.pipeline.Sampling.splitByCluster]]. */
+  private def splitByClusterSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |pr AS (SELECT id_a, id_b FROM scored WHERE est_jaccard >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION SELECT id_b, id_a FROM pr),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+       |comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+       | FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       | CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS split_key,
+       | CASE
+       |  WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS BIGINT)::VARCHAR), 1, 2) < 'cc' THEN 'train'
+       |  WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS BIGINT)::VARCHAR), 1, 2) < 'e6' THEN 'val'
+       |  ELSE 'test' END AS split
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |WHERE d.text IS NOT NULL""".stripMargin
 
   /** The shared CTE chain producing `sigs` (doc_id, sig) — the simhash
     * signature replay; tail of [[simhashSql]], front of

@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Deterministic splitting and sampling for training-data pipelines.
   *
@@ -23,23 +24,103 @@ object Sampling {
   def bucketKey(idCol: Column): Column =
     substring(md5(idCol.cast("string").cast("binary")), 1, 2)
 
-  /** Assign each row a named split by hashing its id into 256 buckets and
-    * carving them by the given integer weights (e.g. train/val/test
-    * 204/26/26 ≈ 80/10/10). Weights must sum to ≤ 256; any remainder
-    * buckets fall to the LAST split (its weight is effectively
-    * 256 − preceding). The split column is appended. */
-  def deterministicSplit(df: DataFrame, idCol: String,
-      splits: Seq[(String, Int)]): DataFrame = {
+  /** The 256-bucket carve over a [[bucketKey]]: name the split whose
+    * cumulative-weight hex bound the key sorts below. Weights must sum to
+    * ≤ 256; any remainder buckets fall to the LAST split (its weight is
+    * effectively 256 − preceding). */
+  private def carve(key: Column, splits: Seq[(String, Int)]): Column = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 256,
       s"split weights must sum to <= 256: $splits")
-    val key = bucketKey(col(idCol))
     val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
     val hex = bounds.map(b => f"${b}%02x") // exclusive upper bound, 2-hex
-    val assign = splits.map(_._1).zip(hex).foldRight(
+    splits.map(_._1).zip(hex).foldRight(
       lit(splits.last._1): Column) { case ((name, ub), els) =>
       when(key < lit(ub), lit(name)).otherwise(els)
     }
-    df.withColumn("split", assign)
+  }
+
+  /** Assign each row a named split by hashing its id into 256 buckets and
+    * carving them by the given integer weights (e.g. train/val/test
+    * 204/26/26 ≈ 80/10/10). The split column is appended. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)]): DataFrame =
+    df.withColumn("split", carve(bucketKey(col(idCol)), splits))
+
+  /** Leakage-safe split — [[deterministicSplit]] keyed on the document's
+    * near-dup CLUSTER representative instead of its own id, so two
+    * near-duplicate documents can never straddle a split boundary (the
+    * train/test contamination channel per-doc hashing leaves open: a doc
+    * and its fuzzy copy hash independently, and at 10⁹ docs thousands of
+    * dup pairs WILL land train-vs-test). `clusters` is
+    * [[graft.dedup.Dedup.connectedComponents]] output — `(id, component)`
+    * with component = min id reachable in the candidate-pair graph; docs
+    * absent from it are singletons keyed on their own id, exactly the
+    * `coalesce` the appended `split_key` column records.
+    *
+    * Scale shape: one equi-join of the corpus against the cluster table
+    * plus the same scan-stage carve as [[deterministicSplit]]. The
+    * cluster table has one row per document that APPEARS in a candidate
+    * pair — duplicates only, typically a few percent of the corpus — so
+    * AQE plans a broadcast join at any realistic dup rate; the corpus
+    * side never shuffles. Assignment stays append-stable: new docs only
+    * extend clusters, and a cluster's component (its min id) is stable
+    * under appends of larger ids. */
+  def splitByCluster(df: DataFrame, idCol: String, clusters: DataFrame,
+      splits: Seq[(String, Int)]): DataFrame = {
+    val c = clusters.select(col("id").cast("long").as("__cid"),
+      col("component").cast("long").as("__component"))
+    df.join(c, df.col(idCol).cast("long") === col("__cid"), "left")
+      .withColumn("split_key",
+        coalesce(col("__component"), col(idCol).cast("long")))
+      .withColumn("split", carve(bucketKey(col("split_key")), splits))
+      .drop("__cid", "__component")
+  }
+
+  /** Deterministic global shuffle + balanced shard striping — the final
+    * layout step of a training-data build: order the corpus by
+    * `md5(id)` (a reproducible permutation, independent of input
+    * partitioning), then stripe it round-robin into `numShards` shards —
+    * `shard = rank % numShards`, `pos = rank div numShards`. Every shard
+    * gets within ±1 the same row count AND is itself a uniform sample of
+    * the corpus (it takes every numShards-th doc of the shuffled order),
+    * the property epoch-subset training relies on. Appends two columns
+    * `(shard, pos)`; rows keep all input columns. Ids must be unique
+    * (they define the permutation). Unlike the hash-carve samplers above
+    * this is NOT append-stable — ranks are global — which is why it is
+    * the last step, run once per frozen dataset.
+    *
+    * Scale shape: one parallel range sort of the corpus by the md5 key
+    * (the only shuffle), a per-partition-counts job returning P scalars
+    * to the driver (re-reading the sort's shuffle files, not the
+    * source), then an embarrassingly parallel per-partition scan that
+    * stamps ranks from the partition's exclusive offset — the
+    * `zipWithIndex` recipe of [[Packing.packSequences]]. No window
+    * function, no single-partition stage. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be positive: $numShards")
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("__k", md5(col(idCol).cast("string").cast("binary")))
+      .orderBy(col("__k"), col(idCol)) // parallel range sort
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { (p, it) =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(p -> n)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = numShards.toLong
+    val outRows = rdd.mapPartitionsWithIndex { (p, it) =>
+      var rank = offsets(p)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ (rank % n) :+ (rank / n))
+        rank += 1
+        out
+      }
+    }
+    val schema = StructType(sorted.schema.fields :+
+      StructField("shard", LongType, nullable = false) :+
+      StructField("pos", LongType, nullable = false))
+    spark.createDataFrame(outRows, schema).drop("__k")
   }
 
   /** Per-domain mixing table — the knob sheet for weighting training

@@ -166,4 +166,67 @@ class PipelineSpec extends SparkSpec {
     assert(all.select("sample_rate").distinct().collect()
       .map(_.getDouble(0)).toSeq == Seq(1.0))
   }
+
+  test("splitByCluster: cluster members co-split, singletons ≡ per-id split") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {0,1,2}→0, {10,250}→10; everything else singleton
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (250L, 10L))
+      .toDF("id", "component")
+    val got = Sampling.splitByCluster(docs, "doc_id", clusters,
+      Seq("train" -> 204, "val" -> 26, "test" -> 26))
+    val bySplit = got.select("doc_id", "split", "split_key").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(bySplit.size == 300, "total: every doc assigned exactly once")
+    // all members of a cluster share the representative's assignment
+    assert(Set(0L, 1L, 2L).map(bySplit(_)).size == 1)
+    assert(Set(10L, 250L).map(bySplit(_)).size == 1)
+    assert(bySplit(1L)._2 == 0L && bySplit(250L)._2 == 10L)
+    // a singleton's split is exactly the per-id deterministic split
+    val solo = Sampling.deterministicSplit(docs, "doc_id",
+      Seq("train" -> 204, "val" -> 26, "test" -> 26))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    ((0L until 300L).toSet -- Set(0L, 1L, 2L, 10L, 250L)).foreach { i =>
+      assert(bySplit(i)._1 == solo(i) && bySplit(i)._2 == i)
+    }
+    // append-stability: adding docs never moves an existing assignment
+    val more = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val again = Sampling.splitByCluster(more, "doc_id", clusters,
+      Seq("train" -> 204, "val" -> 26, "test" -> 26))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    bySplit.foreach { case (i, (s, _)) => assert(again(i) == s) }
+  }
+
+  test("shuffleShards: balanced ±1, a permutation, layout-invariant") {
+    import spark.implicits._
+    val docs = (0L until 1003L).map(i => (i, s"payload $i"))
+      .toDF("doc_id", "text").repartition(7)
+    val got = Sampling.shuffleShards(docs, "doc_id", numShards = 16)
+      .select("doc_id", "shard", "pos", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 1003)
+    // payload columns ride along untouched
+    got.foreach { case (id, _, _, t) => assert(t == s"payload $id") }
+    // shard sizes within ±1 and (shard, pos) is a bijection onto ranks
+    val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L until 16L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(got.map(t => (t._2, t._3)).distinct.length == 1003)
+    assert(got.map(t => t._3 * 16 + t._2).sorted.toSeq == (0L until 1003L))
+    // rank order is exactly md5-of-id order
+    val byRank = got.sortBy(t => t._3 * 16 + t._2).map(_._1).toSeq
+    val expect = (0L until 1003L).sortBy { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }.toSeq
+    assert(byRank == expect)
+    // deterministic under a different input layout
+    val again = Sampling.shuffleShards(docs.repartition(3), "doc_id", 16)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(again == got.map(t => (t._1, t._2, t._3)).sorted.toSeq)
+  }
 }
