@@ -1642,6 +1642,17 @@ object SparkEntry {
           Seq("train" -> 204, "val" -> 26, "test" -> 26))
         .select(col("doc_id"), col("split_key"), col("split"))
     }),
+    "q119_decontaminate_bloom" -> ((s, dir) => {
+      // the Bloom-prefilter decontamination tier: same contract as q66
+      // (here 6-gram, minShared 2, %7 eval slice) but tier 1 probes a
+      // broadcast Bloom bitmap instead of broadcasting the eval shingle
+      // SET — false positives die in the exact tier-2 join, so the
+      // oracle is the exact-semantics replay
+      val d = tbl(s, dir, "documents")
+      Dedup.decontaminateBloom(
+        d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 6, minShared = 2)
+    }),
     "q118_shuffle_shards" -> ((s, dir) => {
       // deterministic global shuffle + balanced striping into 16 shards —
       // the final layout step of a dataset build: rank docs by md5(id),
@@ -2232,6 +2243,24 @@ object SparkEntry {
     "q110_kneser_ney_ppl" -> kneserNeySql,
     "q116_minhash_index_search" -> minhashAcrossSql,
     "q117_split_by_cluster" -> splitByClusterSql,
+    // q66's exact-semantics replay at 6-gram / minShared 2 / %7 slice —
+    // the Bloom tier is physics only, invisible to the result
+    "q119_decontaminate_bloom" ->
+      s"""WITH th AS ($wideTokHashSql),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(h1s) >= 6 THEN list_distinct(list_transform(range(1, len(h1s) - 4),
+         |    i -> list_reduce(list_slice(h1s, i, i + 5),
+         |      (a, b) -> (a*1000003 + b) % 1000000007) * 1000000009
+         |     + list_reduce(list_slice(h2s, i, i + 5),
+         |      (a, b) -> (a*1000033 + b) % 1000000009)))
+         |   ELSE [] END AS sh
+         | FROM th),
+         |f AS (SELECT doc_id, unnest(sh) AS h FROM sh)
+         |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+         | count(DISTINCT t.h) AS n_shared
+         |FROM f t JOIN f e ON t.h = e.h
+         |WHERE t.doc_id % 7 != 0 AND e.doc_id % 7 = 0
+         |GROUP BY 1, 2 HAVING count(DISTINCT t.h) >= 2""".stripMargin,
     // the shuffled-order permutation replayed as one window; shard/pos
     // are integer arithmetic on the 0-based rank
     "q118_shuffle_shards" ->

@@ -464,6 +464,52 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[decontaminate]] with a BLOOM-FILTER train-side prefilter — same
+    * output (bit-for-bit), different tier-1 physics. The exact operator's
+    * `prefilter` broadcasts the eval shingle SET (8 B per distinct
+    * shingle: ~8 GB at 10⁹ eval shingles — past broadcastable); this one
+    * compresses it to a fixed-size Bloom bitmap (~1.2 B per item at 1%
+    * fpp), probed scan-stage by a codegen'd expression
+    * ([[graft.functions.BloomMightContainLong]]) so the train corpus
+    * never shuffles a shingle that cannot collide. False positives
+    * survive tier 1 but die in the exact hash equi-join tail — a Bloom
+    * has NO false negatives, so the result equals [[decontaminate]]'s
+    * exactly (spec-pinned, including under a deliberately tiny
+    * fpp-saturated filter); only the tier-2 join volume grows with fpp.
+    *
+    * The filter build is one pass over the distinct eval shingles
+    * (`stat.bloomFilter` — per-partition filters OR-merged on the
+    * driver, bitmap-bounded); size it via `expectedShingles` ≈ the
+    * distinct eval-side shingle count. */
+  def decontaminateBloom(
+      train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 8, minShared: Long = 3L,
+      maxShingleDf: Long = 100000L,
+      expectedShingles: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val evalPairs = eval_
+      .select(col(idCol).as("eval_id"),
+        explode(TextFunctions.shingleSpanHashes(col(textCol), n)).as("__h"))
+      .distinct()
+    val bf = evalPairs.select(col("__h")).stat
+      .bloomFilter("__h", expectedShingles, fpp)
+    val bfBc = train.sparkSession.sparkContext.broadcast(bf)
+    val trainPairs = train
+      .select(col(idCol).as("train_id"),
+        explode(TextFunctions.shingleSpanHashes(col(textCol), n)).as("__h"))
+      .filter(graft.functions.BloomMightContainLong(col("__h"), bfBc))
+      .distinct()
+    trainPairs
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
+      .join(evalPairs, "__h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count_distinct(col("__h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Repeated-span removal — the n-gram-granular form of exact-substring
     * deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better": drop text spans that appear verbatim in

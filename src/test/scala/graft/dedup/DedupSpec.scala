@@ -215,6 +215,44 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("decontaminateBloom ≡ exact decontaminate, even fpp-saturated") {
+    import spark.implicits._
+    val evalSpan = "quick brown foxes jump over seventeen lazy dogs while " +
+      "autumn rain falls on the quiet harbor town"
+    val boiler = "all rights reserved this document is provided as is " +
+      "without warranty of any kind either express"
+    val eval_ = Seq((1L, evalSpan), (2L, boiler)).toDF("doc_id", "text")
+    val train = (
+      Seq((10L, s"prefix $evalSpan suffix $boiler"),
+          (11L, s"$evalSpan standalone"),
+          (12L, "wholly unrelated text about columnar engines and joins")) ++
+      (100L until 130L).map(i => (i, s"doc $i $boiler"))
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val exact = canon(Dedup.decontaminate(train, eval_, "doc_id", "text",
+      n = 5, minShared = 3, maxShingleDf = 10))
+    // well-sized filter
+    assert(canon(Dedup.decontaminateBloom(train, eval_, "doc_id", "text",
+      n = 5, minShared = 3, maxShingleDf = 10,
+      expectedShingles = 1000L)) == exact)
+    // deliberately undersized filter → fpp saturates toward 1, tier 1
+    // passes nearly everything — the exact tier-2 join must still
+    // produce the identical result (Bloom has no false negatives)
+    assert(canon(Dedup.decontaminateBloom(train, eval_, "doc_id", "text",
+      n = 5, minShared = 3, maxShingleDf = 10,
+      expectedShingles = 2L, fpp = 0.5)) == exact)
+    // the probe stays inside whole-stage codegen (no CodegenFallback
+    // kicked the filter out of its span) and plans no broadcast-set
+    // semi-join on the train side
+    val plan = Dedup.decontaminateBloom(train, eval_, "doc_id", "text",
+      n = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("bloommightcontainlong") ||
+      plan.contains("BloomMightContainLong"), plan.take(3000))
+    assert(!plan.contains("LeftSemi"), plan.take(3000))
+  }
+
   test("removeRepeatedSpans: cross-doc repeated n-grams drop, unique text survives") {
     import spark.implicits._
     val boiler = "all rights reserved unauthorized copying is strictly prohibited"
