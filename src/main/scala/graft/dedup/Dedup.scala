@@ -223,7 +223,7 @@ object Dedup {
   final case class MinhashIndex(
       numHashes: Int, bands: Int, maxBucket: Long,
       shingleHashesOf: Column => Column,
-      sigs: DataFrame, banded: DataFrame) {
+      sigs: DataFrame, banded: DataFrame, counts: DataFrame) {
     /** Pin + materialize the banded frame (`sigs` is already materialized
       * checkpoint blocks from build time); returns this handle. */
     def persist(): MinhashIndex = {
@@ -233,6 +233,55 @@ object Dedup {
     }
     /** Drop the pinned banded frame (no-op if never persisted). */
     def release(): Unit = { banded.unpersist(); () }
+
+    /** Fold a new batch into the index WITHOUT rebuilding — the write
+      * half of the incremental-ingestion lifecycle (screen the batch via
+      * [[minhashSearch]], then `append` the survivors; the next screen
+      * sees them as reference docs). Returns a NEW index; `persist()` it
+      * and `release()` this one when cutting over.
+      *
+      * Exactly rebuild-equivalent (spec-pinned): the over-cap rule is
+      * "drop buckets whose COMBINED count exceeds `maxBucket`", and
+      * per-bucket counts add across appends, so a bucket that crosses
+      * the cap because of this batch is evicted from the OLD banded rows
+      * too (`newlyOver` below) — `banded` stays identical to a from-
+      * scratch build over the union, and a boilerplate flood arriving
+      * incrementally is capped exactly as if it had arrived at build.
+      *
+      * Cost shape: the batch is hashed/banded once (scan-stage over the
+      * arriving docs); the combined per-bucket count table is
+      * checkpointed and becomes the next append's `counts` base, so the
+      * count merge is batch-bound after the FIRST append (which pays one
+      * map-side-combined recount of the index's band keys — `counts` at
+      * build is a lazy plan over the sig checkpoint, kept unmaterialized
+      * so the build's memory profile is unchanged). The old banded rows
+      * are re-filtered only against the tiny newly-over-cap list
+      * (broadcast anti-join — scan, no index shuffle). */
+    def append(batch: DataFrame, idCol: String, textCol: String): MinhashIndex = {
+      val params = minhashParams(numHashes)
+      val newSigs = batch.select(col(idCol).as("id"),
+        minhashSignature(shingleHashesOf(col(textCol)), params).as("sig"))
+        .localCheckpoint(true)
+      val newBandedRaw = newSigs.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bucket"))
+      val combined = counts.withColumnRenamed("__bn", "__old")
+        .join(newBandedRaw.groupBy(col("bucket")).agg(count(lit(1)).as("__new")),
+          Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("__old"), lit(0L)) + coalesce(col("__new"), lit(0L)))
+            .as("__bn"),
+          coalesce(col("__old"), lit(0L)).as("__oldn"))
+        .localCheckpoint(true)
+      val newlyOver = combined
+        .filter(col("__bn") > maxBucket && col("__oldn") <= maxBucket)
+        .select(col("bucket"))
+      val allOver = combined.filter(col("__bn") > maxBucket).select(col("bucket"))
+      val banded2 = banded.join(newlyOver, Seq("bucket"), "left_anti")
+        .unionByName(newBandedRaw.join(allOver, Seq("bucket"), "left_anti"))
+      MinhashIndex(numHashes, bands, maxBucket, shingleHashesOf,
+        sigs.unionByName(newSigs), banded2,
+        combined.select(col("bucket"), col("__bn")))
+    }
   }
 
   /** Build a [[MinhashIndex]] over `ref`. Same parameter semantics as
@@ -256,11 +305,16 @@ object Dedup {
     val sigs = ref.select(col(idCol).as("id"),
       minhashSignature(shingleHashesOf(col(textCol)), params).as("sig"))
       .localCheckpoint(true)
-    val banded = dropOverCapBuckets(
-      sigs.select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bucket")),
-      Seq("bucket"), maxBucket)
-    MinhashIndex(numHashes, bands, maxBucket, shingleHashesOf, sigs, banded)
+    val bandedRaw = sigs.select(col("id"),
+      explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bucket"))
+    val banded = dropOverCapBuckets(bandedRaw, Seq("bucket"), maxBucket)
+    // lazy per-bucket counts over the sig checkpoint: the append() base.
+    // Deliberately NOT materialized at build (the full count table is
+    // O(docs·bands) rows; the first append pays the one recount instead,
+    // and every later append inherits its checkpointed combined counts)
+    val counts = bandedRaw.groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
+    MinhashIndex(numHashes, bands, maxBucket, shingleHashesOf, sigs, banded,
+      counts)
   }
 
   /** Screen a batch against a [[MinhashIndex]]: (id_new, id_ref,

@@ -551,4 +551,59 @@ class DedupSpec extends SparkSpec {
     pinned.release()
     assert(again == viaIndex.map { case (r2, n, j) => (n, r2, j) }.sorted)
   }
+
+  test("MinhashIndex.append ≡ rebuild over the union, incl. cap crossing") {
+    import spark.implicits._
+    // base corpus: 3 copies of a boilerplate page (under cap 4) + unique
+    // docs; the appended batch adds 3 MORE boilerplate copies, pushing
+    // the boilerplate band buckets over the cap — append must evict the
+    // OLD rows of those buckets too, exactly as a from-scratch build over
+    // the union would
+    def boiler(i: Long) =
+      (i, "this exact boilerplate page body repeats verbatim across many " +
+        "mirror sites with the same long wording")
+    def uniq(i: Long) =
+      (i, s"unique document $i about subject ${i % 5} with its own " +
+        s"distinct long body text number $i")
+    val base = ((0L until 3L).map(boiler) ++ (10L until 20L).map(uniq))
+      .toDF("doc_id", "text")
+    val batch = ((100L until 103L).map(boiler) ++ (110L until 115L).map(uniq))
+      .toDF("doc_id", "text")
+    val appended = Dedup.minhashIndex(base, "doc_id", "text",
+      numHashes = 64, bands = 16, maxBucket = 4)
+      .append(batch, "doc_id", "text")
+    val rebuilt = Dedup.minhashIndex(base.unionByName(batch), "doc_id", "text",
+      numHashes = 64, bands = 16, maxBucket = 4)
+    def sigRows(ix: Dedup.MinhashIndex) = ix.sigs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","))).sorted.toSeq
+    def bandRows(ix: Dedup.MinhashIndex) = ix.banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def cntRows(ix: Dedup.MinhashIndex) = ix.counts.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sigRows(appended) == sigRows(rebuilt))
+    assert(bandRows(appended) == bandRows(rebuilt))
+    assert(cntRows(appended) == cntRows(rebuilt))
+    // the cap actually bit: boilerplate docs are banded in neither index
+    val bandedIds = bandRows(appended).map(_._1).toSet
+    assert(!bandedIds.exists(i => i < 10L || (i >= 100L && i < 110L)),
+      bandedIds.toString)
+    assert(bandedIds.nonEmpty)
+    // a second append chains off the first's checkpointed counts
+    val batch2 = (200L until 204L).map(uniq).toDF("doc_id", "text")
+    val twice = appended.append(batch2, "doc_id", "text")
+    val rebuilt2 = Dedup.minhashIndex(
+      base.unionByName(batch).unionByName(batch2), "doc_id", "text",
+      numHashes = 64, bands = 16, maxBucket = 4)
+    assert(bandRows(twice) == bandRows(rebuilt2))
+    assert(cntRows(twice) == cntRows(rebuilt2))
+    // and screening against the appended index ≡ against the rebuild
+    val probe = Seq(uniq(110L), uniq(999L)).toDF("doc_id", "text")
+    def hits(ix: Dedup.MinhashIndex) =
+      Dedup.minhashSearch(ix, probe, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(hits(twice) == hits(rebuilt2))
+    assert(hits(twice).contains((110L, 110L)) ||
+      hits(twice).exists(_._1 == 110L), hits(twice).toString)
+  }
 }
