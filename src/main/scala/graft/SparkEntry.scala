@@ -1642,6 +1642,19 @@ object SparkEntry {
           Seq("train" -> 204, "val" -> 26, "test" -> 26))
         .select(col("doc_id"), col("split_key"), col("split"))
     }),
+    "q120_select_by_budget" -> ((s, dir) => {
+      // budgeted best-first selection: rank docs by (n_chars DESC, id) —
+      // an integral, engine-portable quality proxy — and keep while the
+      // exclusive running token sum stays under the budget (the crossing
+      // doc is kept). The operator computes ranks/prefix sums via the
+      // zipWithIndex recipe; the oracle replays them as one window.
+      val d = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val toks = d.select(col("doc_id"), col("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("tok"))
+      graft.pipeline.Sampling.selectByBudget(
+          toks, "doc_id", "tok", "n_chars", budget = 12000L)
+        .select(col("doc_id"), col("rank"), col("cum_before"))
+    }),
     "q119_decontaminate_bloom" -> ((s, dir) => {
       // the Bloom-prefilter decontamination tier: same contract as q66
       // (here 6-gram, minShared 2, %7 eval slice) but tier 1 probes a
@@ -2243,6 +2256,18 @@ object SparkEntry {
     "q110_kneser_ney_ppl" -> kneserNeySql,
     "q116_minhash_index_search" -> minhashAcrossSql,
     "q117_split_by_cluster" -> splitByClusterSql,
+    // budgeted cut replayed as one window: exclusive prefix sum of
+    // integer token counts in (n_chars DESC, doc_id) order
+    "q120_select_by_budget" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
+        | FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank,
+        |  CAST(coalesce(sum(tok) OVER (ORDER BY n_chars DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        | FROM t)
+        |SELECT doc_id, rank, cum_before FROM s WHERE cum_before < 12000""".stripMargin,
     // q66's exact-semantics replay at 6-gram / minShared 2 / %7 slice —
     // the Bloom tier is physics only, invisible to the result
     "q119_decontaminate_bloom" ->

@@ -96,6 +96,59 @@ object Sampling {
     * stamps ranks from the partition's exclusive offset — the
     * `zipWithIndex` recipe of [[Packing.packSequences]]. No window
     * function, no single-partition stage. */
+  /** Budgeted best-first corpus selection — "take the highest-scoring
+    * documents until the token budget fills", the quality-pruned cut of
+    * a pre-training data build: rank docs by `(scoreCol DESC, idCol)`
+    * (a total order — make the score an INTEGER quality proxy for
+    * engine-portable determinism) and keep every doc whose EXCLUSIVE
+    * running token sum is still below `budget` — the first doc to cross
+    * the budget is kept (the cut overflows by at most one document),
+    * everything after it drops. Appends `rank` (0-based) and
+    * `cum_before` (exclusive prefix token sum); rows keep all input
+    * columns.
+    *
+    * Scale shape: the [[Packing.packSequences]] recipe pointed at a
+    * score order — one parallel range sort, a per-partition (rows,
+    * tokens) totals job (P pairs to the driver, re-reading the sort's
+    * shuffle files), then a per-partition scan. Partitions whose token
+    * offset already exceeds the budget emit NOTHING without scanning —
+    * the tail of the corpus beyond the cut costs only its share of the
+    * sort. */
+  def selectByBudget(df: DataFrame, idCol: String, tokCol: String,
+      scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val spark = df.sparkSession
+    val sorted = df.withColumn("__tok", col(tokCol).cast("long"))
+      .orderBy(col(scoreCol).desc, col(idCol)) // parallel range sort
+    val tokIdx = sorted.schema.fieldIndex("__tok")
+    val totals = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      var n = 0L; var t = 0L
+      while (it.hasNext) { n += 1; t += it.next().getLong(tokIdx) }
+      Iterator.single(p -> (n, t))
+    }.collect().sortBy(_._1).map(_._2)
+    val rankOff = totals.map(_._1).scanLeft(0L)(_ + _)
+    val tokOff = totals.map(_._2).scanLeft(0L)(_ + _)
+    val b = budget
+    val rows = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      if (tokOff(p) >= b) Iterator.empty
+      else {
+        var rank = rankOff(p); var cum = tokOff(p)
+        it.flatMap { r =>
+          val keep = cum < b
+          val out =
+            if (keep) Iterator.single(Row.fromSeq(r.toSeq :+ rank :+ cum))
+            else Iterator.empty
+          cum += r.getLong(tokIdx); rank += 1
+          out
+        }
+      }
+    }
+    val schema = StructType(sorted.schema.fields :+
+      StructField("rank", LongType, nullable = false) :+
+      StructField("cum_before", LongType, nullable = false))
+    spark.createDataFrame(rows, schema).drop("__tok")
+  }
+
   def shuffleShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
     require(numShards >= 1, s"numShards must be positive: $numShards")
     val spark = df.sparkSession

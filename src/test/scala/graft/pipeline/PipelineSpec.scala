@@ -199,6 +199,38 @@ class PipelineSpec extends SparkSpec {
     bySplit.foreach { case (i, (s, _)) => assert(again(i) == s) }
   }
 
+  test("selectByBudget: best-first cut, crossing doc kept, tail skipped") {
+    import spark.implicits._
+    // score = 1000 - id (so rank order is id order); tok = 10 each
+    val docs = (0L until 500L).map(i => (i, 1000L - i, 10L, s"p$i"))
+      .toDF("doc_id", "score", "tok", "payload").repartition(9)
+    val got = Sampling.selectByBudget(docs, "doc_id", "tok", "score", 105L)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+      .sortBy(_._2)
+    // 10 full docs fill 100 < 105; doc 10 crosses (cum_before 100 < 105)
+    assert(got.map(_._1).toSeq == (0L to 10L))
+    assert(got.map(_._3).toSeq == (0L to 10L).map(_ * 10))
+    // exact-budget boundary: cum_before == budget drops
+    assert(Sampling.selectByBudget(docs, "doc_id", "tok", "score", 100L)
+      .count() == 10L)
+    assert(Sampling.selectByBudget(docs, "doc_id", "tok", "score", 0L)
+      .count() == 0L)
+    // payload rides along; layout-invariant
+    val again = Sampling.selectByBudget(
+      docs.repartition(2), "doc_id", "tok", "score", 105L)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+      .sortBy(_._3)
+    assert(again.map(_._1).toSeq == (0L to 10L))
+    again.foreach { case (id, p, _) => assert(p == s"p$id") }
+    // variable sizes: the cut respects the score order, not doc size
+    val varDocs = Seq((1L, 5L, 100L), (2L, 4L, 1L), (3L, 3L, 50L),
+      (4L, 2L, 1L)).toDF("doc_id", "score", "tok")
+    val cut = Sampling.selectByBudget(varDocs, "doc_id", "tok", "score", 101L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._2)
+    // doc1 (cum 0<101), doc2 (100<101), doc3 (101 — dropped), doc4 too
+    assert(cut.map(_._1).toSeq == Seq(1L, 2L))
+  }
+
   test("shuffleShards: balanced ±1, a permutation, layout-invariant") {
     import spark.implicits._
     val docs = (0L until 1003L).map(i => (i, s"payload $i"))
