@@ -121,6 +121,85 @@ object Probe {
           n = 5, minDf = 2)
         val agg = out.agg(sum("n_removed"), count(lit(1))).head()
         println(s"[probe] spanskew n=$n removed_tokens=${agg.getLong(0)} docs=${agg.getLong(1)}")
+      case "layout" =>
+        // the two rank-assigning layout ops (shuffleShards striping,
+        // selectByBudget cut) at scale: both are one range sort + a
+        // P-scalar totals job + a scan — the probe confirms wall tracks
+        // the sort, shuffle tracks the corpus ONCE, and the budget cut's
+        // past-the-cut partitions are actually skipped
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat(lit("document payload body number "), col("id")).as("text"),
+          (pmod(hash(col("id")), lit(95)) + 5).cast("long").as("tok"),
+          pmod(hash(col("id") * 31), lit(1000000)).cast("long").as("score"))
+        def phase(tag: String)(f: => String): Unit = {
+          Thread.sleep(1000)
+          val b0 = listener.shuffleWriteBytes; val s0 = System.nanoTime()
+          val msg = f
+          Thread.sleep(1000)
+          println(f"[probe] layout n=$n $tag $msg " +
+            f"wall=${(System.nanoTime() - s0) / 1e9}%.1fs " +
+            f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f")
+        }
+        phase("shards") {
+          val sh = graft.pipeline.Sampling.shuffleShards(docs, "doc_id", 1024)
+          val bal = sh.groupBy("shard").count()
+            .agg(min("count"), max("count"), count(lit(1))).head()
+          require(bal.getLong(2) == 1024L && bal.getLong(1) - bal.getLong(0) <= 1,
+            s"shards unbalanced: $bal")
+          s"shards=1024 minPerShard=${bal.getLong(0)} maxPerShard=${bal.getLong(1)}"
+        }
+        // mean tok ≈ 54.5 ⇒ a 10% budget cuts ~90% of the corpus after
+        // the sort; the skip means the emit scan touches only ~10%
+        val budget = n * 545L / 100L
+        phase("budget") {
+          val cut = graft.pipeline.Sampling.selectByBudget(
+            docs, "doc_id", "tok", "score", budget)
+          val agg = cut.agg(count(lit(1)), max("cum_before")).head()
+          require(agg.getLong(0) > 0 && agg.getLong(1) < budget,
+            s"cut wrong: $agg budget=$budget")
+          s"kept=${agg.getLong(0)} of $n maxCumBefore=${agg.getLong(1)}"
+        }
+        println(listener.report())
+        println(f"[probe] layout worstTask=${listener.worstRatio()}%.1f")
+      case "bloomdecon" =>
+        // decontaminateBloom vs the exact broadcast-set prefilter on the
+        // deconskew corpus: identical flagged pairs, and the bloom tier's
+        // shuffle must track the eval-matching sliver exactly as the
+        // exact tier's does (the win is the BROADCAST size — bitmap vs
+        // 8 B/shingle set — which local mode can't surface in bytes, so
+        // the probe prints the filter's bitmap size instead)
+        val train = boilerplateCorpus(spark, n, headerTokens = 12)
+        val evalFiller = concat_ws(" ", (0 until 25).map(i => concat(lit("u"),
+          pmod(hash(col("id") * 3 * 31 + lit(i)), lit(1000000000)))): _*)
+        val evalUnique = concat_ws(" ", (0 until 25).map(i => concat(lit("q"),
+          pmod(hash((col("id") + 5000000L) * 131 + lit(i)), lit(1000000000)))): _*)
+        val header12 = (0 until 12).map(i => s"boiler$i").mkString("", " ", " ")
+        val evalDf = spark.range(200L).select(
+          (col("id") + 5000000L).as("id"),
+          concat(lit(header12),
+            when(col("id") % 2 === 0, evalFiller).otherwise(evalUnique)).as("text"))
+        def phase2(tag: String)(f: => Long): Long = {
+          Thread.sleep(1000)
+          val b0 = listener.shuffleWriteBytes; val s0 = System.nanoTime()
+          val cnt = f
+          Thread.sleep(1000)
+          println(f"[probe] bloomdecon n=$n $tag flagged_pairs=$cnt " +
+            f"wall=${(System.nanoTime() - s0) / 1e9}%.1fs " +
+            f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f")
+          cnt
+        }
+        val cExact = phase2("exact") {
+          graft.dedup.Dedup.decontaminate(
+            train, evalDf, "id", "text", n = 8, minShared = 3).count()
+        }
+        val cBloom = phase2("bloom") {
+          graft.dedup.Dedup.decontaminateBloom(
+            train, evalDf, "id", "text", n = 8, minShared = 3,
+            expectedShingles = 20000L).count()
+        }
+        require(cExact == cBloom, s"bloom/exact diverge: $cBloom vs $cExact")
+        println(listener.report())
+        println(f"[probe] bloomdecon worstTask=${listener.worstRatio()}%.1f")
       case "deconskew" =>
         // 12-token header so pure-boilerplate 8-gram shingles EXIST with
         // df = n: the hottest key the df-cap window can see (the cap then

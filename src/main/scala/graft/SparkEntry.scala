@@ -1642,6 +1642,20 @@ object SparkEntry {
           Seq("train" -> 204, "val" -> 26, "test" -> 26))
         .select(col("doc_id"), col("split_key"), col("split"))
     }),
+    "q121_quality_classifier" -> ((s, dir) => {
+      // linear quality classifier SCORING surface under the hash gate
+      // with a constructed integer-weight model (training is iterative
+      // floating point — not SQL-replayable; the q58/q92 fitFixed
+      // precedent, spec-verified instead): w[j] = (j·31 mod 1009) − 504,
+      // bias 7 over the 1024-bucket DSIR feature space — the logit is an
+      // exact integer in double arithmetic, hashed unrounded
+      val d = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val w = Array.tabulate(1024)(j => ((j * 31) % 1009 - 504).toDouble)
+      val model = graft.pipeline.QualityClassifier.Model(1024, 7.0, w)
+      graft.pipeline.QualityClassifier.score(d, "text", model)
+        .select(col("doc_id"), col("logit").cast("long").as("logit_i"),
+          col("keep"))
+    }),
     "q120_select_by_budget" -> ((s, dir) => {
       // budgeted best-first selection: rank docs by (n_chars DESC, id) —
       // an integral, engine-portable quality proxy — and keep while the
@@ -2256,6 +2270,23 @@ object SparkEntry {
     "q110_kneser_ney_ppl" -> kneserNeySql,
     "q116_minhash_index_search" -> minhashAcrossSql,
     "q117_split_by_cluster" -> splitByClusterSql,
+    // the DSIR feature replay (q93's bucket CTE) with integer weights:
+    // logit = 7 + Σ ((bucket·31) mod 1009 − 504) over feature occurrences
+    "q121_quality_classifier" ->
+      s"""WITH th AS ($tokHashSql),
+         |f AS (
+         | SELECT doc_id, h % 1024 AS bucket
+         |  FROM (SELECT doc_id, unnest(th) AS h FROM th) z
+         | UNION ALL
+         | SELECT doc_id, unnest(list_transform(range(1, len(th)),
+         |   i -> ((th[i]*1000003 + th[i+1]) % 1000000007) % 1024)) AS bucket
+         |  FROM th),
+         |sc AS (SELECT doc_id, sum((bucket*31) % 1009 - 504) AS s FROM f GROUP BY 1)
+         |SELECT d.doc_id,
+         | CAST(coalesce(sc.s, 0) + 7 AS BIGINT) AS logit_i,
+         | coalesce(sc.s, 0) + 7 > 0 AS keep
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |WHERE d.text IS NOT NULL""".stripMargin,
     // budgeted cut replayed as one window: exclusive prefix sum of
     // integer token counts in (n_chars DESC, doc_id) order
     "q120_select_by_budget" ->
