@@ -289,6 +289,27 @@ class MultimodalStreamingSpec extends SparkSpec {
     val red = spark.sql("select t from pii_stream_test").head().getString(0)
     q2.stop()
     assert(red == "write to <EMAIL> from <IP> thanks", red)
+
+    // the linear quality classifier's scoring surface is one projection
+    // over a broadcast weight vector — streams with no adaptation either
+    val w = Array.tabulate(256)(j => ((j * 97) % 41 - 20).toDouble)
+    val model = graft.pipeline.QualityClassifier.Model(256, 3.0, w)
+    val mem3 = MemoryStream[(Long, String)]
+    val out3 = graft.pipeline.QualityClassifier.score(
+      mem3.toDF().toDF("doc_id", "text"), "text", model)
+      .select(col("doc_id"), col("logit"), col("keep"))
+    val q3 = out3.writeStream.format("memory")
+      .queryName("clf_stream_test").outputMode("append").start()
+    mem3.addData((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"))
+    q3.processAllAvailable()
+    val sGot = spark.sql("select doc_id, logit from clf_stream_test")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q3.stop()
+    val batch = graft.pipeline.QualityClassifier.score(
+      Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"))
+        .toDF("doc_id", "text"), "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sGot == batch, s"$sGot vs $batch")
   }
 
   test("streaming sequence packing ≡ batch packing across micro-batches") {
