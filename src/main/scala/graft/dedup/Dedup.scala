@@ -278,9 +278,55 @@ object Dedup {
       val allOver = combined.filter(col("__bn") > maxBucket).select(col("bucket"))
       val banded2 = banded.join(newlyOver, Seq("bucket"), "left_anti")
         .unionByName(newBandedRaw.join(allOver, Seq("bucket"), "left_anti"))
+        .select(col("id"), col("bucket"))
       MinhashIndex(numHashes, bands, maxBucket, shingleHashesOf,
         sigs.unionByName(newSigs), banded2,
         combined.select(col("bucket"), col("__bn")))
+    }
+
+    /** Delete documents from the index — the inverse of [[append]],
+      * completing the build / append / remove / screen lifecycle
+      * (takedowns, re-crawl retractions). Rebuild-equivalent
+      * (spec-pinned) with one asymmetric twist: removals can take a
+      * flood bucket BACK UNDER the cap, and its surviving rows — dropped
+      * at build — must be RESTORED. They are re-derived from the
+      * surviving sig checkpoint (band keys are pure functions of the
+      * sig), via a scan + broadcast semi-join on the newly-under list —
+      * no shuffle of the index, but it IS an O(index) scan, so the path
+      * runs only when a bucket actually un-crossed (`newlyUnder`
+      * checked empty first — a driver action on a candidate-bound
+      * frame). Plain removals are a broadcast anti-join on the removed
+      * ids; buckets emptied entirely leave `counts` (as a rebuild's
+      * groupBy would never produce them). */
+    def remove(ids: DataFrame, idCol: String): MinhashIndex = {
+      val rm = ids.select(col(idCol).cast("long").as("id")).distinct()
+        .localCheckpoint(true)
+      val bandKeys = explode(lshBandKeys(col("sig"), bands,
+        numHashes / bands)).as("bucket")
+      val removedBanded = sigs.join(broadcast(rm), Seq("id"), "left_semi")
+        .select(col("id"), bandKeys)
+      val combined = counts
+        .join(removedBanded.groupBy(col("bucket")).agg(count(lit(1)).as("__d")),
+          Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("__bn") - coalesce(col("__d"), lit(0L))).as("__new"),
+          col("__bn").as("__oldn"))
+        .filter(col("__new") > 0)
+        .localCheckpoint(true)
+      val sigs2 = sigs.join(broadcast(rm), Seq("id"), "left_anti")
+      val newlyUnder = combined
+        .filter(col("__oldn") > maxBucket && col("__new") <= maxBucket)
+        .select(col("bucket")).localCheckpoint(true)
+      val kept = banded.join(broadcast(rm), Seq("id"), "left_anti")
+      val banded2 = (
+        if (newlyUnder.isEmpty) kept
+        else kept.unionByName(
+          sigs2.select(col("id"), bandKeys)
+            .join(broadcast(newlyUnder), Seq("bucket"), "left_semi")
+            .select(col("id"), col("bucket")))
+      ).select(col("id"), col("bucket"))
+      MinhashIndex(numHashes, bands, maxBucket, shingleHashesOf,
+        sigs2, banded2, combined.select(col("bucket"), col("__new").as("__bn")))
     }
   }
 
@@ -307,7 +353,10 @@ object Dedup {
       .localCheckpoint(true)
     val bandedRaw = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bucket"))
+    // canonical (id, bucket) order: using-joins reorder columns, and the
+    // append/remove paths must produce union-compatible frames
     val banded = dropOverCapBuckets(bandedRaw, Seq("bucket"), maxBucket)
+      .select(col("id"), col("bucket"))
     // lazy per-bucket counts over the sig checkpoint: the append() base.
     // Deliberately NOT materialized at build (the full count table is
     // O(docs·bands) rows; the first append pays the one recount instead,

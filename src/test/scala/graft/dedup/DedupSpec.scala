@@ -606,4 +606,49 @@ class DedupSpec extends SparkSpec {
     assert(hits(twice).contains((110L, 110L)) ||
       hits(twice).exists(_._1 == 110L), hits(twice).toString)
   }
+
+  test("MinhashIndex.remove ≡ rebuild, incl. a bucket falling under cap") {
+    import spark.implicits._
+    def boiler(i: Long) =
+      (i, "this exact boilerplate page body repeats verbatim across many " +
+        "mirror sites with the same long wording")
+    def uniq(i: Long) =
+      (i, s"unique document $i about subject ${i % 5} with its own " +
+        s"distinct long body text number $i")
+    // 6 boilerplate copies > cap 4 → their buckets dropped at build
+    val base = ((0L until 6L).map(boiler) ++ (10L until 20L).map(uniq))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(base, "doc_id", "text",
+      numHashes = 64, bands = 16, maxBucket = 4)
+    def bandRows(ix: Dedup.MinhashIndex) = ix.banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def cntRows(ix: Dedup.MinhashIndex) = ix.counts.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def sigIds(ix: Dedup.MinhashIndex) = ix.sigs.collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // removing 3 boilerplate copies takes the flood buckets back to 3 ≤ 4:
+    // their surviving rows must be RESTORED
+    val removed = idx.remove(Seq(0L, 1L, 2L, 10L).toDF("id"), "id")
+    val rebuilt = Dedup.minhashIndex(
+      base.filter(!col("doc_id").isin(0L, 1L, 2L, 10L)), "doc_id", "text",
+      numHashes = 64, bands = 16, maxBucket = 4)
+    assert(sigIds(removed) == sigIds(rebuilt))
+    assert(bandRows(removed) == bandRows(rebuilt))
+    assert(cntRows(removed) == cntRows(rebuilt))
+    // the restore actually happened: surviving boilerplate docs ARE banded
+    assert(bandRows(removed).map(_._1).toSet.intersect(Set(3L, 4L, 5L)).nonEmpty)
+    // a screen against the removed index finds the surviving boilerplate
+    val probe = Seq(boiler(999L)).toDF("doc_id", "text")
+    val hits = Dedup.minhashSearch(removed, probe, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(hits.map(_._2).toSet == Set(3L, 4L, 5L), hits.toString)
+    // unique-docs-only removal (no cap un-crossing) ≡ rebuild too
+    val rm2 = removed.remove(Seq(11L, 12L).toDF("id"), "id")
+    val rebuilt2 = Dedup.minhashIndex(
+      base.filter(!col("doc_id").isin(0L, 1L, 2L, 10L, 11L, 12L)),
+      "doc_id", "text", numHashes = 64, bands = 16, maxBucket = 4)
+    assert(bandRows(rm2) == bandRows(rebuilt2))
+    assert(cntRows(rm2) == cntRows(rebuilt2))
+  }
 }
