@@ -507,6 +507,58 @@ object Probe {
         screen("steady", 2)
         println(f"[probe] indexscreen build+persist=$tBuild%.1fs")
         idx.release()
+      case "indexlife" =>
+        // append/remove vs rebuild at scale: the lifecycle claim is that
+        // an append is BATCH-bound (plus one O(index) recount the first
+        // time, amortized thereafter) and a remove is delete-bound —
+        // never a rebuild. Rebuild wall over the union is the yardstick.
+        import graft.dedup.Dedup
+        val ref = cleanCorpus(spark, n).localCheckpoint(true)
+        val m = args.lift(2).map(_.toLong).getOrElse(n / 10)
+        val batch = spark.range(m).select((col("id") + 10 * n).as("doc_id"),
+          concat_ws(" ", (0 until 30).map(i =>
+            translate(concat(lit("z"), pmod(hash(col("id") * 53 + lit(i)),
+              lit(1000000))), "0123456789", "klmnopqrst")): _*).as("text"))
+          .localCheckpoint(true)
+        def timed[T](tag: String)(f: => T): T = {
+          Thread.sleep(1000)
+          val b0 = listener.shuffleWriteBytes; val t1 = System.nanoTime()
+          val r = f
+          Thread.sleep(1000)
+          println(f"[probe] indexlife n=$n m=$m $tag " +
+            f"wall=${(System.nanoTime() - t1) / 1e9}%.1fs " +
+            f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f")
+          r
+        }
+        // the documented lifecycle: persist each generation, release the
+        // previous — appends/removes are then delta-cost over cache scans
+        val idx = timed("build+persist") {
+          Dedup.minhashIndex(ref, "doc_id", "text",
+            numHashes = 64, bands = 16).persist()
+        }
+        val a1 = timed("append1+persist") {
+          val a = idx.append(batch, "doc_id", "text").persist()
+          idx.release(); a
+        }
+        val batch2 = batch.select((col("doc_id") + 20 * n).as("doc_id"),
+          col("text")).localCheckpoint(true)
+        val a2 = timed("append2+persist") {
+          val a = a1.append(batch2, "doc_id", "text").persist()
+          a1.release(); a
+        }
+        val afterRm = timed("remove+persist") {
+          val r = a2.remove(batch.select(col("doc_id")), "doc_id").persist()
+          a2.release(); r
+        }
+        timed("rebuild_yardstick") {
+          Dedup.minhashIndex(
+            ref.select(col("doc_id"), col("text"))
+              .unionByName(batch2.select(col("doc_id"), col("text"))),
+            "doc_id", "text", numHashes = 64, bands = 16).banded.count()
+        }
+        val nFinal = afterRm.sigs.count()
+        require(nFinal == ref.count() + m, s"final sigs $nFinal")
+        println(f"[probe] indexlife done worstTask=${listener.worstRatio()}%.1f")
       case "banding" =>
         // native BandKeysExpr vs the interpreted HOF twin over the same
         // signatures: the banding projection is a per-document scan stage,

@@ -224,15 +224,24 @@ object Dedup {
       numHashes: Int, bands: Int, maxBucket: Long,
       shingleHashesOf: Column => Column,
       sigs: DataFrame, banded: DataFrame, counts: DataFrame) {
-    /** Pin + materialize the banded frame (`sigs` is already materialized
-      * checkpoint blocks from build time); returns this handle. */
+    /** Pin + materialize the banded and counts frames (`sigs` is already
+      * materialized checkpoint blocks from build time); returns this
+      * handle. This is also what AMORTIZES the incremental lifecycle:
+      * [[append]]/[[remove]] build their outputs as (old frame) ∪
+      * (batch-bound delta), so when the old frames are pinned, producing
+      * and consuming the next index costs the delta plus cache scans —
+      * persist the appended index and [[release]] the old one when
+      * cutting over. An unpersisted chain stays correct but recomputes
+      * its lineage per consumption. */
     def persist(): MinhashIndex = {
       banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       banded.count()
+      counts.count()
       this
     }
-    /** Drop the pinned banded frame (no-op if never persisted). */
-    def release(): Unit = { banded.unpersist(); () }
+    /** Drop the pinned frames (no-op if never persisted). */
+    def release(): Unit = { banded.unpersist(); counts.unpersist(); () }
 
     /** Fold a new batch into the index WITHOUT rebuilding — the write
       * half of the incremental-ingestion lifecycle (screen the batch via
@@ -249,14 +258,16 @@ object Dedup {
       * incrementally is capped exactly as if it had arrived at build.
       *
       * Cost shape: the batch is hashed/banded once (scan-stage over the
-      * arriving docs); the combined per-bucket count table is
-      * checkpointed and becomes the next append's `counts` base, so the
-      * count merge is batch-bound after the FIRST append (which pays one
-      * map-side-combined recount of the index's band keys — `counts` at
-      * build is a lazy plan over the sig checkpoint, kept unmaterialized
-      * so the build's memory profile is unchanged). The old banded rows
-      * are re-filtered only against the tiny newly-over-cap list
-      * (broadcast anti-join — scan, no index shuffle). */
+      * arriving docs), and every join is keyed on the TOUCHED buckets —
+      * a new row can only land in a bucket the batch banded into, and an
+      * untouched bucket's count (hence cap status) cannot change — so
+      * nothing index-sized shuffles or checkpoints: the counts table is
+      * consumed by one broadcast semi and carried behind one broadcast
+      * anti (8 B per distinct batch bucket), the old banded rows are
+      * re-filtered only against the tiny newly-over-cap list, and only
+      * batch-bound slices checkpoint. [[persist]] the appended index
+      * (and [[release]] this one) to pin the unioned frames — that is
+      * what keeps a LONG append chain's per-step cost at the delta. */
     def append(batch: DataFrame, idCol: String, textCol: String): MinhashIndex = {
       val params = minhashParams(numHashes)
       val newSigs = batch.select(col(idCol).as("id"),
@@ -264,24 +275,39 @@ object Dedup {
         .localCheckpoint(true)
       val newBandedRaw = newSigs.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bucket"))
-      val combined = counts.withColumnRenamed("__bn", "__old")
-        .join(newBandedRaw.groupBy(col("bucket")).agg(count(lit(1)).as("__new")),
-          Seq("bucket"), "full_outer")
+      // everything below is keyed on the TOUCHED buckets — a new row can
+      // only land in a bucket the batch itself banded into, and an
+      // untouched bucket's count (and cap status) cannot change, so the
+      // index-sized counts table never joins, shuffles, or re-
+      // checkpoints: it is consumed by one broadcast semi (old counts of
+      // touched buckets) and carried forward behind one broadcast anti
+      // (8 B per distinct batch bucket — the minhashSearch ref-id-prune
+      // pattern). Only the batch-bound updated slice checkpoints.
+      val newCounts = newBandedRaw.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__new")).localCheckpoint(true)
+      val oldTouched = counts
+        .join(broadcast(newCounts.select(col("bucket"))), Seq("bucket"),
+          "left_semi")
+        .withColumnRenamed("__bn", "__old")
+      val updated = newCounts.join(oldTouched, Seq("bucket"), "left")
         .select(col("bucket"),
-          (coalesce(col("__old"), lit(0L)) + coalesce(col("__new"), lit(0L)))
-            .as("__bn"),
+          (coalesce(col("__old"), lit(0L)) + col("__new")).as("__bn"),
           coalesce(col("__old"), lit(0L)).as("__oldn"))
         .localCheckpoint(true)
-      val newlyOver = combined
+      val touched = broadcast(updated.select(col("bucket")))
+      val newlyOver = updated
         .filter(col("__bn") > maxBucket && col("__oldn") <= maxBucket)
         .select(col("bucket"))
-      val allOver = combined.filter(col("__bn") > maxBucket).select(col("bucket"))
-      val banded2 = banded.join(newlyOver, Seq("bucket"), "left_anti")
-        .unionByName(newBandedRaw.join(allOver, Seq("bucket"), "left_anti"))
+      val overTouched = updated.filter(col("__bn") > maxBucket)
+        .select(col("bucket"))
+      val banded2 = banded.join(broadcast(newlyOver), Seq("bucket"), "left_anti")
+        .unionByName(
+          newBandedRaw.join(broadcast(overTouched), Seq("bucket"), "left_anti"))
         .select(col("id"), col("bucket"))
+      val counts2 = counts.join(touched, Seq("bucket"), "left_anti")
+        .unionByName(updated.select(col("bucket"), col("__bn")))
       MinhashIndex(numHashes, bands, maxBucket, shingleHashesOf,
-        sigs.unionByName(newSigs), banded2,
-        combined.select(col("bucket"), col("__bn")))
+        sigs.unionByName(newSigs), banded2, counts2)
     }
 
     /** Delete documents from the index — the inverse of [[append]],
@@ -305,17 +331,23 @@ object Dedup {
         numHashes / bands)).as("bucket")
       val removedBanded = sigs.join(broadcast(rm), Seq("id"), "left_semi")
         .select(col("id"), bandKeys)
-      val combined = counts
-        .join(removedBanded.groupBy(col("bucket")).agg(count(lit(1)).as("__d")),
-          Seq("bucket"), "left")
-        .select(col("bucket"),
-          (col("__bn") - coalesce(col("__d"), lit(0L))).as("__new"),
+      // same touched-bucket discipline as append: deltas are keyed on the
+      // removed docs' buckets, the index-sized counts table is consumed
+      // by one broadcast semi and carried behind one broadcast anti —
+      // only the delete-bound updated slice checkpoints
+      val delta = removedBanded.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__d")).localCheckpoint(true)
+      val updated = counts
+        .join(broadcast(delta.select(col("bucket"))), Seq("bucket"),
+          "left_semi")
+        .join(delta, Seq("bucket"))
+        .select(col("bucket"), (col("__bn") - col("__d")).as("__new"),
           col("__bn").as("__oldn"))
-        .filter(col("__new") > 0)
         .localCheckpoint(true)
       val sigs2 = sigs.join(broadcast(rm), Seq("id"), "left_anti")
-      val newlyUnder = combined
-        .filter(col("__oldn") > maxBucket && col("__new") <= maxBucket)
+      val newlyUnder = updated
+        .filter(col("__oldn") > maxBucket && col("__new") <= maxBucket &&
+          col("__new") > 0)
         .select(col("bucket")).localCheckpoint(true)
       val kept = banded.join(broadcast(rm), Seq("id"), "left_anti")
       val banded2 = (
@@ -325,9 +357,50 @@ object Dedup {
             .join(broadcast(newlyUnder), Seq("bucket"), "left_semi")
             .select(col("id"), col("bucket")))
       ).select(col("id"), col("bucket"))
+      val counts2 = counts
+        .join(broadcast(delta.select(col("bucket"))), Seq("bucket"),
+          "left_anti")
+        .unionByName(updated.filter(col("__new") > 0)
+          .select(col("bucket"), col("__new").as("__bn")))
       MinhashIndex(numHashes, bands, maxBucket, shingleHashesOf,
-        sigs2, banded2, combined.select(col("bucket"), col("__new").as("__bn")))
+        sigs2, banded2, counts2)
     }
+
+    /** Write the index durably as three parquet tables + a params row —
+      * an incremental-crawl index must outlive the Spark application
+      * (build once, screen/append across many jobs; the in-memory
+      * [[persist]] covers only one). `save` materializes `counts` as a
+      * side effect (lazy since build), so a saved-then-loaded index pays
+      * no recount on its first [[append]]. The shingle feature map is
+      * CODE, not data — [[Dedup.minhashIndexLoad]] takes it again and
+      * must be given the same function the index was built with (the
+      * signature arithmetic silently diverges otherwise; same contract
+      * as every hash family here). */
+    def save(path: String): Unit = {
+      val spark = sigs.sparkSession
+      sigs.write.mode("overwrite").parquet(s"$path/sigs")
+      banded.write.mode("overwrite").parquet(s"$path/banded")
+      counts.write.mode("overwrite").parquet(s"$path/counts")
+      import spark.implicits._
+      Seq((numHashes, bands, maxBucket)).toDF(
+        "num_hashes", "bands", "max_bucket")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  /** Reload a [[MinhashIndex.save]]d index. `shingleHashesOf` must be the
+    * function the index was built with. The reloaded frames are plain
+    * parquet scans — [[MinhashIndex.persist]] pins them as before. */
+  def minhashIndexLoad(spark: org.apache.spark.sql.SparkSession, path: String,
+      shingleHashesOf: Column => Column = TextFunctions.shingleHashes(_, 3))
+      : MinhashIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    MinhashIndex(
+      meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"),
+      meta.getAs[Long]("max_bucket"), shingleHashesOf,
+      spark.read.parquet(s"$path/sigs"),
+      spark.read.parquet(s"$path/banded"),
+      spark.read.parquet(s"$path/counts"))
   }
 
   /** Build a [[MinhashIndex]] over `ref`. Same parameter semantics as

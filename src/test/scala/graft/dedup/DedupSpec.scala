@@ -651,4 +651,35 @@ class DedupSpec extends SparkSpec {
     assert(bandRows(rm2) == bandRows(rebuilt2))
     assert(cntRows(rm2) == cntRows(rebuilt2))
   }
+
+  test("MinhashIndex save/load round-trip: search and append unchanged") {
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      (i, s"family ${i % 4} shares this long sentence body with trailing " +
+        s"words common to the group variant ${i % 7}")
+    }.toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(docs, "doc_id", "text",
+      numHashes = 64, bands = 16)
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    idx.save(dir)
+    val loaded = Dedup.minhashIndexLoad(spark, dir)
+    assert(loaded.numHashes == 64 && loaded.bands == 16 &&
+      loaded.maxBucket == idx.maxBucket)
+    val probe = Seq((100L,
+      "family 1 shares this long sentence body with trailing words " +
+        "common to the group variant 5 now")).toDF("doc_id", "text")
+    def hits(ix: Dedup.MinhashIndex) =
+      Dedup.minhashSearch(ix, probe, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(hits(loaded) == hits(idx))
+    assert(hits(loaded).nonEmpty)
+    // append on the loaded index ≡ append on the original
+    val batch = (200L until 205L).map(i =>
+      (i, s"new unique arrival number $i wholly distinct body")).toDF("doc_id", "text")
+    def bandRows(ix: Dedup.MinhashIndex) = ix.banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(bandRows(loaded.append(batch, "doc_id", "text")) ==
+      bandRows(idx.append(batch, "doc_id", "text")))
+  }
 }
