@@ -1642,6 +1642,31 @@ object SparkEntry {
           Seq("train" -> 204, "val" -> 26, "test" -> 26))
         .select(col("doc_id"), col("split_key"), col("split"))
     }),
+    "q122_html_extract" -> ((s, dir) => {
+      // main-text extraction from constructed HTML pages (per-doc markup:
+      // head/style/script subtrees, nested tags, entities, a comment) —
+      // the whole regexp/replace chain replays verbatim in the oracle
+      val d = tbl(s, dir, "documents")
+      val page = concat(
+        lit("<html><head><title>t</title><style>body{color:red}</style>"),
+        lit("<script type=\"text/js\">var x=1; if(x<2){x=3}</script></head>"),
+        lit("<body><!-- nav\nchrome --><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1>\n<p class=\"main\">"), coalesce(col("text"), lit("")),
+        lit("</p><p>A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+        lit(" &nbsp;end</p></body></html>"))
+      d.select(col("doc_id"),
+        TextFunctions.extractHtmlText(page).as("text_main"))
+    }),
+    "q123_normalize_text" -> ((s, dir) => {
+      // ftfy-lite normalization on constructed noisy text: planted
+      // control chars (BEL, NUL, VT, DEL), CRLF, runs of mixed whitespace
+      val d = tbl(s, dir, "documents")
+      val noisy = concat(lit("\u0001\u0007 lead\t\ttabs\r\n"),
+        coalesce(col("text"), lit("")),
+        lit("  \u000b mid\u0000dle   \n\n\n trail \u007f  "))
+      d.select(col("doc_id"),
+        TextFunctions.normalizeText(noisy).as("text_norm"))
+    }),
     "q121_quality_classifier" -> ((s, dir) => {
       // linear quality classifier SCORING surface under the hash gate
       // with a constructed integer-weight model (training is iterative
@@ -2270,6 +2295,37 @@ object SparkEntry {
     "q110_kneser_ney_ppl" -> kneserNeySql,
     "q116_minhash_index_search" -> minhashAcrossSql,
     "q117_split_by_cluster" -> splitByClusterSql,
+    // the identical regexp/replace chain over the identically constructed
+    // page — both engines run the same RE2/Java-regex-common patterns
+    "q122_html_extract" ->
+      """WITH page AS (SELECT doc_id,
+        |  '<html><head><title>t</title><style>body{color:red}</style>' ||
+        |  '<script type="text/js">var x=1; if(x<2){x=3}</script></head>' ||
+        |  '<body><!-- nav' || chr(10) || 'chrome --><h1>Doc ' ||
+        |  CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+        |  '<p class="main">' || coalesce(text, '') ||
+        |  '</p><p>A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;' ||
+        |  ' &nbsp;end</p></body></html>' AS page
+        | FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        | replace(replace(replace(replace(replace(replace(
+        |  regexp_replace(regexp_replace(regexp_replace(page,
+        |   '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |   '(?s)<!--.*?-->', ' ', 'g'),
+        |   '(?s)<[^>]+>', ' ', 'g'),
+        |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        | '[ \t\n\r\f]+', ' ', 'g')) AS text_main
+        |FROM page""".stripMargin,
+    "q123_normalize_text" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  chr(1) || chr(7) || ' lead' || chr(9) || chr(9) || 'tabs' ||
+        |   chr(13) || chr(10) || coalesce(text, '') || '  ' || chr(11) ||
+        |   ' mid' || chr(0) || 'dle   ' || chr(10) || chr(10) || chr(10) ||
+        |   ' trail ' || chr(127) || '  ',
+        |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        | '[ \t\n\r\f]+', ' ', 'g')) AS text_norm
+        |FROM documents""".stripMargin,
     // the DSIR feature replay (q93's bucket CTE) with integer weights:
     // logit = 7 + Σ ((bucket·31) mod 1009 − 504) over feature occurrences
     "q121_quality_classifier" ->

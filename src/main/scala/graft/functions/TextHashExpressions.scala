@@ -99,6 +99,20 @@ object TextHash {
   def slotMatchCount(a: Column, b: Column): Column =
     Bridge.column(SlotMatchCountExpr(Bridge.expression(a), Bridge.expression(b)))
 
+  def nfkc(c: Column): Column =
+    Bridge.column(NfkcExpr(Bridge.expression(c)))
+
+  /** [[NfkcExpr]] kernel: JVM compatibility normalization. Fast path:
+    * `isNormalized` avoids the rebuild for already-normal text (the
+    * overwhelming corpus majority). */
+  def nfkcRow(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFKC))
+      input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+  }
+
   // ---- row kernels (shared by interpreted eval and generated code) ----
 
   /** [[PolyHashExpr]] kernel. */
@@ -470,6 +484,17 @@ case class WidenHashes62Expr(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.widenHashes62Row($c)")
   override protected def withNewChildInternal(newChild: Expression): WidenHashes62Expr =
+    copy(child = newChild)
+}
+
+/** Unicode NFKC compatibility normalization of a string column. */
+case class NfkcExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.nfkcRow(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.nfkcRow($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfkcExpr =
     copy(child = newChild)
 }
 

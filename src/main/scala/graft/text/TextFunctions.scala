@@ -347,6 +347,50 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
   }
 
+  /** Main-text extraction from raw HTML — the first stage of every web
+    * crawl pipeline (the trafilatura/jusText job, reduced to the
+    * regex-expressible core: this container has no HTML parser, and a
+    * DOM walk would be a UDF; the chain below handles the markup bulk —
+    * script/style subtrees, comments, tags, the common entities — and is
+    * honest about what it is NOT: no boilerplate-block scoring, no
+    * main-content detection). Scan-stage `regexp_replace`/`replace`
+    * chain (codegen, no UDF); every pattern behaves identically under
+    * Java regex and RE2, so the DuckDB oracle replays the chain verbatim
+    * (q122). Order matters twice: script/style strip BEFORE the generic
+    * tag strip (their text content must go with them), and `&amp;`
+    * decodes LAST (else `&amp;lt;` double-decodes). */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      lit("(?is)<(script|style)[^>]*>.*?</(script|style)>"), lit(" "))
+    val noComment = regexp_replace(noScript, lit("(?s)<!--.*?-->"), lit(" "))
+    val noTag = regexp_replace(noComment, lit("(?s)<[^>]+>"), lit(" "))
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTag) { case (c, (k, v)) =>
+        org.apache.spark.sql.functions.replace(c, lit(k), lit(v))
+      }
+    trim(regexp_replace(ent, lit("[ \\t\\n\\r\\f]+"), lit(" ")))
+  }
+
+  /** Text normalization — the ftfy-lite cleanup every corpus gets before
+    * hashing/tokenizing: strip C0/C1-ish control characters (tab and
+    * newline excluded — they are whitespace, handled next), collapse
+    * whitespace runs to one space, trim. Explicit character classes
+    * (not `\s`) because Java regex and RE2 disagree on `\s` membership
+    * (`\x0B`); the chain replays verbatim in the oracle (q123). Unicode
+    * compatibility normalization is the separate [[nfkc]] (JVM
+    * `java.text.Normalizer` — no cross-engine replay; spec-verified). */
+  def normalizeText(text: Column): Column = {
+    val noCtl = regexp_replace(text,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"), lit(""))
+    trim(regexp_replace(noCtl, lit("[ \\t\\n\\r\\f]+"), lit(" ")))
+  }
+
+  /** Unicode NFKC compatibility normalization (ligatures, fullwidth
+    * forms, compatibility digits → canonical), as a codegen'd native
+    * expression. */
+  def nfkc(text: Column): Column = graft.functions.TextHash.nfkc(text)
+
   /** Document fingerprint: a WIDE (~60-bit) rolling char hash — two
     * independent polynomial chains combined as `h1·(1e9+9) + h2`, because
     * a fingerprint is document IDENTITY and a single ~10⁹ chain
