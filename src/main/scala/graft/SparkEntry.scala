@@ -1647,15 +1647,27 @@ object SparkEntry {
       // head/style/script subtrees, nested tags, entities, a comment) —
       // the whole regexp/replace chain replays verbatim in the oracle
       val d = tbl(s, dir, "documents")
-      val page = concat(
-        lit("<html><head><title>t</title><style>body{color:red}</style>"),
-        lit("<script type=\"text/js\">var x=1; if(x<2){x=3}</script></head>"),
-        lit("<body><!-- nav\nchrome --><h1>Doc "), col("doc_id").cast("string"),
-        lit("</h1>\n<p class=\"main\">"), coalesce(col("text"), lit("")),
-        lit("</p><p>A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
-        lit(" &nbsp;end</p></body></html>"))
       d.select(col("doc_id"),
-        TextFunctions.extractHtmlText(page).as("text_main"))
+        TextFunctions.extractHtmlText(syntheticHtmlPage).as("text_main"))
+    }),
+    "q124_web_pipeline" -> ((s, dir) => {
+      // the web-crawl front half END-TO-END under one oracle: raw HTML →
+      // extract → normalize → quality verdict → keep → deterministic
+      // split, each stage individually gated (q122/q123/q71/q61), the
+      // composition here — the q72/q114 integration pattern for the web
+      // ingest shape
+      val d = tbl(s, dir, "documents")
+      val extracted = d.select(col("doc_id"),
+        TextFunctions.normalizeText(
+          TextFunctions.extractHtmlText(syntheticHtmlPage)).as("text_main"))
+      val verdicts = TextFunctions.qualityFilter(extracted, "doc_id", "text_main")
+      val kept = extracted.join(
+        verdicts.filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
+      graft.pipeline.Sampling.deterministicSplit(kept, "doc_id",
+          Seq("train" -> 204, "val" -> 26, "test" -> 26))
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text_main")).cast("long").as("n_tokens"),
+          col("split"))
     }),
     "q123_normalize_text" -> ((s, dir) => {
       // ftfy-lite normalization on constructed noisy text: planted
@@ -2298,25 +2310,40 @@ object SparkEntry {
     // the identical regexp/replace chain over the identically constructed
     // page — both engines run the same RE2/Java-regex-common patterns
     "q122_html_extract" ->
-      """WITH page AS (SELECT doc_id,
-        |  '<html><head><title>t</title><style>body{color:red}</style>' ||
-        |  '<script type="text/js">var x=1; if(x<2){x=3}</script></head>' ||
-        |  '<body><!-- nav' || chr(10) || 'chrome --><h1>Doc ' ||
-        |  CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
-        |  '<p class="main">' || coalesce(text, '') ||
-        |  '</p><p>A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;' ||
-        |  ' &nbsp;end</p></body></html>' AS page
-        | FROM documents)
-        |SELECT doc_id, trim(regexp_replace(
-        | replace(replace(replace(replace(replace(replace(
-        |  regexp_replace(regexp_replace(regexp_replace(page,
-        |   '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
-        |   '(?s)<!--.*?-->', ' ', 'g'),
-        |   '(?s)<[^>]+>', ' ', 'g'),
-        |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-        |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-        | '[ \t\n\r\f]+', ' ', 'g')) AS text_main
-        |FROM page""".stripMargin,
+      s"""WITH page AS (SELECT doc_id, $htmlPageSqlExpr AS page FROM documents)
+         |SELECT doc_id, ${htmlExtractSqlChain("page")} AS text_main
+         |FROM page""".stripMargin,
+    // extract → normalize → q71's quality arithmetic over the extracted
+    // text → keep → q61's carve, one CTE chain
+    "q124_web_pipeline" ->
+      s"""WITH page AS (SELECT doc_id, $htmlPageSqlExpr AS page FROM documents),
+         |x AS (SELECT doc_id,
+         |  ${normalizeSqlChain(htmlExtractSqlChain("page"))} AS text_main
+         | FROM page),
+         |t AS (SELECT doc_id, text_main,
+         |  list_filter(regexp_split_to_array(text_main, '\\s+'), v -> v != '') AS toks,
+         |  list_distinct(list_filter(regexp_split_to_array(lower(text_main), '\\s+'),
+         |    v -> v != '')) AS dtoks
+         | FROM x),
+         |s AS (SELECT doc_id, len(toks) AS ntok,
+         |  CASE WHEN len(toks) = 0 THEN 0
+         |   ELSE len(dtoks)::DOUBLE / len(toks) END AS ttr,
+         |  round(
+         |   (CASE WHEN len(toks) = 0 THEN 0
+         |     WHEN length(text_main)::DOUBLE / len(toks) BETWEEN 3.0 AND 10.0 THEN 1.0
+         |     ELSE 0.0 END) * 0.4
+         |   + (CASE WHEN length(text_main) = 0 THEN 0
+         |      ELSE length(regexp_replace(text_main, '[^A-Za-z]', '', 'g'))::DOUBLE
+         |           / length(text_main) END) * 0.3
+         |   + (CASE WHEN len(toks) = 0 THEN 0
+         |      ELSE len(dtoks)::DOUBLE / len(toks) END) * 0.3, 6) AS quality
+         | FROM t)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         | CASE WHEN substr(md5(t.doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+         |  WHEN substr(md5(t.doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM t JOIN s ON t.doc_id = s.doc_id
+         |WHERE s.ntok >= 10 AND s.quality >= 0.5 AND s.ttr >= 0.3""".stripMargin,
     "q123_normalize_text" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(
         |  chr(1) || chr(7) || ' lead' || chr(9) || chr(9) || 'tabs' ||
@@ -3928,6 +3955,58 @@ object SparkEntry {
        |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id)
        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
        |FROM reach GROUP BY 1""".stripMargin
+
+  /** The q122/q124 synthetic page: per-doc HTML wrapping the document
+    * text with markup every extractor stage must handle. Every 5th doc
+    * is a markup-only stub page (nav chrome, no article) so the q124
+    * quality stage has real negatives to drop. */
+  private def syntheticHtmlPage: org.apache.spark.sql.Column =
+    when(col("doc_id") % 5 === 0, concat(
+      lit("<html><head><script>var n=0;</script></head><body>"),
+      lit("<!-- stub --><div class=\"nav\">Doc "), col("doc_id").cast("string"),
+      lit(" stub</div></body></html>")))
+    .otherwise(concat(
+      lit("<html><head><title>t</title><style>body{color:red}</style>"),
+      lit("<script type=\"text/js\">var x=1; if(x<2){x=3}</script></head>"),
+      lit("<body><!-- nav\nchrome --><h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1>\n<p class=\"main\">"), coalesce(col("text"), lit("")),
+      lit("</p><p>A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+      lit(" &nbsp;end</p></body></html>")))
+
+  /** The same page as ONE SQL expression over a `documents` row. */
+  private val htmlPageSqlExpr: String =
+    """CASE WHEN doc_id % 5 = 0 THEN
+      |  '<html><head><script>var n=0;</script></head><body>' ||
+      |  '<!-- stub --><div class="nav">Doc ' || CAST(doc_id AS VARCHAR) ||
+      |  ' stub</div></body></html>'
+      | ELSE
+      |  '<html><head><title>t</title><style>body{color:red}</style>' ||
+      |  '<script type="text/js">var x=1; if(x<2){x=3}</script></head>' ||
+      |  '<body><!-- nav' || chr(10) || 'chrome --><h1>Doc ' ||
+      |  CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+      |  '<p class="main">' || coalesce(text, '') ||
+      |  '</p><p>A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;' ||
+      |  ' &nbsp;end</p></body></html>'
+      | END""".stripMargin
+
+  /** [[graft.text.TextFunctions.extractHtmlText]] as a SQL expression
+    * chain over `e` — identical pattern set (Java-regex ∩ RE2). */
+  private def htmlExtractSqlChain(e: String): String =
+    s"""trim(regexp_replace(
+       | replace(replace(replace(replace(replace(replace(
+       |  regexp_replace(regexp_replace(regexp_replace($e,
+       |   '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+       |   '(?s)<!--.*?-->', ' ', 'g'),
+       |   '(?s)<[^>]+>', ' ', 'g'),
+       |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+       | '[ \\t\\n\\r\\f]+', ' ', 'g'))""".stripMargin
+
+  /** [[graft.text.TextFunctions.normalizeText]] as a SQL chain over `e`. */
+  private def normalizeSqlChain(e: String): String =
+    s"""trim(regexp_replace(regexp_replace($e,
+       |  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       | '[ \\t\\n\\r\\f]+', ' ', 'g'))""".stripMargin
 
   /** q117: [[dedupClustersSql]]'s closure + the q61 md5 carve keyed on
     * `coalesce(component, doc_id)` — replays
