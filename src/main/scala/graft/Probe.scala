@@ -161,6 +161,38 @@ object Probe {
         }
         println(listener.report())
         println(f"[probe] layout worstTask=${listener.worstRatio()}%.1f")
+      case "webclean" =>
+        // the q124 web front half at scale: page construction + extract +
+        // normalize + quality verdict are ALL scan-stage (one projection
+        // chain, no exchange until the split count) — the probe confirms
+        // pure-scan wall and zero shuffle on the extraction itself
+        import graft.text.TextFunctions
+        val pages = spark.range(n).select(col("id").as("doc_id"), concat(
+          lit("<html><head><style>a{b:c}</style><script>var x=1;</script>"),
+          lit("</head><body><!-- nav --><h1>Doc "), col("id").cast("string"),
+          lit("</h1><p>"),
+          concat_ws(" ", (0 until 25).map(i =>
+            translate(concat(lit("w"), pmod(hash(col("id") * 37 + lit(i)),
+              lit(1000000))), "0123456789", "abcdefghij")): _*),
+          lit(" &amp; tail</p></body></html>")).as("html"))
+        // NOT checkpointed: a cheap-to-recompute generator behind
+        // localCheckpoint starves downstream execution memory at 20M —
+        // the r9 session-2 lesson, re-confirmed here (12 GB of pages
+        // spilled for minutes before the first scan); the wall below
+        // includes construction, which is itself scan-stage
+        Thread.sleep(1000)
+        val b0 = listener.shuffleWriteBytes; val s1 = System.nanoTime()
+        val extracted = pages.select(col("doc_id"),
+          TextFunctions.normalizeText(
+            TextFunctions.extractHtmlText(col("html"))).as("text_main"))
+        val verdicts = TextFunctions.qualityFilter(extracted, "doc_id", "text_main")
+        val keptN = verdicts.filter(col("keep")).count()
+        Thread.sleep(1000)
+        println(f"[probe] webclean n=$n kept=$keptN " +
+          f"wall=${(System.nanoTime() - s1) / 1e9}%.1fs " +
+          f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f " +
+          f"worstTask=${listener.worstRatio()}%.1f")
+        require(keptN == n, s"constructed pages all pass quality: $keptN")
       case "bloomdecon" =>
         // decontaminateBloom vs the exact broadcast-set prefilter on the
         // deconskew corpus: identical flagged pairs, and the bloom tier's
