@@ -1657,9 +1657,16 @@ object SparkEntry {
       // composition here — the q72/q114 integration pattern for the web
       // ingest shape
       val d = tbl(s, dir, "documents")
+      // the extraction boundary MATERIALIZES (as a real crawl pipeline's
+      // ingest step would): fused, the 13-call extract chain plus the
+      // quality arithmetic codegen into one method past the JIT's
+      // huge-method limit and the whole scan runs INTERPRETED — measured
+      // 6x on this query (5.6s -> 0.9s at sf0.1); the boundary also
+      // evaluates the chain once for the filter's two consumers
       val extracted = d.select(col("doc_id"),
         TextFunctions.normalizeText(
           TextFunctions.extractHtmlText(syntheticHtmlPage)).as("text_main"))
+        .localCheckpoint(true)
       val verdicts = TextFunctions.qualityFilter(extracted, "doc_id", "text_main")
       val kept = extracted.join(
         verdicts.filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
