@@ -161,6 +161,26 @@ object Probe {
         }
         println(listener.report())
         println(f"[probe] layout worstTask=${listener.worstRatio()}%.1f")
+      case "clfscore" =>
+        // QualityClassifier.score at scale: a 2^18-bucket weight vector
+        // (2 MB broadcast) against n docs — the claim is ONE codegen'd
+        // projection, zero shuffle, flat tasks
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 30).map(i =>
+            translate(concat(lit("w"), pmod(hash(col("id") * 37 + lit(i)),
+              lit(1000000))), "0123456789", "abcdefghij")): _*).as("text"))
+        val b = 1 << 18
+        val w = Array.tabulate(b)(j => ((j * 97) % 4001 - 2000) / 1000.0)
+        val model = graft.pipeline.QualityClassifier.Model(b, 0.1, w)
+        Thread.sleep(1000)
+        val bq0 = listener.shuffleWriteBytes; val sq0 = System.nanoTime()
+        val kept = graft.pipeline.QualityClassifier.score(docs, "text", model)
+          .filter(col("keep")).count()
+        Thread.sleep(1000)
+        println(f"[probe] clfscore n=$n buckets=$b kept=$kept " +
+          f"wall=${(System.nanoTime() - sq0) / 1e9}%.1fs " +
+          f"shuffleWriteMB=${(listener.shuffleWriteBytes - bq0) / 1e6}%.1f " +
+          f"worstTask=${listener.worstRatio()}%.1f")
       case "webclean" =>
         // the q124 web front half at scale: page construction + extract +
         // normalize + quality verdict are ALL scan-stage (one projection
