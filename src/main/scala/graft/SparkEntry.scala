@@ -1650,6 +1650,14 @@ object SparkEntry {
       d.select(col("doc_id"),
         TextFunctions.extractHtmlText(syntheticHtmlPage).as("text_main"))
     }),
+    "q125_chunk_passages" -> ((s, dir) => {
+      // RAG/embedding-ingestion chunker: 32-token passages, 8-token
+      // overlap, chunks emitted while each adds ≥1 new token — integer
+      // arithmetic + space re-joins, replayed exactly by the oracle
+      val d = tbl(s, dir, "documents")
+      TextFunctions.chunkPassages(d, "doc_id", "text",
+        chunk = 32, overlap = 8)
+    }),
     "q124_web_pipeline" -> ((s, dir) => {
       // the web-crawl front half END-TO-END under one oracle: raw HTML →
       // extract → normalize → quality verdict → keep → deterministic
@@ -2320,6 +2328,22 @@ object SparkEntry {
       s"""WITH page AS (SELECT doc_id, $htmlPageSqlExpr AS page FROM documents)
          |SELECT doc_id, ${htmlExtractSqlChain("page")} AS text_main
          |FROM page""".stripMargin,
+    // whitespace tokens → chunk grid (stride 24) → inclusive list_slice
+    // capped at len, space re-join — the same token stream as every
+    // hash oracle
+    "q125_chunk_passages" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), v -> v != '') AS toks
+        | FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0,
+        |    CASE WHEN len(toks) <= 32 THEN 0
+        |     ELSE CAST(ceil((len(toks) - 32)::DOUBLE / 24) AS BIGINT) END)) AS chunk_id
+        | FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, chunk_id,
+        | CAST(len(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32)) AS BIGINT) AS n_tokens,
+        | array_to_string(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32), ' ') AS passage
+        |FROM c""".stripMargin,
     // extract → normalize → q71's quality arithmetic over the extracted
     // text → keep → q61's carve, one CTE chain
     "q124_web_pipeline" ->

@@ -391,6 +391,42 @@ object TextFunctions {
     * expression. */
   def nfkc(text: Column): Column = graft.functions.TextHash.nfkc(text)
 
+  /** Split documents into fixed-size overlapping token passages — the
+    * RAG / embedding-ingestion chunker: passage i covers tokens
+    * `[i·(chunk−overlap), i·(chunk−overlap)+chunk)` of the whitespace
+    * token stream, and chunks are emitted while each still contributes
+    * ≥ 1 NEW token (`nChunks = 1 + ⌈max(0, len−chunk) / stride⌉`), so a
+    * short doc is one whole-doc passage and no trailing chunk is a pure
+    * suffix of its predecessor. Empty docs emit nothing. Output:
+    * `(idCol, chunk_id, n_tokens, passage)` with the passage re-joined
+    * on single spaces (the same normalized stream every hash family
+    * tokenizes).
+    *
+    * Scale shape: one scan-stage projection (tokens + a generated chunk
+    * index sequence) and a posexplode — output size is input tokens ×
+    * (1 + overlap share), no shuffle, no state. All integer arithmetic
+    * and string joins, so the DuckDB oracle replays it exactly. */
+  def chunkPassages(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunk: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunk > 0 && overlap >= 0 && overlap < chunk,
+      s"need 0 <= overlap < chunk, got chunk=$chunk overlap=$overlap")
+    val stride = chunk - overlap
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L),
+          when(size(col("__toks")) <= chunk, lit(0L)).otherwise(
+            ceil((size(col("__toks")) - lit(chunk)).cast("double") / stride)
+              .cast("long")))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunk)).as("__slice"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__slice")).cast("long").as("n_tokens"),
+        array_join(col("__slice"), " ").as("passage"))
+  }
+
   /** Document fingerprint: a WIDE (~60-bit) rolling char hash — two
     * independent polynomial chains combined as `h1·(1e9+9) + h2`, because
     * a fingerprint is document IDENTITY and a single ~10⁹ chain
