@@ -118,7 +118,10 @@ object Sampling {
       scoreCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
     val spark = df.sparkSession
-    val sorted = df.withColumn("__tok", col(tokCol).cast("long"))
+    // a null token count has no budget contribution and no place in the
+    // cut — dropped explicitly (it would otherwise NPE the scan below)
+    val sorted = df.filter(col(tokCol).isNotNull)
+      .withColumn("__tok", col(tokCol).cast("long"))
       .orderBy(col(scoreCol).desc, col(idCol)) // parallel range sort
     val tokIdx = sorted.schema.fieldIndex("__tok")
     val totals = sorted.rdd.mapPartitionsWithIndex { (p, it) =>

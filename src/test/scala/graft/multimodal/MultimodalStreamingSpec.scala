@@ -310,6 +310,25 @@ class MultimodalStreamingSpec extends SparkSpec {
         .toDF("doc_id", "text"), "text", model)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(sGot == batch, s"$sGot vs $batch")
+
+    // passage chunking is a projection + posexplode — also stateless
+    val longDoc = (1 to 25).map(i => s"t$i").mkString(" ")
+    val mem4 = MemoryStream[(Long, String)]
+    val out4 = graft.text.TextFunctions.chunkPassages(
+      mem4.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      chunk = 10, overlap = 3)
+    val q4 = out4.writeStream.format("memory")
+      .queryName("chunk_stream_test").outputMode("append").start()
+    mem4.addData((7L, longDoc))
+    q4.processAllAvailable()
+    val chunks = spark.sql(
+      "select chunk_id, passage from chunk_stream_test")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    q4.stop()
+    val cBatch = graft.text.TextFunctions.chunkPassages(
+      Seq((7L, longDoc)).toDF("doc_id", "text"), "doc_id", "text", 10, 3)
+      .collect().map(r => (r.getLong(1), r.getString(3))).sorted.toSeq
+    assert(chunks == cBatch && chunks.length == 4, chunks.toString)
   }
 
   test("streaming sequence packing ≡ batch packing across micro-batches") {
