@@ -1658,6 +1658,53 @@ object SparkEntry {
       TextFunctions.chunkPassages(d, "doc_id", "text",
         chunk = 32, overlap = 8)
     }),
+    "q126_forecast_continuation" -> ((s, dir) => {
+      // the Line Chart continuation contract (`owlinechart.py:749-803` →
+      // ForecastTable.continuation) under the hash gate: history rows
+      // tagged 'history' with null CIs, forecast rows tagged 'forecast'
+      // on a time axis extrapolated from the last observed day by the
+      // INFERRED step (86400 s). The forecast itself is a deterministic
+      // exact-cents drift line (vL + i·slope — single IEEE ops, bit-
+      // exact cross-engine, no rounding needed), so the oracle replays
+      // the WHOLE surface: q31/q43 gate the model numerics, this gates
+      // the continuation. CI columns are read BY their literal contract
+      // names — a naming drift fails analysis loudly.
+      val d = daily(s, dir)
+      val h = 5
+      val st = d.df.agg(min(struct(col("d"), col("v"))).as("first"),
+        max(struct(col("d"), col("v"))).as("last"),
+        count(lit(1)).as("n")).head
+      val v0 = st.getStruct(0).getDouble(1)
+      val vL = st.getStruct(1).getDouble(1)
+      val slope = (vL - v0) / (st.getLong(2) - 1).toDouble
+      val fo = Array.tabulate(h)(i => vL + (i + 1) * slope)
+      val lo = Array.tabulate(h)(i => fo(i) - 0.5 * (i + 1))
+      val hi = Array.tabulate(h)(i => fo(i) + 0.5 * (i + 1))
+      graft.models.ForecastTable.continuation(d, "v", fo, lo, hi)
+        .select(col("segment"), unix_seconds(col("d")).as("t_epoch"),
+          col("v"), col("v (95%CI low)").as("ci_low"),
+          col("v (95%CI high)").as("ci_high"))
+    }),
+    "q127_fit_on_interp_glue" -> ((s, dir) => {
+      // the scripting/widget glue chain (`_owmodel.py:71-72` →
+      // api.Timeseries.ARIMA.fit): linear-interpolate the target BEFORE
+      // the fit, collect in time order, fit, forecast table with the
+      // reference's column-name contract. The series is daily means with
+      // a deterministic subset of days nulled, so the interp step is
+      // LOAD-BEARING — skipping it changes the fit and the golden
+      // mismatches. Golden oracle (q31 pattern); literal contract names
+      // read back so a naming drift fails analysis.
+      val base = daily(s, dir)
+      val gappy = base.copy(df = base.df.withColumn("v",
+        when(dayofmonth(col("d")) % 5 === 2, lit(null).cast("double"))
+          .otherwise(col("v"))))
+      val t = graft.api.Timeseries.ARIMA((1, 1, 0)).fit(gappy, "v")
+        .predictAsTable(5)
+      t.select(col("step"),
+        round(col("v (forecast)"), 4).as("forecast"),
+        round(col("v (95%CI low)"), 4).as("ci_low"),
+        round(col("v (95%CI high)"), 4).as("ci_high"))
+    }),
     "q124_web_pipeline" -> ((s, dir) => {
       // the web-crawl front half END-TO-END under one oracle: raw HTML →
       // extract → normalize → quality verdict → keep → deterministic
@@ -2322,6 +2369,25 @@ object SparkEntry {
     "q110_kneser_ney_ppl" -> kneserNeySql,
     "q116_minhash_index_search" -> minhashAcrossSql,
     "q117_split_by_cluster" -> splitByClusterSql,
+    // continuation contract: history ∪ a 5-step drift extrapolation; all
+    // values are single-IEEE-op derivations of exact-cents daily means —
+    // bit-exact cross-engine, hashed UNROUNDED (the q100 precedent)
+    "q126_forecast_continuation" ->
+      s"""WITH dly AS ($dailySql),
+         |vv AS (SELECT
+         |  (SELECT v FROM dly ORDER BY d LIMIT 1) AS v0,
+         |  (SELECT v FROM dly ORDER BY d DESC LIMIT 1) AS vl,
+         |  (SELECT count(*) FROM dly) AS n,
+         |  (SELECT CAST(floor(epoch(max(d))) AS BIGINT) FROM dly) AS tl),
+         |f AS (SELECT i, vl + i * ((vl - v0) / (n - 1)) AS fo,
+         |  tl + i * 86400 AS te
+         | FROM vv, (SELECT unnest(generate_series(1, 5)) AS i))
+         |SELECT 'history' AS segment, CAST(floor(epoch(d)) AS BIGINT) AS t_epoch,
+         | v, CAST(NULL AS DOUBLE) AS ci_low, CAST(NULL AS DOUBLE) AS ci_high
+         |FROM dly
+         |UNION ALL
+         |SELECT 'forecast', te, fo, fo - 0.5 * i, fo + 0.5 * i FROM f""".stripMargin,
+    "q127_fit_on_interp_glue" -> fitOnInterpGoldenSql,
     // the identical regexp/replace chain over the identically constructed
     // page — both engines run the same RE2/Java-regex-common patterns
     "q122_html_extract" ->
@@ -3079,6 +3145,28 @@ object SparkEntry {
     * run-to-run-stable hashed surface. */
   private def sfTagSql: String =
     "(SELECT CASE count(*) WHEN 10000 THEN 1 WHEN 100000 THEN 2 ELSE 0 END FROM events)"
+
+  /** q127 golden (q31 pattern): ARIMA(1,1,0) on the gappy daily series
+    * AFTER the glue's linear interpolation. Values produced by this
+    * engine at the two gate scales; the glue being load-bearing is what
+    * the golden pins — fitting WITHOUT the interp step (or with a
+    * different gap rule) lands on different numbers. */
+  private def fitOnInterpGoldenSql: String =
+    s"""SELECT CAST(step AS BIGINT) AS step, CAST(forecast AS DOUBLE) AS forecast,
+       | CAST(ci_low AS DOUBLE) AS ci_low, CAST(ci_high AS DOUBLE) AS ci_high
+       |FROM (VALUES
+       | (1, 1, 50.7425, 44.1361, 57.349),
+       | (1, 2, 48.0702, 40.8228, 55.3176),
+       | (1, 3, 49.5372, 40.749, 58.3254),
+       | (1, 4, 48.7319, 39.1262, 58.3376),
+       | (1, 5, 49.174, 38.5759, 59.772),
+       | (2, 1, 50.0614, 48.5975, 51.5252),
+       | (2, 2, 50.0272, 48.1645, 51.89),
+       | (2, 3, 50.0345, 47.8086, 52.2604),
+       | (2, 4, 50.033, 47.5022, 52.5637),
+       | (2, 5, 50.0333, 47.2293, 52.8373)
+       |) AS g(sf, step, forecast, ci_low, ci_high)
+       |WHERE sf = $sfTagSql""".stripMargin
 
   private def arimaForecastGoldenSql: String =
     s"""SELECT CAST(step AS BIGINT) AS step, CAST(forecast AS DOUBLE) AS forecast,
@@ -4055,7 +4143,7 @@ object SparkEntry {
        |comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
        | FROM reach GROUP BY 1)
        |SELECT d.doc_id,
-       | CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS split_key,
+       | CAST(coalesce(c.component, d.doc_id) AS VARCHAR) AS split_key,
        | CASE
        |  WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS BIGINT)::VARCHAR), 1, 2) < 'cc' THEN 'train'
        |  WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS BIGINT)::VARCHAR), 1, 2) < 'e6' THEN 'val'

@@ -325,7 +325,9 @@ object Dedup {
       * ids; buckets emptied entirely leave `counts` (as a rebuild's
       * groupBy would never produce them). */
     def remove(ids: DataFrame, idCol: String): MinhashIndex = {
-      val rm = ids.select(col(idCol).cast("long").as("id")).distinct()
+      // raw id, matching build/append (`col(idCol).as("id")`): a cast here
+      // would null out non-numeric string ids and silently no-op the delete
+      val rm = ids.select(col(idCol).as("id")).distinct()
         .localCheckpoint(true)
       val bandKeys = explode(lshBandKeys(col("sig"), bands,
         numHashes / bands)).as("bucket")

@@ -153,10 +153,16 @@ object Delaunay {
       } else inCircleB4(a, b, c, p)
     }
     def orientSign(a: Int, b: Int, c: Int): Int =
-      if (a < n && b < n && c < n)
-        java.lang.Long.signum(orient(pts(a)._1.toLong, pts(a)._2.toLong,
-          pts(b)._1.toLong, pts(b)._2.toLong, pts(c)._1.toLong, pts(c)._2.toLong))
-      else if (farFitsLong)
+      if (a < n && b < n && c < n) {
+        if (span < (1L << 31))
+          // real diffs ≤ span < 2^31: products < 2^62, difference < 2^63
+          java.lang.Long.signum(orient(pts(a)._1.toLong, pts(a)._2.toLong,
+            pts(b)._1.toLong, pts(b)._2.toLong, pts(c)._1.toLong, pts(c)._2.toLong))
+        else
+          // Int-coord spans up to 2^32-2: diffs fit 33 bits, int128-exact
+          sign128of3(lx(b) - lx(a), ly(c) - ly(a),
+            -(ly(b) - ly(a)), lx(c) - lx(a), 0L, 0L)
+      } else if (farFitsLong)
         // super coords ≤ 4·far < 2^47: diffs ≤ 2^48, int128-exact
         sign128of3(lx(b) - lx(a), ly(c) - ly(a),
           -(ly(b) - ly(a)), lx(c) - lx(a), 0L, 0L)

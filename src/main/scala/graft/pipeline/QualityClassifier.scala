@@ -70,21 +70,7 @@ object QualityClassifier {
   def train(docs: DataFrame, textCol: String, labelCol: String,
       buckets: Int = 1 << 18, maxIter: Int = 50,
       regParam: Double = 1e-4): Model = {
-    val b = buckets
-    val toVec = udf { pairs: Seq[org.apache.spark.sql.Row] =>
-      val sorted = pairs.map(r => (r.getLong(0).toInt, r.getLong(1).toDouble))
-        .sortBy(_._1)
-      Vectors.sparse(b, sorted.map(_._1).toArray, sorted.map(_._2).toArray)
-    }
-    val feats = docs.filter(col(textCol).isNotNull)
-      .select(col(labelCol).cast("double").as("label"),
-        monotonically_increasing_id().as("__row"),
-        explode(Dsir.features(col(textCol), buckets)).as("bucket"))
-      .groupBy(col("__row"), col("label"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("__row"), col("label"))
-      .agg(collect_list(struct(col("bucket"), col("cnt"))).as("pairs"))
-      .select(col("label"), toVec(col("pairs")).as("features"))
+    val feats = trainingVectors(docs, textCol, labelCol, buckets)
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")
@@ -92,5 +78,33 @@ object QualityClassifier {
     val w = new Array[Double](buckets)
     fit.coefficients.foreachActive((i, v) => w(i) = v)
     Model(buckets, fit.intercept, w)
+  }
+
+  /** One `(label, features)` row PER DOCUMENT, features = sparse count
+    * vector of the doc's hashed n-grams (multiplicity preserved).
+    * Exposed for the doc-level-semantics spec: the row id MUST be
+    * materialized in a projection BELOW the Generate — ExtractGenerator
+    * hoists non-generator expressions into the project above the
+    * explode, so an id assigned in the same select as `explode()` is
+    * re-evaluated per exploded occurrence, and every n-gram occurrence
+    * would train as its own single-feature "document". */
+  private[pipeline] def trainingVectors(docs: DataFrame, textCol: String,
+      labelCol: String, buckets: Int): DataFrame = {
+    val b = buckets
+    val toVec = udf { pairs: Seq[org.apache.spark.sql.Row] =>
+      val sorted = pairs.map(r => (r.getLong(0).toInt, r.getLong(1).toDouble))
+        .sortBy(_._1)
+      Vectors.sparse(b, sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+    }
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("__row", monotonically_increasing_id())
+      .select(col(labelCol).cast("double").as("label"),
+        col("__row"),
+        explode(Dsir.features(col(textCol), b)).as("bucket"))
+      .groupBy(col("__row"), col("label"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("__row"), col("label"))
+      .agg(collect_list(struct(col("bucket"), col("cnt"))).as("pairs"))
+      .select(col("label"), toVec(col("pairs")).as("features"))
   }
 }

@@ -67,11 +67,16 @@ object Sampling {
     * under appends of larger ids. */
   def splitByCluster(df: DataFrame, idCol: String, clusters: DataFrame,
       splits: Seq[(String, Int)]): DataFrame = {
-    val c = clusters.select(col("id").cast("long").as("__cid"),
-      col("component").cast("long").as("__component"))
-    df.join(c, df.col(idCol).cast("long") === col("__cid"), "left")
+    // string-keyed throughout: a long cast would null non-numeric ids,
+    // skipping the cluster join AND making md5(null) fall through the
+    // carve into the LAST split silently. Numeric ids are unaffected —
+    // [[bucketKey]] stringifies before hashing, and "123" hashes the
+    // same whether it arrived as long or string.
+    val c = clusters.select(col("id").cast("string").as("__cid"),
+      col("component").cast("string").as("__component"))
+    df.join(c, df.col(idCol).cast("string") === col("__cid"), "left")
       .withColumn("split_key",
-        coalesce(col("__component"), col(idCol).cast("long")))
+        coalesce(col("__component"), col(idCol).cast("string")))
       .withColumn("split", carve(bucketKey(col("split_key")), splits))
       .drop("__cid", "__component")
   }

@@ -652,6 +652,31 @@ class DedupSpec extends SparkSpec {
     assert(cntRows(rm2) == cntRows(rebuilt2))
   }
 
+  test("MinhashIndex.remove works on non-numeric string ids (no silent no-op)") {
+    import spark.implicits._
+    // string ids like "url-a" cast to long as NULL — a cast in remove()
+    // would make the anti-join match nothing and removals silently no-op
+    val docs = Seq(
+      ("url-a", "the quick brown fox jumps over the lazy dog again today"),
+      ("url-b", "the quick brown fox jumps over the lazy dog again tonight"),
+      ("url-c", "completely unrelated body text about gardening and soil"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(docs, "doc_id", "text",
+      numHashes = 64, bands = 16)
+    val removed = idx.remove(Seq("url-a").toDF("id"), "id")
+    val sigIds = removed.sigs.select("id").collect().map(_.getString(0)).sorted
+    assert(sigIds.toSeq == Seq("url-b", "url-c"), sigIds.toSeq.toString)
+    val bandIds = removed.banded.select("id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!bandIds.contains("url-a"), bandIds.toString)
+    // screen no longer surfaces the removed doc
+    val probe = Seq(("p1", "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.minhashSearch(removed, probe, "doc_id", "text")
+      .select("id_ref").collect().map(_.getString(0)).toSet
+    assert(!hits.contains("url-a"), hits.toString)
+  }
+
   test("MinhashIndex save/load round-trip: search and append unchanged") {
     import spark.implicits._
     val docs = (0L until 30L).map { i =>

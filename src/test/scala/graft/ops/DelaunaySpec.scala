@@ -67,6 +67,39 @@ class DelaunaySpec extends SparkSpec {
     }
   }
 
+  test("full-Int-range spans: orientation stays exact (no Long overflow)") {
+    // span ≈ 2^32 − 2: real-point diffs reach 33 bits, so the plain-Long
+    // orient product overflows — the regression case for the all-real
+    // orientSign tier (must route through int128, mirroring incircle)
+    def lcg(seed: Long): Iterator[Int] = {
+      var s = seed
+      Iterator.continually {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 32).toInt // full Int range
+      }
+    }
+    for (seed <- Seq(3L, 11L)) {
+      val ps = ((lcg(seed) zip lcg(seed + 99)).take(22).toArray ++
+        Array((Int.MinValue + 1, Int.MinValue + 1),
+          (Int.MaxValue - 1, Int.MaxValue - 2),
+          (Int.MinValue + 2, Int.MaxValue - 1))).distinct // extreme span
+      val tris = Delaunay.triangulate(ps)
+      assert(tris.nonEmpty)
+      def orientB(a: (Int, Int), b: (Int, Int), c: (Int, Int)): Int =
+        ((BigInt(b._1) - a._1) * (BigInt(c._2) - a._2) -
+          (BigInt(b._2) - a._2) * (BigInt(c._1) - a._1)).signum
+      tris.foreach { case (a, b, c) =>
+        assert(orientB(ps(a), ps(b), ps(c)) > 0,
+          s"triangle ($a,$b,$c) not CCW at full-Int span")
+        ps.indices.filterNot(Set(a, b, c)).foreach { p =>
+          val ic = Delaunay.inCircle(ps(a)._1, ps(a)._2, ps(b)._1, ps(b)._2,
+            ps(c)._1, ps(c)._2, ps(p)._1, ps(p)._2)
+          assert(ic <= 0, s"point $p inside circumcircle of ($a,$b,$c)")
+        }
+      }
+    }
+  }
+
   test("triangulate: degenerate inputs — <3 points or collinear → empty") {
     assert(Delaunay.triangulate(Array((0, 0), (1, 1))).isEmpty)
     assert(Delaunay.triangulate(

@@ -176,19 +176,19 @@ class PipelineSpec extends SparkSpec {
     val got = Sampling.splitByCluster(docs, "doc_id", clusters,
       Seq("train" -> 204, "val" -> 26, "test" -> 26))
     val bySplit = got.select("doc_id", "split", "split_key").collect()
-      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
     assert(bySplit.size == 300, "total: every doc assigned exactly once")
     // all members of a cluster share the representative's assignment
     assert(Set(0L, 1L, 2L).map(bySplit(_)).size == 1)
     assert(Set(10L, 250L).map(bySplit(_)).size == 1)
-    assert(bySplit(1L)._2 == 0L && bySplit(250L)._2 == 10L)
+    assert(bySplit(1L)._2 == "0" && bySplit(250L)._2 == "10")
     // a singleton's split is exactly the per-id deterministic split
     val solo = Sampling.deterministicSplit(docs, "doc_id",
       Seq("train" -> 204, "val" -> 26, "test" -> 26))
       .select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     ((0L until 300L).toSet -- Set(0L, 1L, 2L, 10L, 250L)).foreach { i =>
-      assert(bySplit(i)._1 == solo(i) && bySplit(i)._2 == i)
+      assert(bySplit(i)._1 == solo(i) && bySplit(i)._2 == i.toString)
     }
     // append-stability: adding docs never moves an existing assignment
     val more = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
@@ -197,6 +197,34 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     bySplit.foreach { case (i, (s, _)) => assert(again(i) == s) }
+  }
+
+  test("splitByCluster: non-numeric string ids hash properly (no null-key sink)") {
+    import spark.implicits._
+    // a long-cast key would null every id here, md5(null) = null, and the
+    // carve's when-chain would dump ALL docs into the last split ("test")
+    val docs = (0 until 300).map(i => (s"url-$i", s"doc $i"))
+      .toDF("doc_id", "text")
+    val clusters = Seq(("url-0", "url-0"), ("url-1", "url-0"))
+      .toDF("id", "component")
+    val got = Sampling.splitByCluster(docs, "doc_id", clusters,
+      Seq("train" -> 204, "val" -> 26, "test" -> 26))
+      .select("doc_id", "split", "split_key").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    // distribution roughly matches the 204/26/26 carve — in particular
+    // NOT everything in the last split
+    val counts = got.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts.getOrElse("train", 0) > 150, counts.toString)
+    assert(counts.getOrElse("test", 0) < 100, counts.toString)
+    // clustered docs co-split on the representative; singletons on own id
+    assert(got("url-0") == got("url-1"))
+    assert(got("url-1")._2 == "url-0" && got("url-7")._2 == "url-7")
+    // singleton assignment ≡ the per-id deterministic split
+    val solo = Sampling.deterministicSplit(docs, "doc_id",
+      Seq("train" -> 204, "val" -> 26, "test" -> 26))
+      .select("doc_id", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (2 until 300).foreach(i => assert(got(s"url-$i")._1 == solo(s"url-$i")))
   }
 
   test("selectByBudget: best-first cut, crossing doc kept, tail skipped") {

@@ -42,6 +42,31 @@ class QualityClassifierSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("trainingVectors: one vector PER DOC, multi-occurrence counts > 1") {
+    import spark.implicits._
+    // "red red red red" repeats one unigram 4× and one bigram 3×; if the
+    // row id were evaluated per exploded occurrence (the ExtractGenerator
+    // hoist bug), each occurrence would become its own single-feature row
+    val docs = Seq(
+      (1L, "red red red red", 1.0),
+      (2L, "blue green yellow", 0.0),
+      (3L, "one two one two one", 1.0)).toDF("doc_id", "text", "label")
+    val feats = QualityClassifier.trainingVectors(docs, "text", "label", 1 << 10)
+      .collect()
+    // exactly one training row per document, not per n-gram occurrence
+    assert(feats.length == 3, feats.mkString("\n"))
+    val vecs = feats.map(r => (r.getDouble(0),
+      r.getAs[org.apache.spark.ml.linalg.Vector](1)))
+    // doc 1: some feature (the "red" unigram) must carry count >= 4
+    val maxCounts = vecs.map(_._2.toArray.max)
+    assert(maxCounts.exists(_ >= 4.0),
+      s"no multi-occurrence count survived: ${maxCounts.toSeq}")
+    // every vector's total mass = total n-gram occurrences of its doc
+    // (doc 1: 4 unigrams + 3 bigrams = 7)
+    val masses = vecs.map(_._2.toArray.sum).sorted.toSeq
+    assert(masses.contains(7.0), s"masses: $masses")
+  }
+
   test("BucketDotExpr logit ≡ explode-join weight-table sum") {
     import spark.implicits._
     val docs = (0L until 50L).map(i =>
