@@ -83,3 +83,45 @@ deadCodeSweep := {
   } else log.info(s"deadCodeSweep: ${decls.size} public members checked, 0 dead")
 }
 addCommandAlias("check", ";test;deadCodeSweep")
+
+// Three-SF oracle sweep + enforced margin audit (VERDICT r9 tasks 6/7):
+// the manual sf0.001/sf0.1 sweeps caught two real cross-engine flakes in
+// r9 (q105 epoch rounding, q86 6dp landings) — this makes the sweep one
+// command so every round runs it. q31/q32/q33/q127 are per-SF golden
+// oracles with no sf0.001 tag (documented exemption); the margin audit
+// runs --enforce against tools/margin_baseline.json so a testdata
+// regeneration or engine upgrade that reopens the q81/q86 boundary-flake
+// class fails loudly here instead of flipping a gate hash later.
+lazy val gateSweep = taskKey[Unit](
+  "three-SF Verify + DuckDB oracle compare + enforced margin audit")
+gateSweep := {
+  import scala.sys.process._
+  val log = streams.value.log
+  val cp = (Runtime / fullClasspath).value.files.map(_.getAbsolutePath)
+    .mkString(java.io.File.pathSeparator)
+  val base = baseDirectory.value
+  val goldenExempt =
+    "q31_arima_forecast,q32_var_forecast,q33_model_eval,q127_fit_on_interp_glue"
+  Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+    val out = s"/tmp/gatesweep_$sf"
+    log.info(s"gateSweep: graft.Verify at $sf -> $out")
+    val jcmd = Seq("java") ++ jdk17AddOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-cp", cp, "graft.Verify", s"/root/testdata/$sf", out)
+    val code = Process(jcmd, base, "SPARK_GRAFT_CPUS" -> "8").!
+    if (code != 0) sys.error(s"gateSweep: Verify exited $code at $sf")
+    val errs = IO.read(file(s"$out/errors.json")).trim
+    if (errs != "{}") sys.error(s"gateSweep: query errors at $sf: $errs")
+    val ex = if (sf == "sf0.001") goldenExempt else ""
+    val cmp = Process(Seq("python3", "tools/compare.py",
+      s"/root/testdata/$sf", out, ex), base).!
+    if (cmp != 0) sys.error(s"gateSweep: oracle compare FAILED at $sf")
+    log.info(s"gateSweep: $sf green")
+  }
+  val ma = Process(Seq("python3", "tools/margin_audit.py",
+    "/root/testdata/sf0.01", "/tmp/gatesweep_sf0.01", "1e-9", "--enforce"),
+    base).!
+  if (ma != 0) sys.error("gateSweep: margin audit FAILED")
+  log.info("gateSweep: all three SFs green, margins enforced")
+}

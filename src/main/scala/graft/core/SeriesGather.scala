@@ -58,19 +58,34 @@ object SeriesGather {
     * Measured trade (r9 A/B at sf0.1, local[32]): the extra stage costs
     * ~0.09 s per gathered gate query (q83–q86 moved 0.28→0.41 s, stable
     * across passes) and buys a 20× wall drop the moment per-series work
-    * is real (q108's probe). The fixed gate cost is accepted — the
-    * discriminator (per-series CPU work) is unknowable at plan time, and
-    * under-parallelized model fleets are the failure mode that matters
-    * at 100 TB. */
-  def rows(g: Gathered): org.apache.spark.rdd.RDD[Row] = rows(g.df)
+    * is real (q108's probe).
+    *
+    * The discriminator is the CALLER's cost class, the one thing the
+    * plan cannot see (r9 VERDICT task 2): kernels whose per-series CPU
+    * is proportional to the series' BYTES (FFT spectra, ACF — streaming
+    * O(n log n) numeric passes) are exactly what AQE's byte-based
+    * sizing already balances, so for them the guard stage is pure
+    * overhead and `heavyPerSeries = false` skips it. Kernels whose CPU
+    * is disproportionate to bytes — iterative model fits, rolling-origin
+    * refits, triangulations, spline solves — keep the guard: a few MB
+    * of gathered series can hide minutes of CPU, and an
+    * under-parallelized model fleet is the failure mode that matters at
+    * 100 TB. */
+  def rows(g: Gathered, heavyPerSeries: Boolean = true): org.apache.spark.rdd.RDD[Row] =
+    rows(g.df, heavyPerSeries)
 
   /** [[rows]] for gathers not built through [[gather]] (e.g. the
     * multivariate-interpolation matrix gathers). */
-  def rows(gathered: DataFrame): org.apache.spark.rdd.RDD[Row] = {
+  def rows(gathered: DataFrame,
+      heavyPerSeries: Boolean): org.apache.spark.rdd.RDD[Row] = {
     val rdd = gathered.rdd
     val par = gathered.sparkSession.sparkContext.defaultParallelism
-    if (rdd.getNumPartitions < par) rdd.repartition(par) else rdd
+    if (heavyPerSeries && rdd.getNumPartitions < par) rdd.repartition(par)
+    else rdd
   }
+
+  def rows(gathered: DataFrame): org.apache.spark.rdd.RDD[Row] =
+    rows(gathered, heavyPerSeries = true)
 
   /** One-shuffle per-series fill-in-place: gathers each series' FULL rows
     * in series order, hands the per-series value matrix (+ time axis) to

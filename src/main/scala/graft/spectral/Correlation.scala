@@ -290,7 +290,10 @@ object Correlation {
     val outSchema = StructType(g.keySchema.fields ++
       (StructField("lag", LongType, nullable = false) +: outFields))
     val xField = g.xField
-    val outRdd = graft.core.SeriesGather.rows(g).flatMap { row =>
+    // heavyPerSeries = false: ACF/PACF via FFT is CPU ∝ gathered bytes —
+    // AQE's byte sizing already balances it; see SeriesGather.rows
+    val outRdd = graft.core.SeriesGather.rows(g, heavyPerSeries = false)
+      .flatMap { row =>
       val x = graft.core.SeriesGather.values(row, xField)
       val m = x.length
       if (m < 2) Iterator.empty

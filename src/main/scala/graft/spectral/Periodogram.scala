@@ -345,7 +345,11 @@ object Periodogram {
     val outSchema = StructType(g.keySchema.fields ++ Seq(
       StructField("period", DoubleType), StructField("power", DoubleType)))
     val xField = g.xField
-    val outRdd = graft.core.SeriesGather.rows(g).flatMap { row =>
+    // heavyPerSeries = false: the FFT spectrum is a streaming O(n log n)
+    // pass, CPU ∝ gathered bytes — AQE's byte sizing is the right
+    // balancer and the guard stage would be pure gate-scale overhead
+    val outRdd = graft.core.SeriesGather.rows(g, heavyPerSeries = false)
+      .flatMap { row =>
       val raw = graft.core.SeriesGather.values(row, xField)
       val xd = detrendLocal(raw, detrend)
       val m = xd.length

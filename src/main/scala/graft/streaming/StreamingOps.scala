@@ -113,7 +113,16 @@ object StreamingOps {
     * State is one boolean per distinct paragraph fingerprint — the same
     * asymptotic footprint as the batch winners table, with no timeout
     * because paragraph identity must not expire for first-wins to hold
-    * corpus-wide. */
+    * corpus-wide.
+    *
+    * Arrival-order contract (spec-pinned): "first occurrence" means
+    * first ARRIVAL — earliest micro-batch, then min (doc, pos) within
+    * the batch. There is no event-time column and no watermark, so
+    * shuffled or late arrival can move the WINNER relative to the batch
+    * operator's global min-(doc, pos) rule, but the dedup invariant —
+    * exactly one keeper per distinct adjudicated paragraph, under any
+    * arrival order — always holds. Feed doc-ordered micro-batches when
+    * winner parity with the batch operator matters. */
   final case class ParaVerdict(id: Long, pos: Int, p: String, keep: Boolean)
 
   def streamingDedupParagraphs(
@@ -212,7 +221,16 @@ object StreamingOps {
     * trailing `dropDuplicatesWithinWatermark` emits each (new, ref) pair
     * once (a doc sharing several bands with its match would otherwise
     * emit per band). Persist the index ([[graft.dedup.Dedup.MinhashIndex.persist]])
-    * so every micro-batch joins against in-memory tables. */
+    * so every micro-batch joins against in-memory tables.
+    *
+    * Late-data contract (spec-pinned): arrival order does NOT matter
+    * within the watermark horizon — the joins are stateless per row, so
+    * an out-of-order doc still screens, and a re-arrival of the same
+    * (new, ref) pair inside the horizon is suppressed. A row whose event
+    * time has fallen BEYOND the watermark is dropped by the stateful
+    * dedup before the sink; docs that can arrive later than the horizon
+    * (backfills, takedown re-crawls) go through the batch
+    * [[graft.dedup.Dedup.minhashSearch]] instead. */
   def streamingMinhashIndexScreen(
       stream: DataFrame,
       timeCol: String,

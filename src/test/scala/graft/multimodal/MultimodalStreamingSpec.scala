@@ -447,6 +447,102 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert((0L until 6L).forall(id => got((id, 3))))
   }
 
+  test("streaming paragraph dedup under SHUFFLED arrival: one keeper per " +
+      "paragraph always; winner = first-ARRIVAL batch (documented)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def page(id: Long): (Long, String) = {
+      val promo = if (id % 3 == 0) "recurring promo block" else s"body $id middle"
+      (id, s"shared header line\nunique lead $id\n$promo\n\nclosing $id words")
+    }
+    // REVERSED arrival: docs 3..5 land a micro-batch before docs 0..2.
+    // The operator's contract is ARRIVAL-order first-wins (state is keyed
+    // on fingerprint with no event time), so the header/promo keepers
+    // move to doc 3 — NOT the batch operator's min-doc winner (doc 0).
+    // What must hold under ANY arrival order is the dedup INVARIANT:
+    // exactly one keeper per distinct adjudicated paragraph.
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingDedupParagraphs(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory")
+      .queryName("paradedup_ooo_test").outputMode("append").start()
+    mem.addData(page(3), page(4), page(5))
+    q.processAllAvailable()
+    mem.addData(page(0), page(1), page(2))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from paradedup_ooo_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getBoolean(3)))
+    q.stop()
+    // every row adjudicated exactly once
+    assert(rows.length == 6 * 5, rows.length.toString)
+    // invariant: per distinct non-exempt paragraph TEXT, exactly 1 keeper
+    val byText = rows.filter(_._3.trim.nonEmpty).groupBy(_._3)
+    byText.foreach { case (p, rs) =>
+      assert(rs.count(_._4) == 1, s"paragraph '$p': ${rs.count(_._4)} keepers")
+    }
+    // documented arrival-order semantics: the batch-1 min-(doc,pos) doc 3
+    // owns the shared header and the promo; doc 0's copies are removed
+    val got = rows.map(r => (r._1, r._2) -> r._4).toMap
+    assert(got((3L, 0)) && got((3L, 2)), "doc 3 arrived first: it keeps")
+    assert(!got((0L, 0)) && !got((0L, 2)),
+      "doc 0 arrived later: its header/promo copies are removed")
+    // exempt empties keep everywhere regardless of order
+    assert((0L until 6L).forall(id => got((id, 3))))
+  }
+
+  test("streaming index screen: out-of-order arrival inside the watermark " +
+      "screens and dedupes; beyond-watermark late rows are DROPPED (documented)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC
+    val hour = 3600L * 1000
+    val ref = (0L until 4L).map { i =>
+      (i, s"family shared long sentence body with trailing words common " +
+        s"to the reference group variant ${i % 2}")
+    }.toDF("doc_id", "text")
+    val idx = graft.dedup.Dedup.minhashIndex(ref, "doc_id", "text",
+      numHashes = 64, bands = 16).persist()
+    def near(id: Long, ts: Long) = (new Timestamp(ts), id,
+      s"family shared long sentence body with trailing words common " +
+        s"to the reference group variant ${id % 2} now")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.streamingMinhashIndexScreen(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text", idx)
+    val q = out.writeStream.format("memory")
+      .queryName("idxscreen_ooo_test").outputMode("append").start()
+    // batch 1 at T+30min advances the watermark to ~T-30min
+    mem.addData(near(100, base + hour / 2))
+    q.processAllAvailable()
+    // batch 2: doc 101 arrives OUT OF ORDER at T (older than doc 100 but
+    // inside the 1h horizon) — the stream-static join is stateless per
+    // row, so it screens normally; doc 100 RE-ARRIVES inside the
+    // watermark — dropDuplicatesWithinWatermark suppresses re-emission
+    mem.addData(near(101, base), near(100, base + hour / 2 + 60000))
+    q.processAllAvailable()
+    val afterB2 = spark.sql(
+      "select id_new, id_ref from idxscreen_ooo_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(afterB2.count(_._1 == 101L) > 0, "in-horizon late row must screen")
+    assert(afterB2.nonEmpty &&
+      afterB2.groupBy(identity).forall(_._2.size == 1),
+      s"within-watermark re-arrival must not re-emit: $afterB2")
+    // batch 3 at T+3h pushes the watermark to T+2h; batch 4's doc 102 at
+    // T is now BEYOND the watermark: the stateful dedup drops it before
+    // the sink — the documented late-data contract of the screen (screen
+    // re-runs for takedown-late docs go through the batch minhashSearch)
+    mem.addData(near(103, base + 3 * hour))
+    q.processAllAvailable()
+    mem.addData(near(102, base))
+    q.processAllAvailable()
+    val idNews = spark.sql("select id_new from idxscreen_ooo_test").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    idx.release()
+    assert(idNews.contains(103L))
+    assert(!idNews.contains(102L),
+      "beyond-watermark rows are dropped by the stateful dedup (documented)")
+  }
+
   test("streaming canonical keep: 3-doc cluster across micro-batches -> one survivor (batch min-id rule)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

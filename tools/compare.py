@@ -7,6 +7,11 @@ import sys, json, glob, math
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+# optional third arg: comma-separated query names to EXEMPT (reported as
+# EXEMPT, never counted as failures). Used by `sbt gateSweep` at sf0.001,
+# where the per-SF golden-VALUES oracles (q31/q32/q33/q127) legitimately
+# match no golden tag and return 0 rows.
+exempt = set(sys.argv[3].split(',')) if len(sys.argv) > 3 and sys.argv[3] else set()
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']:
@@ -27,6 +32,9 @@ def canon(cols, rows):
 
 fails = 0
 for name in sorted(oracle):
+    if name in exempt:
+        print(f'EXMP {name}: exempt at this SF (per-SF golden oracle)')
+        continue
     try:
         # fetch via pandas (as the driver does): DuckDB HUGEINT becomes
         # float64 here, so int-vs-float type drift is caught locally
