@@ -668,12 +668,45 @@ object Probe {
         def timed[A](f: => A): (A, Double) = {
           val s = System.nanoTime(); val a = f; (a, (System.nanoTime() - s) / 1e9)
         }
+        // Fixture notes from the r10 20M runs (both classes of failure
+        // were REAL and are fixed here):
+        //  - columnar persist, NOT localCheckpoint: the checkpointed
+        //    deserialized row objects (~650 B/row) filled the 64 GB
+        //    driver heap alongside the columnar assigned/encoded caches
+        //    and the full-GC storm starved the executor heartbeat thread
+        //    until the context shut itself down. The SQL cache stores
+        //    the vectors compressed-columnar at ~1/3 the footprint.
+        //  - array() of per-dimension expressions, NOT a transform()
+        //    lambda: Catalyst higher-order functions are CodegenFallback,
+        //    so the 20M x 64 generation ran INTERPRETED with per-element
+        //    boxing — an 833 s single stage that buried every phase the
+        //    probe exists to measure (the r9 q114 hotspot class, again).
+        //  - recall at probe scale is TOPIC recall (neighbors share the
+        //    query's generating center), not exact-top-10 recall: with
+        //    tens of thousands of same-center vectors whose fine ranking
+        //    differs by hashed jitter BELOW the 8-byte PQ quantization
+        //    error, exact-top-10 membership is unrecoverable by
+        //    construction and the old fixture's "recall" was ~0.03 at
+        //    EVERY scale — it measured the fixture, not the index (fine-
+        //    rank recall ≥ 0.95 is spec-pinned on the pinned separable
+        //    corpus in ProductQuantizerSpec, where it is meaningful).
+        //    Topic recall is the scale-stable production question — does
+        //    the IVF probe + ADC surface the right cell of a 20M corpus —
+        //    and carries a hard floor here.
+        //  - centers are HASH-uniform directions, not sin phases: the old
+        //    sin((id%512)*0.7 + …) centers alias with period 2π/0.7 ≈ 9,
+        //    so centers 9 apart were nearly identical (inter-center
+        //    distance ~0.1) while within-center jitter was ~1.7 — the
+        //    "topics" were not separable by ANY index. Hash-uniform
+        //    components give inter-center ≈ 6.5 vs jitter ≈ 0.2.
         val corpus = spark.range(n).select(col("id"),
-          expr(s"""transform(sequence(0, ${dim - 1}), d ->
-            sin((id % 512) * 0.7 + d * 0.31) +
-            cast((id * 2654435761 + d * 40503) % 1000 as double) / 2500.0)""")
-            .as("embedding"))
-          .localCheckpoint(false)
+          array((0 until dim).map { d =>
+            pmod(xxhash64(col("id") % 512, lit(d)), lit(2000))
+              .cast("double") / 1000.0 - 1.0 +
+              pmod(xxhash64(col("id"), lit(d), lit(7)), lit(100))
+                .cast("double") / 1000.0
+          }: _*).as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (idx, tBuild) = timed(
           IvfIndex.build(corpus, "id", "embedding", nlist = 64).persist())
         val nv = idx.assigned.withColumn("nv",
@@ -694,20 +727,24 @@ object Probe {
         val (r2, tA2) = timed(batch(100, 200, 0))
         val (r3, tR1) = timed(batch(200, 300, 2))
         val (r4, tR2) = timed(batch(300, 400, 2))
-        val exact = Similarity.bruteForceTopK(corpus, "id", "embedding",
-            qs(0, 50), "id", "embedding", k = 10)
-          .select("query_id", "neighbor_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val got = ProductQuantizer.search(idx, enc, qs(0, 50), "id",
+        // topic recall: a returned neighbor is RIGHT when it comes from
+        // the query's generating center (id ≡ query mod 512); hard floor
+        // so a probe/ADC regression at scale fails the run, not just a
+        // printed number (the old exact-top-10 recall was fixture-
+        // meaningless — see the fixture note)
+        val pairs = ProductQuantizer.search(idx, enc, qs(0, 50), "id",
             "embedding", cb, k = 10, nprobe = 8, refine = 2)
           .select("query_id", "neighbor_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val recall = (exact intersect got).size.toDouble / exact.size
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val topicRecall = pairs.count(p => p._1 % 512 == p._2 % 512)
+          .toDouble / pairs.length
         enc.unpersist(); idx.release()
         println(f"[probe] pq n=$n build=$tBuild%.1fs train=$tTrain%.1fs " +
           f"encode=$tEnc%.1fs adc_batches=$tA1%.2f/$tA2%.2fs " +
           f"refine_batches=$tR1%.2f/$tR2%.2fs rows=$r1/$r2/$r3/$r4 " +
-          f"recall@10(refine2,nprobe8)=$recall%.3f")
+          f"topic_recall@10(refine2,nprobe8)=$topicRecall%.3f")
+        require(pairs.length >= 450 && topicRecall >= 0.9,
+          f"pq topic recall $topicRecall%.3f < 0.9 over ${pairs.length} pairs")
       case "timeseries" =>
         // the events-family scale path: seriesKeys-partitioned windows.
         // Gate data tops out at ~600k rows / 1 series; this drives the

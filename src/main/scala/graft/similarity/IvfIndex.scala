@@ -42,15 +42,36 @@ object IvfIndex {
     def release(): Unit = { assigned.unpersist(); () }
   }
 
-  /** Assign every corpus vector to its nearest of `nlist` centroids. */
+  /** Assign every corpus vector to its nearest of `nlist` centroids.
+    *
+    * The coarse quantizer trains on a BOUNDED deterministic sample
+    * (hash-threshold on the id, FAISS's standard recipe — its guideline
+    * is ~(39…256)·nlist training points): k-means iterations over the
+    * full corpus made build time scale with corpus × iterations — the
+    * r10 20M probe measured an 828 s full-corpus fit stage vs a
+    * sample-fit + ONE assignment pass. Corpora at or under `trainSample`
+    * rows fit on everything (bit-identical to the pre-sample behavior —
+    * the q58 gate scale). Assignment of the full corpus is a single
+    * `model.transform` scan either way. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long = 42L): Index = {
+      nlist: Int, seed: Long = 42L, trainSample: Int = 131072): Index = {
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("features", array_to_vector(col("v")))
+    val total = vecs.count()
+    val train =
+      if (total <= trainSample) vecs
+      else {
+        // deterministic id-hash threshold, 2x cushion over the target so
+        // the realized sample is ≥ trainSample with overwhelming margin
+        val denom = 1L << 20
+        val keep = math.min(denom,
+          math.max(1L, (trainSample.toDouble / total * denom).toLong * 2))
+        vecs.filter(pmod(xxhash64(col("id")), lit(denom)) < keep)
+      }
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(vecs)
+      .fit(train)
     // store the norm alongside the vector (FAISS-style): rescoring then
     // costs one dot product per candidate instead of three
     val assigned = model.transform(vecs).select(col("id"), col("v"), col("cell"),

@@ -258,24 +258,41 @@ object ProductQuantizer {
       .filter(col("rk") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("lut"), col("cell"))
 
-    val cand = probes.join(encoded, "cell")
+    // the candidate explosion is the IVF contract (nprobe/nlist of the
+    // index per query) — it must stay NARROW: (query_id, id, lut-scored
+    // code) only. Dragging the original vectors through it (the previous
+    // refine shape) multiplied the pre-shortlist shuffle by the vector
+    // width — measured 12-17x on the 2M probe's refine batches — and at
+    // 100 TB would shuffle the corpus' vectors per query batch.
+    val cand = probes.join(encoded.select(col("cell"), col("id"), col("code")),
+        "cell")
       .filter(col("id") =!= col("query_id"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
+    val scored = cand.select(col("query_id"), col("id").as("neighbor_id"),
+        adc(col("lut"), col("code"), cb).as("score"))
+      .withColumn("rank", row_number().over(wAdc))
     if (refine <= 0) {
-      cand.select(col("query_id"), col("id").as("neighbor_id"),
-          adc(col("lut"), col("code"), cb).as("score"))
-        .withColumn("rank", row_number().over(wAdc))
-        .filter(col("rank") <= k)
+      scored.filter(col("rank") <= k)
     } else {
-      val shortlist = cand.select(col("query_id"), col("id").as("neighbor_id"),
-          adc(col("lut"), col("code"), cb).as("score"),
-          col("qv"), col("qn"), col("v"), col("nrm"))
-        .withColumn("rank", row_number().over(wAdc))
-        .filter(col("rank") <= refine.toLong * k)
+      // exact rescoring is CANDIDATE-bound: cut to refine·k per query
+      // first (eager — consumed by two joins below, and recomputing it
+      // would replay the whole ADC pass), then fetch the original
+      // vectors via a broadcast semi-join on the shortlist ids so the
+      // index side never shuffles (the minhashSearch ref-prune recipe).
+      val shortIds = scored.filter(col("rank") <= refine.toLong * k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val vecs = encoded
+        .select(col("id").as("neighbor_id"), col("v"), col("nrm"))
+        .join(broadcast(shortIds.select(col("neighbor_id")).distinct()),
+          "neighbor_id")
       val wExact = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
-      shortlist.select(col("query_id"), col("neighbor_id"),
+      shortIds
+        .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
+        .join(vecs, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
           Similarity.cosinePre(col("qv"), col("v"), col("qn"), col("nrm")).as("sim"))
         .withColumn("rank", row_number().over(wExact))
         .filter(col("rank") <= k)
