@@ -707,8 +707,14 @@ object Probe {
                 .cast("double") / 1000.0
           }: _*).as("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        //  - nlist SCALES with n (~n/20k, capped): a fixed nlist=64 at
+        //    20M means 312k-row cells and ~2.5M candidates PER QUERY —
+        //    a 2.5B-row ADC window per 1000-query batch whose execution
+        //    memory drove the second driver-GC freeze. IVF only works
+        //    when cells stay ~10-100k rows (FAISS guideline nlist≈4√n).
+        val nlist = math.max(64, math.min(1024, (n / 20000).toInt))
         val (idx, tBuild) = timed(
-          IvfIndex.build(corpus, "id", "embedding", nlist = 64).persist())
+          IvfIndex.build(corpus, "id", "embedding", nlist = nlist).persist())
         val nv = idx.assigned.withColumn("nv",
           graft.functions.VectorFunctions.arrayDiv(col("v"), col("nrm")))
         val (cb, tTrain) = timed(ProductQuantizer.trainKMeans(
