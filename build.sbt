@@ -84,6 +84,78 @@ deadCodeSweep := {
 }
 addCommandAlias("check", ";test;deadCodeSweep")
 
+// Per-query perf regression tripwire (VERDICT r10 task 5): run the full
+// bench at sf0.1, compare each contention-clean query against its
+// checked-in idle floor (tools/bench_floors.json, maintained by
+// tools/update_floors.py — floors only ever move DOWN), and for any
+// query above 1.5x its floor run a SECOND temporally-separated pass.
+// A query above the bar in two consecutive contention-clean
+// measurements is a real regression -> red. Dev knob: SPARK_GRAFT_ONLY
+// restricts the first pass (used by the negative test).
+lazy val benchCheck = taskKey[Unit](
+  "fail when a contention-clean query exceeds 1.5x its checked-in floor twice")
+benchCheck := {
+  import scala.sys.process._
+  val log = streams.value.log
+  val cp = (Runtime / fullClasspath).value.files.map(_.getAbsolutePath)
+    .mkString(java.io.File.pathSeparator)
+  val base = baseDirectory.value
+  val bar = sys.env.getOrElse("BENCHCHECK_BAR", "1.5").toDouble
+  val floorsFile = base / "tools" / "bench_floors.json"
+  val qRe = """"(q\d+\w*)":([0-9.]+)""".r
+  def parseMap(s: String): Map[String, Double] =
+    qRe.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  val floors = parseMap(IO.read(floorsFile))
+  def runBench(dir: java.io.File, only: Option[String]): (Map[String, Double], Set[String]) = {
+    IO.createDirectory(dir)
+    val jcmd = Seq("java") ++ jdk17AddOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-cp", cp, "graft.Bench")
+    val env = Seq("SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.1",
+      "SPARK_GRAFT_CPUS" -> "32") ++ only.map("SPARK_GRAFT_ONLY" -> _)
+    val code = Process(jcmd, dir, env: _*).!
+    if (code != 0) sys.error(s"benchCheck: Bench exited $code in $dir")
+    val art = IO.read(dir / "bench_queries.json")
+    val contended = """"contended":\[([^\]]*)\]""".r
+      .findFirstMatchIn(art).map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSet
+    (parseMap(art.substring(art.indexOf("\"queries\""))), contended)
+  }
+  val (t1, c1) = runBench(file("/tmp/benchcheck_pass1"), sys.env.get("SPARK_GRAFT_ONLY"))
+  def violators(ts: Map[String, Double], contended: Set[String]): Seq[(String, Double, Double)] =
+    ts.toSeq.flatMap { case (q, t) =>
+      floors.get(q) match {
+        case None => log.warn(s"benchCheck: $q has no floor (new query?) — skipped"); None
+        case Some(f) if t > bar * f && !contended.contains(q) => Some((q, t, f))
+        case _ => None
+      }
+    }
+  val v1 = violators(t1, c1)
+  if (v1.isEmpty) log.info(s"benchCheck: ${t1.size} queries within ${bar}x of their floors")
+  else {
+    log.warn(s"benchCheck: ${v1.size} first-pass violators: " +
+      v1.map { case (q, t, f) => f"$q ($t%.3f vs floor $f%.3f)" }.mkString(", "))
+    val (t2, c2) = runBench(file("/tmp/benchcheck_pass2"), Some(v1.map(_._1).mkString(",")))
+    // a violator whose SECOND measurement is itself contended is
+    // unresolved, not cleared — surfaced loudly, but only two CLEAN
+    // over-bar measurements constitute a confirmed regression
+    v1.filter { case (q, _, _) => c2.contains(q) }.foreach { case (q, _, _) =>
+      log.warn(s"benchCheck: $q over bar in pass 1 but pass 2 was contended — unresolved")
+    }
+    val v2 = violators(t2, c2).filter { case (q, _, _) => v1.exists(_._1 == q) }
+    if (v2.nonEmpty) {
+      v2.foreach { case (q, t, f) =>
+        log.error(f"benchCheck REGRESSION $q: $t%.3f s vs floor $f%.3f s " +
+          f"(${t / f}%.2fx > ${bar}x) in two contention-clean passes")
+      }
+      sys.error(s"benchCheck: ${v2.size} persistent perf regression(s)")
+    }
+    log.info("benchCheck: all first-pass violators cleared on the second pass")
+  }
+}
+
 // Three-SF oracle sweep + enforced margin audit (VERDICT r9 tasks 6/7):
 // the manual sf0.001/sf0.1 sweeps caught two real cross-engine flakes in
 // r9 (q105 epoch rounding, q86 6dp landings) — this makes the sweep one

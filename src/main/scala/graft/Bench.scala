@@ -91,12 +91,20 @@ object Bench {
     // queries whose best block is outside the band get temporally
     // separated re-runs below.
     val band = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_BAND", "1.5").toDouble
-    // a bracket is contended only if it ALSO exceeds the floor by this
-    // many seconds: the ~10 ms idle sentinel floor makes a pure ratio
-    // band 5 ms wide, and ordinary scheduler jitter flagged ~40% of an
-    // IDLE run's blocks; real contention (the 2-9x machine swings the
-    // artifact must expose) inflates the sentinel by 10s of ms
-    val slack = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_SLACK", "0.05").toDouble
+    // PER-QUERY-RELATIVE slack (VERDICT r10 task 1 — the r10 fixed 50 ms
+    // absolute slack only flagged blocks above ~5.4x the ~11 ms floor, so
+    // 81/127 blocks sat above the 1.5x band unflagged): a block is
+    // contended when its bracket ratio r exceeds the band AND the implied
+    // query inflation (r-1)·best exceeds max(slack, relSlack·best) — the
+    // sentinel and a query share the same resources, so the sentinel
+    // ratio is the best available estimate of the query's own inflation
+    // factor. For queries ≥ ~50 ms this reduces to r > band; sub-50 ms
+    // queries need proportionally larger ratios (r > 1 + slack/best), so
+    // scheduler jitter on the ~11 ms sentinel floor — which flagged ~40%
+    // of an idle run's blocks under a pure ratio test — still cannot
+    // flag a query it cannot materially inflate.
+    val slack = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_SLACK", "0.025").toDouble
+    val relSlack = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_RELSLACK", "0.15").toDouble
     val extraRounds = sys.env.getOrElse("SPARK_GRAFT_RERUNS", "2").toInt
 
     val names = selected.keys.toSeq.sorted
@@ -104,27 +112,51 @@ object Bench {
     final case class Block(times: Vector[Double], sBefore: Double, sAfter: Double)
     val blocks = scala.collection.mutable.LinkedHashMap[String, Vector[Block]]()
     val errMap = scala.collection.mutable.LinkedHashMap[String, String]()
+    // re-run failures on queries that already own valid blocks (ADVICE
+    // r10: a transient throw on a contention-triggered re-run must not
+    // convert a successfully measured query into a run-failing error) —
+    // recorded separately, prior measurements kept
+    val rerunErrs = scala.collection.mutable.LinkedHashMap[String, String]()
     var lastSentinel = sentinel()
-    def runBlock(name: String, doWarmup: Boolean): Unit = {
+    def runBlock(name: String, doWarmup: Boolean, isRerun: Boolean = false): Unit = {
       if (errMap.contains(name)) return
       if (doWarmup) // errors are recorded (and fail the run) in timed trials
         try selected(name)(spark, sfDir).count() catch { case _: Throwable => () }
       val sB = lastSentinel
+      var failed: Option[String] = None
       val ts = Vector.fill(repeat) {
         val t0 = System.nanoTime()
-        if (!errMap.contains(name))
+        if (failed.isEmpty)
           try { selected(name)(spark, sfDir).count() } catch {
             case e: Throwable =>
-              errMap(name) = s"${e.getClass.getSimpleName}: " +
-                Option(e.getMessage).getOrElse("").replace('\n', ' ').take(300)
+              failed = Some(s"${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").replace('\n', ' ').take(300))
           }
         (System.nanoTime() - t0) / 1e9
       }
       lastSentinel = sentinel()
-      if (!errMap.contains(name))
-        blocks(name) = blocks.getOrElse(name, Vector.empty) :+
-          Block(ts, sB, lastSentinel)
+      failed match {
+        case None =>
+          blocks(name) = blocks.getOrElse(name, Vector.empty) :+
+            Block(ts, sB, lastSentinel)
+        case Some(msg) if isRerun && blocks.contains(name) =>
+          rerunErrs(name) = msg
+        case Some(msg) =>
+          errMap(name) = msg
+      }
     }
+    // Discarded warm-up blocks before q01 (VERDICT r10 task 1): the first
+    // timed blocks of an official run carried 1.5-2.2x inflation over
+    // their idle minima with sentinel ratios 2.8-5.1 — target-SF page
+    // cache, code-cache churn from the sf0.001 warm pass, and allocator
+    // ramp all land on whoever runs first. Full blocks of the first
+    // queries are run and THROWN AWAY (errors survive in errMap — a
+    // genuinely broken query fails the run regardless of where it first
+    // ran), then the measured loop starts with the JVM in its
+    // steady-state regime.
+    val warmBlocks = sys.env.getOrElse("SPARK_GRAFT_WARMUP_BLOCKS", "2").toInt
+    names.take(warmBlocks).foreach(runBlock(_, warmup))
+    blocks.clear()
     names.foreach(runBlock(_, warmup))
     // run-wide sentinel floor: if ANY quiet instant existed, this is the
     // machine's idle sentinel; under wall-to-wall contention every ratio
@@ -140,7 +172,9 @@ object Bench {
     def isContended(bs: Vector[Block]): Boolean = {
       val best = bs.minBy(_.times.min)
       val s = math.min(best.sBefore, best.sAfter)
-      s > band * sentinelRef && s - sentinelRef > slack
+      val r = s / sentinelRef
+      val qBest = best.times.min
+      r > band && (r - 1.0) * qBest > math.max(slack, relSlack * qBest)
     }
     // Re-run queries whose best block ran under contention: temporally
     // separated passes over the flagged set (min can only improve; a
@@ -150,7 +184,7 @@ object Bench {
     while (round < extraRounds && flagged.nonEmpty) {
       System.err.println(s"[bench] sentinel re-run round ${round + 1}: " +
         s"${flagged.size} contended queries: ${flagged.take(8).mkString(",")}")
-      flagged.foreach(runBlock(_, doWarmup = false))
+      flagged.foreach(runBlock(_, doWarmup = false, isRerun = true))
       flagged = names.filter(n => blocks.get(n).exists(isContended))
       round += 1
     }
@@ -174,6 +208,8 @@ object Bench {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val errJson = errors
       .map { case (k, m) => qstr(k) + ":" + qstr(m) }.mkString("{", ",", "}")
+    val rerunErrJson = rerunErrs.toSeq
+      .map { case (k, m) => qstr(k) + ":" + qstr(m) }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     // contention annotation: the judge can discount `contended` queries
     // (their reported min never coincided with a clean sentinel even after
@@ -182,6 +218,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""errors":$errJson,"err_count":${errors.size},""" +
+        s""""rerun_errors":$rerunErrJson,""" +
         s""""sentinel_ref":${fmt(sentinelRef)},"sentinel_band":${fmt(band)},""" +
         s""""contended":$contJson,"contended_count":${contended.size},""" +
         s""""sf":"$sfDir"}"""
@@ -213,6 +250,9 @@ object Bench {
       System.err.println(s"[bench] bench_dispersion.json write failed: ${e.getMessage}")
     }
     println(line)
+    rerunErrs.foreach { case (n, m) =>
+      System.err.println(s"[bench] rerun-only failure (prior blocks kept) $n: $m")
+    }
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (n, m) => System.err.println(s"[bench] ERR $n: $m") }

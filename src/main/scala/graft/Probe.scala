@@ -714,7 +714,8 @@ object Probe {
         //    when cells stay ~10-100k rows (FAISS guideline nlist≈4√n).
         val nlist = math.max(64, math.min(1024, (n / 20000).toInt))
         val (idx, tBuild) = timed(
-          IvfIndex.build(corpus, "id", "embedding", nlist = nlist).persist())
+          IvfIndex.build(corpus, "id", "embedding", nlist = nlist,
+            knownCount = Some(n)).persist())
         val nv = idx.assigned.withColumn("nv",
           graft.functions.VectorFunctions.arrayDiv(col("v"), col("nrm")))
         val (cb, tTrain) = timed(ProductQuantizer.trainKMeans(
@@ -726,9 +727,14 @@ object Probe {
         }
         def qs(lo: Long, hi: Long) =
           corpus.filter(col("id") >= lo && col("id") < hi)
-        def batch(lo: Long, hi: Long, refine: Int): Long =
-          ProductQuantizer.search(idx, enc, qs(lo, hi), "id", "embedding", cb,
-            k = 10, nprobe = 8, refine = refine).count()
+        def batch(lo: Long, hi: Long, refine: Int): Long = {
+          // the batch-serving shape: unpin each batch's refine shortlist
+          // after consuming it, so storage never accumulates across batches
+          val (res, cleanup) = ProductQuantizer.searchManaged(idx, enc,
+            qs(lo, hi), "id", "embedding", cb, k = 10, nprobe = 8,
+            refine = refine)
+          try res.count() finally cleanup()
+        }
         val (r1, tA1) = timed(batch(0, 100, 0))
         val (r2, tA2) = timed(batch(100, 200, 0))
         val (r3, tR1) = timed(batch(200, 300, 2))

@@ -1705,6 +1705,38 @@ object SparkEntry {
         round(col("v (95%CI low)"), 4).as("ci_low"),
         round(col("v (95%CI high)"), 4).as("ci_high"))
     }),
+    "q128_quandl_collapse_rdiff" -> ((s, dir) => {
+      // §2.1 Quandl param matrix (`datasources.py:14-48` forwarded
+      // collapse/transform to the service, which applied them
+      // SERVER-side; the service is defunct, so API parity = computing
+      // them engine-side): derive the q102 daily OHLCV CSV from orders,
+      // read it back through readQuandl(collapse=monthly,
+      // transform=rdiff) over the file:// transport. Monthly keeps each
+      // month's LAST daily observation re-dated to the month's end;
+      // rdiff = v/v_prev − 1 drops the first month. Every value is
+      // min/max/count + one halving + one division over exactly
+      // CSV-round-tripped doubles — single IEEE ops, bit-exact
+      // cross-engine, hashed unrounded.
+      import graft.ingest.{Finance, OrangeCsv}
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q128_quandl"
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("Date"))
+        .agg(count(lit(1)).cast("double").as("Open"),
+          max(col("o_totalprice")).as("High"),
+          min(col("o_totalprice")).as("Low"),
+          ((max(col("o_totalprice")) + min(col("o_totalprice"))) / 2).as("Close"),
+          count(lit(1)).cast("double").as("Volume"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val back = Finance.readQuandl(s, path,
+        collapse = "monthly", transform = "rdiff")
+      val target = OrangeCsv.colsWithRole(back.df, "target")
+      require(target == Seq("Close"),
+        s"target role lost through collapse/transform: $target")
+      back.df.select(unix_seconds(col("Date")).as("t_s"),
+        col(target.head).as("close_rdiff"), col("High").as("high_rdiff"),
+        col("Volume").as("volume_rdiff"))
+    }),
     "q124_web_pipeline" -> ((s, dir) => {
       // the web-crawl front half END-TO-END under one oracle: raw HTML →
       // extract → normalize → quality verdict → keep → deterministic
@@ -2388,6 +2420,27 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'forecast', te, fo, fo - 0.5 * i, fo + 0.5 * i FROM f""".stripMargin,
     "q127_fit_on_interp_glue" -> fitOnInterpGoldenSql,
+    // Quandl param matrix: monthly collapse keeps the month's LAST daily
+    // row re-dated to last_day; rdiff = v/v_prev − 1 drops the first
+    // month. Single IEEE ops over CSV-exact values — hashed unrounded.
+    "q128_quandl_collapse_rdiff" ->
+      s"""WITH d AS (SELECT o_orderdate AS dt,
+         |  max(o_totalprice) AS high,
+         |  (max(o_totalprice) + min(o_totalprice)) / 2 AS close,
+         |  CAST(count(*) AS DOUBLE) AS volume
+         | FROM orders GROUP BY o_orderdate),
+         |m AS (SELECT last_day(dt) AS pe,
+         |  max_by(high, dt) AS high, max_by(close, dt) AS close,
+         |  max_by(volume, dt) AS volume
+         | FROM d GROUP BY last_day(dt)),
+         |r AS (SELECT pe,
+         |  close / lag(close) OVER (ORDER BY pe) - 1 AS close_rdiff,
+         |  high / lag(high) OVER (ORDER BY pe) - 1 AS high_rdiff,
+         |  volume / lag(volume) OVER (ORDER BY pe) - 1 AS volume_rdiff
+         | FROM m)
+         |SELECT CAST(epoch(CAST(pe AS TIMESTAMP)) AS BIGINT) AS t_s,
+         | close_rdiff, high_rdiff, volume_rdiff
+         |FROM r WHERE close_rdiff IS NOT NULL""".stripMargin,
     // the identical regexp/replace chain over the identically constructed
     // page — both engines run the same RE2/Java-regex-common patterns
     "q122_html_extract" ->

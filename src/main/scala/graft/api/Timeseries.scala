@@ -61,6 +61,15 @@ object Timeseries {
       model: String = "multiplicative"): DataFrame =
     SeasonalDecompose(data, cols, period, model)
 
+  /** `moving_transform(data, spec)` (`doc/scripting.rst:93-115`; the
+    * function was folded into the widget upstream —
+    * `owmovingtransform.py:380-444` — spec = (variable, window length,
+    * agg) tuples; the Spark shape fixes one shared width per call, one
+    * `WindowExec` for every agg). */
+  def movingTransform(data: TimeseriesFrame, specs: Seq[(String, String)],
+      width: Int): DataFrame =
+    graft.ops.MovingTransform.slidingWindow(data, specs, width)
+
   /** `granger_causality(data, max_lag, alpha)` (`functions.py:433-492`). */
   def grangerCausality(data: TimeseriesFrame, cols: Seq[String],
       maxLag: Int = 10, alpha: Double = 0.05): DataFrame =

@@ -1,7 +1,7 @@
 package graft.ingest
 
 import graft.core.TimeseriesFrame
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.MetadataBuilder
 import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -42,13 +42,94 @@ object Finance {
       s"&collapse=$collapse&transform=$transform&order=asc"
 
   /** Quandl-shaped read: same Date-time/target-role rewrite as
-    * [[readOhlcv]] over the dataset's CSV. */
+    * [[readOhlcv]] over the dataset's CSV, plus the engine-side
+    * `collapse`/`transform` param matrix (`datasources.py:14-48` passes
+    * them to the service, which applied them SERVER-side; the service is
+    * defunct, so API parity requires computing them here — semantics per
+    * the published Quandl API docs: collapse keeps the LAST observation
+    * of each calendar period re-dated to the period's end;
+    * transform is applied AFTER collapse). */
   def readQuandl(
       spark: SparkSession,
       url: String,
       targetCol: String = "Close",
-      fetch: String => String = defaultFetch): TimeseriesFrame =
-    readOhlcv(spark, url, targetCol, fetch)
+      fetch: String => String = defaultFetch,
+      collapse: String = "daily",
+      transform: String = "none"): TimeseriesFrame =
+    quandlTransform(quandlCollapse(
+      readOhlcv(spark, url, targetCol, fetch), collapse), transform)
+
+  /** Quandl `collapse`: one row per calendar period and series, carrying
+    * the period's LAST observation, re-dated to the period's last
+    * calendar day (monthly → last day of month, quarterly → quarter end,
+    * annual → Dec 31, weekly → the following Sunday; none|daily =
+    * identity). The keep-latest is a window keyed on (seriesKeys,
+    * period) — parallel across periods and series, no global sort. */
+  def quandlCollapse(data: TimeseriesFrame, collapse: String): TimeseriesFrame = {
+    val t = data.timeCol.getOrElse(
+      throw new IllegalArgumentException("quandlCollapse needs a time column"))
+    val periodEnd: Column = collapse match {
+      case "none" | "daily" => return data
+      case "weekly" => next_day(date_sub(col(t), 1), "Sun")
+      case "monthly" => last_day(col(t))
+      case "quarterly" => last_day(add_months(date_trunc("quarter", col(t)), 2))
+      case "annual" => last_day(add_months(date_trunc("year", col(t)), 11))
+      case other => throw new IllegalArgumentException(
+        s"collapse '$other' not one of none|daily|weekly|monthly|quarterly|annual")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((data.seriesKeys.map(col) :+ col("__pe")): _*)
+      .orderBy(col(t).desc)
+    val tMd = data.df.schema(t).metadata
+    val collapsed = data.df
+      .withColumn("__pe", periodEnd.cast("timestamp"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", t)
+      .withColumnRenamed("__pe", t)
+      // the rename moved the time column to the END and dropped its role
+      // metadata; restore original column order + the time role
+      .select(data.df.columns.map(c =>
+        if (c == t) col(t).as(t, tMd) else col(c)).toSeq: _*)
+    data.copy(df = collapsed)
+  }
+
+  /** Quandl `transform` over every data column (every non-time column —
+    * the service applied it to all value columns): diff = v − v_prev,
+    * rdiff = v/v_prev − 1, cumul = running sum, normalize = v/v_first ·
+    * 100 (none = identity). diff/rdiff drop each series' first row, as
+    * the service did. Windows come from the frame's (seriesKeys, time)
+    * spec — per-series lags, no global sort when keys exist; the
+    * finance reader path is a single bounded series by nature. */
+  def quandlTransform(data: TimeseriesFrame, transform: String): TimeseriesFrame = {
+    if (transform == "none") return data
+    val t = data.timeCol.getOrElse(
+      throw new IllegalArgumentException("quandlTransform needs a time column"))
+    val dataCols = data.df.columns.filter(c => c != t && !data.seriesKeys.contains(c))
+    val w = data.window
+    val run = data.running
+    def out(c: String): Column = {
+      val md = data.df.schema(c).metadata
+      val x = col(c)
+      (transform match {
+        case "diff" => x - lag(x, 1).over(w)
+        case "rdiff" => x / lag(x, 1).over(w) - 1
+        case "cumul" => sum(x).over(run)
+        case "normalize" => x / first(x).over(run) * 100
+        case other => throw new IllegalArgumentException(
+          s"transform '$other' not one of none|diff|rdiff|cumul|normalize")
+      }).as(c, md)
+    }
+    val keep = data.df.columns.map(c =>
+      if (dataCols.contains(c)) out(c) else col(c))
+    val dropFirst = transform == "diff" || transform == "rdiff"
+    val result =
+      if (dropFirst)
+        data.df.select((keep :+ lag(col(t), 1).over(w).as("__prev_t")).toSeq: _*)
+          .filter(col("__prev_t").isNotNull).drop("__prev_t")
+      else data.df.select(keep.toSeq: _*)
+    data.copy(df = result)
+  }
 
   /** Default transport: stream the URL to a temp file, return its path. */
   def defaultFetch(url: String): String = {

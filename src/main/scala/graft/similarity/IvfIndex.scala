@@ -51,32 +51,70 @@ object IvfIndex {
     * r10 20M probe measured an 828 s full-corpus fit stage vs a
     * sample-fit + ONE assignment pass. Corpora at or under `trainSample`
     * rows fit on everything (bit-identical to the pre-sample behavior —
-    * the q58 gate scale). Assignment of the full corpus is a single
-    * `model.transform` scan either way. */
+    * the q58 gate scale).
+    *
+    * Assignment tiers (the r10 20M probe's remaining 336 s was the FLAT
+    * argmin scan — O(n·nlist·d), growing with nlist exactly when bigger
+    * corpora need bigger nlist):
+    *  - `nlist ≤ hierThreshold`: one ML-KMeans `transform` scan (flat
+    *    argmin) — bit-identical to the pre-tier behavior, the gate scale;
+    *  - `nlist > hierThreshold`: two-level centroids via
+    *    [[graft.dedup.SemDedup.centroidsKMeansHier]] (k1 ≈ √nlist coarse
+    *    cells, k2 fine per cell, both Lloyd-trained on the bounded
+    *    sample) and the codegen'd
+    *    [[graft.functions.HierArgminExpr]] assignment —
+    *    O(n·(k1+k2)·d) per scan, the FAISS IMI/coarse-quantizer shape.
+    *    The effective cell count is k1·k2 (≥ nlist; cell ids are
+    *    coarse·k2 + fine) and [[Index.centroids]] holds the fine
+    *    centroids in global-id order, so [[search]]'s probe ranking is
+    *    unchanged. Hier assignment equals the flat argmin whenever the
+    *    data's clusters are separated (IvfHierSpec pins the
+    *    differential); on adversarial boundaries it may store a vector
+    *    one cell off — the standard IMI recall/cost trade, recovered by
+    *    `nprobe`.
+    *
+    * `knownCount` skips the sizing `count()` when the caller already
+    * holds the corpus row count (an unpersisted corpus would otherwise
+    * pay one full extra scan of the vector projection). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long = 42L, trainSample: Int = 131072): Index = {
+      nlist: Int, seed: Long = 42L, trainSample: Int = 131072,
+      hierThreshold: Int = 256, knownCount: Option[Long] = None): Index = {
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("features", array_to_vector(col("v")))
-    val total = vecs.count()
-    val train =
-      if (total <= trainSample) vecs
-      else {
-        // deterministic id-hash threshold, 2x cushion over the target so
-        // the realized sample is ≥ trainSample with overwhelming margin
-        val denom = 1L << 20
-        val keep = math.min(denom,
-          math.max(1L, (trainSample.toDouble / total * denom).toLong * 2))
-        vecs.filter(pmod(xxhash64(col("id")), lit(denom)) < keep)
+    if (nlist <= hierThreshold) {
+      val feats = vecs.withColumn("features", array_to_vector(col("v")))
+      val total = knownCount.getOrElse(feats.count())
+      val train =
+        if (total <= trainSample) feats
+        else {
+          // deterministic id-hash threshold, 2x cushion over the target so
+          // the realized sample is ≥ trainSample with overwhelming margin
+          val denom = 1L << 20
+          val keep = math.min(denom,
+            math.max(1L, (trainSample.toDouble / total * denom).toLong * 2))
+          feats.filter(pmod(xxhash64(col("id")), lit(denom)) < keep)
+        }
+      val model = new KMeans().setK(nlist).setSeed(seed)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(train)
+      // store the norm alongside the vector (FAISS-style): rescoring then
+      // costs one dot product per candidate instead of three
+      val assigned = model.transform(feats).select(col("id"), col("v"),
+        col("cell"), Similarity.norm(col("v")).as("nrm"))
+      Index(assigned, model.clusterCenters.map(_.toArray))
+    } else {
+      val k1 = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
+      val k2 = (nlist + k1 - 1) / k1
+      val hcb = graft.dedup.SemDedup.centroidsKMeansHier(vecs, "id", "v",
+        k1 = k1, k2 = k2, sampleN = trainSample, knownCount = knownCount)
+      val assigned = vecs.select(col("id"), col("v"),
+        graft.dedup.SemDedup.assignClusterHier(col("v"), hcb).as("cell"),
+        Similarity.norm(col("v")).as("nrm"))
+      val cents = Array.tabulate(k1 * k2) { g =>
+        java.util.Arrays.copyOfRange(hcb.fine, g * hcb.dim, (g + 1) * hcb.dim)
       }
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(train)
-    // store the norm alongside the vector (FAISS-style): rescoring then
-    // costs one dot product per candidate instead of three
-    val assigned = model.transform(vecs).select(col("id"), col("v"), col("cell"),
-      Similarity.norm(col("v")).as("nrm"))
-    Index(assigned, model.clusterCenters.map(_.toArray))
+      Index(assigned, cents)
+    }
   }
 
   /** Top-k cosine search probing the `nprobe` nearest cells per query. */

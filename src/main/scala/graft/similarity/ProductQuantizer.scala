@@ -78,15 +78,18 @@ object ProductQuantizer {
     * which the driver sorts by (hash, id) and trims to sampleN; the
     * collect is bounded by the sample size, never the corpus. */
   def sampleVectors(corpus: DataFrame, idCol: String, vecCol: String,
-      sampleN: Int): Array[Array[Double]] = {
+      sampleN: Int, knownCount: Option[Long] = None): Array[Array[Double]] = {
     // cast the id to long exactly as fromRows does: getLong on an uncast
     // Integer id threw ClassCastException, silently restricting
     // trainKMeans / SemDedup centroid sampling to LongType ids. The cast
     // is a no-op for long ids, so existing sampled sets (and therefore
     // trained codebooks / gate hashes) are unchanged.
+    // `knownCount` skips the sizing count() when the caller already
+    // holds the row count (an unpersisted corpus would otherwise pay a
+    // full extra scan of the vector projection).
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val total = base.count()
+    val total = knownCount.getOrElse(base.count())
     val p = math.max(1L, total / math.max(1L, 2L * sampleN))
     base
       .filter(pmod(xxhash64(col("id")), lit(p)) === 0)
@@ -227,10 +230,29 @@ object ProductQuantizer {
     * ADC lookups only, and — when `refine > 0` — exactly rescore the top
     * `refine·k` ADC survivors per query with the stored raw vectors
     * (FAISS's IndexRefineFlat shape). `refine = 0` returns pure ADC
-    * scores; ranking ties break on `neighbor_id`. */
+    * scores; ranking ties break on `neighbor_id`.
+    *
+    * Execution semantics with `refine > 0`: the ADC shortlist is consumed
+    * by two downstream joins (one as a broadcast side), so it is pinned
+    * MEMORY_AND_DISK and materialized EAGERLY at call time — the probe +
+    * ADC Spark job runs here, not at the caller's first action. The pin is
+    * small (≤ refine·k rows per query) but lives until the caller runs the
+    * returned cleanup or the session ends; batch-serving loops should call
+    * [[searchManaged]] and clean up per batch. persist (not
+    * localCheckpoint) keeps the lineage, so an executor loss in cluster
+    * mode recomputes the shortlist instead of failing the query. */
   def search(index: IvfIndex.Index, encoded: DataFrame, queries: DataFrame,
       queryId: String, queryVec: String, cb: Codebooks,
-      k: Int, nprobe: Int, refine: Int = 2): DataFrame = {
+      k: Int, nprobe: Int, refine: Int = 2): DataFrame =
+    searchManaged(index, encoded, queries, queryId, queryVec, cb,
+      k, nprobe, refine)._1
+
+  /** [[search]] returning `(result, cleanup)`: `cleanup()` unpins the
+    * refine shortlist once the result has been materialized (no-op for
+    * `refine = 0`, where nothing is pinned). */
+  def searchManaged(index: IvfIndex.Index, encoded: DataFrame,
+      queries: DataFrame, queryId: String, queryVec: String, cb: Codebooks,
+      k: Int, nprobe: Int, refine: Int = 2): (DataFrame, () => Unit) = {
     val spark = queries.sparkSession
     val cents = index.centroids
     val q = queries.select(col(queryId).as("query_id"),
@@ -273,29 +295,33 @@ object ProductQuantizer {
         adc(col("lut"), col("code"), cb).as("score"))
       .withColumn("rank", row_number().over(wAdc))
     if (refine <= 0) {
-      scored.filter(col("rank") <= k)
+      (scored.filter(col("rank") <= k), () => ())
     } else {
       // exact rescoring is CANDIDATE-bound: cut to refine·k per query
-      // first (eager — consumed by two joins below, and recomputing it
-      // would replay the whole ADC pass), then fetch the original
-      // vectors via a broadcast semi-join on the shortlist ids so the
-      // index side never shuffles (the minhashSearch ref-prune recipe).
+      // first (eager — consumed by two joins below, one as a broadcast
+      // side, and recomputing it would replay the whole ADC pass), then
+      // fetch the original vectors via a broadcast semi-join on the
+      // shortlist ids so the index side never shuffles (the minhashSearch
+      // ref-prune recipe). persist+count, NOT localCheckpoint: lineage
+      // survives executor loss, and the caller can unpin.
       val shortIds = scored.filter(col("rank") <= refine.toLong * k)
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shortIds.count()
       val vecs = encoded
         .select(col("id").as("neighbor_id"), col("v"), col("nrm"))
         .join(broadcast(shortIds.select(col("neighbor_id")).distinct()),
           "neighbor_id")
       val wExact = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
-      shortIds
+      val result = shortIds
         .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
         .join(vecs, "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
           Similarity.cosinePre(col("qv"), col("v"), col("qn"), col("nrm")).as("sim"))
         .withColumn("rank", row_number().over(wExact))
         .filter(col("rank") <= k)
+      (result, () => { shortIds.unpersist(); () })
     }
   }
 }

@@ -63,6 +63,59 @@ class SimilaritySpec extends SparkSpec {
       s"(nlist=40, nprobe=4, seed=42, |exact|=${exact.size})")
   }
 
+  test("IVF hier build tier: two-level assignment == flat argmin on a separable corpus") {
+    import spark.implicits._
+    // same pinned 40-topic corpus shape as the partial-probe test: on
+    // well-separated data the two-level argmin (coarse cell, then fine
+    // within it) must agree with the FLAT argmin over all k1*k2 fine
+    // centroids — the differential VERDICT r10 task 2 asks for. The
+    // hier tier is forced by hierThreshold = 0 (production only enters
+    // it above nlist = 256).
+    def h(a: Long, b: Long): Double = {
+      var s = a * 6364136223846793005L + b * 1442695040888963407L + 99L
+      s ^= (s >>> 33); s *= 0xff51afd7ed558ccdL; s ^= (s >>> 33)
+      ((s >>> 11) % 100000L).toDouble / 50000.0 - 1.0
+    }
+    val corpus = (0L until 2000L).map { id =>
+      val t = id % 40
+      (id, Array.tabulate(16)(d => h(t, d) + 0.05 * h(id, d + 100)))
+    }.toDF("vec_id", "embedding")
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nlist = 40,
+      hierThreshold = 0, knownCount = Some(2000L))
+    // effective cells = k1*k2 = 6*7 = 42, fine centroids in global-id order
+    assert(idx.centroids.length == 42)
+    // pin: stored cell == flat argmin over Index.centroids (strict <,
+    // lowest id on ties — the HierArgminExpr contract)
+    val rows = idx.assigned.select("id", "v", "cell").collect()
+    assert(rows.length == 2000)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      var best = 0; var bestD = Double.MaxValue
+      idx.centroids.zipWithIndex.foreach { case (c, j) =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+        if (acc < bestD) { bestD = acc; best = j }
+      }
+      assert(r.getInt(2) == best,
+        s"id=${r.get(0)}: hier cell ${r.getInt(2)} != flat argmin $best")
+    }
+    // search invariants survive the tier: full probe == brute force
+    // (every vector lives in exactly one cell), partial probe recall holds
+    val queries = corpus.filter(col("vec_id") < 20)
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val full = topk(IvfIndex.search(idx, queries, "vec_id", "embedding",
+      k = 10, nprobe = 42))
+    assert(full == exact, "full-probe hier search != brute force")
+    val approx = topk(IvfIndex.search(idx, queries, "vec_id", "embedding",
+      k = 10, nprobe = 6))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, f"hier-tier recall@10 $recall%.3f below 0.9")
+  }
+
   test("IVF lifecycle: one persisted build serves successive query batches (r6 task 5)") {
     val idx = IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
       .persist()

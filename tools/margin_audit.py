@@ -80,7 +80,7 @@ def margin(v, grid):
 # the SHIFTED value, not smeared onto an unrelated 6dp column's grid.)
 def column_grids(sql):
     grids = {}
-    for m in re.finditer(r'round\s*\(', sql, re.I):
+    for m in re.finditer(r'\bround\s*\(', sql, re.I):
         j = m.end() - 1
         depth = 0
         k = j
@@ -154,12 +154,12 @@ for name in sorted(oracle):
         print(f'SKIP {name}: {str(e).splitlines()[0][:100]}')
         continue
     attributed = column_grids(sql)
-    # columns with an attributed grid audit on it; when attribution found
-    # nothing (round() without AS), fall back to the old conservative
-    # min-grid sweep over all float columns
-    col_grid = [attributed.get(c) for c in cols]
-    if not any(g for g in col_grid):
-        col_grid = [min(grids)] * len(cols)
+    # columns with an attributed grid audit on it; any float column
+    # WITHOUT an attributed grid (round() not immediately aliased, or
+    # nested inside a larger expression) falls back to the conservative
+    # min-grid sweep — attribution must only ever TIGHTEN the audit,
+    # never drop a column from coverage
+    col_grid = [attributed.get(c) or min(grids) for c in cols]
     per = {}
     for r in rows:
         for c, v, g in zip(cols, r, col_grid):
