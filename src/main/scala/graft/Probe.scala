@@ -968,7 +968,17 @@ object Probe {
       case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf|pq|timeseries|curation)")
     }
 
-    println(f"[probe] wall=${(System.nanoTime() - t0) / 1e9}%.1fs worstRatio=${listener.worstRatio()}%.1fx")
+    // driver peak heap across HEAP pools (the r10 pq probe's first 20M
+    // attempt DIED of a full-GC storm that no per-phase number exposed —
+    // record the high-water mark in every probe artifact)
+    val peakHeap = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(_.getPeakUsage.getUsed).sum
+    }
+    println(f"[probe] wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
+      f"worstRatio=${listener.worstRatio()}%.1fx peakHeapGB=${peakHeap / 1e9}%.2f")
     println(listener.report())
     spark.stop()
   }

@@ -32,6 +32,51 @@ class IngestSpec extends SparkSpec {
     assert(tsf.timeCol.contains("Date") && tsf.df.count() == 5)
   }
 
+  test("Quandl collapse/transform matrix: period-end dating, last-obs keep, all five transforms") {
+    import org.apache.spark.sql.functions._
+    import graft.core.TimeseriesFrame
+    // hand-checkable fixture: 5 observations across 3 months; 2023-02-05
+    // IS a Sunday, so the weekly rule (period end = following Sunday,
+    // Sunday maps to itself) gets its boundary case
+    val df = spark.createDataFrame(Seq(
+      ("2023-01-10", 1.0), ("2023-01-31", 2.0), ("2023-02-05", 3.0),
+      ("2023-02-20", 4.0), ("2023-03-01", 5.0)))
+      .toDF("d", "v")
+      .select(to_timestamp(col("d")).as("Date"), col("v"))
+    val tsf = TimeseriesFrame.fromColumn(df, "Date")
+    def rows(out: TimeseriesFrame): Seq[(String, Double)] =
+      out.df.orderBy("Date")
+        .select(date_format(col("Date"), "yyyy-MM-dd"), col("v"))
+        .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
+    // monthly: last observation per month, re-dated to month end
+    val monthly = Finance.quandlCollapse(tsf, "monthly")
+    assert(rows(monthly) == Seq("2023-01-31" -> 2.0, "2023-02-28" -> 4.0,
+      "2023-03-31" -> 5.0), rows(monthly).toString)
+    // weekly: Jan 31 (Tue) and Feb 5 (Sun) share the week ending Feb 5
+    val weekly = Finance.quandlCollapse(tsf, "weekly")
+    assert(rows(weekly) == Seq("2023-01-15" -> 1.0, "2023-02-05" -> 3.0,
+      "2023-02-26" -> 4.0, "2023-03-05" -> 5.0), rows(weekly).toString)
+    // quarterly/annual collapse to the single period the data spans
+    assert(rows(Finance.quandlCollapse(tsf, "quarterly")) ==
+      Seq("2023-03-31" -> 5.0))
+    assert(rows(Finance.quandlCollapse(tsf, "annual")) ==
+      Seq("2023-12-31" -> 5.0))
+    // daily/none = identity
+    assert(rows(Finance.quandlCollapse(tsf, "daily")) == rows(tsf))
+    // transforms over the monthly values [2, 4, 5] (applied AFTER
+    // collapse, like the service): diff/rdiff drop the first period
+    def tvals(kind: String): Seq[Double] =
+      rows(Finance.quandlTransform(monthly, kind)).map(_._2)
+    assert(tvals("diff") == Seq(2.0, 1.0))
+    assert(tvals("rdiff") == Seq(1.0, 0.25))
+    assert(tvals("cumul") == Seq(2.0, 6.0, 11.0))
+    assert(tvals("normalize") == Seq(100.0, 200.0, 250.0))
+    assert(tvals("none") == Seq(2.0, 4.0, 5.0))
+    intercept[IllegalArgumentException](Finance.quandlCollapse(tsf, "hourly"))
+    intercept[IllegalArgumentException](
+      Finance.quandlTransform(monthly, "pct").df.collect())
+  }
+
   test("TimeSlice playback windows advance and clamp (owtimeslice.py:343-378)") {
     val wins = TimeSlice.playback(0.0, 100.0, widthSec = 30.0, stepSec = 30.0).toSeq
     assert(wins == Seq((0.0, 30.0), (30.0, 60.0), (60.0, 90.0), (90.0, 100.0)))
