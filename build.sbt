@@ -102,7 +102,7 @@ benchCheck := {
   val base = baseDirectory.value
   val bar = sys.env.getOrElse("BENCHCHECK_BAR", "1.5").toDouble
   val floorsFile = base / "tools" / "bench_floors.json"
-  val qRe = """"(q\d+\w*)":([0-9.]+)""".r
+  val qRe = """"(q\d+\w*)":\s*([0-9.]+)""".r
   def parseMap(s: String): Map[String, Double] =
     qRe.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
   val floors = parseMap(IO.read(floorsFile))
@@ -137,7 +137,12 @@ benchCheck := {
   else {
     log.warn(s"benchCheck: ${v1.size} first-pass violators: " +
       v1.map { case (q, t, f) => f"$q ($t%.3f vs floor $f%.3f)" }.mkString(", "))
-    val (t2, c2) = runBench(file("/tmp/benchcheck_pass2"), Some(v1.map(_._1).mkString(",")))
+    // pass 2 keeps the SAME query set as pass 1 (full run unless the
+    // SPARK_GRAFT_ONLY dev knob narrowed it): re-running only the
+    // violators was measured to inflate cheap queries 1.5-2x (a 2-query
+    // JVM lacks the grouped run's code-cache/scan-buffer warmth), which
+    // would confirm false regressions against full-run floors
+    val (t2, c2) = runBench(file("/tmp/benchcheck_pass2"), sys.env.get("SPARK_GRAFT_ONLY"))
     // a violator whose SECOND measurement is itself contended is
     // unresolved, not cleared — surfaced loudly, but only two CLEAN
     // over-bar measurements constitute a confirmed regression

@@ -108,6 +108,13 @@ object Probe {
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // probe-harness only: a single-JVM local run at the node's memory
+      // edge can stall >120 s in one GC/IO squall, and the heartbeat
+      // "executor removal" that follows kills an otherwise-finishing
+      // run (hit at 50M indexscreen, r11). In local mode the heartbeat
+      // protects nothing — driver and executor share the process.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "120s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new SkewListener
@@ -507,7 +514,13 @@ object Probe {
         // form an over-cap bucket that the build-time flood guard drops,
         // so a perturbed stub finds nothing — both behaviors asserted.
         import graft.dedup.Dedup
-        val ref = cleanCorpus(spark, n).localCheckpoint(true)
+        // NO checkpoint on the reference corpus: it is a cheap
+        // deterministic generator (column exprs over range — the
+        // documented "checkpoint only what is expensive to rebuild"
+        // rule), and pinning 100M rows of text alongside the persisted
+        // sig/band stores filled the sandbox disk (r11 100M attempt:
+        // "No space left on device" during index persist)
+        val ref = cleanCorpus(spark, n)
         // optional 3rd arg: batch size (default n/10) — lets the
         // batch-bound-shuffle claim be tested with m fixed as n grows
         val m = args.lift(2).map(_.toLong).getOrElse(n / 10)

@@ -1737,6 +1737,23 @@ object SparkEntry {
         col(target.head).as("close_rdiff"), col("High").as("high_rdiff"),
         col("Volume").as("volume_rdiff"))
     }),
+    "q129_html_block_score" -> ((s, dir) => {
+      // the trafilatura/jusText boilerplate-block layer (the r10 verdict's
+      // one documented extraction gap): wrap the q122 page in real chrome
+      // (link-dense menu, mixed footer), segment at block tags, score
+      // each block (text_len, link_density, stop_hits) → keep_core, plus
+      // the short-near-good rescue window. link_density is one int/int
+      // IEEE division rounded to the same 6dp grid on both sides; the
+      // keep thresholds compare the ROUNDED value in both engines.
+      val d = tbl(s, dir, "documents")
+      val page = concat(
+        lit("<div class=\"menu\"><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">News</a> <a href=\"/b\">More</a></div>"),
+        syntheticHtmlPage,
+        lit("<footer><a href=\"/c\">Contact</a> site footer</footer>"))
+      TextFunctions.scoreHtmlBlocks(
+        d.select(col("doc_id"), page.as("page")), "doc_id", "page")
+    }),
     "q124_web_pipeline" -> ((s, dir) => {
       // the web-crawl front half END-TO-END under one oracle: raw HTML →
       // extract → normalize → quality verdict → keep → deterministic
@@ -2441,6 +2458,7 @@ object SparkEntry {
          |SELECT CAST(epoch(CAST(pe AS TIMESTAMP)) AS BIGINT) AS t_s,
          | close_rdiff, high_rdiff, volume_rdiff
          |FROM r WHERE close_rdiff IS NOT NULL""".stripMargin,
+    "q129_html_block_score" -> htmlBlockScoreSql,
     // the identical regexp/replace chain over the identically constructed
     // page — both engines run the same RE2/Java-regex-common patterns
     "q122_html_extract" ->
@@ -4173,6 +4191,62 @@ object SparkEntry {
        |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
        |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
        | '[ \\t\\n\\r\\f]+', ' ', 'g'))""".stripMargin
+
+  /** [[graft.text.TextFunctions.stripTagsAndEntities]] as a SQL chain —
+    * the per-block tail of the extract chain (script/style/comments are
+    * stripped page-wide BEFORE block segmentation). */
+  private def htmlBlockStripSqlChain(e: String): String =
+    s"""trim(regexp_replace(
+       | replace(replace(replace(replace(replace(replace(
+       |  regexp_replace($e, '(?s)<[^>]+>', ' ', 'g'),
+       |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+       | '[ \\t\\n\\r\\f]+', ' ', 'g'))""".stripMargin
+
+  /** q129: block segmentation + jusText-style scoring + rescue window,
+    * replayed stage-for-stage ([[graft.text.TextFunctions
+    * .scoreHtmlBlocks]]); the keep thresholds compare the 6dp-ROUNDED
+    * link density on both sides so boundary behavior is shared. */
+  private def htmlBlockScoreSql: String = {
+    val blockRe = """(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|""" +
+      """section|article|main|body|header|footer|nav|aside|blockquote|br)\b[^>]*>"""
+    s"""WITH page AS (SELECT doc_id,
+       |  '<div class="menu"><a href="/">Home</a> <a href="/a">News</a> <a href="/b">More</a></div>'
+       |  || ($htmlPageSqlExpr)
+       |  || '<footer><a href="/c">Contact</a> site footer</footer>' AS page
+       | FROM documents),
+       |pre AS (SELECT doc_id, regexp_replace(regexp_replace(page,
+       |   '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+       |   '(?s)<!--.*?-->', ' ', 'g') AS p FROM page),
+       |arr AS (SELECT doc_id, regexp_split_to_array(p, '$blockRe') AS bs FROM pre),
+       |blk AS (SELECT doc_id, unnest(generate_series(1, len(bs))) - 1 AS block_id,
+       |  bs FROM arr),
+       |raw AS (SELECT doc_id, CAST(block_id AS INT) AS block_id,
+       |  bs[block_id + 1] AS r FROM blk),
+       |sc AS (SELECT doc_id, block_id,
+       |  ${htmlBlockStripSqlChain("r")} AS txt,
+       |  ${htmlBlockStripSqlChain(
+             "regexp_replace(r, '(?is)<a\\b[^>]*>.*?</a>', ' ', 'g')")} AS txta
+       | FROM raw),
+       |m AS (SELECT doc_id, block_id, txt AS text_block,
+       |  CAST(length(txt) AS BIGINT) AS text_len,
+       |  round(CASE WHEN length(txt) = 0 THEN 1.0
+       |   ELSE greatest(0, length(txt) - length(txta))::DOUBLE / length(txt) END,
+       |   6) AS link_density,
+       |  CAST(len(list_intersect(
+       |    list_filter(regexp_split_to_array(lower(txt), '\\s+'), x -> x != ''),
+       |    ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT)
+       |   AS stop_hits
+       | FROM sc WHERE length(txt) > 0),
+       |k AS (SELECT *, (text_len >= 25 AND link_density <= 0.33
+       |   AND stop_hits >= 1) AS keep_core FROM m)
+       |SELECT doc_id, block_id, text_block, text_len, link_density, stop_hits,
+       | keep_core,
+       | keep_core OR (text_len >= 10 AND link_density <= 0.33 AND
+       |   (coalesce(lag(keep_core) OVER w, false) OR
+       |    coalesce(lead(keep_core) OVER w, false))) AS keep
+       |FROM k WINDOW w AS (PARTITION BY doc_id ORDER BY block_id)""".stripMargin
+  }
 
   /** [[graft.text.TextFunctions.normalizeText]] as a SQL chain over `e`. */
   private def normalizeSqlChain(e: String): String =

@@ -234,11 +234,21 @@ object Dedup {
       * cutting over. An unpersisted chain stays correct but recomputes
       * its lineage per consumption. */
     def persist(): MinhashIndex = {
-      banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pin the banded store HASH-PARTITIONED ON ITS JOIN KEY: the
+      // cached layout's outputPartitioning satisfies the screen join's
+      // required distribution, so [[minhashSearch]] plans NO exchange on
+      // the index side — only the arriving batch shuffles. Without this
+      // the r11 50M probe measured 10.7 GB of shuffle PER SCREEN at a
+      // 2M-doc batch (the full 800M-row banded store re-exchanged every
+      // batch — index-bound, growing with the corpus); the one
+      // build-time repartition amortizes across every screen the index
+      // serves. Same content, physical layout only.
+      val laid = banded.repartition(col("bucket"))
+      laid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      banded.count()
+      laid.count()
       counts.count()
-      this
+      copy(banded = laid)
     }
     /** Drop the pinned frames (no-op if never persisted). */
     def release(): Unit = { banded.unpersist(); counts.unpersist(); () }

@@ -351,9 +351,10 @@ object TextFunctions {
     * crawl pipeline (the trafilatura/jusText job, reduced to the
     * regex-expressible core: this container has no HTML parser, and a
     * DOM walk would be a UDF; the chain below handles the markup bulk —
-    * script/style subtrees, comments, tags, the common entities — and is
-    * honest about what it is NOT: no boilerplate-block scoring, no
-    * main-content detection). Scan-stage `regexp_replace`/`replace`
+    * script/style subtrees, comments, tags, the common entities;
+    * boilerplate-block scoring and main-content detection are the
+    * separate [[scoreHtmlBlocks]]/[[extractMainText]] layer).
+    * Scan-stage `regexp_replace`/`replace`
     * chain (codegen, no UDF); every pattern behaves identically under
     * Java regex and RE2, so the DuckDB oracle replays the chain verbatim
     * (q122). Order matters twice: script/style strip BEFORE the generic
@@ -363,7 +364,14 @@ object TextFunctions {
     val noScript = regexp_replace(html,
       lit("(?is)<(script|style)[^>]*>.*?</(script|style)>"), lit(" "))
     val noComment = regexp_replace(noScript, lit("(?s)<!--.*?-->"), lit(" "))
-    val noTag = regexp_replace(noComment, lit("(?s)<[^>]+>"), lit(" "))
+    stripTagsAndEntities(noComment)
+  }
+
+  /** Tag strip + entity decode + whitespace collapse — the tail of
+    * [[extractHtmlText]], shared with the per-block scorer (which strips
+    * script/style/comments BEFORE splitting into blocks). */
+  private def stripTagsAndEntities(c0: Column): Column = {
+    val noTag = regexp_replace(c0, lit("(?s)<[^>]+>"), lit(" "))
     val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTag) { case (c, (k, v)) =>
@@ -371,6 +379,91 @@ object TextFunctions {
       }
     trim(regexp_replace(ent, lit("[ \\t\\n\\r\\f]+"), lit(" ")))
   }
+
+  /** Block-level tag boundary — the segmentation the block scorer uses
+    * (Java-regex ∩ RE2, shared verbatim with the q129 oracle). */
+  val htmlBlockTagRe: String = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|" +
+    "td|th|section|article|main|body|header|footer|nav|aside|blockquote|br)" +
+    "\\b[^>]*>"
+
+  /** Boilerplate-block scoring over raw HTML — the trafilatura/jusText
+    * layer [[extractHtmlText]] is honest about lacking, DOM-free (no
+    * parser in this container; a DOM walk would be a UDF): segment the
+    * page at block-level tag boundaries and classify each block by the
+    * three density heuristics the boilerplate literature agrees on
+    * (jusText, Pomikálek 2011; trafilatura's rule core):
+    *
+    *  - `text_len` — chars of the block's tag-stripped, entity-decoded,
+    *    whitespace-collapsed text (short fragments = chrome);
+    *  - `link_density` — share of that text living inside `<a>` elements
+    *    (nav/footer blocks are link-dense);
+    *  - `stop_hits` — distinct function words from the q97 Gopher list
+    *    (boilerplate labels rarely carry function words).
+    *
+    * `keep_core` = `text_len ≥ minChars ∧ link_density ≤ maxLinkDensity
+    * ∧ stop_hits ≥ 1`; jusText's neighborhood rescue is the one
+    * context-sensitive pass: a shorter block (`≥ rescueMinChars`, link
+    * density in bounds) adjacent to a core-kept block is kept too —
+    * lag/lead over (doc, block order), the window re-expression of
+    * jusText's "short-near-good" rule.
+    *
+    * Scale shape: script/comment strip + block split + per-block scoring
+    * are ONE codegen scan stage (explode included); the only shuffle is
+    * the per-doc rescue window, keyed by document — fully parallel, and
+    * block counts are page-bounded so no skew. Output: one row per
+    * non-empty block — (idCol, block_id, text_block, text_len,
+    * link_density, stop_hits, keep_core, keep). Empty inter-tag segments
+    * are dropped; `block_id` is the segment's index in the raw split, so
+    * ids are stable whether or not neighbors are empty. */
+  def scoreHtmlBlocks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      htmlCol: String, minChars: Int = 25, maxLinkDensity: Double = 0.33,
+      rescueMinChars: Int = 10): org.apache.spark.sql.DataFrame = {
+    val pre = regexp_replace(regexp_replace(coalesce(col(htmlCol), lit("")),
+      lit("(?is)<(script|style)[^>]*>.*?</(script|style)>"), lit(" ")),
+      lit("(?s)<!--.*?-->"), lit(" "))
+    val exploded = df.select(col(idCol),
+      posexplode(split(pre, htmlBlockTagRe)).as(Seq("block_id", "__raw")))
+    val txt = stripTagsAndEntities(col("__raw"))
+    val txtNoA = stripTagsAndEntities(regexp_replace(col("__raw"),
+      lit("(?is)<a\\b[^>]*>.*?</a>"), lit(" ")))
+    val tLen = length(txt)
+    val ld = when(tLen === 0, lit(1.0)).otherwise(
+      greatest(lit(0), tLen - length(txtNoA)).cast("double") /
+        tLen.cast("double"))
+    val stopHits = size(array_intersect(tokensLower(txt),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(lit): _*))).cast("long")
+    val scored = exploded.select(col(idCol), col("block_id"),
+        txt.as("text_block"), tLen.cast("long").as("text_len"),
+        round(ld, 6).as("link_density"), stopHits.as("stop_hits"))
+      .filter(col("text_len") > 0)
+    val core = col("text_len") >= minChars &&
+      col("link_density") <= maxLinkDensity && col("stop_hits") >= 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("block_id"))
+    val withCore = scored.withColumn("keep_core", core)
+    withCore.withColumn("keep", col("keep_core") ||
+      (col("text_len") >= rescueMinChars &&
+        col("link_density") <= maxLinkDensity &&
+        (coalesce(lag(col("keep_core"), 1).over(w), lit(false)) ||
+          coalesce(lead(col("keep_core"), 1).over(w), lit(false)))))
+  }
+
+  /** [[scoreHtmlBlocks]] → main text: kept blocks re-joined in block
+    * order with single spaces — the drop-in upgrade of
+    * [[extractHtmlText]] for pages with real chrome. One groupBy over
+    * the scorer's output; the sort/join runs per-doc over page-bounded
+    * block arrays (projection-only higher-order ops, never a filter). */
+  def extractMainText(df: org.apache.spark.sql.DataFrame, idCol: String,
+      htmlCol: String, minChars: Int = 25, maxLinkDensity: Double = 0.33,
+      rescueMinChars: Int = 10): org.apache.spark.sql.DataFrame =
+    scoreHtmlBlocks(df, idCol, htmlCol, minChars, maxLinkDensity,
+      rescueMinChars)
+      .filter(col("keep"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("block_id"), col("text_block")))),
+        b => b.getField("text_block")), " ").as("text_main"))
 
   /** Text normalization — the ftfy-lite cleanup every corpus gets before
     * hashing/tokenizing: strip C0/C1-ish control characters (tab and

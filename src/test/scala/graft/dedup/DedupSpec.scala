@@ -545,6 +545,41 @@ class DedupSpec extends SparkSpec {
     assert(self.nonEmpty, "construction must produce cross pairs")
     // persist lifecycle: pinned index returns the identical result
     val pinned = idx.persist()
+    // serving-layout contract (r11): the pinned banded store is cached
+    // HASH-PARTITIONED ON bucket, so the screen's band join plans no
+    // exchange above the index-side cache scan (without the layout, the
+    // 50M probe measured 10.7 GB of index re-shuffle PER 2M-doc screen).
+    // AQE is toggled off for the plan-shape check only — its query-stage
+    // wrappers hide the exchange/scan nesting (results unaffected).
+    // (the screen's band join runs eagerly inside the candidate
+    // checkpoint, so it cannot be asserted from the returned plan; the
+    // layout contract below is what makes EnsureRequirements elide the
+    // index-side exchange, and the 50M probe measures the effect
+    // end-to-end in shuffle bytes per screen)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val part = pinned.banded.queryExecution.executedPlan.outputPartitioning
+      assert(part.toString.contains("hashpartitioning") &&
+        part.toString.contains("bucket"),
+        s"pinned banded store not cached bucket-partitioned: $part")
+      // a band-keyed shuffle join against the pinned store must not
+      // exchange the index side (broadcast disabled so the check runs
+      // the at-scale join shape)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = pinned.banded.select(col("bucket"), col("id").as("id2"))
+      val plan = probe.join(pinned.banded, Seq("bucket"))
+        .queryExecution.executedPlan
+      val offending = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.find(_.isInstanceOf[
+            org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+            .isDefined => e
+      }
+      assert(offending.isEmpty, s"pinned store re-shuffled under a bucket join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     val again = Dedup.minhashSearch(pinned, batch, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sorted.toSeq
