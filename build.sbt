@@ -102,10 +102,29 @@ benchCheck := {
   val base = baseDirectory.value
   val bar = sys.env.getOrElse("BENCHCHECK_BAR", "1.5").toDouble
   val floorsFile = base / "tools" / "bench_floors.json"
-  val qRe = """"(q\d+\w*)":\s*([0-9.]+)""".r
-  def parseMap(s: String): Map[String, Double] =
-    qRe.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
-  val floors = parseMap(IO.read(floorsFile))
+  // real JSON parsing of floors + artifacts (ADVICE r11: the regex
+  // scrape would silently corrupt the map on an error string containing
+  // '"q12": 1.5' or on artifact-format drift; python3 is already a
+  // build-time dependency via gateSweep/compare.py, so parse with it and
+  // fail loudly on malformed JSON instead)
+  val pyExtract =
+    """import json,sys
+      |d = json.load(open(sys.argv[1]))
+      |src = d.get('queries') if isinstance(d.get('queries'), dict) else d
+      |for k, v in src.items():
+      |    if isinstance(v, (int, float)) and k.startswith('q'):
+      |        print('Q\t%s\t%.6f' % (k, v))
+      |for q in d.get('contended', []):
+      |    print('C\t%s' % q)
+      |""".stripMargin
+  def parseArtifact(f: java.io.File): (Map[String, Double], Set[String]) = {
+    val out = Process(Seq("python3", "-c", pyExtract, f.getAbsolutePath)).!!
+    val lines = out.linesIterator.map(_.split('\t')).toVector
+    (lines.collect { case Array("Q", q, t) => q -> t.toDouble }.toMap,
+      lines.collect { case Array("C", q) => q }.toSet)
+  }
+  val floors = parseArtifact(floorsFile)._1
+  if (floors.isEmpty) sys.error(s"benchCheck: no floors parsed from $floorsFile")
   def runBench(dir: java.io.File, only: Option[String]): (Map[String, Double], Set[String]) = {
     IO.createDirectory(dir)
     val jcmd = Seq("java") ++ jdk17AddOpens ++ Seq(
@@ -116,49 +135,65 @@ benchCheck := {
       "SPARK_GRAFT_CPUS" -> "32") ++ only.map("SPARK_GRAFT_ONLY" -> _)
     val code = Process(jcmd, dir, env: _*).!
     if (code != 0) sys.error(s"benchCheck: Bench exited $code in $dir")
-    val art = IO.read(dir / "bench_queries.json")
-    val contended = """"contended":\[([^\]]*)\]""".r
-      .findFirstMatchIn(art).map(_.group(1)).getOrElse("")
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSet
-    (parseMap(art.substring(art.indexOf("\"queries\""))), contended)
+    parseArtifact(dir / "bench_queries.json")
   }
-  val (t1, c1) = runBench(file("/tmp/benchcheck_pass1"), sys.env.get("SPARK_GRAFT_ONLY"))
-  def violators(ts: Map[String, Double], contended: Set[String]): Seq[(String, Double, Double)] =
-    ts.toSeq.flatMap { case (q, t) =>
+  // Every pass runs the SAME full query set (re-running only the
+  // violators was measured to inflate cheap queries 1.5-2x — a 2-query
+  // JVM lacks the grouped run's code-cache/scan-buffer warmth — which
+  // would confirm false regressions against full-run floors). Per-query
+  // verdict state across passes:
+  //   clean measurement <= bar·floor        -> CLEARED
+  //   two clean measurements  > bar·floor   -> CONFIRMED regression, red
+  //   contended in every pass                -> UNRESOLVED, red (ADVICE
+  //     r11: a real regression under persistent contention must not
+  //     pass green — extra passes retry it, and running out of passes
+  //     without one clean measurement fails loudly)
+  val only = sys.env.get("SPARK_GRAFT_ONLY")
+  val maxPasses = sys.env.getOrElse("BENCHCHECK_MAX_PASSES", "3").toInt
+  val overCount = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+  val cleared = scala.collection.mutable.Set[String]()
+  val confirmedRegs = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+  var openQs: Set[String] = Set("bootstrap")
+  var pass = 0
+  while (pass < maxPasses && openQs.nonEmpty && confirmedRegs.isEmpty) {
+    pass += 1
+    if (pass > 1) log.warn(s"benchCheck pass $pass: ${openQs.size} " +
+      s"unresolved (${openQs.toSeq.sorted.mkString(", ")}) — full re-run")
+    val (tn, cn) = runBench(file(s"/tmp/benchcheck_pass$pass"), only)
+    tn.foreach { case (q, t) =>
       floors.get(q) match {
-        case None => log.warn(s"benchCheck: $q has no floor (new query?) — skipped"); None
-        case Some(f) if t > bar * f && !contended.contains(q) => Some((q, t, f))
-        case _ => None
+        case None =>
+          if (pass == 1) log.warn(s"benchCheck: $q has no floor (new query?) — skipped")
+        case Some(f) if !cn.contains(q) && !cleared.contains(q) =>
+          if (t <= bar * f) cleared += q
+          else {
+            overCount(q) += 1
+            log.warn(f"benchCheck: $q over bar in clean pass $pass " +
+              f"($t%.3f vs floor $f%.3f, ${t / f}%.2fx)")
+            if (overCount(q) >= 2) confirmedRegs += ((q, t, f))
+          }
+        case _ => ()
       }
     }
-  val v1 = violators(t1, c1)
-  if (v1.isEmpty) log.info(s"benchCheck: ${t1.size} queries within ${bar}x of their floors")
-  else {
-    log.warn(s"benchCheck: ${v1.size} first-pass violators: " +
-      v1.map { case (q, t, f) => f"$q ($t%.3f vs floor $f%.3f)" }.mkString(", "))
-    // pass 2 keeps the SAME query set as pass 1 (full run unless the
-    // SPARK_GRAFT_ONLY dev knob narrowed it): re-running only the
-    // violators was measured to inflate cheap queries 1.5-2x (a 2-query
-    // JVM lacks the grouped run's code-cache/scan-buffer warmth), which
-    // would confirm false regressions against full-run floors
-    val (t2, c2) = runBench(file("/tmp/benchcheck_pass2"), sys.env.get("SPARK_GRAFT_ONLY"))
-    // a violator whose SECOND measurement is itself contended is
-    // unresolved, not cleared — surfaced loudly, but only two CLEAN
-    // over-bar measurements constitute a confirmed regression
-    v1.filter { case (q, _, _) => c2.contains(q) }.foreach { case (q, _, _) =>
-      log.warn(s"benchCheck: $q over bar in pass 1 but pass 2 was contended — unresolved")
-    }
-    val v2 = violators(t2, c2).filter { case (q, _, _) => v1.exists(_._1 == q) }
-    if (v2.nonEmpty) {
-      v2.foreach { case (q, t, f) =>
-        log.error(f"benchCheck REGRESSION $q: $t%.3f s vs floor $f%.3f s " +
-          f"(${t / f}%.2fx > ${bar}x) in two contention-clean passes")
-      }
-      sys.error(s"benchCheck: ${v2.size} persistent perf regression(s)")
-    }
-    log.info("benchCheck: all first-pass violators cleared on the second pass")
+    openQs = tn.keySet.filter(q => floors.contains(q) &&
+      !cleared.contains(q) && overCount(q) < 2)
   }
+  if (confirmedRegs.nonEmpty) {
+    confirmedRegs.foreach { case (q, t, f) =>
+      log.error(f"benchCheck REGRESSION $q: $t%.3f s vs floor $f%.3f s " +
+        f"(${t / f}%.2fx > ${bar}x) in two contention-clean passes")
+    }
+    sys.error(s"benchCheck: ${confirmedRegs.size} persistent perf regression(s)")
+  }
+  if (openQs.nonEmpty) {
+    val neverClean = openQs.filter(q => overCount(q) == 0)
+    val onceOver = openQs -- neverClean
+    sys.error(s"benchCheck: ${openQs.size} queries unresolved after $maxPasses " +
+      s"passes — over-bar awaiting a clean confirm: ${onceOver.toSeq.sorted.mkString(", ")}; " +
+      s"contended in every pass: ${neverClean.toSeq.sorted.mkString(", ")}")
+  }
+  log.info(s"benchCheck: ${cleared.size} queries within ${bar}x of their floors" +
+    (if (pass > 1) s" (resolved in $pass passes)" else ""))
 }
 
 // Three-SF oracle sweep + enforced margin audit (VERDICT r9 tasks 6/7):

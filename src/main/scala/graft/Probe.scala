@@ -299,11 +299,20 @@ object Probe {
       case "clean" =>
         // the q72 text-pipeline spine at scale, PHASE-TIMED (VERDICT r8
         // task 6): each stage is force-materialized behind an eager
-        // localCheckpoint so a phase's wall/shuffle numbers measure that
-        // phase alone, not its upstream lineage replay
+        // barrier so a phase's wall/shuffle numbers measure that phase
+        // alone, not its upstream lineage replay. The barrier is a
+        // COLUMNAR persist + count, NOT localCheckpoint (VERDICT r11
+        // task 4): checkpointed deserialized row objects cost ~650 B/row
+        // and were the 111.9 GB peak-heap source at 100M — the SQL cache
+        // stores the same frames compressed-columnar at ~1/3 the
+        // footprint and spills to disk instead of dying
         import graft.dedup.Dedup
         import graft.pipeline.Sampling
         import graft.text.TextFunctions
+        import org.apache.spark.storage.StorageLevel
+        def pin(df: DataFrame): DataFrame = {
+          df.persist(StorageLevel.MEMORY_AND_DISK); df
+        }
         def phase(tag: String)(f: => Long): Unit = {
           Thread.sleep(1000)
           val b0 = listener.shuffleWriteBytes; val s0 = System.nanoTime()
@@ -315,30 +324,33 @@ object Probe {
         }
         var docs: DataFrame = null
         phase("corpus_materialize") {
-          docs = cleanCorpus(spark, n).localCheckpoint(true); docs.count()
+          docs = pin(cleanCorpus(spark, n)); docs.count()
         }
         var pairs: DataFrame = null
         phase("minhash_pairs") {
-          pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          pairs = pin(Dedup.minhashCandidates(docs, "doc_id", "text",
               shingleHashesOf = TextFunctions.shingleHashes(_, 3),
               numHashes = 64, bands = 8)
-            .filter(col("est_jaccard") >= 0.5).localCheckpoint(true)
+            .filter(col("est_jaccard") >= 0.5))
           pairs.count()
         }
         var clusters: DataFrame = null
         phase("connected_components") {
-          clusters = Dedup.connectedComponents(pairs)
-            .select(col("id").as("doc_id"), col("component"))
-            .localCheckpoint(true)
-          clusters.count()
+          clusters = pin(Dedup.connectedComponents(pairs)
+            .select(col("id").as("doc_id"), col("component")))
+          val nc = clusters.count()
+          pairs.unpersist()
+          nc
         }
         var kept: DataFrame = null
         phase("canonical_quality") {
           val canonical = docs.join(clusters, Seq("doc_id"), "left")
             .filter(col("component").isNull || col("component") === col("doc_id"))
-          kept = TextFunctions.qualityFilter(canonical, "doc_id", "text")
-            .filter(col("keep")).localCheckpoint(true)
-          kept.count()
+          kept = pin(TextFunctions.qualityFilter(canonical, "doc_id", "text")
+            .filter(col("keep")))
+          val nk = kept.count()
+          docs.unpersist(); clusters.unpersist()
+          nk
         }
         phase("split") {
           val out = Sampling.deterministicSplit(kept,
@@ -465,6 +477,35 @@ object Probe {
         println(f"[probe] bpe n=$n merges=${model.merges.size} train=$tTrain%.1fs")
         encodePass("encode_pass1")
         encodePass("encode_pass2")
+      case "bpetail" =>
+        // the web-scale vocab ceiling (VERDICT r11 task 6): a 200k-word
+        // head vocabulary PLUS one unique count-1 garbage word per doc —
+        // at n >= 10M the distinct-word table exceeds the default
+        // maxWords=10M driver bound, so training only completes because
+        // minCount=2 prunes the tail INSIDE the distributed count pass.
+        // The tail words use disjoint symbols (k-t vs the head's a-j),
+        // so the merge list must equal a head-only train bit-for-bit —
+        // asserted, not assumed.
+        import graft.text.Bpe
+        val headText = concat_ws(" ", (0 until 20).map(i => translate(
+          concat(lit("w"), pmod(hash(col("id") * 31 + lit(i)), lit(200000))),
+          "0123456789", "abcdefghij")): _*)
+        val docs = spark.range(n).select(col("id"),
+          concat(headText, lit(" "), translate(concat(lit("k"), col("id")),
+            "0123456789", "klmnopqrst")).as("text"))
+        val nDistinctTail = n // one unique garbage word per doc
+        println(s"[probe] bpetail n=$n distinct_words ~= ${nDistinctTail + 200000}")
+        val t0 = System.nanoTime()
+        val model = Bpe.train(docs, "text", numMerges = 200, minCount = 2L)
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        val headDocs = spark.range(n).select(col("id"), headText.as("text"))
+        val t1 = System.nanoTime()
+        val headModel = Bpe.train(headDocs, "text", numMerges = 200)
+        val tHead = (System.nanoTime() - t1) / 1e9
+        require(model.merges == headModel.merges,
+          "pruned-tail merges diverged from the head-only train")
+        println(f"[probe] bpetail n=$n merges=${model.merges.size} " +
+          f"train=$tTrain%.1fs head_only=$tHead%.1fs merges_equal=true")
       case "cleanv2" =>
         // the q114 spine at scale: paragraph dedup (hot header on every
         // page) → C4 rules over the deduped text (scan-stage) → split.
@@ -491,8 +532,12 @@ object Probe {
         }
         var pd: DataFrame = null
         phase("paragraph_dedup") {
+          // columnar persist, NOT localCheckpoint (VERDICT r11 task 4):
+          // the row-object checkpoint of this frame was the 111.9 GB
+          // peak-heap source of the 100M run — compressed-columnar cache
+          // is ~1/3 the bytes and spills instead of filling the heap
           pd = Dedup.dedupParagraphs(pages, "doc_id", "text")
-            .localCheckpoint(true)
+          pd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           pd.count()
         }
         phase("c4_split") {

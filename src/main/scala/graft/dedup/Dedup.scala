@@ -225,8 +225,14 @@ object Dedup {
       shingleHashesOf: Column => Column,
       sigs: DataFrame, banded: DataFrame, counts: DataFrame) {
     /** Pin + materialize the banded and counts frames (`sigs` is already
-      * materialized checkpoint blocks from build time); returns this
-      * handle. This is also what AMORTIZES the incremental lifecycle:
+      * materialized checkpoint blocks from build time); returns a NEW
+      * handle whose `banded` is the pinned bucket-laid frame — the
+      * returned handle MUST replace this one. Discarding the result
+      * leaves the laid frame pinned with no handle able to unpin it
+      * (`release()` on the pre-persist handle only reaches the original
+      * frames), so the call shape is always
+      * `idx = idx.persist()` / … / `idx.release()`.
+      * This is also what AMORTIZES the incremental lifecycle:
       * [[append]]/[[remove]] build their outputs as (old frame) ∪
       * (batch-bound delta), so when the old frames are pinned, producing
       * and consuming the next index costs the delta plus cache scans —

@@ -94,9 +94,10 @@ object SemDedup {
     * assignment stays total). */
   def centroidsKMeansHier(corpus: DataFrame, idCol: String, vecCol: String,
       k1: Int, k2: Int, sampleN: Int = 65536,
-      maxIter: Int = 10, knownCount: Option[Long] = None): HierCodebooks = {
+      maxIter: Int = 10, knownCount: Option[Long] = None,
+      seed: Long = 0L): HierCodebooks = {
     val sample = ProductQuantizer.sampleVectors(corpus, idCol, vecCol, sampleN,
-      knownCount)
+      knownCount, seed)
     require(sample.length >= k1, s"need ≥ k1=$k1 sample vectors")
     val dim = sample.head.length
     val coarseCents = ProductQuantizer.lloyd(sample, 0, dim, k1, maxIter)

@@ -75,7 +75,18 @@ object IvfIndex {
     *
     * `knownCount` skips the sizing `count()` when the caller already
     * holds the corpus row count (an unpersisted corpus would otherwise
-    * pay one full extra scan of the vector projection). */
+    * pay one full extra scan of the vector projection).
+    *
+    * Param contract deviations on the hier tier (`nlist > hierThreshold`):
+    *  - `nlist` is rounded UP to k1·k2 (k1 = ⌈√nlist⌉-ish, k2 =
+    *    ⌈nlist/k1⌉) — e.g. nlist=1000 yields 1024 cells, and
+    *    `Index.centroids.length == k1·k2`, not nlist. Probe ranking and
+    *    recall are unaffected (more, finer cells); callers sizing
+    *    nprobe as a fraction of nlist should use `centroids.length`.
+    *  - `seed` varies the bounded TRAINING SAMPLE (folded into the
+    *    id-hash sampler); the default `seed = 42` maps to the legacy
+    *    unseeded sample so existing builds stay bit-identical. Lloyd
+    *    init itself stays deterministic given the sample on both tiers. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, trainSample: Int = 131072,
       hierThreshold: Int = 256, knownCount: Option[Long] = None): Index = {
@@ -106,7 +117,8 @@ object IvfIndex {
       val k1 = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
       val k2 = (nlist + k1 - 1) / k1
       val hcb = graft.dedup.SemDedup.centroidsKMeansHier(vecs, "id", "v",
-        k1 = k1, k2 = k2, sampleN = trainSample, knownCount = knownCount)
+        k1 = k1, k2 = k2, sampleN = trainSample, knownCount = knownCount,
+        seed = if (seed == 42L) 0L else seed)
       val assigned = vecs.select(col("id"), col("v"),
         graft.dedup.SemDedup.assignClusterHier(col("v"), hcb).as("cell"),
         Similarity.norm(col("v")).as("nrm"))

@@ -78,7 +78,8 @@ object ProductQuantizer {
     * which the driver sorts by (hash, id) and trims to sampleN; the
     * collect is bounded by the sample size, never the corpus. */
   def sampleVectors(corpus: DataFrame, idCol: String, vecCol: String,
-      sampleN: Int, knownCount: Option[Long] = None): Array[Array[Double]] = {
+      sampleN: Int, knownCount: Option[Long] = None,
+      seed: Long = 0L): Array[Array[Double]] = {
     // cast the id to long exactly as fromRows does: getLong on an uncast
     // Integer id threw ClassCastException, silently restricting
     // trainKMeans / SemDedup centroid sampling to LongType ids. The cast
@@ -87,13 +88,18 @@ object ProductQuantizer {
     // `knownCount` skips the sizing count() when the caller already
     // holds the row count (an unpersisted corpus would otherwise pay a
     // full extra scan of the vector projection).
+    // `seed = 0` is the legacy unseeded id-hash (bit-identical to every
+    // pre-seed build); any other value folds the seed into the hash so
+    // seed-varied callers draw genuinely different training samples.
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    val h = if (seed == 0L) xxhash64(col("id"))
+            else xxhash64(col("id"), lit(seed))
     val total = knownCount.getOrElse(base.count())
     val p = math.max(1L, total / math.max(1L, 2L * sampleN))
     base
-      .filter(pmod(xxhash64(col("id")), lit(p)) === 0)
-      .select(xxhash64(col("id")).as("h"), col("id"), col("v"))
+      .filter(pmod(h, lit(p)) === 0)
+      .select(h.as("h"), col("id"), col("v"))
       .collect()
       .sortBy(r => (r.getLong(0), r.getLong(1)))
       .take(sampleN)
@@ -232,20 +238,34 @@ object ProductQuantizer {
     * (FAISS's IndexRefineFlat shape). `refine = 0` returns pure ADC
     * scores; ranking ties break on `neighbor_id`.
     *
-    * Execution semantics with `refine > 0`: the ADC shortlist is consumed
-    * by two downstream joins (one as a broadcast side), so it is pinned
-    * MEMORY_AND_DISK and materialized EAGERLY at call time — the probe +
-    * ADC Spark job runs here, not at the caller's first action. The pin is
-    * small (≤ refine·k rows per query) but lives until the caller runs the
-    * returned cleanup or the session ends; batch-serving loops should call
-    * [[searchManaged]] and clean up per batch. persist (not
-    * localCheckpoint) keeps the lineage, so an executor loss in cluster
-    * mode recomputes the shortlist instead of failing the query. */
+    * Execution semantics with `refine > 0`: the whole search runs EAGERLY
+    * at call time and the returned frame is the materialized top-k
+    * (`localCheckpoint`, ≤ k rows per query — tiny), NOT a lazy plan.
+    * This entry point therefore cannot leak storage: the intermediate
+    * refine shortlist is unpinned before returning, and the checkpoint
+    * blocks of the result are reclaimed by the ContextCleaner once the
+    * frame is unreachable — a batch-serving loop calling `search()`
+    * repeatedly holds no permanent CacheManager entries. The trade is
+    * lineage: an executor loss after return loses the checkpointed
+    * result blocks. Callers that want a lazy, lineage-carrying result
+    * with explicit pin lifetime use [[searchManaged]] and run its
+    * cleanup once the result is consumed. */
   def search(index: IvfIndex.Index, encoded: DataFrame, queries: DataFrame,
       queryId: String, queryVec: String, cb: Codebooks,
-      k: Int, nprobe: Int, refine: Int = 2): DataFrame =
-    searchManaged(index, encoded, queries, queryId, queryVec, cb,
-      k, nprobe, refine)._1
+      k: Int, nprobe: Int, refine: Int = 2): DataFrame = {
+    val (res, cleanup) = searchManaged(index, encoded, queries, queryId,
+      queryVec, cb, k, nprobe, refine)
+    if (refine <= 0) res
+    else {
+      // materialize the k-bounded result, then drop the shortlist pin —
+      // nothing persisted by this call survives it (ADVICE r11: the
+      // previous delegate-and-discard left one pinned shortlist PER CALL
+      // in the CacheManager for the session lifetime)
+      val out = res.localCheckpoint(true)
+      cleanup()
+      out
+    }
+  }
 
   /** [[search]] returning `(result, cleanup)`: `cleanup()` unpins the
     * refine shortlist once the result has been materialized (no-op for

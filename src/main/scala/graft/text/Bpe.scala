@@ -51,22 +51,40 @@ object Bpe {
 
   /** Train on a corpus: one distributed word-count pass, then the
     * in-memory merge loop over the (word, count) table. Stops early when
-    * no pair reaches `minPairCount`. */
+    * no pair reaches `minPairCount`.
+    *
+    * `minCount` is the web-scale knob (the Sennrich trainer's
+    * `--min-frequency` on words): a 100-TB crawl's distinct-"word" table
+    * exceeds any driver (the typo/unicode long tail is overwhelmingly
+    * count-1), so pre-prune `c >= minCount` INSIDE the distributed pass —
+    * the collected sufficient statistic then stays driver-size by
+    * construction instead of by the overflow `require`. Effect on merge
+    * order: a pruned word can only shrink counts of pairs it shares with
+    * kept words, each by < minCount per word — pairs whose standing rests
+    * on the kept corpus are unmoved whenever the aggregate pruned mass on
+    * them is below the gap to the next merge candidate, and BpeSpec pins
+    * exact merge equality for a disjoint-symbol tail (the realistic
+    * shape: garbage tokens share no pair with real text). Default 1 =
+    * no pruning, bit-identical to every pre-knob model. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L, maxWords: Long = 10L * 1000 * 1000): Model = {
+      minPairCount: Long = 2L, maxWords: Long = 10L * 1000 * 1000,
+      minCount: Long = 1L): Model = {
     require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
-    val wc = docs
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
+    val wcAll = docs
       .select(explode(TextFunctions.tokensLower(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+    val wc = if (minCount > 1L) wcAll.filter(col("c") >= minCount) else wcAll
     // one corpus pass: limit(maxWords+1) bounds the collect (driver-safe)
     // AND detects overflow — getting maxWords+1 rows back means the full
     // table is larger; getting fewer means we hold the complete table
     val collected = wc.limit(
       math.min(maxWords + 1, Int.MaxValue.toLong).toInt).collect()
     require(collected.length <= maxWords,
-      s"> $maxWords distinct words — the merge loop is an in-memory pass " +
-        "over the word table (the standard BPE trainer design); raise " +
-        "maxWords if the driver has the memory")
+      s"> $maxWords distinct words (at minCount=$minCount) — the merge " +
+        "loop is an in-memory pass over the word table (the standard BPE " +
+        "trainer design); raise minCount to pre-prune the long tail " +
+        "distributed-side, or raise maxWords if the driver has the memory")
     val counts = collected.map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1).toSeq
     Model(trainFromWordCounts(counts, numMerges, minPairCount))

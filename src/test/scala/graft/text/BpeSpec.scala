@@ -67,6 +67,41 @@ class BpeSpec extends SparkSpec {
     assert(counts == Seq(3, 3, 3, 3, 3, 3, 3))
   }
 
+  test("minCount pre-prunes the long tail: over-maxWords corpus trains, " +
+      "disjoint-symbol tail leaves the merge list exactly unchanged") {
+    import spark.implicits._
+    // head: a real repeated vocabulary over symbols a-j (counts >= 4);
+    // tail: 500 distinct count-1 garbage words over DISJOINT symbols
+    // k-t (the realistic web shape — typo/unicode junk shares no pair
+    // with real text), blowing past a maxWords=100 driver bound
+    val head = Seq.fill(4)("abab abab cdcd abab cdcd efef").map(Tuple1(_)).toDF("text")
+    val tail = spark.range(500).select(
+      translate(concat(lit("k"), col("id")), "0123456789", "klmnopqrst").as("text"))
+    val corpus = head.union(tail)
+    // without the knob the bounded collect overflows loudly…
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(corpus, "text", numMerges = 3, maxWords = 100L)
+    }
+    assert(e.getMessage.contains("minCount"))
+    // …with it the tail dies distributed-side and training completes
+    val pruned = Bpe.train(corpus, "text", numMerges = 3,
+      maxWords = 100L, minCount = 2L)
+    val headOnly = Bpe.train(head, "text", numMerges = 3, maxWords = 100L)
+    assert(pruned.merges == headOnly.merges,
+      s"pruned-tail merges drifted: ${pruned.merges} vs ${headOnly.merges}")
+    assert(pruned.merges.nonEmpty)
+  }
+
+  test("minCount = 1 is the identity on the word table (legacy contract)") {
+    import spark.implicits._
+    val docs = Seq.fill(5)("zz zz zzq").map(Tuple1(_)).toDF("text")
+      .union(Seq.fill(2)("mn zzq zzz").map(Tuple1(_)).toDF("text"))
+    val a = Bpe.train(docs, "text", numMerges = 4, minPairCount = 2L)
+    val b = Bpe.train(docs, "text", numMerges = 4, minPairCount = 2L,
+      minCount = 1L)
+    assert(a.merges == b.merges)
+  }
+
   test("unseen characters stay single code-point symbols") {
     import spark.implicits._
     val model = Bpe.Model(Seq(("a", "b")))

@@ -154,12 +154,20 @@ for name in sorted(oracle):
         print(f'SKIP {name}: {str(e).splitlines()[0][:100]}')
         continue
     attributed = column_grids(sql)
-    # columns with an attributed grid audit on it; any float column
-    # WITHOUT an attributed grid (round() not immediately aliased, or
-    # nested inside a larger expression) falls back to the conservative
-    # min-grid sweep — attribution must only ever TIGHTEN the audit,
-    # never drop a column from coverage
-    col_grid = [attributed.get(c) or min(grids) for c in cols]
+    # columns with an attributed grid audit on it. The min-grid fallback
+    # for UNattributed float columns only applies while some round() in
+    # the query is itself unattributed (not immediately aliased / nested
+    # in a larger expression) — then the conservative sweep must keep
+    # covering whichever column that round feeds. Once every round() is
+    # attributed, the remaining float columns are intentionally
+    # unrounded (hashed-unrounded contract) and auditing them against
+    # another column's grid raises spurious boundary violations
+    # (ADVICE r11: an unrounded value near a half-grid of an unrelated
+    # round()'s grid is not a flake risk).
+    unattributed_rounds = len(grids) > len(attributed)
+    col_grid = [attributed.get(c) or
+                (min(grids) if unattributed_rounds else None)
+                for c in cols]
     per = {}
     for r in rows:
         for c, v, g in zip(cols, r, col_grid):
