@@ -192,6 +192,28 @@ object Bench {
     val ok = names.filterNot(errMap.contains)
     val results = ok.flatMap(n =>
       blocks.get(n).map(bs => n -> bs.flatMap(_.times)))
+    // per-block clean test (same rule as isContended, applied to ONE
+    // block): a block whose bracketing sentinels ran clean — or whose
+    // implied inflation cannot materially move the query — contributes
+    // its passes to the query's reported dispersion. Passes from
+    // contended blocks stay in the artifact (`passes`, `spread_all`) but
+    // are excluded from `spread`: a re-run that CLEARS a contention flag
+    // must not leave the flagged block's inflated passes poisoning the
+    // stability metric the flag existed to protect (r11 close-out: one
+    // mid-run contention window left 18 cleared queries with spreads
+    // 2-5x from their own re-run history, indistinguishable in the old
+    // artifact from genuine engine variance).
+    def blockClean(b: Block): Boolean = {
+      val s = math.min(b.sBefore, b.sAfter)
+      val r = s / sentinelRef
+      val qBest = b.times.min
+      !(r > band && (r - 1.0) * qBest > math.max(slack, relSlack * qBest))
+    }
+    val cleanTimes: Map[String, Vector[Double]] = ok.flatMap(n =>
+      blocks.get(n).map { bs =>
+        val ct = bs.filter(blockClean).flatMap(_.times)
+        n -> (if (ct.nonEmpty) ct else bs.flatMap(_.times))
+      }).toMap
     val contended = flagged.filterNot(errMap.contains) // outside band after re-runs
     val ratios = ok.flatMap(n => blocks.get(n).map(bs => n -> minBlockRatio(bs)))
     // Locale.ROOT: the f interpolator uses the default JVM locale, which can
@@ -231,14 +253,16 @@ object Bench {
     // A contended run is then VISIBLE in the artifact (high ratios across
     // many queries) instead of silently inflating the headline number.
     val ratioOf = ratios.toMap
+    def spreadOf(ts: Vector[Double]): Double =
+      if (ts.nonEmpty && ts.min > 0) ts.max / ts.min else 1.0
     val disp = results.map { case (k, ts) =>
-      val ratio = if (ts.min > 0) ts.max / ts.min else 1.0
       "\"" + k + "\":{\"passes\":[" + ts.map(fmt).mkString(",") +
-        "],\"spread\":" + fmt(ratio) +
+        "],\"spread\":" + fmt(spreadOf(cleanTimes.getOrElse(k, ts))) +
+        ",\"spread_all\":" + fmt(spreadOf(ts)) +
         ",\"sentinel_ratio\":" + fmt(ratioOf.getOrElse(k, 1.0)) + "}"
     }.mkString("{", ",", "}")
     val worst = results.map { case (k, ts) =>
-      (if (ts.min > 0) ts.max / ts.min else 1.0, k)
+      (spreadOf(cleanTimes.getOrElse(k, ts)), k)
     }.sortBy(-_._1).take(5)
     val dispLine =
       s"""{"repeat":$repeat,"queries":$disp,"errors":$errJson,"worst_spread":[${
