@@ -243,6 +243,12 @@ object Bench {
         s""""rerun_errors":$rerunErrJson,""" +
         s""""sentinel_ref":${fmt(sentinelRef)},"sentinel_band":${fmt(band)},""" +
         s""""contended":$contJson,"contended_count":${contended.size},""" +
+        // measurement-config provenance: the r12 heap sweep measured the
+        // SAME engine at 42.4-47.7 s depending on heap sizing alone
+        // (8g-fixed optimal; 24g lengthens G1 pauses) — an artifact
+        // without its JVM config is not comparable across rounds
+        s""""heap_max_gb":${fmt(Runtime.getRuntime.maxMemory / 1e9)},""" +
+        s""""cpus":"$cpus","repeat":$repeat,""" +
         s""""sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"), line + "\n")

@@ -20,13 +20,25 @@ object Probe {
   final class SkewListener extends SparkListener {
     private val durs = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
     private var shufWrite = 0L
+    private val stageWrite = scala.collection.mutable.Map[Int, Long]()
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
       if (te.taskInfo != null && te.taskInfo.successful) {
         durs.getOrElseUpdate(te.stageId,
           scala.collection.mutable.ArrayBuffer.empty[Long]) += te.taskInfo.duration
-        if (te.taskMetrics != null)
-          shufWrite += te.taskMetrics.shuffleWriteMetrics.bytesWritten
+        if (te.taskMetrics != null) {
+          val w = te.taskMetrics.shuffleWriteMetrics.bytesWritten
+          shufWrite += w
+          if (w > 0) stageWrite(te.stageId) = stageWrite.getOrElse(te.stageId, 0L) + w
+        }
       }
+    }
+    /** Top shuffle-writing stages — attributes a phase's shuffle bytes to
+      * the stage that produced them (added r12: the 50M indexscreen
+      * measured 10.67 GB/screen with no way to tell WHICH exchange). */
+    def shuffleReport(top: Int = 8): String = synchronized {
+      stageWrite.toSeq.sortBy(-_._2).take(top).map { case (sid, b) =>
+        f"[probe]   shufstage $sid%5d: writeMB=${b / 1e6}%10.1f"
+      }.mkString("\n")
     }
     /** Cumulative shuffle bytes written across all completed tasks —
       * snapshot before/after a phase to attribute shuffle volume to it.
@@ -1038,6 +1050,7 @@ object Probe {
     println(f"[probe] wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
       f"worstRatio=${listener.worstRatio()}%.1fx peakHeapGB=${peakHeap / 1e9}%.2f")
     println(listener.report())
+    println(listener.shuffleReport())
     spark.stop()
   }
 }

@@ -491,10 +491,23 @@ object Dedup {
     // WRITE that already ran). Everything that moves is batch- or
     // candidate-bound: bSigs (batch), pairs + pruned ref sigs
     // (candidates), the broadcast ref-id list (8 B/candidate ref).
-    val refSigs = index.sigs.select(col("id").as("id_ref"), col("sig").as("sig_r"))
+    //
+    // Rescore payload (r12): the two attach-joins drag ONE signature per
+    // CANDIDATE row through their exchanges — the dominant screen
+    // shuffle (measured at 20M/2M-batch: ~4.5 of 5.4 GB; the band join
+    // itself is exchange-free on the index side). Signatures cross
+    // those exchanges as array<int> (sigToInts — lossless, slots are
+    // < 2³¹ by construction), halving the per-candidate payload;
+    // slotMatchCount compares int slots bit-exactly, so est_jaccard is
+    // unchanged. The attach-per-candidate itself is inherent to exact
+    // rescoring under a shuffle join — eliminating it entirely needs a
+    // size-conditional broadcast of the pruned ref sigs (follow-up).
+    val refSigs = index.sigs.select(col("id").as("id_ref"),
+      graft.functions.TextHash.sigToInts(col("sig")).as("sig_r"))
       .join(broadcast(pairs.select(col("id_ref")).distinct()), "id_ref")
     pairs
-      .join(bSigs.select(col("id").as("id_new"), col("sig").as("sig_n")), "id_new")
+      .join(bSigs.select(col("id").as("id_new"),
+        graft.functions.TextHash.sigToInts(col("sig")).as("sig_n")), "id_new")
       .join(refSigs, "id_ref")
       .select(col("id_new"), col("id_ref"),
         (graft.functions.TextHash.slotMatchCount(col("sig_n"), col("sig_r"))

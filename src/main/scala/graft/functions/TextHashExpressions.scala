@@ -99,6 +99,18 @@ object TextHash {
   def slotMatchCount(a: Column, b: Column): Column =
     Bridge.column(SlotMatchCountExpr(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Lossless `array<long>` → `array<int>` for minhash signatures: every
+    * slot is `min((a·h+b) mod p)` with p = 2³¹−1, so the value fits an
+    * int EXACTLY and slot equality is preserved bit-for-bit. Halves the
+    * per-row signature payload (~568 B → ~300 B) on the candidate-bound
+    * rescore exchanges of [[graft.dedup.Dedup.minhashSearch]] — a native
+    * expression rather than a `transform(_, _.cast("int"))` HOF because
+    * the result feeds a join CONDITION, where alias substitution of a
+    * HOF column drops it to interpreted per-row eval (the documented
+    * Catalyst trap, see the r9 probe note). */
+  def sigToInts(sig: Column): Column =
+    Bridge.column(LongsToIntsExpr(Bridge.expression(sig)))
+
   def nfkc(c: Column): Column =
     Bridge.column(NfkcExpr(Bridge.expression(c)))
 
@@ -313,6 +325,29 @@ object TextHash {
     c
   }
 
+  /** [[SlotMatchCountExpr]] kernel for int-element signatures (the
+    * [[sigToInts]]-slimmed rescore path). */
+  def slotMatchCountIntRow(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getInt(i) == b.getInt(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** [[LongsToIntsExpr]] kernel. Truncating `toInt` is exact here — every
+    * minhash slot is < 2³¹ by construction (mod prime 2³¹−1). */
+  def longsToIntsRow(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = arr.getLong(i).toInt; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** [[WidenHashes62Expr]] kernel: each ~30-bit hash widened to 62
     * well-mixed bits with one Lehmer step,
     * `h62 = ((h·48271) mod 2³¹−1)·2³¹ + h` — the per-element op of
@@ -498,19 +533,46 @@ case class NfkcExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Number of agreeing slot positions between two long arrays (signature
-  * agreement for the minhash Jaccard estimate). */
+/** Number of agreeing slot positions between two signature arrays
+  * (minhash Jaccard estimate numerator). Kernel picked by the LEFT
+  * child's element type: long arrays (the stored signature form) or int
+  * arrays (the [[TextHash.sigToInts]]-slimmed rescore form); mixed
+  * element types are a caller bug and fail analysis via the kernel's
+  * accessor. */
 case class SlotMatchCountExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  private def intElems: Boolean = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    TextHash.slotMatchCountRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (intElems)
+      TextHash.slotMatchCountIntRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      TextHash.slotMatchCountRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (intElems) "slotMatchCountIntRow" else "slotMatchCountRow"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.TextHash.slotMatchCountRow($a, $b)")
+      s"graft.functions.TextHash.$kernel($a, $b)")
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SlotMatchCountExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Lossless long→int per-element narrowing for minhash signatures — see
+  * [[TextHash.sigToInts]] for the contract and why this is a native
+  * expression rather than a `transform` HOF. */
+case class LongsToIntsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.longsToIntsRow(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.longsToIntsRow($c)")
+  override protected def withNewChildInternal(newChild: Expression): LongsToIntsExpr =
+    copy(child = newChild)
 }
 
 /** SimHash bit voting over precomputed feature hashes: bit k of the

@@ -107,6 +107,27 @@ class CodegenPathSpec extends SparkSpec {
       hof.collect().map(_.toString).toSeq)
     bothPaths(native)
 
+    // int-slimmed rescore path (r12): sigToInts is lossless for values
+    // < 2³¹ and slotMatchCount over the narrowed arrays counts the SAME
+    // matches as over the original longs — the minhashSearch scoring
+    // exchanges rely on this exactly
+    val nearPrime = graft.dedup.Dedup.MinhashPrime - 1 // max possible slot
+    val wide = Seq(
+      (1L, (1L to 64L).toArray, (1L to 64L).map(x => if (x % 3 == 0) x else x + 1).toArray),
+      (2L, Array.fill(64)(nearPrime), Array.fill(64)(nearPrime)),
+      (3L, (1L to 60L).toArray, (1L to 64L).toArray)
+    ).toDF("id", "sig_a", "sig_b")
+    def intPath = wide.select(col("id"),
+      graft.functions.TextHash.slotMatchCount(
+        graft.functions.TextHash.sigToInts(col("sig_a")),
+        graft.functions.TextHash.sigToInts(col("sig_b"))).as("mc"))
+    val longPath = wide.select(col("id"),
+      graft.functions.TextHash.slotMatchCount(col("sig_a"), col("sig_b")).as("mc"))
+    assert(intPath.collect().map(_.toString).toSeq ==
+      longPath.collect().map(_.toString).toSeq)
+    assert(intPath.schema("mc").dataType.typeName == "integer")
+    bothPaths(intPath)
+
     val vecs = Seq(
       (1L, Array(1.0, 2.0, 3.0), Array(0.5, -1.5, 2.0), 2.0),
       (2L, Array(0.1, 0.2, 0.3), Array(0.1, 0.2, 0.3), 0.374165738677394))
