@@ -583,6 +583,31 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.minhashSearch(pinned, batch, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sorted.toSeq
+    // the same contract under AQE ON — the configuration screens really
+    // run with (r12: the AQE-off-only check let a wrong r11 shuffle
+    // claim survive a round; the elision in fact holds under AQE too,
+    // verified here through the executed adaptive plan via the
+    // Bridge.allExecutedNodes walker, since query stages are leaf nodes
+    // a plain collect cannot see past)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe2 = pinned.banded.select(col("bucket"), col("id").as("id2"))
+      val joined2 = probe2.join(pinned.banded, Seq("bucket"))
+      joined2.count() // finalize the adaptive plan
+      val nodes = org.apache.spark.sql.graftbridge.Bridge
+        .allExecutedNodes(joined2.queryExecution.executedPlan)
+      val offending2 = nodes.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if org.apache.spark.sql.graftbridge.Bridge.allExecutedNodes(e).exists(
+            _.isInstanceOf[
+              org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]) => e
+      }
+      assert(offending2.isEmpty,
+        s"pinned store re-shuffled under AQE-on bucket join:\n${joined2.queryExecution}")
+      assert(nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+        "AQE-on walker never reached the cache scan — walker broken, not plan green")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     pinned.release()
     assert(again == viaIndex.map { case (r2, n, j) => (n, r2, j) }.sorted)
   }
