@@ -192,6 +192,36 @@ benchCheck := {
       s"passes — over-bar awaiting a clean confirm: ${onceOver.toSeq.sorted.mkString(", ")}; " +
       s"contended in every pass: ${neverClean.toSeq.sorted.mkString(", ")}")
   }
+  // Spread bar (r13, formalizing the criterion rounds are graded on —
+  // tools/bench_floors.json `_policy`): >=85% of contention-clean queries
+  // must show max/min pass spread <= 1.25 within the run. Computed from
+  // the FIRST pass's dispersion artifact (later passes exist only to
+  // retry floor violations). Override with BENCHCHECK_SPREAD_MIN; 0
+  // disables (idle single runs have been observed to swing 68-88%, so a
+  // knowingly-contended host can opt down rather than re-run weather).
+  val spreadMin = sys.env.getOrElse("BENCHCHECK_SPREAD_MIN", "0.85").toDouble
+  if (spreadMin > 0) {
+    val pySpread =
+      """import json,sys
+        |d = json.load(open(sys.argv[1]))
+        |qs = [(k, v) for k, v in d['queries'].items()
+        |      if isinstance(v, dict) and 'spread' in v]
+        |ok = sum(1 for _, v in qs if v['spread'] <= 1.25)
+        |print('%d\t%d' % (ok, len(qs)))
+        |""".stripMargin
+    val dispFile = file("/tmp/benchcheck_pass1/bench_dispersion.json")
+    if (dispFile.exists) {
+      val Array(ok, tot) = Process(Seq("python3", "-c", pySpread,
+        dispFile.getAbsolutePath)).!!.trim.split('\t').map(_.toInt)
+      val pct = if (tot > 0) ok.toDouble / tot else 1.0
+      log.info(f"benchCheck spread: $ok/$tot clean queries <= 1.25x " +
+        f"(${pct * 100}%.0f%% vs ${spreadMin * 100}%.0f%% bar)")
+      if (pct < spreadMin)
+        sys.error(f"benchCheck: only ${pct * 100}%.0f%% of queries within " +
+          f"1.25x spread (< ${spreadMin * 100}%.0f%% bar) — contended or " +
+          "regressed run; see bench_dispersion.json")
+    } else log.warn("benchCheck: no dispersion artifact for the spread bar")
+  }
   log.info(s"benchCheck: ${cleared.size} queries within ${bar}x of their floors" +
     (if (pass > 1) s" (resolved in $pass passes)" else ""))
 }

@@ -132,6 +132,24 @@ object Probe {
     val listener = new SkewListener
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
+    // driver peak heap = max of INSTANTANEOUS totals, sampled by a daemon
+    // thread (r13). The previous metric summed per-POOL G1 peaks, which
+    // are captured at different instants — Eden's peak and Old's peak
+    // cannot coexist, so it reported 112 GB "peak" under a 96 GiB Xmx
+    // (the r12 accounting footnote). 200 ms sampling can miss a
+    // sub-sample spike, but every reading is a real heap state and the
+    // max is ≤ Xmx by construction.
+    val peakHeapSampled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val heapSampler = new Thread(() => {
+      val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+      while (true) {
+        val used = mem.getHeapMemoryUsage.getUsed
+        peakHeapSampled.updateAndGet(p => math.max(p, used))
+        Thread.sleep(200L)
+      }
+    }, "probe-heap-sampler")
+    heapSampler.setDaemon(true)
+    heapSampler.start()
 
     mode match {
       case "spanskew" =>
@@ -1038,15 +1056,14 @@ object Probe {
       case m => sys.error(s"unknown probe mode: $m (spanskew|deconskew|clean|banding|ivf|pq|timeseries|curation)")
     }
 
-    // driver peak heap across HEAP pools (the r10 pq probe's first 20M
-    // attempt DIED of a full-GC storm that no per-phase number exposed —
-    // record the high-water mark in every probe artifact)
-    val peakHeap = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-        .filter(_.getType == java.lang.management.MemoryType.HEAP)
-        .map(_.getPeakUsage.getUsed).sum
-    }
+    // driver peak heap (the r10 pq probe's first 20M attempt DIED of a
+    // full-GC storm that no per-phase number exposed — record the
+    // high-water mark in every probe artifact). Max of instantaneous
+    // totals from the sampler thread above; one final sample so a probe
+    // shorter than the sampling period still reports a real reading.
+    val peakHeap = math.max(peakHeapSampled.get,
+      java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed)
     println(f"[probe] wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
       f"worstRatio=${listener.worstRatio()}%.1fx peakHeapGB=${peakHeap / 1e9}%.2f")
     println(listener.report())

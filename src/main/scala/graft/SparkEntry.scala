@@ -1737,6 +1737,37 @@ object SparkEntry {
         col(target.head).as("close_rdiff"), col("High").as("high_rdiff"),
         col("Volume").as("volume_rdiff"))
     }),
+    "q130_quandl_quarterly_cumul" -> ((s, dir) => {
+      // §2.1 Quandl param matrix, orthogonal corner to q128 (quarterly ×
+      // cumul vs q128's monthly × rdiff — pins the collapse rule that
+      // re-dates to QUARTER end and the transform that keeps every row
+      // with a running sum instead of dropping the first). All CSV
+      // values are INTEGER-VALUED doubles (counts and floor-to-cents
+      // prices), so every running sum is exact in IEEE double and the
+      // hash compares unrounded — no FP-accumulation-order hazard
+      // between engines.
+      import graft.ingest.{Finance, OrangeCsv}
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q130_quandl"
+      val cents = (c: Column) => floor(c * 100).cast("double")
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("Date"))
+        .agg(count(lit(1)).cast("double").as("Open"),
+          cents(max(col("o_totalprice"))).as("High"),
+          cents(min(col("o_totalprice"))).as("Low"),
+          (cents(max(col("o_totalprice"))) +
+            cents(min(col("o_totalprice")))).as("Close"),
+          count(lit(1)).cast("double").as("Volume"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val back = Finance.readQuandl(s, path,
+        collapse = "quarterly", transform = "cumul")
+      val target = OrangeCsv.colsWithRole(back.df, "target")
+      require(target == Seq("Close"),
+        s"target role lost through collapse/transform: $target")
+      back.df.select(unix_seconds(col("Date")).as("t_s"),
+        col(target.head).as("close_cumul"), col("High").as("high_cumul"),
+        col("Volume").as("volume_cumul"))
+    }),
     "q129_html_block_score" -> ((s, dir) => {
       // the trafilatura/jusText boilerplate-block layer (the r10 verdict's
       // one documented extraction gap): wrap the q122 page in real chrome
@@ -2458,6 +2489,29 @@ object SparkEntry {
          |SELECT CAST(epoch(CAST(pe AS TIMESTAMP)) AS BIGINT) AS t_s,
          | close_rdiff, high_rdiff, volume_rdiff
          |FROM r WHERE close_rdiff IS NOT NULL""".stripMargin,
+    // Quandl matrix, orthogonal corner: quarterly collapse keeps the
+    // quarter's LAST daily row re-dated to quarter end; cumul = running
+    // sum over the collapsed order, keeping every row. All values are
+    // integer-valued doubles, so the sums are exact — hashed unrounded.
+    "q130_quandl_quarterly_cumul" ->
+      s"""WITH d AS (SELECT o_orderdate AS dt,
+         |  floor(max(o_totalprice) * 100) AS high,
+         |  floor(max(o_totalprice) * 100) + floor(min(o_totalprice) * 100) AS close,
+         |  CAST(count(*) AS DOUBLE) AS volume
+         | FROM orders GROUP BY o_orderdate),
+         |q AS (SELECT last_day(CAST(date_trunc('quarter', dt) AS DATE)
+         |    + INTERVAL 2 MONTH) AS pe,
+         |  max_by(high, dt) AS high, max_by(close, dt) AS close,
+         |  max_by(volume, dt) AS volume
+         | FROM d GROUP BY 1),
+         |c AS (SELECT pe,
+         |  sum(close) OVER w AS close_cumul,
+         |  sum(high) OVER w AS high_cumul,
+         |  sum(volume) OVER w AS volume_cumul
+         | FROM q WINDOW w AS
+         |  (ORDER BY pe ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT CAST(epoch(CAST(pe AS TIMESTAMP)) AS BIGINT) AS t_s,
+         | close_cumul, high_cumul, volume_cumul FROM c""".stripMargin,
     "q129_html_block_score" -> htmlBlockScoreSql,
     // the identical regexp/replace chain over the identically constructed
     // page — both engines run the same RE2/Java-regex-common patterns

@@ -62,6 +62,18 @@ object Dedup {
   def minhashSignature(shingleHashes: Column, params: Seq[(Long, Long)]): Column =
     graft.functions.TextHash.minhashSig(shingleHashes, params)
 
+  /** [[minhashSignature]] narrowed to `array<int>` — the STORED signature
+    * form. Every slot lies in (−2³¹, 2³¹−1] (see
+    * [[graft.functions.TextHash.sigToInts]]), so the narrowing is
+    * lossless: slot equality, band keys and Jaccard estimates are
+    * bit-identical to the long form, at half the bytes per signature —
+    * in index RAM (the measured single-node ceiling driver at 100M docs:
+    * the signature store), on disk, and across every rescore exchange.
+    * Both expressions are codegen'd and fuse in the same scan-stage
+    * projection. */
+  def minhashSignatureInt(shingleHashes: Column, params: Seq[(Long, Long)]): Column =
+    graft.functions.TextHash.sigToInts(minhashSignature(shingleHashes, params))
+
   /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`
     * slots, each band folded to one bucket key
     * (`key = fold(acc·31 + slot) mod P`, seeded with the band index). Docs
@@ -287,7 +299,7 @@ object Dedup {
     def append(batch: DataFrame, idCol: String, textCol: String): MinhashIndex = {
       val params = minhashParams(numHashes)
       val newSigs = batch.select(col(idCol).as("id"),
-        minhashSignature(shingleHashesOf(col(textCol)), params).as("sig"))
+        minhashSignatureInt(shingleHashesOf(col(textCol)), params).as("sig"))
         .localCheckpoint(true)
       val newBandedRaw = newSigs.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bucket"))
@@ -400,23 +412,42 @@ object Dedup {
       banded.write.mode("overwrite").parquet(s"$path/banded")
       counts.write.mode("overwrite").parquet(s"$path/counts")
       import spark.implicits._
-      Seq((numHashes, bands, maxBucket)).toDF(
-        "num_hashes", "bands", "max_bucket")
+      // sig_format 2 = array<int> signatures (r13). Informational — load
+      // detects the actual on-disk element type from the sigs schema, so
+      // v1 saves (array<long>, no sig_format column) reload fine.
+      Seq((numHashes, bands, maxBucket, 2)).toDF(
+        "num_hashes", "bands", "max_bucket", "sig_format")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     }
   }
 
   /** Reload a [[MinhashIndex.save]]d index. `shingleHashesOf` must be the
     * function the index was built with. The reloaded frames are plain
-    * parquet scans — [[MinhashIndex.persist]] pins them as before. */
+    * parquet scans — [[MinhashIndex.persist]] pins them as before.
+    *
+    * Format upgrade: a v1 save stored signatures as `array<long>`; since
+    * r13 the live store is `array<int>` ([[minhashSignatureInt]]). The
+    * on-disk element type is detected from the sigs schema (not the meta
+    * row, so v1 saves without a `sig_format` column load unchanged) and
+    * v1 signatures are narrowed scan-stage on read — lossless, so the
+    * upgraded index screens/appends/saves exactly like a fresh build;
+    * re-[[MinhashIndex.save]] to persist it in v2 form. */
   def minhashIndexLoad(spark: org.apache.spark.sql.SparkSession, path: String,
       shingleHashesOf: Column => Column = TextFunctions.shingleHashes(_, 3))
       : MinhashIndex = {
     val meta = spark.read.parquet(s"$path/meta").head()
+    val rawSigs = spark.read.parquet(s"$path/sigs")
+    val sigsDf = rawSigs.schema("sig").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) =>
+        rawSigs.select(col("id"),
+          graft.functions.TextHash.sigToInts(col("sig")).as("sig"))
+      case _ => rawSigs
+    }
     MinhashIndex(
       meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"),
       meta.getAs[Long]("max_bucket"), shingleHashesOf,
-      spark.read.parquet(s"$path/sigs"),
+      sigsDf,
       spark.read.parquet(s"$path/banded"),
       spark.read.parquet(s"$path/counts"))
   }
@@ -439,8 +470,13 @@ object Dedup {
     // table (measured: 947 MB/screen at 2M docs). Checkpoint blocks are
     // immune to that: the signature scan runs exactly once, at build.
     // Same non-resilience trade as minhashCandidates' sig checkpoint.
+    // STORED as array<int> (r13): signatures dominate index RAM (~26 GB
+    // at 100M docs measured), and sigToInts is lossless over the full
+    // slot domain — band keys and est_jaccard stay bit-identical while
+    // the store (and everything derived from it: save/load parquet,
+    // append/remove deltas, rescore payloads) halves.
     val sigs = ref.select(col(idCol).as("id"),
-      minhashSignature(shingleHashesOf(col(textCol)), params).as("sig"))
+      minhashSignatureInt(shingleHashesOf(col(textCol)), params).as("sig"))
       .localCheckpoint(true)
     val bandedRaw = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bucket"))
@@ -464,12 +500,16 @@ object Dedup {
     * batch side gets the same per-bucket cap as the index so a
     * boilerplate flood in the arriving data cannot blow the join. */
   def minhashSearch(index: MinhashIndex, batch: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String,
+      broadcastRefSigsMaxBytes: Long = 64L << 20): DataFrame = {
     val params = minhashParams(index.numHashes)
     // eager localCheckpoint: consumed twice (banding + the scoring join);
-    // see the deadlock note in minhashCandidates for why eager
+    // see the deadlock note in minhashCandidates for why eager.
+    // array<int> end-to-end: the index stores int signatures, and the
+    // batch side is narrowed in the same scan-stage projection, so the
+    // rescore compares int slots directly (bit-identical est_jaccard)
     val bSigs = batch.select(col(idCol).as("id"),
-      minhashSignature(index.shingleHashesOf(col(textCol)), params).as("sig"))
+      minhashSignatureInt(index.shingleHashesOf(col(textCol)), params).as("sig"))
       .localCheckpoint(true)
     val bBanded = dropOverCapBuckets(
       bSigs.select(col("id"),
@@ -495,19 +535,33 @@ object Dedup {
     // Rescore payload (r12): the two attach-joins drag ONE signature per
     // CANDIDATE row through their exchanges — the dominant screen
     // shuffle (measured at 20M/2M-batch: ~4.5 of 5.4 GB; the band join
-    // itself is exchange-free on the index side). Signatures cross
-    // those exchanges as array<int> (sigToInts — lossless, slots are
-    // < 2³¹ by construction), halving the per-candidate payload;
-    // slotMatchCount compares int slots bit-exactly, so est_jaccard is
-    // unchanged. The attach-per-candidate itself is inherent to exact
-    // rescoring under a shuffle join — eliminating it entirely needs a
-    // size-conditional broadcast of the pruned ref sigs (follow-up).
-    val refSigs = index.sigs.select(col("id").as("id_ref"),
-      graft.functions.TextHash.sigToInts(col("sig")).as("sig_r"))
-      .join(broadcast(pairs.select(col("id_ref")).distinct()), "id_ref")
+    // itself is exchange-free on the index side). Signatures are
+    // array<int> end-to-end since r13 (stored int, batch narrowed at
+    // scan), halving the per-candidate payload; slotMatchCount compares
+    // int slots bit-exactly, so est_jaccard is unchanged.
+    //
+    // Size-conditional broadcast (r13): when the pruned ref-sig slice is
+    // small enough — nRefs·(id + numHashes ints + row overhead) under
+    // `broadcastRefSigsMaxBytes` — the ref attach-join is hinted
+    // broadcast, which removes that exchange ENTIRELY (the r12 int cast
+    // only shrank it −24%): the candidate pairs stream against a
+    // broadcast hash table instead of co-shuffling with the ref sigs.
+    // nRefs is a driver scalar over the candidate-bound checkpointed
+    // pair set (the same adjudicated class as remove's newlyUnder
+    // check); above the cap the shuffle join stands — a flood of
+    // distinct candidate refs must not OOM the driver.
+    val refIds = pairs.select(col("id_ref")).distinct().localCheckpoint(true)
+    val nRefs = refIds.count()
+    val refSigBytes = nRefs * (24L + 4L * index.numHashes)
+    val prunedRef = index.sigs.select(col("id").as("id_ref"),
+      col("sig").as("sig_r"))
+      .join(broadcast(refIds), "id_ref")
+    val refSigs =
+      if (refSigBytes <= broadcastRefSigsMaxBytes) broadcast(prunedRef)
+      else prunedRef
     pairs
       .join(bSigs.select(col("id").as("id_new"),
-        graft.functions.TextHash.sigToInts(col("sig")).as("sig_n")), "id_new")
+        col("sig").as("sig_n")), "id_new")
       .join(refSigs, "id_ref")
       .select(col("id_new"), col("id_ref"),
         (graft.functions.TextHash.slotMatchCount(col("sig_n"), col("sig_r"))

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -100,14 +101,21 @@ object TextHash {
     Bridge.column(SlotMatchCountExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** Lossless `array<long>` → `array<int>` for minhash signatures: every
-    * slot is `min((a·h+b) mod p)` with p = 2³¹−1, so the value fits an
-    * int EXACTLY and slot equality is preserved bit-for-bit. Halves the
-    * per-row signature payload (~568 B → ~300 B) on the candidate-bound
-    * rescore exchanges of [[graft.dedup.Dedup.minhashSearch]] — a native
-    * expression rather than a `transform(_, _.cast("int"))` HOF because
-    * the result feeds a join CONDITION, where alias substitution of a
-    * HOF column drops it to interpreted per-row eval (the documented
-    * Catalyst trap, see the r9 probe note). */
+    * slot is `min((a·h+b) mod p)` with p = 2³¹−1. The Java `%` takes the
+    * dividend's sign, and `a·h+b` can overflow Long for wide (62-bit)
+    * base hashes, so the slot domain is the FULL (−2³¹, 2³¹−1] — i.e.
+    * (−(p−1), p], with p = 2³¹−1 doubling as the empty-set sentinel.
+    * Every value in that range round-trips `toInt`/`toLong` exactly, so
+    * the narrowing is lossless and slot equality is preserved
+    * bit-for-bit (spec-pinned across the range ends in CodegenPathSpec).
+    * Halves the per-row signature payload (~568 B → ~300 B) both in the
+    * STORED index frames ([[graft.dedup.Dedup.minhashIndex]]) and on the
+    * candidate-bound rescore exchanges of
+    * [[graft.dedup.Dedup.minhashSearch]] — a native expression rather
+    * than a `transform(_, _.cast("int"))` HOF because the result feeds a
+    * join CONDITION, where alias substitution of a HOF column drops it
+    * to interpreted per-row eval (the documented Catalyst trap, see the
+    * r9 probe note). */
   def sigToInts(sig: Column): Column =
     Bridge.column(LongsToIntsExpr(Bridge.expression(sig)))
 
@@ -310,6 +318,31 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** [[BandKeysExpr]] kernel for int-element signatures (the STORED
+    * index form since the `array<int>` migration). The fold promotes
+    * each slot back to its exact long value ([[sigToInts]] is lossless
+    * over the full slot domain), so band keys are BIT-IDENTICAL to the
+    * long-signature fold — an index built on int signatures bands its
+    * documents into exactly the buckets a long-signature build (and the
+    * SQL oracle's replay) produces. */
+  def bandKeysIntRow(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val nEl = sig.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var j = b * rowsPerBand
+      val end = math.min(j + rowsPerBand, nEl)
+      while (j < end) {
+        acc = (acc * 31L + sig.getInt(j).toLong) % MinhashP
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[SlotMatchCountExpr]] kernel: number of positions where the two
     * long arrays agree. Counted over the shorter length — identical to
     * the HOF `size(filter(zip_with(a, b, ==), eq => eq))`, whose
@@ -339,7 +372,9 @@ object TextHash {
   }
 
   /** [[LongsToIntsExpr]] kernel. Truncating `toInt` is exact here — every
-    * minhash slot is < 2³¹ by construction (mod prime 2³¹−1). */
+    * minhash slot lies in (−2³¹, 2³¹−1] (`%` takes the dividend's sign
+    * and `a·h+b` can overflow Long; 2³¹−1 is the empty-set sentinel), a
+    * range `toInt` round-trips losslessly. */
   def longsToIntsRow(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Int](n)
@@ -495,15 +530,35 @@ case class MinhashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
   * `rowsPerBand` slots, each folded to one bucket key (seeded with the
   * band index so identical folds in different bands land in different
   * key spaces). One loop per row instead of a `transform(sequence,
-  * aggregate(slice ...))` HOF tree interpreted per band per slot. */
+  * aggregate(slice ...))` HOF tree interpreted per band per slot.
+  * Accepts both signature storage forms — `array<long>` (the
+  * computed-signature form) and `array<int>` (the STORED index form,
+  * [[TextHash.sigToInts]]-narrowed) — producing bit-identical bucket
+  * keys for both (the int kernel promotes each slot back to its exact
+  * long value before the fold). Any other child type fails analysis. */
 case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def intElems: Boolean = child.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"BandKeysExpr requires array<int> or array<long> input, got $other")
+  }
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.bandKeysRow(input.asInstanceOf[ArrayData], bands, rowsPerBand)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (intElems)
+      TextHash.bandKeysIntRow(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+    else
+      TextHash.bandKeysRow(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (intElems) "bandKeysIntRow" else "bandKeysRow"
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.TextHash.bandKeysRow($c, $bands, $rowsPerBand)")
+      s"graft.functions.TextHash.$kernel($c, $bands, $rowsPerBand)")
+  }
   override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
     copy(child = newChild)
 }
@@ -534,11 +589,12 @@ case class NfkcExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Number of agreeing slot positions between two signature arrays
-  * (minhash Jaccard estimate numerator). Kernel picked by the LEFT
-  * child's element type: long arrays (the stored signature form) or int
-  * arrays (the [[TextHash.sigToInts]]-slimmed rescore form); mixed
-  * element types are a caller bug and fail analysis via the kernel's
-  * accessor. */
+  * (minhash Jaccard estimate numerator). Both children must be arrays
+  * of the SAME element type — int (the STORED signature form since the
+  * `array<int>` migration) or long (the computed form) — enforced by
+  * [[checkInputDataTypes]]: a mixed int/long pair would otherwise read
+  * 4-byte halves of long slots via the int accessor and return wrong
+  * match counts silently. */
 case class SlotMatchCountExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -546,6 +602,15 @@ case class SlotMatchCountExpr(left: Expression, right: Expression)
     case ArrayType(IntegerType, _) => true
     case _ => false
   }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) |
+           (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "SlotMatchCountExpr requires two arrays with the same element " +
+          s"type (both int or both long), got $l and $r")
+    }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     if (intElems)
       TextHash.slotMatchCountIntRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

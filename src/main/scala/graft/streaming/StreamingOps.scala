@@ -189,8 +189,12 @@ object StreamingOps {
         " — silent truncation would drop signature slots")
     val rowsPerBand = numHashes / bands
     val params = Dedup.minhashParams(numHashes)
+    // array<int> signatures (r13): halves the stream-stream join's state
+    // rows (each side's signature rides in the join state for the full
+    // watermark horizon); lossless, so band keys and est_jaccard are
+    // bit-identical to the long form
     def side(sfx: String): DataFrame = stream
-      .withColumn("__sig", Dedup.minhashSignature(
+      .withColumn("__sig", Dedup.minhashSignatureInt(
         TextFunctions.shingleHashes(col(textCol), 3), params))
       .select(explode(Dedup.lshBandKeys(col("__sig"), bands, rowsPerBand))
           .as(s"bucket$sfx"),
@@ -241,8 +245,11 @@ object StreamingOps {
       watermark: String = "1 hour"): DataFrame = {
     import graft.dedup.Dedup
     val params = Dedup.minhashParams(index.numHashes)
+    // array<int> stream-side signature, matching the index's stored form
+    // (SlotMatchCountExpr requires both rescore operands to share an
+    // element type — a long/int mismatch fails analysis loudly)
     val banded = stream
-      .withColumn("__sig", Dedup.minhashSignature(
+      .withColumn("__sig", Dedup.minhashSignatureInt(
         index.shingleHashesOf(col(textCol)), params))
       .select(
         explode(Dedup.lshBandKeys(col("__sig"), index.bands,

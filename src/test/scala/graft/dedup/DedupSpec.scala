@@ -593,9 +593,21 @@ class DedupSpec extends SparkSpec {
     try {
       val probe2 = pinned.banded.select(col("bucket"), col("id").as("id2"))
       val joined2 = probe2.join(pinned.banded, Seq("bucket"))
-      joined2.count() // finalize the adaptive plan
+      // finalize THIS dataset's own adaptive plan: .count() would spin up
+      // a separate QueryExecution (Dataset.count goes through
+      // groupBy().count()), leaving joined2's AdaptiveSparkPlanExec
+      // unexecuted and its executedPlan at the INITIAL plan — the r12
+      // form of this check inspected exactly that pre-adaptive plan
+      joined2.collect()
       val nodes = org.apache.spark.sql.graftbridge.Bridge
         .allExecutedNodes(joined2.queryExecution.executedPlan)
+      // prove the adaptive plan actually finalized: a finalized AQE plan
+      // contains materialized query stages; zero stages means we are
+      // again looking at a plan that never ran
+      assert(nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.adaptive.QueryStageExec]),
+        "AQE-on walker saw no QueryStageExec — inspected an unexecuted " +
+          s"(initial) adaptive plan:\n${joined2.queryExecution}")
       val offending2 = nodes.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
           if org.apache.spark.sql.graftbridge.Bridge.allExecutedNodes(e).exists(
@@ -750,6 +762,14 @@ class DedupSpec extends SparkSpec {
     val loaded = Dedup.minhashIndexLoad(spark, dir)
     assert(loaded.numHashes == 64 && loaded.bands == 16 &&
       loaded.maxBucket == idx.maxBucket)
+    // v2 store: signatures persist (and reload) as array<int> — half the
+    // bytes per signature of the v1 long form, losslessly
+    assert(idx.sigs.schema("sig").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false))
+    assert(loaded.sigs.schema("sig").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.IntegerType)
     val probe = Seq((100L,
       "family 1 shares this long sentence body with trailing words " +
         "common to the group variant 5 now")).toDF("doc_id", "text")
@@ -766,5 +786,116 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(bandRows(loaded.append(batch, "doc_id", "text")) ==
       bandRows(idx.append(batch, "doc_id", "text")))
+  }
+
+  test("MinhashIndex load upgrades a v1 (array<long>) save losslessly") {
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      (i, s"family ${i % 4} shares this long sentence body with trailing " +
+        s"words common to the group variant ${i % 7}")
+    }.toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(docs, "doc_id", "text",
+      numHashes = 64, bands = 16)
+    // write a v1-format save by hand: long signatures, no sig_format
+    // column in meta — exactly what a pre-r13 MinhashIndex.save produced
+    val dir = java.nio.file.Files.createTempDirectory("mhidxv1").toString
+    idx.sigs.select(col("id"), col("sig").cast("array<long>").as("sig"))
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    idx.banded.write.mode("overwrite").parquet(s"$dir/banded")
+    idx.counts.write.mode("overwrite").parquet(s"$dir/counts")
+    Seq((idx.numHashes, idx.bands, idx.maxBucket)).toDF(
+      "num_hashes", "bands", "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val loaded = Dedup.minhashIndexLoad(spark, dir)
+    // upgraded on read: int signatures, identical values
+    assert(loaded.sigs.schema("sig").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.IntegerType)
+    def sigRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","))).sorted.toSeq
+    assert(sigRows(loaded.sigs) == sigRows(idx.sigs))
+    // screens identically to the fresh int build
+    val probe = Seq((100L,
+      "family 1 shares this long sentence body with trailing words " +
+        "common to the group variant 5 now")).toDF("doc_id", "text")
+    def hits(ix: Dedup.MinhashIndex) =
+      Dedup.minhashSearch(ix, probe, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(hits(loaded) == hits(idx) && hits(loaded).nonEmpty)
+    // appends identically (band keys from upgraded int sigs match), and a
+    // re-save writes the v2 form
+    val batch = (200L until 205L).map(i =>
+      (i, s"new unique arrival number $i wholly distinct body")).toDF("doc_id", "text")
+    def bandRows(ix: Dedup.MinhashIndex) = ix.banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(bandRows(loaded.append(batch, "doc_id", "text")) ==
+      bandRows(idx.append(batch, "doc_id", "text")))
+    val dir2 = java.nio.file.Files.createTempDirectory("mhidxv2").toString
+    loaded.save(dir2)
+    // element type is the format contract; containsNull is a parquet
+    // round-trip nuance (the v1 cast writes nullable elements)
+    assert(spark.read.parquet(s"$dir2/sigs").schema("sig").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(spark.read.parquet(s"$dir2/meta").head()
+      .getAs[Int]("sig_format") == 2)
+  }
+
+  test("minhashSearch rescore: pruned ref sigs broadcast below threshold (AQE on)") {
+    import spark.implicits._
+    // small index + batch with guaranteed candidates: the ref-sig attach
+    // join must plan as a broadcast join (no shuffle of the pruned ref
+    // sigs) when the candidate ref slice is under the size cap...
+    val docs = (0L until 40L).map { i =>
+      (i, s"family ${i % 4} shares this long sentence body with trailing " +
+        s"words common to the group variant ${i % 7}")
+    }.toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(docs, "doc_id", "text",
+      numHashes = 64, bands = 16)
+    val batch = (100L until 110L).map { i =>
+      (i, s"family ${i % 4} shares this long sentence body with trailing " +
+        s"words common to the group variant ${i % 7} changed")
+    }.toDF("doc_id", "text")
+    def joinKinds(res: org.apache.spark.sql.DataFrame): Seq[String] = {
+      res.collect() // finalize THIS dataset's adaptive plan
+      val nodes = org.apache.spark.sql.graftbridge.Bridge
+        .allExecutedNodes(res.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.adaptive.QueryStageExec]),
+        "no QueryStageExec — inspected an unexecuted adaptive plan")
+      nodes.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          "bhj"
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => "smj"
+        case s: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          "shj"
+      }
+    }
+    // disable AQE's own size-based BHJ conversion so the plan shape below
+    // is OUR broadcast hint, not machine weather on tiny test data. The
+    // ref-id PRUNE join is an explicitly-hinted broadcast on both paths,
+    // so the size-conditional attach join shows up as ONE MORE bhj under
+    // the cap than over it.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val under = Dedup.minhashSearch(idx, batch, "doc_id", "text")
+      val kindsUnder = joinKinds(under)
+      // ...and fall back to a shuffle join above the cap (cap 0 forces
+      // the at-scale path: an unbounded candidate ref slice must not
+      // collect to the driver)
+      val over = Dedup.minhashSearch(idx, batch, "doc_id", "text",
+        broadcastRefSigsMaxBytes = 0L)
+      val kindsOver = joinKinds(over)
+      assert(kindsUnder.count(_ == "bhj") == kindsOver.count(_ == "bhj") + 1,
+        s"attach join not size-conditionally broadcast: " +
+          s"under=$kindsUnder over=$kindsOver")
+      assert(kindsOver.exists(k => k == "smj" || k == "shj"),
+        s"cap 0 must force the shuffle rescore: $kindsOver")
+      // identical results on both paths
+      assert(under.collect().map(_.toString).sorted.toSeq ==
+        over.collect().map(_.toString).sorted.toSeq)
+      assert(under.collect().nonEmpty)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }

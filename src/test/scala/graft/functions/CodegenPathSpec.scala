@@ -107,15 +107,24 @@ class CodegenPathSpec extends SparkSpec {
       hof.collect().map(_.toString).toSeq)
     bothPaths(native)
 
-    // int-slimmed rescore path (r12): sigToInts is lossless for values
-    // < 2³¹ and slotMatchCount over the narrowed arrays counts the SAME
-    // matches as over the original longs — the minhashSearch scoring
-    // exchanges rely on this exactly
-    val nearPrime = graft.dedup.Dedup.MinhashPrime - 1 // max possible slot
+    // int-stored signature path (r12 rescore, r13 full store): sigToInts
+    // is lossless over the FULL slot domain (−2³¹, 2³¹−1] — negative
+    // slots arise when a·h+b overflows Long for wide base hashes ("%"
+    // takes the dividend's sign), and 2³¹−1 (= MinhashPrime) is the
+    // empty-set sentinel — and slotMatchCount over the narrowed arrays
+    // counts the SAME matches as over the original longs. The stored
+    // index and the minhashSearch scoring exchanges rely on this exactly.
+    val sentinel = graft.dedup.Dedup.MinhashPrime // 2³¹−1, = Int.MaxValue
+    val negMin = -(graft.dedup.Dedup.MinhashPrime - 1) // most negative slot
     val wide = Seq(
       (1L, (1L to 64L).toArray, (1L to 64L).map(x => if (x % 3 == 0) x else x + 1).toArray),
-      (2L, Array.fill(64)(nearPrime), Array.fill(64)(nearPrime)),
-      (3L, (1L to 60L).toArray, (1L to 64L).toArray)
+      (2L, Array.fill(64)(sentinel - 1), Array.fill(64)(sentinel - 1)),
+      (3L, (1L to 60L).toArray, (1L to 64L).toArray),
+      // range ends: empty-set sentinel slots and the most negative slot
+      (4L, Array.fill(64)(sentinel), Array.fill(64)(sentinel)),
+      (5L, Array.tabulate(64)(i => if (i % 2 == 0) negMin else sentinel),
+        Array.tabulate(64)(i => if (i % 3 == 0) negMin else sentinel)),
+      (6L, Array.fill(64)(negMin), Array.fill(64)(negMin))
     ).toDF("id", "sig_a", "sig_b")
     def intPath = wide.select(col("id"),
       graft.functions.TextHash.slotMatchCount(
@@ -127,6 +136,36 @@ class CodegenPathSpec extends SparkSpec {
       longPath.collect().map(_.toString).toSeq)
     assert(intPath.schema("mc").dataType.typeName == "integer")
     bothPaths(intPath)
+
+    // band keys over the int-stored form ≡ over the long form, across the
+    // same full slot domain (the index's banded store is derived from int
+    // signatures since r13 — bucket keys must be bit-identical)
+    def bkInt = wide.select(col("id"),
+      Dedup.lshBandKeys(
+        graft.functions.TextHash.sigToInts(col("sig_a")), 8, 8).as("bk"))
+    val bkLong = wide.select(col("id"),
+      Dedup.lshBandKeys(col("sig_a"), 8, 8).as("bk"))
+    assert(bkInt.collect().map(_.toString).toSeq ==
+      bkLong.collect().map(_.toString).toSeq)
+    bothPaths(bkInt)
+
+    // mixed int/long operands fail ANALYSIS (not silent 4-byte misreads):
+    // SlotMatchCountExpr.checkInputDataTypes rejects the pair
+    val mixed = intercept[org.apache.spark.sql.AnalysisException] {
+      wide.select(graft.functions.TextHash.slotMatchCount(
+        graft.functions.TextHash.sigToInts(col("sig_a")), col("sig_b")))
+        .collect()
+    }
+    assert(mixed.getMessage.toLowerCase.contains("slotmatchcount") ||
+      mixed.getMessage.toLowerCase.contains("same element"),
+      mixed.getMessage)
+    // and BandKeysExpr rejects non-int/long element types
+    val badBk = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, Array("a", "b"))).toDF("id", "s")
+        .select(Dedup.lshBandKeys(col("s"), 1, 2)).collect()
+    }
+    assert(badBk.getMessage.toLowerCase.contains("bandkeys") ||
+      badBk.getMessage.toLowerCase.contains("array<int>"), badBk.getMessage)
 
     val vecs = Seq(
       (1L, Array(1.0, 2.0, 3.0), Array(0.5, -1.5, 2.0), 2.0),

@@ -77,6 +77,63 @@ class IngestSpec extends SparkSpec {
       Finance.quandlTransform(monthly, "pct").df.collect())
   }
 
+  test("Quandl matrix: ALL collapse × transform combos ≡ driver-side reference") {
+    import org.apache.spark.sql.functions._
+    import graft.core.TimeseriesFrame
+    import java.time.{DayOfWeek, LocalDate}
+    import java.time.temporal.TemporalAdjusters
+    // a denser fixture than the pointwise test: 8 observations across 3
+    // quarters and a year boundary, incl. two obs in one week and a
+    // Sunday (the weekly boundary case)
+    val obs = Seq(
+      ("2022-11-28", 10.0), ("2022-12-30", 20.0), ("2023-01-10", 1.0),
+      ("2023-01-13", 1.5), ("2023-01-31", 2.0), ("2023-02-05", 3.0),
+      ("2023-02-20", 4.0), ("2023-04-03", 5.0))
+    val df = spark.createDataFrame(obs).toDF("d", "v")
+      .select(to_timestamp(col("d")).as("Date"), col("v"))
+    val tsf = TimeseriesFrame.fromColumn(df, "Date")
+    // independent reference: plain-Scala collapse (group by period end,
+    // keep the latest observation) + transform, per the published Quandl
+    // API semantics — NOT a call back into the engine
+    def periodEnd(kind: String, d: LocalDate): LocalDate = kind match {
+      case "none" | "daily" => d
+      case "weekly" => d.`with`(TemporalAdjusters.nextOrSame(DayOfWeek.SUNDAY))
+      case "monthly" => d.`with`(TemporalAdjusters.lastDayOfMonth())
+      case "quarterly" =>
+        LocalDate.of(d.getYear, ((d.getMonthValue - 1) / 3) * 3 + 3, 1)
+          .`with`(TemporalAdjusters.lastDayOfMonth())
+      case "annual" => LocalDate.of(d.getYear, 12, 31)
+    }
+    def refCollapse(kind: String): Seq[(String, Double)] = obs
+      .map { case (d, v) => (LocalDate.parse(d), v) }
+      .groupBy { case (d, _) => periodEnd(kind, d) }
+      .map { case (pe, grp) => (pe.toString, grp.maxBy(_._1.toEpochDay)._2) }
+      .toSeq.sortBy(_._1)
+    def refTransform(kind: String, vals: Seq[Double]): Seq[Double] = kind match {
+      case "none" => vals
+      case "diff" => vals.sliding(2).map(p => p(1) - p(0)).toSeq
+      case "rdiff" => vals.sliding(2).map(p => p(1) / p(0) - 1).toSeq
+      case "cumul" => vals.scanLeft(0.0)(_ + _).tail
+      case "normalize" => vals.map(_ / vals.head * 100)
+    }
+    def engine(c: String, t: String): Seq[(String, Double)] =
+      Finance.quandlTransform(Finance.quandlCollapse(tsf, c), t)
+        .df.orderBy("Date")
+        .select(date_format(col("Date"), "yyyy-MM-dd"), col("v"))
+        .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
+    val collapses = Seq("none", "daily", "weekly", "monthly", "quarterly",
+      "annual")
+    val transforms = Seq("none", "diff", "rdiff", "cumul", "normalize")
+    for (c <- collapses; t <- transforms) {
+      val base = refCollapse(c)
+      val dates = if (t == "diff" || t == "rdiff") base.map(_._1).drop(1)
+                  else base.map(_._1)
+      val expected = dates.zip(refTransform(t, base.map(_._2)))
+      assert(engine(c, t) == expected,
+        s"combo collapse=$c transform=$t: got ${engine(c, t)}, want $expected")
+    }
+  }
+
   test("TimeSlice playback windows advance and clamp (owtimeslice.py:343-378)") {
     val wins = TimeSlice.playback(0.0, 100.0, widthSec = 30.0, stepSec = 30.0).toSeq
     assert(wins == Seq((0.0, 30.0), (30.0, 60.0), (60.0, 90.0), (90.0, 100.0)))
