@@ -109,7 +109,22 @@ object Bench {
 
     val names = selected.keys.toSeq.sorted
     // per-query blocks: (trial times, sentinelBefore, sentinelAfter)
-    final case class Block(times: Vector[Double], sBefore: Double, sAfter: Double)
+    // gcMs: total JVM GC pause time accrued across the block's trials —
+    // the CPU sentinel cannot see GC/safepoint stalls (they inflate a
+    // query without inflating the sentinel's own sample), so the r12
+    // driver re-run's unexplained q95 6.4x reading was unadjudicable
+    // from the artifact alone. Recording the delta per block makes the
+    // next such reading diagnosable: high gc_ms → JVM pause, low gc_ms
+    // with clean sentinels → external (disk/page-cache) weather.
+    def gcTotalMs(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+      s
+    }
+    final case class Block(times: Vector[Double], sBefore: Double,
+      sAfter: Double, gcMs: Long)
     val blocks = scala.collection.mutable.LinkedHashMap[String, Vector[Block]]()
     val errMap = scala.collection.mutable.LinkedHashMap[String, String]()
     // re-run failures on queries that already own valid blocks (ADVICE
@@ -123,6 +138,7 @@ object Bench {
       if (doWarmup) // errors are recorded (and fail the run) in timed trials
         try selected(name)(spark, sfDir).count() catch { case _: Throwable => () }
       val sB = lastSentinel
+      val gc0 = gcTotalMs()
       var failed: Option[String] = None
       val ts = Vector.fill(repeat) {
         val t0 = System.nanoTime()
@@ -138,7 +154,7 @@ object Bench {
       failed match {
         case None =>
           blocks(name) = blocks.getOrElse(name, Vector.empty) :+
-            Block(ts, sB, lastSentinel)
+            Block(ts, sB, lastSentinel, gcTotalMs() - gc0)
         case Some(msg) if isRerun && blocks.contains(name) =>
           rerunErrs(name) = msg
         case Some(msg) =>
@@ -262,10 +278,16 @@ object Bench {
     def spreadOf(ts: Vector[Double]): Double =
       if (ts.nonEmpty && ts.min > 0) ts.max / ts.min else 1.0
     val disp = results.map { case (k, ts) =>
+      // gc_ms: GC pause time accrued across the block holding the
+      // reported min — separates JVM-pause inflation (high gc_ms) from
+      // external weather (clean gc_ms + clean sentinels) in post-hoc
+      // adjudication of an outlier query
+      val bestGc = blocks.get(k).map(_.minBy(_.times.min).gcMs).getOrElse(0L)
       "\"" + k + "\":{\"passes\":[" + ts.map(fmt).mkString(",") +
         "],\"spread\":" + fmt(spreadOf(cleanTimes.getOrElse(k, ts))) +
         ",\"spread_all\":" + fmt(spreadOf(ts)) +
-        ",\"sentinel_ratio\":" + fmt(ratioOf.getOrElse(k, 1.0)) + "}"
+        ",\"sentinel_ratio\":" + fmt(ratioOf.getOrElse(k, 1.0)) +
+        ",\"gc_ms\":" + bestGc + "}"
     }.mkString("{", ",", "}")
     val worst = results.map { case (k, ts) =>
       (spreadOf(cleanTimes.getOrElse(k, ts)), k)

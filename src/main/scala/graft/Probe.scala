@@ -599,6 +599,17 @@ object Probe {
         // optional 3rd arg: batch size (default n/10) — lets the
         // batch-bound-shuffle claim be tested with m fixed as n grows
         val m = args.lift(2).map(_.toLong).getOrElse(n / 10)
+        // optional 4th arg: a second rescore broadcast cap — when given,
+        // the run screens TWICE per variant over the SAME build (salts
+        // 1/2 at the default 64 MB cap, salts 3/4 at the override), an
+        // A/B of the size-conditional broadcast at identical batch size.
+        // Pass 0 to force the shuffle attach-join as the B side. NOTE a
+        // cap above ~1 GB overruns spark.driver.maxResultSize when the
+        // candidate set is large (measured: 20M/2M-batch ref sigs
+        // collect ~1.1 GB and the job dies) — the default cap is the
+        // guard that keeps the broadcast path driver-safe; A/B at a
+        // batch size where the DEFAULT cap engages instead.
+        val altCap = args.lift(3).map(_.toLong)
         val mSel = math.max(1L, n / math.max(1L, m)) * 3 // ids % (3·n/m)
         def batchOf(salt: Int): org.apache.spark.sql.DataFrame = {
           // single appended token: J ≈ 0.97, and with 16 bands of 4 the
@@ -618,19 +629,42 @@ object Probe {
         val idx = Dedup.minhashIndex(ref, "doc_id", "text",
           numHashes = 64, bands = 16).persist()
         val tBuild = (System.nanoTime() - s0) / 1e9
-        def screen(tag: String, salt: Int): Unit = {
+        // pinned index footprint (mem + spilled-to-disk blocks of the
+        // banded/counts caches) — the number the array<int> signature
+        // migration is supposed to halve vs the r12 array<long> store
+        val cacheGB = spark.sparkContext.getRDDStorageInfo
+          .map(i => i.memSize + i.diskSize).sum / 1e9
+        println(f"[probe] indexscreen indexCacheGB=$cacheGB%.2f")
+        def screen(tag: String, salt: Int,
+            bcastCap: Long = 64L << 20): Unit = {
           val batch = batchOf(salt)
           batch.count()
           val b0 = listener.shuffleWriteBytes; val t1 = System.nanoTime()
-          val hits = Dedup.minhashSearch(idx, batch, "doc_id", "text")
+          val hits = Dedup.minhashSearch(idx, batch, "doc_id", "text",
+              broadcastRefSigsMaxBytes = bcastCap)
             .filter(col("est_jaccard") >= 0.5)
-          val stats = hits.agg(count(lit(1)),
-            count_distinct(col("id_new"))).head()
+          val agged = hits.agg(count(lit(1)), count_distinct(col("id_new")))
+          val stats = agged.head()
+          // executed join/exchange shape (post-AQE): proves whether the
+          // size-conditional broadcast of the pruned ref sigs actually
+          // engaged at this batch size, rather than inferring it from
+          // shuffle deltas
+          val nodes = org.apache.spark.sql.graftbridge.Bridge
+            .allExecutedNodes(agged.queryExecution.executedPlan)
+          val bhj = nodes.count(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+          val smj = nodes.count(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+          val shj = nodes.count(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+          val exch = nodes.count(_.isInstanceOf[
+            org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
           println(f"[probe] indexscreen n=$n m=$m $tag pairs=${stats.getLong(0)} " +
             f"matched_new=${stats.getLong(1)} " +
             f"wall=${(System.nanoTime() - t1) / 1e9}%.1fs " +
             f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f " +
-            f"worstTask=${listener.worstRatio()}%.1f")
+            f"worstTask=${listener.worstRatio()}%.1f " +
+            f"plan[bhj=$bhj smj=$smj shj=$shj exch=$exch]")
           // every non-stub perturbed doc finds its source (up to the
           // ~1e-18/doc band-miss floor); stubs cannot — their bucket was
           // capped away at build; fresh docs share no shingles with
@@ -645,6 +679,14 @@ object Probe {
         }
         screen("cold", 1)
         screen("steady", 2)
+        // SAME salts as the baseline screens → byte-identical batches,
+        // so the cap A/B isolates the plan shape (the only residual
+        // asymmetry is page-cache warmth, which the cold/steady split
+        // already brackets)
+        altCap.foreach { cap =>
+          screen(s"altcap-cold(cap=$cap)", 1, cap)
+          screen(s"altcap-steady(cap=$cap)", 2, cap)
+        }
         println(f"[probe] indexscreen build+persist=$tBuild%.1fs")
         idx.release()
       case "indexlife" =>
