@@ -116,16 +116,33 @@ benchCheck := {
       |        print('Q\t%s\t%.6f' % (k, v))
       |for q in d.get('contended', []):
       |    print('C\t%s' % q)
+      |if isinstance(d.get('sentinel_ref'), (int, float)):
+      |    print('S\t%.6f' % d['sentinel_ref'])
       |""".stripMargin
-  def parseArtifact(f: java.io.File): (Map[String, Double], Set[String]) = {
+  def parseArtifact(f: java.io.File)
+      : (Map[String, Double], Set[String], Option[Double]) = {
     val out = Process(Seq("python3", "-c", pyExtract, f.getAbsolutePath)).!!
     val lines = out.linesIterator.map(_.split('\t')).toVector
     (lines.collect { case Array("Q", q, t) => q -> t.toDouble }.toMap,
-      lines.collect { case Array("C", q) => q }.toSet)
+      lines.collect { case Array("C", q) => q }.toSet,
+      lines.collectFirst { case Array("S", s) => s.toDouble })
   }
   val floors = parseArtifact(floorsFile)._1
+  // floor-provenance machine speed: floors were captured on a host whose
+  // idle sentinel_ref was this value (tools/bench_floors.json, r12
+  // run-7). Logged against each pass's own sentinel_ref so an over-bar
+  // verdict on a uniformly slower host is adjudicable from the
+  // transcript (r13: a 13-52% elevated sentinel floor with gc_ms=0
+  // inflated 13 unrelated queries past the bar — weather, not engine).
+  val floorSentinel = {
+    val out = Process(Seq("python3", "-c",
+      "import json,sys;print(json.load(open(sys.argv[1])).get('_floor_sentinel_ref',''))",
+      floorsFile.getAbsolutePath)).!!.trim
+    if (out.nonEmpty) Some(out.toDouble) else None
+  }
   if (floors.isEmpty) sys.error(s"benchCheck: no floors parsed from $floorsFile")
-  def runBench(dir: java.io.File, only: Option[String]): (Map[String, Double], Set[String]) = {
+  def runBench(dir: java.io.File, only: Option[String])
+      : (Map[String, Double], Set[String], Option[Double]) = {
     IO.createDirectory(dir)
     val jcmd = Seq("java") ++ jdk17AddOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -159,7 +176,10 @@ benchCheck := {
     pass += 1
     if (pass > 1) log.warn(s"benchCheck pass $pass: ${openQs.size} " +
       s"unresolved (${openQs.toSeq.sorted.mkString(", ")}) — full re-run")
-    val (tn, cn) = runBench(file(s"/tmp/benchcheck_pass$pass"), only)
+    val (tn, cn, sref) = runBench(file(s"/tmp/benchcheck_pass$pass"), only)
+    for (s0 <- floorSentinel; s1 <- sref)
+      log.info(f"benchCheck pass $pass machine speed: sentinel_ref $s1%.4f " +
+        f"vs floor-era $s0%.4f (${s1 / s0}%.2fx slower-is-higher)")
     tn.foreach { case (q, t) =>
       floors.get(q) match {
         case None =>
