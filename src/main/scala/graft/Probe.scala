@@ -632,9 +632,14 @@ object Probe {
         // pinned index footprint (mem + spilled-to-disk blocks of the
         // banded/counts caches) — the number the array<int> signature
         // migration is supposed to halve vs the r12 array<long> store
-        val cacheGB = spark.sparkContext.getRDDStorageInfo
-          .map(i => i.memSize + i.diskSize).sum / 1e9
+        val rddInfos = spark.sparkContext.getRDDStorageInfo
+        val cacheGB = rddInfos.map(i => i.memSize + i.diskSize).sum / 1e9
         println(f"[probe] indexscreen indexCacheGB=$cacheGB%.2f")
+        rddInfos.sortBy(i => -(i.memSize + i.diskSize)).take(6).foreach { i =>
+          println(f"[probe]   cached ${(i.memSize + i.diskSize) / 1e9}%7.2fGB " +
+            f"(mem=${i.memSize / 1e9}%.2f disk=${i.diskSize / 1e9}%.2f) " +
+            i.name.replace('\n', ' ').take(120))
+        }
         def screen(tag: String, salt: Int,
             bcastCap: Long = 64L << 20): Unit = {
           val batch = batchOf(salt)
