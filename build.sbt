@@ -118,28 +118,31 @@ benchCheck := {
       |    print('C\t%s' % q)
       |if isinstance(d.get('sentinel_ref'), (int, float)):
       |    print('S\t%.6f' % d['sentinel_ref'])
+      |if isinstance(d.get('_floor_sentinel_ref'), (int, float)):
+      |    print('F\t%.6f' % d['_floor_sentinel_ref'])
       |""".stripMargin
+  // (floors file only; artifacts never carry _floor_sentinel_ref)
   def parseArtifact(f: java.io.File)
-      : (Map[String, Double], Set[String], Option[Double]) = {
+      : (Map[String, Double], Set[String], Option[Double], Option[Double]) = {
     val out = Process(Seq("python3", "-c", pyExtract, f.getAbsolutePath)).!!
     val lines = out.linesIterator.map(_.split('\t')).toVector
     (lines.collect { case Array("Q", q, t) => q -> t.toDouble }.toMap,
       lines.collect { case Array("C", q) => q }.toSet,
-      lines.collectFirst { case Array("S", s) => s.toDouble })
+      lines.collectFirst { case Array("S", s) => s.toDouble },
+      lines.collectFirst { case Array("F", s) => s.toDouble })
   }
-  val floors = parseArtifact(floorsFile)._1
+  val parsedFloors = parseArtifact(floorsFile)
+  val floors = parsedFloors._1
   // floor-provenance machine speed: floors were captured on a host whose
   // idle sentinel_ref was this value (tools/bench_floors.json, r12
-  // run-7). Logged against each pass's own sentinel_ref so an over-bar
-  // verdict on a uniformly slower host is adjudicable from the
-  // transcript (r13: a 13-52% elevated sentinel floor with gc_ms=0
-  // inflated 13 unrelated queries past the bar — weather, not engine).
-  val floorSentinel = {
-    val out = Process(Seq("python3", "-c",
-      "import json,sys;print(json.load(open(sys.argv[1])).get('_floor_sentinel_ref',''))",
-      floorsFile.getAbsolutePath)).!!.trim
-    if (out.nonEmpty) Some(out.toDouble) else None
-  }
+  // run-7). Logged against each pass's own sentinel_ref, and consumed by
+  // the mechanical slow-host adjudication below (r13: a 13-52% elevated
+  // sentinel floor with gc_ms=0 inflated 13 unrelated queries past the
+  // bar — weather, not engine). Parsed by the same pyExtract pass as the
+  // floors themselves (ADVICE r13: no second python subprocess, and a
+  // non-numeric value is skipped by the isinstance guard, which the
+  // adjudication treats as missing provenance -> no advisory).
+  val floorSentinel = parsedFloors._4
   if (floors.isEmpty) sys.error(s"benchCheck: no floors parsed from $floorsFile")
   def runBench(dir: java.io.File, only: Option[String])
       : (Map[String, Double], Set[String], Option[Double]) = {
@@ -152,7 +155,8 @@ benchCheck := {
       "SPARK_GRAFT_CPUS" -> "32") ++ only.map("SPARK_GRAFT_ONLY" -> _)
     val code = Process(jcmd, dir, env: _*).!
     if (code != 0) sys.error(s"benchCheck: Bench exited $code in $dir")
-    parseArtifact(dir / "bench_queries.json")
+    val p = parseArtifact(dir / "bench_queries.json")
+    (p._1, p._2, p._3)
   }
   // Every pass runs the SAME full query set (re-running only the
   // violators was measured to inflate cheap queries 1.5-2x — a 2-query
@@ -160,7 +164,14 @@ benchCheck := {
   // would confirm false regressions against full-run floors). Per-query
   // verdict state across passes:
   //   clean measurement <= bar·floor        -> CLEARED
-  //   two clean measurements  > bar·floor   -> CONFIRMED regression, red
+  //   two clean measurements  > bar·floor   -> CONFIRMED over-bar; fed to
+  //     the mechanical slow-host adjudication below — red unless the
+  //     recorded evidence (sentinel ratio, gc_ms, family breadth)
+  //     satisfies the weather rule, in which case the gate is a loudly
+  //     annotated green ("OVER-BAR/SLOW-HOST (advisory)"). A confirmation
+  //     no longer ends the run early: the remaining unresolved queries
+  //     still get their retry passes, since the confirm may adjudicate
+  //     advisory rather than red.
   //   contended in every pass                -> UNRESOLVED, red (ADVICE
   //     r11: a real regression under persistent contention must not
   //     pass green — extra passes retry it, and running out of passes
@@ -170,13 +181,22 @@ benchCheck := {
   val overCount = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
   val cleared = scala.collection.mutable.Set[String]()
   val confirmedRegs = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+  // evidence for the mechanical slow-host adjudication (VERDICT r13
+  // task 3): per-pass sentinel ratios, every over-bar-in-a-clean-pass
+  // query (family breadth), and the dispersion artifacts (gc_ms)
+  val passSentinels = scala.collection.mutable.ArrayBuffer[Double]()
+  val passDirs = scala.collection.mutable.ArrayBuffer[java.io.File]()
+  val overbarAny = scala.collection.mutable.Set[String]()
   var openQs: Set[String] = Set("bootstrap")
   var pass = 0
-  while (pass < maxPasses && openQs.nonEmpty && confirmedRegs.isEmpty) {
+  while (pass < maxPasses && openQs.nonEmpty) {
     pass += 1
     if (pass > 1) log.warn(s"benchCheck pass $pass: ${openQs.size} " +
       s"unresolved (${openQs.toSeq.sorted.mkString(", ")}) — full re-run")
-    val (tn, cn, sref) = runBench(file(s"/tmp/benchcheck_pass$pass"), only)
+    val passDir = file(s"/tmp/benchcheck_pass$pass")
+    val (tn, cn, sref) = runBench(passDir, only)
+    passDirs += passDir
+    sref.foreach(passSentinels += _)
     for (s0 <- floorSentinel; s1 <- sref)
       log.info(f"benchCheck pass $pass machine speed: sentinel_ref $s1%.4f " +
         f"vs floor-era $s0%.4f (${s1 / s0}%.2fx slower-is-higher)")
@@ -188,9 +208,13 @@ benchCheck := {
           if (t <= bar * f) cleared += q
           else {
             overCount(q) += 1
+            overbarAny += q
             log.warn(f"benchCheck: $q over bar in clean pass $pass " +
               f"($t%.3f vs floor $f%.3f, ${t / f}%.2fx)")
-            if (overCount(q) >= 2) confirmedRegs += ((q, t, f))
+            // exactly-once append: later full re-run passes keep
+            // measuring a confirmed query (the re-runs exist for the
+            // still-open ones) and must not duplicate its entry
+            if (overCount(q) == 2) confirmedRegs += ((q, t, f))
           }
         case _ => ()
       }
@@ -200,10 +224,38 @@ benchCheck := {
   }
   if (confirmedRegs.nonEmpty) {
     confirmedRegs.foreach { case (q, t, f) =>
-      log.error(f"benchCheck REGRESSION $q: $t%.3f s vs floor $f%.3f s " +
+      log.error(f"benchCheck confirmed over-bar $q: $t%.3f s vs floor $f%.3f s " +
         f"(${t / f}%.2fx > ${bar}x) in two contention-clean passes")
     }
-    sys.error(s"benchCheck: ${confirmedRegs.size} persistent perf regression(s)")
+    // Mechanical slow-host adjudication (VERDICT r13 task 3; replaces
+    // the per-round prose verdicts of r11-r13): tools/weather_verdict.py
+    // applies the recorded-evidence rule — every pass's machine speed
+    // >= 1.15x the floor era AND confirmed queries' gc_ms <= 50 AND the
+    // over-bar set spans >= 3 name-derived families — and exits 0 for
+    // "OVER-BAR/SLOW-HOST (advisory)" (loud green) or 2 for a real
+    // REGRESSION (the historical red). The evidence file is committed
+    // next to the transcript so the verdict replays.
+    val evFile = file("/tmp/benchcheck_weather_events.json")
+    def jarr(xs: Seq[String]) = xs.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    IO.write(evFile, s"""{"bar":$bar,
+      |"floor_sentinel":${floorSentinel.getOrElse("null")},
+      |"pass_sentinels":[${passSentinels.mkString(",")}],
+      |"confirmed":[${confirmedRegs.map { case (q, t, f) =>
+          s"""{"q":"$q","t":$t,"floor":$f}""" }.mkString(",")}],
+      |"overbar_any":${jarr(overbarAny.toSeq.sorted)},
+      |"dispersion_files":${jarr(passDirs.map(d =>
+          (d / "bench_dispersion.json").getAbsolutePath))}}
+      |""".stripMargin)
+    val wcode = Process(Seq("python3",
+      (base / "tools" / "weather_verdict.py").getAbsolutePath,
+      evFile.getAbsolutePath)).!
+    if (wcode == 0)
+      log.warn(s"benchCheck: ${confirmedRegs.size} confirmed over-bar " +
+        "quer(ies) adjudicated OVER-BAR/SLOW-HOST (advisory) — gate " +
+        s"green with this annotation; evidence: $evFile")
+    else
+      sys.error(s"benchCheck: ${confirmedRegs.size} persistent perf " +
+        "regression(s) — weather_verdict: REGRESSION (see rule output above)")
   }
   if (openQs.nonEmpty) {
     val neverClean = openQs.filter(q => overCount(q) == 0)

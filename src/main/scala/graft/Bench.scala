@@ -253,6 +253,18 @@ object Bench {
     // (their reported min never coincided with a clean sentinel even after
     // re-runs) and read `sentinel_ref` as the machine's quietest instant
     val contJson = contended.map(qstr).mkString("[", ",", "]")
+    // config-mismatch tripwire (VERDICT r13 task 7): floors and every
+    // committed close-out were captured at the measured-optimal -Xmx8g
+    // (the r12/r13 sweeps put 96g runs 8-14% slower with 2-4x the
+    // contended count — G1 pause shape, not engine). A driver re-running
+    // at a different heap is comparing against floors from another JVM
+    // config; say so in the transcript instead of letting the delta read
+    // as a regression.
+    val heapGb = Runtime.getRuntime.maxMemory / 1e9
+    if (heapGb < 7.0 || heapGb > 10.0)
+      println(f"[bench] WARNING heap_max_gb=$heapGb%.1f deviates from the " +
+        "floor-era config (-Xmx8g, measured optimal r12/r13) — totals are " +
+        "not comparable to bench_floors.json or committed close-outs")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""errors":$errJson,"err_count":${errors.size},""" +

@@ -1768,6 +1768,36 @@ object SparkEntry {
         col(target.head).as("close_cumul"), col("High").as("high_cumul"),
         col("Volume").as("volume_cumul"))
     }),
+    "q131_quandl_annual_normalize" -> ((s, dir) => {
+      // §2.1 Quandl param matrix, third orthogonal axis (vs q128
+      // monthly×rdiff, q130 quarterly×cumul): annual collapse re-dates
+      // each year's LAST daily row to Dec 31, normalize rescales every
+      // data column to (v / v_first) · 100 keeping all rows. Values are
+      // integer-valued doubles (counts, floor-to-cents prices), so each
+      // output is two single IEEE ops (one divide, one multiply) in the
+      // same order on both engines — hashed unrounded.
+      import graft.ingest.{Finance, OrangeCsv}
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q131_quandl"
+      val cents = (c: Column) => floor(c * 100).cast("double")
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("Date"))
+        .agg(count(lit(1)).cast("double").as("Open"),
+          cents(max(col("o_totalprice"))).as("High"),
+          cents(min(col("o_totalprice"))).as("Low"),
+          (cents(max(col("o_totalprice"))) +
+            cents(min(col("o_totalprice")))).as("Close"),
+          count(lit(1)).cast("double").as("Volume"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val back = Finance.readQuandl(s, path,
+        collapse = "annual", transform = "normalize")
+      val target = OrangeCsv.colsWithRole(back.df, "target")
+      require(target == Seq("Close"),
+        s"target role lost through collapse/transform: $target")
+      back.df.select(unix_seconds(col("Date")).as("t_s"),
+        col(target.head).as("close_norm"), col("High").as("high_norm"),
+        col("Volume").as("volume_norm"))
+    }),
     "q129_html_block_score" -> ((s, dir) => {
       // the trafilatura/jusText boilerplate-block layer (the r10 verdict's
       // one documented extraction gap): wrap the q122 page in real chrome
@@ -2512,6 +2542,29 @@ object SparkEntry {
          |  (ORDER BY pe ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          |SELECT CAST(epoch(CAST(pe AS TIMESTAMP)) AS BIGINT) AS t_s,
          | close_cumul, high_cumul, volume_cumul FROM c""".stripMargin,
+    // Quandl matrix, third orthogonal axis: annual collapse keeps the
+    // year's LAST daily row re-dated to Dec 31; normalize = (v/v_first)
+    // · 100 over the collapsed order, keeping every row. Two single IEEE
+    // ops per value in the same order on both engines — hashed unrounded.
+    "q131_quandl_annual_normalize" ->
+      s"""WITH d AS (SELECT o_orderdate AS dt,
+         |  floor(max(o_totalprice) * 100) AS high,
+         |  floor(max(o_totalprice) * 100) + floor(min(o_totalprice) * 100) AS close,
+         |  CAST(count(*) AS DOUBLE) AS volume
+         | FROM orders GROUP BY o_orderdate),
+         |y AS (SELECT last_day(CAST(date_trunc('year', dt) AS DATE)
+         |    + INTERVAL 11 MONTH) AS pe,
+         |  max_by(high, dt) AS high, max_by(close, dt) AS close,
+         |  max_by(volume, dt) AS volume
+         | FROM d GROUP BY 1),
+         |n AS (SELECT pe,
+         |  (close / first_value(close) OVER w) * 100 AS close_norm,
+         |  (high / first_value(high) OVER w) * 100 AS high_norm,
+         |  (volume / first_value(volume) OVER w) * 100 AS volume_norm
+         | FROM y WINDOW w AS
+         |  (ORDER BY pe ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT CAST(epoch(CAST(pe AS TIMESTAMP)) AS BIGINT) AS t_s,
+         | close_norm, high_norm, volume_norm FROM n""".stripMargin,
     "q129_html_block_score" -> htmlBlockScoreSql,
     // the identical regexp/replace chain over the identically constructed
     // page — both engines run the same RE2/Java-regex-common patterns
