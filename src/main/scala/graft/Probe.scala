@@ -600,16 +600,24 @@ object Probe {
         // batch-bound-shuffle claim be tested with m fixed as n grows
         val m = args.lift(2).map(_.toLong).getOrElse(n / 10)
         // optional 4th arg: a second rescore broadcast cap — when given,
-        // the run screens TWICE per variant over the SAME build (salts
-        // 1/2 at the default 64 MB cap, salts 3/4 at the override), an
-        // A/B of the size-conditional broadcast at identical batch size.
+        // the run screens TWICE over the SAME build, reusing salts 1/2
+        // (baseline screens at the default 64 MB cap, override screens
+        // at the given cap over byte-identical batches), an A/B of the
+        // size-conditional broadcast at identical batch size.
         // Pass 0 to force the shuffle attach-join as the B side. NOTE a
         // cap above ~1 GB overruns spark.driver.maxResultSize when the
         // candidate set is large (measured: 20M/2M-batch ref sigs
         // collect ~1.1 GB and the job dies) — the default cap is the
         // guard that keeps the broadcast path driver-safe; A/B at a
         // batch size where the DEFAULT cap engages instead.
-        val altCap = args.lift(3).map(_.toLong)
+        // "-" skips the A/B (so the 5th positional arg is reachable alone)
+        val altCap = args.lift(3).filter(_ != "-").map(_.toLong)
+        // optional 5th arg: maxDocsPerScreen — every screen below runs in
+        // minhashSearch's chunked mode (VERDICT r14: sub-batch the
+        // arriving docs so per-screen shuffle scratch is bounded by one
+        // slice; pass 0/omit for the one-shot screen). Recall asserts are
+        // chunk-invariant (chunked ≡ unchunked is spec-pinned).
+        val chunkDocs = args.lift(4).map(_.toLong).getOrElse(0L)
         val mSel = math.max(1L, n / math.max(1L, m)) * 3 // ids % (3·n/m)
         def batchOf(salt: Int): org.apache.spark.sql.DataFrame = {
           // single appended token: J ≈ 0.97, and with 16 bands of 4 the
@@ -646,7 +654,8 @@ object Probe {
           batch.count()
           val b0 = listener.shuffleWriteBytes; val t1 = System.nanoTime()
           val hits = Dedup.minhashSearch(idx, batch, "doc_id", "text",
-              broadcastRefSigsMaxBytes = bcastCap)
+              broadcastRefSigsMaxBytes = bcastCap,
+              maxDocsPerScreen = chunkDocs)
             .filter(col("est_jaccard") >= 0.5)
           val agged = hits.agg(count(lit(1)), count_distinct(col("id_new")))
           val stats = agged.head()
@@ -664,7 +673,8 @@ object Probe {
             org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
           val exch = nodes.count(_.isInstanceOf[
             org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
-          println(f"[probe] indexscreen n=$n m=$m $tag pairs=${stats.getLong(0)} " +
+          println(f"[probe] indexscreen n=$n m=$m chunk=$chunkDocs $tag " +
+            f"pairs=${stats.getLong(0)} " +
             f"matched_new=${stats.getLong(1)} " +
             f"wall=${(System.nanoTime() - t1) / 1e9}%.1fs " +
             f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f " +

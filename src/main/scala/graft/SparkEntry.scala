@@ -2053,6 +2053,54 @@ object SparkEntry {
           col("rSum").as("r_sum"), col("gSum").as("g_sum"),
           col("bSum").as("b_sum"))
     }),
+    "q132_image_dhash_neardup" -> ((s, dir) => {
+      // the image perceptual-hash dedup tier END-TO-END under the hash
+      // gate (r14: a 100 TB multimodal pipeline dedups images, not just
+      // captions): planted closed-form PPMs per odd doc_id with a
+      // QUADRATIC pixel term v(k) = (id + 13k + (id%7+1)·k²) mod 256 —
+      // q79's linear sawtooth makes unrelated images share gradient-sign
+      // patterns (measured: 19k Hamming-0 pairs at sf0.1, a quadratic
+      // gate); the k² term varies the gradient with position so
+      // unrelated dhashes separate. Each source gets a companion: for
+      // id%4==1 a VISUALLY-IDENTICAL RE-ENCODE (same pixels behind a
+      // '#'-comment header — byte-different, decode-identical, the real
+      // decoder's comment walk on the hot path), for id%4==3 a
+      // closed-form perturbed copy (+8 on every 7th pixel byte, mod
+      // 256). Pipeline: REAL decode → dHash64 (9×8 nearest-sampled
+      // integer gray gradients) → the q59 4×16-bit band tier → exact
+      // Hamming ≤ 10 pairs. Every stage is integer arithmetic the
+      // oracle replays bit-for-bit: re-encodes meet their source at
+      // Hamming 0 through all 4 bands; perturbed/unrelated pairs appear
+      // exactly when the shared arithmetic says their bands collide.
+      import s.implicits._
+      val corpus = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          // dims STRICTLY larger than the 9×8 dhash grid: at q79's 4..11
+          // × 3..7 sizes, adjacent grid cells alias the same source pixel
+          // (w < 9 → zero gradients by construction), collapsing dhash
+          // entropy — measured 19k coincidental Hamming-0 pairs at sf0.1
+          val w = 12 + (id % 8).toInt
+          val h = 9 + (id % 5).toInt
+          val q = id % 7 + 1
+          def pix(pert: Boolean) = Array.tabulate[Byte](w * h * 3)(k =>
+            ((id + 13L * k + q * k.toLong * k +
+              (if (pert && k % 7 == 0) 8 else 0)) % 256).toByte)
+          val comp =
+            if (id % 4 == 1)
+              Multimodal.encodePpmP6Commented(w, h, 255, pix(false),
+                "re-encoded by a second writer")
+            else Multimodal.encodePpmP6(w, h, 255, pix(true))
+          Iterator(
+            Multimodal.MediaRow(id, Multimodal.encodePpmP6(w, h, 255, pix(false))),
+            Multimodal.MediaRow(id + 100000000L, comp))
+        }).toDF()
+      Multimodal.imageNearDupCandidates(corpus, "id", "payload",
+          maxHamming = 10)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+    }),
     "q98_semdedup_hier" -> ((s, dir) => {
       // SemDeDup under the TWO-LEVEL assigner, hash-gated end-to-end via
       // the data-row hier codebook (coarse = 4 lowest-id vectors, fine =
@@ -2565,6 +2613,48 @@ object SparkEntry {
          |  (ORDER BY pe ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          |SELECT CAST(epoch(CAST(pe AS TIMESTAMP)) AS BIGINT) AS t_s,
          | close_norm, high_norm, volume_norm FROM n""".stripMargin,
+    // Image dHash near-dup tier: replay the planted pixel closed form
+    // v(k) = (src + 13k + (src%7+1)·k² [+8 on k%7=0 for perturbed
+    // copies]) mod 256 at the 9×8 nearest-sample grid (sy = r·h div 8,
+    // sx = c·w div 9 — the resizePpmNearest index map), gray = channel
+    // sum, 64 gradient bits.
+    // Bit 63 cannot be `1::BIGINT << 63` (DuckDB raises on the overflow;
+    // the q19 sig replay never hits this because widenHash62 sigs are
+    // 62-bit) — it is added as the explicit two's-complement min-long
+    // term, so the sum reproduces Spark's long bit pattern exactly.
+    "q132_image_dhash_neardup" ->
+      s"""WITH docs AS (
+         | SELECT doc_id AS id, doc_id AS src, 0 AS pert FROM documents
+         |  WHERE doc_id % 2 = 1
+         | UNION ALL
+         | SELECT doc_id + 100000000, doc_id,
+         |   CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |dims AS (SELECT id, src, pert, 12 + src % 8 AS w, 9 + src % 5 AS h
+         | FROM docs),
+         |cells AS (SELECT id, src, pert, w, r.r, c.c,
+         |  (((r.r * h) // 8) * w + ((c.c * w) // 9)) * 3 AS k0
+         | FROM dims CROSS JOIN range(0, 8) r(r) CROSS JOIN range(0, 9) c(c)),
+         |gr AS (SELECT id, r, c,
+         |  sum((src + 13 * (k0 + ch.ch)
+         |    + (src % 7 + 1) * (k0 + ch.ch) * (k0 + ch.ch)
+         |    + CASE WHEN pert = 1 AND (k0 + ch.ch) % 7 = 0 THEN 8 ELSE 0 END)
+         |   % 256) AS g
+         | FROM cells CROSS JOIN range(0, 3) ch(ch) GROUP BY id, r, c),
+         |dh AS (SELECT a.id,
+         |  CAST(sum(CASE WHEN a.g <= b.g THEN 0
+         |    WHEN a.r * 8 + a.c = 63 THEN -9223372036854775807 - 1
+         |    ELSE (CAST(1 AS BIGINT) << (a.r * 8 + a.c)) END) AS BIGINT) AS sig
+         | FROM gr a JOIN gr b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+         | WHERE a.c < 8 GROUP BY a.id),
+         |banded AS (SELECT id, sig, b.b, (sig >> (b.b * 16)) & 65535 AS bval
+         | FROM dh CROSS JOIN range(0, 4) b(b) WHERE sig != 0),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+         |  x.sig AS sa, y.sig AS sb
+         | FROM banded x JOIN banded y ON x.b = y.b AND x.bval = y.bval
+         |  AND x.id < y.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 10""".stripMargin,
     "q129_html_block_score" -> htmlBlockScoreSql,
     // the identical regexp/replace chain over the identically constructed
     // page — both engines run the same RE2/Java-regex-common patterns

@@ -498,10 +498,34 @@ object Dedup {
     * LSH band bucket. The batch's own internal duplicates are NOT
     * reported — run [[minhashCandidates]] on the batch for those. The
     * batch side gets the same per-bucket cap as the index so a
-    * boilerplate flood in the arriving data cannot blow the join. */
+    * boilerplate flood in the arriving data cannot blow the join.
+    *
+    * Chunked mode (`maxDocsPerScreen > 0`, VERDICT r13 task 1): screens
+    * are per-doc decomposable — a batch doc's candidates depend only on
+    * its own bands and the (immutable) index — so a batch larger than
+    * the cap is carved into ⌈n/cap⌉ deterministic id-hash slices and
+    * screened SEQUENTIALLY, each slice's result eagerly materialized
+    * before the next starts. That bounds the LIVE shuffle scratch of a
+    * screen to one slice's worth (the r13 100M×2M probe died on ~13 GB
+    * of single-screen scratch vs 8.9 GB free disk; the operator was
+    * never the ceiling). One semantic subtlety makes naive carving
+    * wrong: the batch-side flood cap counts bucket members WITHIN the
+    * arriving batch, and a flood split across slices could duck under a
+    * per-slice cap — so in chunked mode the over-cap bucket list is
+    * computed ONCE over the full batch's banding and anti-joined into
+    * every slice, which keeps chunked ≡ unchunked exactly (spec-pinned,
+    * flood included). Plan shape per slice is the unchunked plan; only
+    * the rescore's size-conditional broadcast may engage at slice sizes
+    * where the full batch would shuffle — results identical either way.
+    * The streaming twin
+    * ([[graft.streaming.StreamingOps.streamingMinhashIndexScreen]])
+    * needs no such knob: its micro-batch IS the chunk — bound
+    * per-screen scratch there by bounding the trigger
+    * (`maxFilesPerTrigger`/`maxOffsetsPerTrigger`). */
   def minhashSearch(index: MinhashIndex, batch: DataFrame,
       idCol: String, textCol: String,
-      broadcastRefSigsMaxBytes: Long = 64L << 20): DataFrame = {
+      broadcastRefSigsMaxBytes: Long = 64L << 20,
+      maxDocsPerScreen: Long = 0L): DataFrame = {
     val params = minhashParams(index.numHashes)
     // eager localCheckpoint: consumed twice (banding + the scoring join);
     // see the deadlock note in minhashCandidates for why eager.
@@ -511,11 +535,51 @@ object Dedup {
     val bSigs = batch.select(col(idCol).as("id"),
       minhashSignatureInt(index.shingleHashesOf(col(textCol)), params).as("sig"))
       .localCheckpoint(true)
-    val bBanded = dropOverCapBuckets(
-      bSigs.select(col("id"),
-        explode(lshBandKeys(col("sig"), index.bands,
-          index.numHashes / index.bands)).as("bucket")),
-      Seq("bucket"), index.maxBucket)
+    val bandKeysOf = (sigs: DataFrame) => sigs.select(col("id"),
+      explode(lshBandKeys(col("sig"), index.bands,
+        index.numHashes / index.bands)).as("bucket"))
+    if (maxDocsPerScreen > 0) {
+      val n = bSigs.count()
+      if (n > maxDocsPerScreen) {
+        val chunks = ((n + maxDocsPerScreen - 1) / maxDocsPerScreen).toInt
+        // full-batch flood cap (see scaladoc): candidate-bound small list
+        val overCap = bandKeysOf(bSigs)
+          .groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > index.maxBucket)
+          .select(col("bucket")).localCheckpoint(true)
+        val parts = (0 until chunks).map { i =>
+          val slice = bSigs.filter(
+            pmod(xxhash64(col("id")), lit(chunks.toLong)) === i.toLong)
+          // eager checkpoint = the sequencing barrier AND the lineage
+          // cut: once a slice's result is block-materialized, nothing
+          // references its band/rescore shuffles, so the ContextCleaner
+          // can delete their files before the next slice writes its own
+          // — that reclamation is what bounds peak scratch; the explicit
+          // gc() nudges the (GC-driven) cleaner instead of waiting for
+          // its 30-min periodic sweep
+          val r = screenSigs(index, slice, bandKeysOf, Some(overCap),
+            broadcastRefSigsMaxBytes).localCheckpoint(true)
+          System.gc()
+          r
+        }
+        return parts.reduce(_ unionByName _)
+      }
+    }
+    screenSigs(index, bSigs, bandKeysOf, None, broadcastRefSigsMaxBytes)
+  }
+
+  /** One screen over already-signed batch docs — the body shared by the
+    * unchunked path (flood cap computed here, over this frame's own
+    * banding) and the chunked slices (cap precomputed over the FULL
+    * batch and passed in). */
+  private def screenSigs(index: MinhashIndex, bSigs: DataFrame,
+      bandKeysOf: DataFrame => DataFrame, overCap: Option[DataFrame],
+      broadcastRefSigsMaxBytes: Long): DataFrame = {
+    val bBanded = overCap match {
+      case Some(oc) => bandKeysOf(bSigs).join(oc, Seq("bucket"), "left_anti")
+      case None => dropOverCapBuckets(bandKeysOf(bSigs),
+        Seq("bucket"), index.maxBucket)
+    }
     // eager checkpoint: the candidate set is consumed twice (the ref-id
     // prune below + the scoring join) and is candidate-bound small
     val pairs = bBanded.select(col("bucket"), col("id").as("id_new"))

@@ -334,6 +334,148 @@ object Multimodal {
     }(Encoders.product[ResizedPpm])
   }
 
+  /** [[encodePpmP6]] with a `#` comment line in the header — a
+    * VISUALLY-IDENTICAL RE-ENCODE of the same pixels (the P6 grammar
+    * allows comments between header tokens; [[decodePpmP6]] and every
+    * consumer here skip them), used to plant byte-different/
+    * pixel-identical duplicates for the perceptual-hash tier. */
+  def encodePpmP6Commented(width: Int, height: Int, maxVal: Int,
+      pixels: Array[Byte], comment: String): Array[Byte] = {
+    require(!comment.contains("\n"), "single-line comment")
+    require(width > 0 && height > 0 && maxVal > 0 && maxVal <= 255 &&
+      pixels.length == width * height * 3)
+    s"P6\n# $comment\n$width $height\n$maxVal\n".getBytes("US-ASCII") ++ pixels
+  }
+
+  /** Per-image 64-bit perceptual hashes (`dhash`, `phash`) decoded from a
+    * PPM payload column — the image analogue of the text near-dup
+    * signatures (q19's simhash), feeding the same banded candidate tier
+    * ([[imageNearDupCandidates]]). */
+  final case class ImageHashRow(id: Long, width: Int, height: Int,
+      dhash: Long, phash: Long)
+
+  /** Integer DCT-II basis for [[imageHashes]]' pHash, scaled 2¹⁵:
+    * `C(j,k) = round(cos(π·(2k+1)·j / 64) · 32768)`. A fixed-point table
+    * keeps the whole transform in exact Long arithmetic (deterministic
+    * across JVMs/engines — no libm/FMA variance on a hashed surface);
+    * the uniform 2³⁰ scale cancels in the median threshold. */
+  private val DctC: Array[Array[Long]] = Array.tabulate(32, 32) { (j, k) =>
+    math.round(math.cos(math.Pi * (2 * k + 1) * j / 64.0) * 32768.0)
+  }
+
+  /** Decode → grayscale → two standard perceptual hashes, scan-shaped
+    * (mapPartitions, no shuffle; non-PPM payloads produce no row — the
+    * filter semantics of every decode tier). Grayscale is the exact
+    * integer channel sum `r+g+b` (0..765) — no luma division, nothing to
+    * round. Both hashes sample the source through the [[resizePpmNearest]]
+    * index map `src(y·h div outH, x·w div outW)`, so every stage is pure
+    * integer arithmetic a SQL oracle replays on planted closed-form
+    * images:
+    *  - `dhash` (difference hash, public algorithm): 9×8 grid; bit
+    *    `r·8+c` = 1 iff `g(r,c) > g(r,c+1)` — 8 horizontal gradients per
+    *    row.
+    *  - `phash` (DCT hash, public pHash algorithm): 32×32 grid → 2-D
+    *    integer DCT-II ([[DctC]]) → top-left 8×8 low-frequency block →
+    *    bit `u·8+v` = 1 iff the coefficient exceeds the block's LOWER
+    *    MEDIAN (sorted index 31 of the 64, DC included — ties toward 0
+    *    bits, deterministic).
+    * Re-encoding the same pixels (header comments, whitespace) cannot
+    * change either hash; near-identical pixels land within small Hamming
+    * distance. */
+  def imageHashes(df: DataFrame, idCol: String, binCol: String)
+      : Dataset[ImageHashRow] = {
+    val ds = df.select(col(idCol).cast("long").as("id"),
+      col(binCol).cast("binary").as("payload")).as(Encoders.product[MediaRow])
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ppmHeader(r.payload).map { case (w, h, _, pos) =>
+          @inline def gray(sy: Int, sx: Int): Long = {
+            val p = pos + (sy * w + sx) * 3
+            ((r.payload(p) & 0xff) + (r.payload(p + 1) & 0xff) +
+              (r.payload(p + 2) & 0xff)).toLong
+          }
+          var dh = 0L
+          var row = 0
+          while (row < 8) {
+            val sy = (row.toLong * h / 8).toInt
+            var c = 0
+            while (c < 8) {
+              if (gray(sy, (c.toLong * w / 9).toInt) >
+                  gray(sy, ((c + 1).toLong * w / 9).toInt))
+                dh |= 1L << (row * 8 + c)
+              c += 1
+            }
+            row += 1
+          }
+          // pHash: g32 (32×32 sampled grays) → A = C·g32 → F = A·Cᵀ
+          val g32 = Array.ofDim[Long](32, 32)
+          var y = 0
+          while (y < 32) {
+            val sy = (y.toLong * h / 32).toInt
+            var x = 0
+            while (x < 32) {
+              g32(y)(x) = gray(sy, (x.toLong * w / 32).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val a = Array.ofDim[Long](8, 32) // only the 8 low u rows matter
+          var u = 0
+          while (u < 8) {
+            var x = 0
+            while (x < 32) {
+              var s = 0L; var k = 0
+              while (k < 32) { s += DctC(u)(k) * g32(k)(x); k += 1 }
+              a(u)(x) = s
+              x += 1
+            }
+            u += 1
+          }
+          val f = new Array[Long](64)
+          u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0L; var k = 0
+              while (k < 32) { s += a(u)(k) * DctC(v)(k); k += 1 }
+              f(u * 8 + v) = s
+              v += 1
+            }
+            u += 1
+          }
+          val sorted = f.clone(); java.util.Arrays.sort(sorted)
+          val med = sorted(31)
+          var ph = 0L
+          var i = 0
+          while (i < 64) { if (f(i) > med) ph |= 1L << i; i += 1 }
+          ImageHashRow(r.id, w, h, dh, ph)
+        }
+      }
+    }(Encoders.product[ImageHashRow])
+  }
+
+  /** Image near-duplicate candidate PAIRS — the multimodal member of the
+    * dedup family (a 100 TB multimodal pipeline dedups the images, not
+    * just their captions): decode each payload to its perceptual hashes
+    * ([[imageHashes]]) and run the SAME 4×16-bit banded candidate tier
+    * text simhash uses ([[graft.dedup.Dedup.simhashCandidates]] —
+    * pigeonhole-complete to Hamming `64/bandBits − 1`, bucket-local
+    * quadratic only, bodies never shuffle; only (band, id, sig) triples
+    * move). `by` picks the signature: `"dhash"` (gradient structure —
+    * exact re-encodes and small pixel edits) or `"phash"` (DCT
+    * low-frequency structure — more tolerant of local noise). Hash-0
+    * signatures (uniform/flat images, all-equal gradients) are dropped by
+    * the tier's standard flood rule — flat images are exact-dedup's job.
+    * Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ `maxHamming`. */
+  def imageNearDupCandidates(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 10, bandBits: Int = 16,
+      by: String = "dhash"): DataFrame = {
+    require(by == "dhash" || by == "phash", s"by must be dhash|phash: $by")
+    graft.dedup.Dedup.simhashCandidates(
+      imageHashes(df, idCol, binCol).toDF(), "id", by,
+      bandBits = bandBits, maxHamming = maxHamming)
+  }
+
   /** Unified decoded-media features: real fields where the codec applies,
     * zero elsewhere; `contentSum` is the exact decoded-content checksum
     * (WAV signed-sample sum / PPM pixel-byte sum / stub byte sum) — the

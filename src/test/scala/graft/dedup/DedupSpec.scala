@@ -543,6 +543,15 @@ class DedupSpec extends SparkSpec {
     assert(viaIndexOriented == self,
       s"index=${viaIndexOriented.take(5)} self=${self.take(5)}")
     assert(self.nonEmpty, "construction must produce cross pairs")
+    // chunked mode ≡ one-shot over this realistic corpus too (the flood
+    // spec below pins the cap corner; this pins the common shape):
+    // 21 batch docs at maxDocsPerScreen=5 → 5 hash-carved slices
+    val viaChunks = Dedup.minhashSearch(idx, batch, "doc_id", "text",
+      maxDocsPerScreen = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(viaChunks == viaIndexOriented,
+      "chunked screen diverged from the one-shot screen")
     // persist lifecycle: pinned index returns the identical result
     val pinned = idx.persist()
     // serving-layout contract (r11): the pinned banded store is cached
@@ -622,6 +631,48 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     pinned.release()
     assert(again == viaIndex.map { case (r2, n, j) => (n, r2, j) }.sorted)
+  }
+
+  test("minhashSearch chunked ≡ unchunked with a batch-side flood (global cap)") {
+    import spark.implicits._
+    // the corner that makes naive chunking WRONG: the batch-side flood
+    // cap counts bucket members within the arriving batch, so a flood of
+    // 8 identical docs (> maxBucket=3 → dropped whole-batch) carved into
+    // 4 slices of ~2 would duck under a per-slice cap and start matching
+    // the 2 index copies of the same text. The chunked path must compute
+    // the over-cap list over the FULL batch once — pinned here by exact
+    // result equality, where the flood contributes zero pairs either way.
+    val floodText = "boilerplate footer text repeated verbatim across the " +
+      "whole crawl with enough words to shingle"
+    val ref = (
+      (0L until 20L).map(i => (i, s"reference document number $i body " +
+        s"talks about topic ${i % 4} in some detail with shared phrasing")) ++
+      Seq((100L, floodText), (101L, floodText))
+    ).toDF("doc_id", "text")
+    val batch = (
+      (0L until 6L).map(i => (1000L + i, s"reference document number $i " +
+        s"body talks about topic ${i % 4} in some detail with shared " +
+        "phrasing tailtok")) ++
+      (0L until 8L).map(i => (2000L + i, floodText))
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(ref, "doc_id", "text",
+      numHashes = 64, bands = 16, maxBucket = 3L)
+    def run(chunk: Long) = Dedup.minhashSearch(idx, batch, "doc_id", "text",
+      maxDocsPerScreen = chunk)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val oneShot = run(0L)
+    // sanity on the fixture: perturbed docs match their sources, flood
+    // docs match NOTHING despite the index holding two under-cap copies
+    assert(oneShot.exists { case (nw, rf, _) => nw == 1000L && rf == 0L })
+    assert(!oneShot.exists { case (nw, _, _) => nw >= 2000L },
+      s"flood docs must be capped out of the batch side: $oneShot")
+    // 14 batch docs at cap 4 → 4 hash-carved slices; the flood's 8 docs
+    // spread ~2 per slice, under the per-slice count — only the global
+    // over-cap list keeps them dropped
+    assert(run(4L) == oneShot, "chunked screen diverged (flood corner)")
+    // chunk boundary no-op: cap >= batch size must take the one-shot path
+    assert(run(100L) == oneShot)
   }
 
   test("MinhashIndex.append ≡ rebuild over the union, incl. cap crossing") {
