@@ -634,15 +634,24 @@ object Probe {
           perturbed.unionByName(fresh).localCheckpoint(true)
         }
         val s0 = System.nanoTime()
+        // single-writer build → reclaim the build shuffles once the
+        // layout is pinned (r14: at 100M the repartition/agg shuffle
+        // files are ~40 GB of dead disk next to the 61 GB cache — the
+        // probe died ENOSPC before the first screen without this)
         val idx = Dedup.minhashIndex(ref, "doc_id", "text",
-          numHashes = 64, bands = 16).persist()
+          numHashes = 64, bands = 16).persist(reclaimBuildShuffles = true)
         val tBuild = (System.nanoTime() - s0) / 1e9
         // pinned index footprint (mem + spilled-to-disk blocks of the
         // banded/counts caches) — the number the array<int> signature
         // migration is supposed to halve vs the r12 array<long> store
         val rddInfos = spark.sparkContext.getRDDStorageInfo
         val cacheGB = rddInfos.map(i => i.memSize + i.diskSize).sum / 1e9
-        println(f"[probe] indexscreen indexCacheGB=$cacheGB%.2f")
+        // scratch-disk headroom (spark.local.dir volume): the number the
+        // build-shuffle reclaim and the chunked screens exist to protect
+        def diskFreeGB = new java.io.File(
+          System.getProperty("java.io.tmpdir")).getUsableSpace / 1e9
+        println(f"[probe] indexscreen indexCacheGB=$cacheGB%.2f " +
+          f"diskFreeGB=$diskFreeGB%.1f")
         rddInfos.sortBy(i => -(i.memSize + i.diskSize)).take(6).foreach { i =>
           println(f"[probe]   cached ${(i.memSize + i.diskSize) / 1e9}%7.2fGB " +
             f"(mem=${i.memSize / 1e9}%.2f disk=${i.diskSize / 1e9}%.2f) " +
@@ -679,7 +688,8 @@ object Probe {
             f"wall=${(System.nanoTime() - t1) / 1e9}%.1fs " +
             f"shuffleWriteMB=${(listener.shuffleWriteBytes - b0) / 1e6}%.1f " +
             f"worstTask=${listener.worstRatio()}%.1f " +
-            f"plan[bhj=$bhj smj=$smj shj=$shj exch=$exch]")
+            f"plan[bhj=$bhj smj=$smj shj=$shj exch=$exch] " +
+            f"diskFreeGB=$diskFreeGB%.1f")
           // every non-stub perturbed doc finds its source (up to the
           // ~1e-18/doc band-miss floor); stubs cannot — their bucket was
           // capped away at build; fresh docs share no shingles with

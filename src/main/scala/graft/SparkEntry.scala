@@ -2101,6 +2101,34 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
     }),
+    "q133_image_phash" -> ((s, dir) => {
+      // the pHash integer-DCT VALUE per image under the hash gate (q132
+      // gates the dhash PAIRING tier; this pins the DCT arithmetic
+      // itself): planted q132-form images on a 10% id subset → real
+      // decode → 32×32 nearest gray grid → fixed-point 2-D DCT-II →
+      // 8×8 low block → lower-median threshold → 64-bit hash, replayed
+      // end-to-end in SQL. The one non-integer ingredient is the shared
+      // cos TABLE round(32768·cos(π(2k+1)j/64)): its closest entry sits
+      // 4.4e-3 from a rounding boundary (checked over all 1024 entries)
+      // vs ≤1e-8 cross-libm drift, so both engines round to the same
+      // integers and everything downstream is exact Long arithmetic.
+      import s.implicits._
+      val corpus = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 12 + (id % 8).toInt
+          val h = 9 + (id % 5).toInt
+          val q = id % 7 + 1
+          val pix = Array.tabulate[Byte](w * h * 3)(k =>
+            ((id + 13L * k + q * k.toLong * k) % 256).toByte)
+          Multimodal.MediaRow(id, Multimodal.encodePpmP6(w, h, 255, pix))
+        }).toDF()
+      Multimodal.imageHashes(corpus, "id", "payload").toDF()
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"), col("phash"))
+    }),
     "q98_semdedup_hier" -> ((s, dir) => {
       // SemDeDup under the TWO-LEVEL assigner, hash-gated end-to-end via
       // the data-row hier codebook (coarse = 4 lowest-id vectors, fine =
@@ -2622,6 +2650,36 @@ object SparkEntry {
     // the q19 sig replay never hits this because widenHash62 sigs are
     // 62-bit) — it is added as the explicit two's-complement min-long
     // term, so the sum reproduces Spark's long bit pattern exactly.
+    // pHash DCT replay: the cos table is the only non-integer input
+    // (margin-checked, see the query comment); DCT runs as two staged
+    // sum-of-products joins (A = C·G, F = A·Cᵀ) in exact BIGINT, lower
+    // median = 1-based list index 32, bit 63 via the min-long term.
+    "q133_image_phash" ->
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 3),
+         |dims AS (SELECT id, 12 + id % 8 AS w, 9 + id % 5 AS h,
+         |  id % 7 + 1 AS q FROM ids),
+         |g32 AS (SELECT id, y.y AS y, x.x AS x,
+         |  sum((id + 13 * ((((y.y * h) // 32) * w + ((x.x * w) // 32)) * 3 + ch.ch)
+         |    + q * ((((y.y * h) // 32) * w + ((x.x * w) // 32)) * 3 + ch.ch)
+         |        * ((((y.y * h) // 32) * w + ((x.x * w) // 32)) * 3 + ch.ch)) % 256) AS g
+         | FROM dims CROSS JOIN range(0, 32) y(y) CROSS JOIN range(0, 32) x(x)
+         |  CROSS JOIN range(0, 3) ch(ch)
+         | GROUP BY id, y.y, x.x),
+         |ctab AS (SELECT j.j AS j, k.k AS k,
+         |  CAST(round(32768 * cos(pi() * (2 * k.k + 1) * j.j / 64)) AS BIGINT) AS c
+         | FROM range(0, 8) j(j) CROSS JOIN range(0, 32) k(k)),
+         |a AS (SELECT g.id, c.j AS u, g.x AS x, sum(c.c * g.g) AS a
+         | FROM g32 g JOIN ctab c ON c.k = g.y GROUP BY g.id, c.j, g.x),
+         |f AS (SELECT a.id, a.u AS u, c.j AS v, sum(a.a * c.c) AS f
+         | FROM a JOIN ctab c ON c.k = a.x GROUP BY a.id, a.u, c.j),
+         |med AS (SELECT id, list(f ORDER BY f)[32] AS med FROM f GROUP BY id)
+         |SELECT f.id AS doc_id,
+         | CAST(max(12 + f.id % 8) AS BIGINT) AS w,
+         | CAST(max(9 + f.id % 5) AS BIGINT) AS h,
+         | CAST(sum(CASE WHEN f.f <= m.med THEN 0
+         |  WHEN f.u * 8 + f.v = 63 THEN -9223372036854775807 - 1
+         |  ELSE (CAST(1 AS BIGINT) << (f.u * 8 + f.v)) END) AS BIGINT) AS phash
+         |FROM f JOIN med m USING (id) GROUP BY f.id""".stripMargin,
     "q132_image_dhash_neardup" ->
       s"""WITH docs AS (
          | SELECT doc_id AS id, doc_id AS src, 0 AS pert FROM documents

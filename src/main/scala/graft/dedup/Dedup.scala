@@ -251,7 +251,26 @@ object Dedup {
       * persist the appended index and [[release]] the old one when
       * cutting over. An unpersisted chain stays correct but recomputes
       * its lineage per consumption. */
-    def persist(): MinhashIndex = {
+    def persist(): MinhashIndex = persist(reclaimBuildShuffles = false)
+
+    /** [[persist]] with an explicit disk-reclaim choice.
+      * `reclaimBuildShuffles = true` deletes, right after the two frames
+      * block-materialize, every shuffle REGISTERED DURING this call
+      * (snapshot-diff of the map-output tracker) — the repartition/
+      * aggregate shuffles that fed the pinned layout. Those files are
+      * pure recompute insurance once the blocks exist (MEMORY_AND_DISK
+      * never evicts to nothing), but the cached plan's lineage
+      * references their ShuffleDependencys forever, so the GC-driven
+      * cleaner can never reclaim them — at the 100M rung they are
+      * ~40 GB of dead disk squatting NEXT TO the 61 GB pinned cache,
+      * and the r14 probe died ENOSPC before the first screen ever ran.
+      * Lineage-safe (a cache-block loss refetches → FetchFailed → Spark
+      * resubmits the surviving parent stages; cost is re-execution,
+      * never wrong data). Default OFF: the snapshot-diff assumes no
+      * CONCURRENT query materializes its own shuffles during this call
+      * — single-writer builds (the probe, a dedicated index job) opt
+      * in; a shared interactive session keeps the insurance. */
+    def persist(reclaimBuildShuffles: Boolean): MinhashIndex = {
       // pin the banded store HASH-PARTITIONED ON ITS JOIN KEY: the
       // cached layout's outputPartitioning satisfies the screen join's
       // required distribution, so [[minhashSearch]] plans NO exchange on
@@ -261,11 +280,21 @@ object Dedup {
       // batch — index-bound, growing with the corpus); the one
       // build-time repartition amortizes across every screen the index
       // serves. Same content, physical layout only.
+      val sc = sigs.sparkSession.sparkContext
+      val before =
+        if (reclaimBuildShuffles)
+          org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc)
+        else Set.empty[Int]
       val laid = banded.repartition(col("bucket"))
       laid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       laid.count()
       counts.count()
+      if (reclaimBuildShuffles) {
+        val mine =
+          org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc) -- before
+        org.apache.spark.sql.graftbridge.Bridge.cleanupShuffles(sc, mine)
+      }
       copy(banded = laid)
     }
     /** Drop the pinned frames (no-op if never persisted). */
@@ -475,9 +504,18 @@ object Dedup {
     // slot domain — band keys and est_jaccard stay bit-identical while
     // the store (and everything derived from it: save/load parquet,
     // append/remove deltas, rescore payloads) halves.
+    // STORED SERIALIZED (r14, VERDICT task 4): the r13 50M probe
+    // measured 376 B/doc against a 256 B signature payload — the gap is
+    // per-row JVM object structure (UnsafeRow wrapper + byte-array
+    // headers), which SizeEstimator charges to every DESER block. A
+    // MEMORY_AND_DISK_SER checkpoint stores rows packed in contiguous
+    // buffers instead; the screens' sig scan pays one deserialization
+    // pass, a scan-stage cost the rescore joins dominate anyway. Values
+    // byte-identical either way — storage level only.
     val sigs = ref.select(col(idCol).as("id"),
       minhashSignatureInt(shingleHashesOf(col(textCol)), params).as("sig"))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val bandedRaw = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bucket"))
     // canonical (id, bucket) order: using-joins reorder columns, and the

@@ -34,4 +34,26 @@ object Bridge {
     }
     p +: (p.children ++ extra).flatMap(allExecutedNodes)
   }
+
+  /** Registered shuffle ids (the map-output tracker's live set). */
+  def shuffleIds(sc: org.apache.spark.SparkContext): Set[Int] =
+    org.apache.spark.SparkEnv.get.mapOutputTracker
+      .asInstanceOf[org.apache.spark.MapOutputTrackerMaster]
+      .shuffleStatuses.keySet.toSet
+
+  /** Eagerly unregister + delete the given shuffles' map outputs and
+    * files — the disk-reclaim lever for BLOCK-MATERIALIZED frames whose
+    * plan lineage pins their build shuffles' `ShuffleDependency`s
+    * forever (the GC-driven `ContextCleaner` can never fire on a
+    * referenced dependency, so a pinned cache's feeder shuffles occupy
+    * disk for the cache's whole lifetime). Safe in the lineage sense: a
+    * later recompute (cache-block loss) hits `FetchFailed` and Spark
+    * resubmits the parent map stages from the surviving lineage — the
+    * cost is re-execution, never wrong data. Callers own the
+    * concurrency contract (don't reclaim ids a concurrently-running
+    * query still reads — snapshot-diff around your own materialization
+    * to target only your shuffles). */
+  def cleanupShuffles(sc: org.apache.spark.SparkContext,
+      ids: Set[Int]): Unit =
+    sc.cleaner.foreach(cl => ids.foreach(cl.doCleanupShuffle(_, blocking = true)))
 }

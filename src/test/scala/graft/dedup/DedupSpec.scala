@@ -675,6 +675,38 @@ class DedupSpec extends SparkSpec {
     assert(run(100L) == oneShot)
   }
 
+  test("persist(reclaimBuildShuffles): build shuffles deleted, search unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val corpus = (0L until 30L).map(i =>
+      (i, s"group ${i % 5} long shared sentence body variant ${i % 10} " +
+        "with common trailing words")).toDF("doc_id", "text")
+    val ref = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val sc = spark.sparkContext
+    def run(idx: Dedup.MinhashIndex) =
+      Dedup.minhashSearch(idx, batch, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val plain = Dedup.minhashIndex(ref, "doc_id", "text",
+      numHashes = 64, bands = 16).persist()
+    val expect = run(plain)
+    plain.release()
+    val before = Bridge.shuffleIds(sc)
+    val reclaimed = Dedup.minhashIndex(ref, "doc_id", "text",
+      numHashes = 64, bands = 16).persist(reclaimBuildShuffles = true)
+    // every shuffle registered during the persist is gone again — the
+    // disk files behind the pinned layout's lineage were reclaimed
+    assert((Bridge.shuffleIds(sc) -- before).isEmpty,
+      "build shuffles must be unregistered after the reclaim")
+    // the pinned blocks serve searches identically (and a hypothetical
+    // cache-block loss would resubmit parent stages from lineage —
+    // recompute cost, never wrong data)
+    assert(run(reclaimed) == expect)
+    assert(expect.nonEmpty)
+    reclaimed.release()
+  }
+
   test("MinhashIndex.append ≡ rebuild over the union, incl. cap crossing") {
     import spark.implicits._
     // base corpus: 3 copies of a boilerplate page (under cap 4) + unique

@@ -92,6 +92,19 @@ class ImageHashSpec extends SparkSpec {
       s"unrelated dhash too close: ${ham(m(id).dhash, m(900L).dhash)}")
   }
 
+  test("pHash cos table: every entry ≥1e-3 from a rounding boundary") {
+    // the q133 oracle re-derives round(32768·cos(π(2k+1)j/64)) in
+    // DuckDB's libm; cross-libm cos drift is ≤1e-8 absolute at this
+    // scale, so a healthy distance from every .5 rounding boundary is
+    // what makes the two engines' integer tables identical — the same
+    // margin methodology as BoundaryMarginSpec (q81/q86 class)
+    for (j <- 0 until 32; k <- 0 until 32) {
+      val v = math.cos(math.Pi * (2 * k + 1) * j / 64.0) * 32768.0
+      val frac = math.abs(v - math.floor(v) - 0.5)
+      assert(frac > 1e-3, f"entry ($j,$k) = $v%.9f sits $frac%.2e from a boundary")
+    }
+  }
+
   test("non-PPM payloads produce no hash row (decode-filter contract)") {
     import spark.implicits._
     val rows = Seq(
