@@ -1626,6 +1626,28 @@ object SparkEntry {
       Dedup.minhashSearch(idx, batch, "doc_id", "text")
         .filter(col("est_jaccard") >= 0.5)
     }),
+    "q134_minhash_index_search_chunked" -> ((s, dir) => {
+      // q116's screen in CHUNKED mode (r14): the same build + the same
+      // arriving batch, but screened as ⌈n/120⌉ sequential id-hash
+      // slices with the flood cap computed whole-batch. Chunked ≡
+      // unchunked is the spec-pinned contract, so this row shares
+      // q116's ORACLE SQL verbatim — the DuckDB replay of the one-shot
+      // screen hash-gates the carved execution path end to end (at
+      // sf0.01's 500-doc batch this runs 5 real slices).
+      val d = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val ref = d.select(col("doc_id"), col("text"))
+      val batch = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" extra trailing words here")))
+          .otherwise(concat(
+            lit("u"), col("doc_id").cast("string"),
+            lit("x v"), col("doc_id").cast("string"),
+            lit("y w"), col("doc_id").cast("string"), lit("z"))).as("text"))
+      val idx = Dedup.minhashIndex(ref, "doc_id", "text")
+      Dedup.minhashSearch(idx, batch, "doc_id", "text",
+          maxDocsPerScreen = 120L)
+        .filter(col("est_jaccard") >= 0.5)
+    }),
     "q117_split_by_cluster" -> ((s, dir) => {
       // leakage-safe train/val/test: the split key is the near-dup
       // CLUSTER representative (q50's components), so a doc and its fuzzy
@@ -2554,6 +2576,9 @@ object SparkEntry {
     "q90_lm_perplexity" -> lmPerplexitySql,
     "q110_kneser_ney_ppl" -> kneserNeySql,
     "q116_minhash_index_search" -> minhashAcrossSql,
+    // chunked ≡ unchunked is the contract — the carved screen must hash
+    // to the SAME one-shot oracle replay
+    "q134_minhash_index_search_chunked" -> minhashAcrossSql,
     "q117_split_by_cluster" -> splitByClusterSql,
     // continuation contract: history ∪ a 5-step drift extrapolation; all
     // values are single-IEEE-op derivations of exact-cents daily means —
