@@ -1628,12 +1628,13 @@ object SparkEntry {
     }),
     "q134_minhash_index_search_chunked" -> ((s, dir) => {
       // q116's screen in CHUNKED mode (r14): the same build + the same
-      // arriving batch, but screened as ⌈n/120⌉ sequential id-hash
-      // slices with the flood cap computed whole-batch. Chunked ≡
-      // unchunked is the spec-pinned contract, so this row shares
-      // q116's ORACLE SQL verbatim — the DuckDB replay of the one-shot
-      // screen hash-gates the carved execution path end to end (at
-      // sf0.01's 500-doc batch this runs 5 real slices).
+      // arriving batch, but screened as ~5 sequential id-hash slices
+      // (cap = ⌈n/5⌉, so every SF exercises real carving — a fixed doc
+      // cap made sf0.1 run 42 slices whose per-slice overhead dominated)
+      // with the flood cap computed whole-batch. Chunked ≡ unchunked is
+      // the spec-pinned contract, so this row shares q116's ORACLE SQL
+      // verbatim — the DuckDB replay of the one-shot screen hash-gates
+      // the carved execution path end to end.
       val d = tbl(s, dir, "documents").filter(col("text").isNotNull)
       val ref = d.select(col("doc_id"), col("text"))
       val batch = d.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -1644,8 +1645,9 @@ object SparkEntry {
             lit("x v"), col("doc_id").cast("string"),
             lit("y w"), col("doc_id").cast("string"), lit("z"))).as("text"))
       val idx = Dedup.minhashIndex(ref, "doc_id", "text")
+      val nBatch = batch.count()
       Dedup.minhashSearch(idx, batch, "doc_id", "text",
-          maxDocsPerScreen = 120L)
+          maxDocsPerScreen = math.max(1L, (nBatch + 4) / 5))
         .filter(col("est_jaccard") >= 0.5)
     }),
     "q117_split_by_cluster" -> ((s, dir) => {

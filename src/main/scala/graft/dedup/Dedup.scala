@@ -585,6 +585,13 @@ object Dedup {
           .groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") > index.maxBucket)
           .select(col("bucket")).localCheckpoint(true)
+        // gc throttle: the cleaner nudge below matters only when a slice
+        // wrote real scratch, and scratch scales with slice runtime — a
+        // probe-scale slice (30–90 s) gets its nudge every time, while a
+        // gate-scale slice (tens of ms) must NOT pay a full-heap gc per
+        // slice (measured: 42 slices × ~1 s of System.gc() turned the
+        // 0.75 s q116-shape screen into 44.8 s at sf0.1)
+        var lastGc = System.nanoTime()
         val parts = (0 until chunks).map { i =>
           val slice = bSigs.filter(
             pmod(xxhash64(col("id")), lit(chunks.toLong)) === i.toLong)
@@ -597,7 +604,10 @@ object Dedup {
           // its 30-min periodic sweep
           val r = screenSigs(index, slice, bandKeysOf, Some(overCap),
             broadcastRefSigsMaxBytes).localCheckpoint(true)
-          System.gc()
+          if (System.nanoTime() - lastGc > 30L * 1000 * 1000 * 1000) {
+            System.gc()
+            lastGc = System.nanoTime()
+          }
           r
         }
         return parts.reduce(_ unionByName _)
