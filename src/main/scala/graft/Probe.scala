@@ -646,10 +646,16 @@ object Probe {
         // migration is supposed to halve vs the r12 array<long> store
         val rddInfos = spark.sparkContext.getRDDStorageInfo
         val cacheGB = rddInfos.map(i => i.memSize + i.diskSize).sum / 1e9
-        // scratch-disk headroom (spark.local.dir volume): the number the
-        // build-shuffle reclaim and the chunked screens exist to protect
-        def diskFreeGB = new java.io.File(
-          System.getProperty("java.io.tmpdir")).getUsableSpace / 1e9
+        // scratch-disk headroom (spark.local.dir volume — ADVICE r14:
+        // java.io.tmpdir diverges from the real shuffle volume whenever
+        // spark.local.dir points elsewhere, exactly where the reclaim/
+        // chunking levers matter; a multi-dir config reports the
+        // tightest volume): the number the build-shuffle reclaim and
+        // the chunked screens exist to protect
+        def diskFreeGB = spark.sparkContext.getConf
+          .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+          .split(',').map(d => new java.io.File(d.trim).getUsableSpace)
+          .min / 1e9
         println(f"[probe] indexscreen indexCacheGB=$cacheGB%.2f " +
           f"diskFreeGB=$diskFreeGB%.1f")
         rddInfos.sortBy(i => -(i.memSize + i.diskSize)).take(6).foreach { i =>

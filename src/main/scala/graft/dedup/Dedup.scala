@@ -555,6 +555,34 @@ object Dedup {
     * flood included). Plan shape per slice is the unchunked plan; only
     * the rescore's size-conditional broadcast may engage at slice sizes
     * where the full batch would shuffle — results identical either way.
+    *
+    * Slice execution picks one of two modes by ESTIMATED scratch
+    * (r15, VERDICT r14 task 4 — measured at the 100M×2M probe:
+    * ~7.5 KB of shuffle scratch per batch doc, candidate-bound):
+    *
+    *  - BARRIER (estimated slice scratch ≥ `sliceBarrierMinBytes`):
+    *    each slice eagerly materializes (`localCheckpoint`) before the
+    *    next starts, and the slice's own shuffles — snapshot-diffed via
+    *    the map-output tracker, exactly the [[persist]] reclaim recipe —
+    *    are DELETED once its blocks exist (they are recompute insurance
+    *    a checkpoint never uses: checkpoint blocks don't recompute).
+    *    That deterministic per-slice reclaim is what bounds peak scratch
+    *    to one slice (r14 used a `System.gc()` nudge to provoke the
+    *    GC-driven ContextCleaner instead — a driver-global pause with a
+    *    throttle heuristic; the snapshot-diff deletes exactly the
+    *    slice's files, immediately). Like `persist(reclaimBuildShuffles
+    *    = true)` this assumes no CONCURRENT query registers shuffles
+    *    during the slice — chunked screening is the single-writer
+    *    probe/backfill shape; a shared interactive session should
+    *    screen unchunked or accept per-slice recompute on conflict.
+    *  - LAZY (under the threshold): slices stay lazy DataFrames unioned
+    *    into ONE job — no per-slice checkpoint, no sizing count, no
+    *    reclaim. A gate-scale batch doesn't need the scratch bound, and
+    *    paying ~3 driver jobs per tiny slice dominated the r14 q134
+    *    gate query 4× over its one-shot twin. Results are identical by
+    *    the chunked ≡ unchunked contract (the global flood cap is
+    *    computed whole-batch in both modes).
+    *
     * The streaming twin
     * ([[graft.streaming.StreamingOps.streamingMinhashIndexScreen]])
     * needs no such knob: its micro-batch IS the chunk — bound
@@ -563,7 +591,8 @@ object Dedup {
   def minhashSearch(index: MinhashIndex, batch: DataFrame,
       idCol: String, textCol: String,
       broadcastRefSigsMaxBytes: Long = 64L << 20,
-      maxDocsPerScreen: Long = 0L): DataFrame = {
+      maxDocsPerScreen: Long = 0L,
+      sliceBarrierMinBytes: Long = 1L << 30): DataFrame = {
     val params = minhashParams(index.numHashes)
     // eager localCheckpoint: consumed twice (banding + the scoring join);
     // see the deadlock note in minhashCandidates for why eager.
@@ -577,64 +606,103 @@ object Dedup {
       explode(lshBandKeys(col("sig"), index.bands,
         index.numHashes / index.bands)).as("bucket"))
     if (maxDocsPerScreen > 0) {
+      val sc = bSigs.sparkSession.sparkContext
+      // snapshot BEFORE the sizing count so its own tiny aggregate
+      // shuffle is inside the barrier-mode reclaim window too
+      val before0 = org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc)
       val n = bSigs.count()
       if (n > maxDocsPerScreen) {
         val chunks = ((n + maxDocsPerScreen - 1) / maxDocsPerScreen).toInt
+        // mode pick (see scaladoc): estimated per-slice scratch vs the
+        // barrier threshold, using the probe-measured ~7.5 KB/doc
+        // (rounded up to 8 KB — an over-estimate errs toward the
+        // scratch-bounded barrier, never toward unbounded lazy)
+        val sliceDocs = (n + chunks - 1) / chunks
+        val barrier =
+          sliceDocs * ScreenScratchBytesPerDoc >= sliceBarrierMinBytes
         // full-batch flood cap (see scaladoc): candidate-bound small list
         val overCap = bandKeysOf(bSigs)
           .groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") > index.maxBucket)
           .select(col("bucket")).localCheckpoint(true)
-        // gc throttle: the cleaner nudge below matters only when a slice
-        // wrote real scratch, and scratch scales with slice runtime — a
-        // probe-scale slice (30–90 s) gets its nudge every time, while a
-        // gate-scale slice (tens of ms) must NOT pay a full-heap gc per
-        // slice (measured: 42 slices × ~1 s of System.gc() turned the
-        // 0.75 s q116-shape screen into 44.8 s at sf0.1)
-        var lastGc = System.nanoTime()
         val parts = (0 until chunks).map { i =>
           val slice = bSigs.filter(
             pmod(xxhash64(col("id")), lit(chunks.toLong)) === i.toLong)
-          // eager checkpoint = the sequencing barrier AND the lineage
-          // cut: once a slice's result is block-materialized, nothing
-          // references its band/rescore shuffles, so the ContextCleaner
-          // can delete their files before the next slice writes its own
-          // — that reclamation is what bounds peak scratch; the explicit
-          // gc() nudges the (GC-driven) cleaner instead of waiting for
-          // its 30-min periodic sweep
-          val r = screenSigs(index, slice, bandKeysOf, Some(overCap),
-            broadcastRefSigsMaxBytes).localCheckpoint(true)
-          if (System.nanoTime() - lastGc > 30L * 1000 * 1000 * 1000) {
-            System.gc()
-            lastGc = System.nanoTime()
+          if (!barrier)
+            screenSigs(index, slice, bandKeysOf, Some(overCap),
+              broadcastRefSigsMaxBytes, lazyMode = true)
+          else {
+            // eager checkpoint = the sequencing barrier AND the lineage
+            // cut: once a slice's result is block-materialized, nothing
+            // uses its band/rescore shuffles again (checkpoint blocks
+            // never recompute), so the snapshot-diff below deletes
+            // exactly this slice's shuffle files before the next slice
+            // writes its own — the deterministic reclamation that
+            // bounds peak scratch to one slice's worth
+            val before = org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc)
+            val r = screenSigs(index, slice, bandKeysOf, Some(overCap),
+              broadcastRefSigsMaxBytes).localCheckpoint(true)
+            val mine =
+              org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc) -- before
+            org.apache.spark.sql.graftbridge.Bridge.cleanupShuffles(sc, mine)
+            r
           }
-          r
         }
+        // barrier mode leaves ZERO registered shuffles behind: once the
+        // last slice is checkpointed, the flood-cap aggregate's shuffle
+        // (materialized above, insurance-only behind its checkpoint
+        // blocks) is reclaimed too — spec-pinned as the mode's disk
+        // invariant. Lazy mode reclaims nothing: it targets shared
+        // gate-scale sessions where the single-writer contract may not
+        // hold, and its scratch is KB-bound by the threshold.
+        if (barrier)
+          org.apache.spark.sql.graftbridge.Bridge.cleanupShuffles(sc,
+            org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc) -- before0)
         return parts.reduce(_ unionByName _)
       }
     }
     screenSigs(index, bSigs, bandKeysOf, None, broadcastRefSigsMaxBytes)
   }
 
+  /** Estimated shuffle scratch a screen writes per batch doc — measured
+    * at the 100M-corpus × 2M-doc probe (14.9 GB / 2M docs ≈ 7.5 KB,
+    * candidate-bound: banding rows + the rescore's per-candidate
+    * signature payloads), rounded UP so the chunked-mode estimate errs
+    * toward the scratch-bounded barrier. */
+  private val ScreenScratchBytesPerDoc = 8L << 10
+
   /** One screen over already-signed batch docs — the body shared by the
     * unchunked path (flood cap computed here, over this frame's own
     * banding) and the chunked slices (cap precomputed over the FULL
-    * batch and passed in). */
+    * batch and passed in).
+    *
+    * `lazyMode` (small chunked slices only — see [[minhashSearch]]):
+    * returns a fully LAZY plan — no candidate checkpoint, no ref-count
+    * sizing job — so ⌈n/cap⌉ tiny slices union into one Spark job
+    * instead of paying ~3 driver jobs each. The candidate set is
+    * recomputed for its two consumers (the band join runs twice) and
+    * the rescore's ref side is never size-hinted (AQE converts small
+    * joins at runtime); both are gate-scale-cheap, and the index-side
+    * no-shuffle contract still holds — the ref prune stays a broadcast
+    * semi-join of PLAIN lazy frames (the minhashCandidates deadlock
+    * note bans lazy CHECKPOINTS under a broadcast materialization, not
+    * lazy plans). */
   private def screenSigs(index: MinhashIndex, bSigs: DataFrame,
       bandKeysOf: DataFrame => DataFrame, overCap: Option[DataFrame],
-      broadcastRefSigsMaxBytes: Long): DataFrame = {
+      broadcastRefSigsMaxBytes: Long, lazyMode: Boolean = false): DataFrame = {
     val bBanded = overCap match {
       case Some(oc) => bandKeysOf(bSigs).join(oc, Seq("bucket"), "left_anti")
       case None => dropOverCapBuckets(bandKeysOf(bSigs),
         Seq("bucket"), index.maxBucket)
     }
     // eager checkpoint: the candidate set is consumed twice (the ref-id
-    // prune below + the scoring join) and is candidate-bound small
-    val pairs = bBanded.select(col("bucket"), col("id").as("id_new"))
+    // prune below + the scoring join) and is candidate-bound small.
+    // lazyMode recomputes it instead (slice-bound cheap; see scaladoc)
+    val pairs0 = bBanded.select(col("bucket"), col("id").as("id_new"))
       .join(index.banded.select(col("bucket"), col("id").as("id_ref")),
         Seq("bucket"))
       .select(col("id_new"), col("id_ref")).distinct()
-      .localCheckpoint(true)
+    val pairs = if (lazyMode) pairs0 else pairs0.localCheckpoint(true)
     // prune the reference sig table to the candidates' refs via a
     // broadcast semi-join BEFORE any exchange: a screen must never
     // shuffle the index (measured without this: the scoring join's
@@ -662,15 +730,19 @@ object Dedup {
     // pair set (the same adjudicated class as remove's newlyUnder
     // check); above the cap the shuffle join stands — a flood of
     // distinct candidate refs must not OOM the driver.
-    val refIds = pairs.select(col("id_ref")).distinct().localCheckpoint(true)
-    val nRefs = refIds.count()
-    val refSigBytes = nRefs * (24L + 4L * index.numHashes)
+    val refIds0 = pairs.select(col("id_ref")).distinct()
+    val refIds = if (lazyMode) refIds0 else refIds0.localCheckpoint(true)
     val prunedRef = index.sigs.select(col("id").as("id_ref"),
       col("sig").as("sig_r"))
       .join(broadcast(refIds), "id_ref")
     val refSigs =
-      if (refSigBytes <= broadcastRefSigsMaxBytes) broadcast(prunedRef)
-      else prunedRef
+      if (lazyMode) prunedRef // no sizing job; AQE converts small sides
+      else {
+        val nRefs = refIds.count()
+        val refSigBytes = nRefs * (24L + 4L * index.numHashes)
+        if (refSigBytes <= broadcastRefSigsMaxBytes) broadcast(prunedRef)
+        else prunedRef
+      }
     pairs
       .join(bSigs.select(col("id").as("id_new"),
         col("sig").as("sig_n")), "id_new")

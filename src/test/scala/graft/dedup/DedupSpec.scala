@@ -707,6 +707,98 @@ class DedupSpec extends SparkSpec {
     reclaimed.release()
   }
 
+  test("persist(reclaimBuildShuffles): search survives a cache-block loss") {
+    import spark.implicits._
+    // ADVICE r14: the reclaim's central safety claim — "a cache-block
+    // loss recomputes from lineage; cost is re-execution, never wrong
+    // data" — was pinned only on the happy path where no block is ever
+    // lost. This drops materialized blocks of BOTH pinned frames AFTER
+    // the build shuffles were deleted and asserts the next search still
+    // answers identically (the recompute path re-runs the parent map
+    // stages from the surviving signature checkpoint and re-registers
+    // the shuffle it needs).
+    val corpus = (0L until 40L).map(i =>
+      (i, s"group ${i % 5} long shared sentence body variant ${i % 10} " +
+        "with common trailing words")).toDF("doc_id", "text")
+    val ref = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val sc = spark.sparkContext
+    def run(idx: Dedup.MinhashIndex) =
+      Dedup.minhashSearch(idx, batch, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val plain = Dedup.minhashIndex(ref, "doc_id", "text",
+      numHashes = 64, bands = 16).persist()
+    val expect = run(plain)
+    assert(expect.nonEmpty)
+    plain.release()
+    val cachedBefore = sc.getPersistentRDDs.keySet
+    val idx = Dedup.minhashIndex(ref, "doc_id", "text",
+      numHashes = 64, bands = 16).persist(reclaimBuildShuffles = true)
+    // newly-pinned CACHE RDDs only: getPersistentRDDs also lists the
+    // signature localCheckpoint, whose block loss is unrecoverable BY
+    // DOCUMENTED DESIGN (checkpoint blocks don't recompute — the price
+    // of running the signature scan once); the reclaim claim is about
+    // the two cached frames whose lineage references the deleted build
+    // shuffles, so the fault is injected there
+    val mine = (sc.getPersistentRDDs.keySet -- cachedBefore).toSeq.sorted
+      .filterNot(id => sc.getPersistentRDDs(id).isCheckpointed)
+    assert(mine.nonEmpty, "persist() must have pinned new cache RDDs")
+    // drop cached partitions of each pinned cache (banded laid + counts)
+    // straight out of the block manager — the failure the claim is about
+    val dropped = mine.flatMap { id =>
+      sc.getPersistentRDDs(id).partitions.take(2).map { p =>
+        org.apache.spark.sql.graftbridge.Bridge.removeCachedBlock(
+          sc, id, p.index)
+        (id, p.index)
+      }
+    }
+    assert(dropped.nonEmpty)
+    assert(run(idx) == expect,
+      "post-block-loss search diverged — the lineage-recompute claim is broken")
+    idx.release()
+  }
+
+  test("minhashSearch chunked barrier mode: slice shuffles reclaimed, result identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    // VERDICT r14 task 3: the probe-scale chunked path now reclaims each
+    // slice's own shuffles via the map-output-tracker snapshot-diff (no
+    // System.gc() nudge, no throttle heuristic). Forced here at gate
+    // scale with sliceBarrierMinBytes = 0; the invariant is total — the
+    // whole chunked screen leaves ZERO registered shuffles behind (the
+    // sizing count, the flood-cap aggregate, and every slice's band/
+    // rescore shuffles are all insurance-only behind checkpoint blocks).
+    val corpus = (0L until 30L).map(i =>
+      (i, s"cluster ${i % 6} shared long body sentence variant ${i % 3} " +
+        "with persistent trailing words here")).toDF("doc_id", "text")
+    val ref = corpus
+    val batch = corpus.select((col("doc_id") + 500L).as("doc_id"),
+      concat(col("text"), lit(" tail")).as("text"))
+    val idx = Dedup.minhashIndex(ref, "doc_id", "text",
+      numHashes = 64, bands = 16).persist()
+    val sc = spark.sparkContext
+    def collectSorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val oneShot = collectSorted(
+      Dedup.minhashSearch(idx, batch, "doc_id", "text"))
+    assert(oneShot.nonEmpty)
+    val before = Bridge.shuffleIds(sc)
+    val chunkedDf = Dedup.minhashSearch(idx, batch, "doc_id", "text",
+      maxDocsPerScreen = 7L, sliceBarrierMinBytes = 0L)
+    val leftover = Bridge.shuffleIds(sc) -- before
+    assert(leftover.isEmpty,
+      s"barrier-mode chunked screen left registered shuffles: $leftover")
+    assert(collectSorted(chunkedDf) == oneShot,
+      "barrier-mode chunked screen diverged from the one-shot screen")
+    // and the default threshold keeps gate-scale slices on the lazy
+    // path: same equality, one consuming job, nothing reclaimed
+    assert(collectSorted(Dedup.minhashSearch(idx, batch, "doc_id", "text",
+      maxDocsPerScreen = 7L)) == oneShot)
+    idx.release()
+  }
+
   test("MinhashIndex.append ≡ rebuild over the union, incl. cap crossing") {
     import spark.implicits._
     // base corpus: 3 copies of a boilerplate page (under cap 4) + unique
