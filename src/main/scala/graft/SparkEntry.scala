@@ -2096,34 +2096,32 @@ object SparkEntry {
       // oracle replays bit-for-bit: re-encodes meet their source at
       // Hamming 0 through all 4 bands; perturbed/unrelated pairs appear
       // exactly when the shared arithmetic says their bands collide.
-      import s.implicits._
-      val corpus = tbl(s, dir, "documents")
-        .filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.flatMap { id =>
-          // dims STRICTLY larger than the 9×8 dhash grid: at q79's 4..11
-          // × 3..7 sizes, adjacent grid cells alias the same source pixel
-          // (w < 9 → zero gradients by construction), collapsing dhash
-          // entropy — measured 19k coincidental Hamming-0 pairs at sf0.1
-          val w = 12 + (id % 8).toInt
-          val h = 9 + (id % 5).toInt
-          val q = id % 7 + 1
-          def pix(pert: Boolean) = Array.tabulate[Byte](w * h * 3)(k =>
-            ((id + 13L * k + q * k.toLong * k +
-              (if (pert && k % 7 == 0) 8 else 0)) % 256).toByte)
-          val comp =
-            if (id % 4 == 1)
-              Multimodal.encodePpmP6Commented(w, h, 255, pix(false),
-                "re-encoded by a second writer")
-            else Multimodal.encodePpmP6(w, h, 255, pix(true))
-          Iterator(
-            Multimodal.MediaRow(id, Multimodal.encodePpmP6(w, h, 255, pix(false))),
-            Multimodal.MediaRow(id + 100000000L, comp))
-        }).toDF()
-      Multimodal.imageNearDupCandidates(corpus, "id", "payload",
-          maxHamming = 10)
+      Multimodal.imageNearDupCandidates(imageDedupCorpus(s, dir),
+          "id", "payload", maxHamming = 10)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
+    }),
+    "q135_image_dedup_pipeline" -> ((s, dir) => {
+      // the image KEEP decision end-to-end (r15, VERDICT r14 task 2 —
+      // q132 stops at candidate pairs, but a 100 TB multimodal pipeline
+      // must decide which images survive): q132's decode → dHash →
+      // banded candidate tier, then the SAME cluster/keep pattern the
+      // text pipeline gates in q72 — connected components over the
+      // pair graph, survivor = each cluster's minimum id, untouched
+      // images keep themselves. The oracle replays every stage: the
+      // integer decode/hash arithmetic, the banded pairing (with the
+      // flood cap), the recursive closure, and the keep rule.
+      val corpus = imageDedupCorpus(s, dir)
+      val pairs = Multimodal.imageNearDupCandidates(corpus, "id", "payload",
+        maxHamming = 10)
+      val clusters = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "img_id")
+      corpus.select(col("id").as("img_id"))
+        .join(clusters, Seq("img_id"), "left")
+        .select(col("img_id"),
+          coalesce(col("component"), col("img_id")).as("cluster"),
+          (col("component").isNull || col("component") === col("img_id"))
+            .as("keep"))
     }),
     "q133_image_phash" -> ((s, dir) => {
       // the pHash integer-DCT VALUE per image under the hash gate (q132
@@ -2708,38 +2706,28 @@ object SparkEntry {
          |  ELSE (CAST(1 AS BIGINT) << (f.u * 8 + f.v)) END) AS BIGINT) AS phash
          |FROM f JOIN med m USING (id) GROUP BY f.id""".stripMargin,
     "q132_image_dhash_neardup" ->
-      s"""WITH docs AS (
-         | SELECT doc_id AS id, doc_id AS src, 0 AS pert FROM documents
-         |  WHERE doc_id % 2 = 1
-         | UNION ALL
-         | SELECT doc_id + 100000000, doc_id,
-         |   CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END
-         |  FROM documents WHERE doc_id % 2 = 1),
-         |dims AS (SELECT id, src, pert, 12 + src % 8 AS w, 9 + src % 5 AS h
-         | FROM docs),
-         |cells AS (SELECT id, src, pert, w, r.r, c.c,
-         |  (((r.r * h) // 8) * w + ((c.c * w) // 9)) * 3 AS k0
-         | FROM dims CROSS JOIN range(0, 8) r(r) CROSS JOIN range(0, 9) c(c)),
-         |gr AS (SELECT id, r, c,
-         |  sum((src + 13 * (k0 + ch.ch)
-         |    + (src % 7 + 1) * (k0 + ch.ch) * (k0 + ch.ch)
-         |    + CASE WHEN pert = 1 AND (k0 + ch.ch) % 7 = 0 THEN 8 ELSE 0 END)
-         |   % 256) AS g
-         | FROM cells CROSS JOIN range(0, 3) ch(ch) GROUP BY id, r, c),
-         |dh AS (SELECT a.id,
-         |  CAST(sum(CASE WHEN a.g <= b.g THEN 0
-         |    WHEN a.r * 8 + a.c = 63 THEN -9223372036854775807 - 1
-         |    ELSE (CAST(1 AS BIGINT) << (a.r * 8 + a.c)) END) AS BIGINT) AS sig
-         | FROM gr a JOIN gr b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
-         | WHERE a.c < 8 GROUP BY a.id),
-         |banded AS (SELECT id, sig, b.b, (sig >> (b.b * 16)) & 65535 AS bval
-         | FROM dh CROSS JOIN range(0, 4) b(b) WHERE sig != 0),
-         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
-         |  x.sig AS sa, y.sig AS sb
-         | FROM banded x JOIN banded y ON x.b = y.b AND x.bval = y.bval
-         |  AND x.id < y.id)
+      s"""WITH $imageDhashCtes
          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 10""".stripMargin,
+    // the q50/q72 closure pattern over the image pair graph: component =
+    // min reachable id, survivor = each cluster's min id, untouched
+    // images keep themselves
+    "q135_image_dedup_pipeline" ->
+      s"""WITH RECURSIVE $imageDhashCtes,
+         |pr AS (SELECT id_a, id_b FROM cand
+         | WHERE bit_count(xor(sa, sb)) <= 10),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |  UNION SELECT id_b, id_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
+         |SELECT d.id AS img_id,
+         | CAST(coalesce(c.component, d.id) AS BIGINT) AS cluster,
+         | (c.component IS NULL OR c.component = d.id) AS keep
+         |FROM docs d LEFT JOIN comp c ON c.id = d.id""".stripMargin,
     "q129_html_block_score" -> htmlBlockScoreSql,
     // the identical regexp/replace chain over the identically constructed
     // page — both engines run the same RE2/Java-regex-common patterns
@@ -4560,6 +4548,85 @@ object SparkEntry {
        |FROM documents d LEFT JOIN comp c USING (doc_id)
        |WHERE d.text IS NOT NULL""".stripMargin
 
+  /** The planted perceptual-hash corpus shared by q132 (candidate
+    * pairs) and q135 (end-to-end keep decision): per odd doc_id a
+    * closed-form PPM with a QUADRATIC pixel term v(k) = (id + 13k +
+    * (id%7+1)·k²) mod 256 — q79's linear sawtooth makes unrelated
+    * images share gradient-sign patterns (measured: 19k Hamming-0
+    * pairs at sf0.1); the k² term varies the gradient with position so
+    * unrelated dhashes separate. Each source gets a companion: for
+    * id%4==1 a VISUALLY-IDENTICAL RE-ENCODE (same pixels behind a
+    * '#'-comment header — byte-different, decode-identical, the real
+    * decoder's comment walk on the hot path), for id%4==3 a
+    * closed-form perturbed copy (+8 on every 7th pixel byte, mod 256).
+    * Dims STRICTLY larger than the 9×8 dhash grid: at q79's 4..11 ×
+    * 3..7 sizes adjacent grid cells alias the same source pixel
+    * (w < 9 → zero gradients by construction), collapsing dhash
+    * entropy. */
+  private def imageDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tbl(s, dir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val w = 12 + (id % 8).toInt
+        val h = 9 + (id % 5).toInt
+        val q = id % 7 + 1
+        def pix(pert: Boolean) = Array.tabulate[Byte](w * h * 3)(k =>
+          ((id + 13L * k + q * k.toLong * k +
+            (if (pert && k % 7 == 0) 8 else 0)) % 256).toByte)
+        val comp =
+          if (id % 4 == 1)
+            Multimodal.encodePpmP6Commented(w, h, 255, pix(false),
+              "re-encoded by a second writer")
+          else Multimodal.encodePpmP6(w, h, 255, pix(true))
+        Iterator(
+          Multimodal.MediaRow(id, Multimodal.encodePpmP6(w, h, 255, pix(false))),
+          Multimodal.MediaRow(id + 100000000L, comp))
+      }).toDF()
+  }
+
+  /** Shared CTE chain for the image-dHash tier (q132 pairs, q135 keep
+    * decision): the [[imageDedupCorpus]] plant → integer decode/gray/
+    * gradient arithmetic → 64-bit dhash → the 4×16-bit band tier →
+    * DISTINCT candidate pairs with both signatures attached. The banded
+    * CTE applies the SAME per-bucket flood cap (> 2000 members dropped)
+    * as the Spark tier's dropOverCapBuckets — ADVICE r14: without it a
+    * bucket crossing the cap at a large SF would diverge the engines
+    * (Spark drops the pairs, the oracle kept them). */
+  private def imageDhashCtes: String =
+    s"""docs AS (
+       | SELECT doc_id AS id, doc_id AS src, 0 AS pert FROM documents
+       |  WHERE doc_id % 2 = 1
+       | UNION ALL
+       | SELECT doc_id + 100000000, doc_id,
+       |   CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |dims AS (SELECT id, src, pert, 12 + src % 8 AS w, 9 + src % 5 AS h
+       | FROM docs),
+       |cells AS (SELECT id, src, pert, w, r.r, c.c,
+       |  (((r.r * h) // 8) * w + ((c.c * w) // 9)) * 3 AS k0
+       | FROM dims CROSS JOIN range(0, 8) r(r) CROSS JOIN range(0, 9) c(c)),
+       |gr AS (SELECT id, r, c,
+       |  sum((src + 13 * (k0 + ch.ch)
+       |    + (src % 7 + 1) * (k0 + ch.ch) * (k0 + ch.ch)
+       |    + CASE WHEN pert = 1 AND (k0 + ch.ch) % 7 = 0 THEN 8 ELSE 0 END)
+       |   % 256) AS g
+       | FROM cells CROSS JOIN range(0, 3) ch(ch) GROUP BY id, r, c),
+       |dh AS (SELECT a.id,
+       |  CAST(sum(CASE WHEN a.g <= b.g THEN 0
+       |    WHEN a.r * 8 + a.c = 63 THEN -9223372036854775807 - 1
+       |    ELSE (CAST(1 AS BIGINT) << (a.r * 8 + a.c)) END) AS BIGINT) AS sig
+       | FROM gr a JOIN gr b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+       | WHERE a.c < 8 GROUP BY a.id),
+       |banded AS (SELECT id, sig, b.b, (sig >> (b.b * 16)) & 65535 AS bval
+       | FROM dh CROSS JOIN range(0, 4) b(b) WHERE sig != 0
+       | QUALIFY count(*) OVER (PARTITION BY b.b, (sig >> (b.b * 16)) & 65535) <= 2000),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       |  x.sig AS sa, y.sig AS sb
+       | FROM banded x JOIN banded y ON x.b = y.b AND x.bval = y.bval
+       |  AND x.id < y.id)""".stripMargin
+
   /** The shared CTE chain producing `sigs` (doc_id, sig) — the simhash
     * signature replay; tail of [[simhashSql]], front of
     * [[simhashPairsSql]]. */
@@ -4587,11 +4654,15 @@ object SparkEntry {
     * Hamming rescore — integer shifts/masks DuckDB replays bit-for-bit
     * (arithmetic >> then & 65535 is sign-agnostic). Docs whose token set
     * is empty never enter `sigs` here; the Spark side drops their sig-0
-    * sentinel rows, so both engines pair over the same population. */
+    * sentinel rows, so both engines pair over the same population. The
+    * QUALIFY replays the Spark tier's per-bucket flood cap (> 2000
+    * members dropped) — ADVICE r14: without it a bucket crossing the
+    * cap at a large SF diverges the engines. */
   private def simhashPairsSql: String =
     s"""WITH $simhashSigCtes,
        |banded AS (SELECT doc_id, sig, b.b, (sig >> (b.b * 16)) & 65535 AS bval
-       | FROM sigs CROSS JOIN range(0, 4) b(b) WHERE sig != 0),
+       | FROM sigs CROSS JOIN range(0, 4) b(b) WHERE sig != 0
+       | QUALIFY count(*) OVER (PARTITION BY b.b, (sig >> (b.b * 16)) & 65535) <= 2000),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
        |  x.sig AS sa, y.sig AS sb
        | FROM banded x JOIN banded y ON x.b = y.b AND x.bval = y.bval

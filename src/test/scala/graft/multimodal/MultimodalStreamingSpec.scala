@@ -410,6 +410,61 @@ class MultimodalStreamingSpec extends SparkSpec {
       "near-copies hit, the unrelated doc does not")
   }
 
+  test("chunked-screen parity: 3-trigger stream ≡ batch chunked ≡ one-shot") {
+    // VERDICT r14 task 7 — PLANS asserts the streaming twin's
+    // micro-batch IS the chunk (bound per-screen scratch by bounding the
+    // trigger); this pins it: the SAME six arriving docs screened (a) as
+    // three 2-doc stream triggers, (b) as one batch carved into 3
+    // id-hash slices (minhashSearch chunked mode), and (c) as the
+    // one-shot batch screen must produce bit-equal (id_new, id_ref,
+    // est_jaccard) rows. est_jaccard is integer slot-count arithmetic /
+    // numHashes, so equality is exact, not approximate.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val ref = (0L until 6L).map { i =>
+      (i, s"family ${i % 2} shares this long sentence body with trailing " +
+        s"words common to the group variant ${i % 3}")
+    }.toDF("doc_id", "text")
+    val idx = graft.dedup.Dedup.minhashIndex(ref, "doc_id", "text",
+      numHashes = 64, bands = 16).persist()
+    def arriving(id: Long) =
+      if (id % 5 == 4) (new Timestamp(base + id), id,
+        s"completely unrelated text number $id with its own words")
+      else (new Timestamp(base + id),
+        id, s"family ${id % 2} shares this long sentence body with trailing " +
+          s"words common to the group variant ${id % 3} now")
+    val ids = (100L until 106L)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.streamingMinhashIndexScreen(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text", idx)
+    val q = out.writeStream.format("memory")
+      .queryName("idxscreen_parity_test").outputMode("append").start()
+    // three triggers of two docs — each micro-batch is one "chunk"
+    ids.grouped(2).foreach { g =>
+      mem.addData(g.map(arriving): _*)
+      q.processAllAvailable()
+    }
+    val streamed = spark.sql(
+      "select id_new, id_ref, est_jaccard from idxscreen_parity_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    q.stop()
+    val batchDf = ids.map(i => (i, arriving(i)._3)).toDF("doc_id", "text")
+    def screen(chunk: Long) =
+      graft.dedup.Dedup.minhashSearch(idx, batchDf, "doc_id", "text",
+        maxDocsPerScreen = chunk)
+        .filter(col("est_jaccard") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val oneShot = screen(0L)
+    val chunked = screen(2L) // 6 docs, cap 2 → 3 id-hash slices
+    idx.release()
+    assert(streamed.nonEmpty)
+    assert(chunked == oneShot, s"chunked diverged:\n$chunked\nvs\n$oneShot")
+    assert(streamed == oneShot, s"streamed diverged:\n$streamed\nvs\n$oneShot")
+  }
+
   test("streaming paragraph dedup ≡ batch dedupParagraphs (doc-order arrival)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
