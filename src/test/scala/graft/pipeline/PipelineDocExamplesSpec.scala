@@ -55,6 +55,36 @@ class PipelineDocExamplesSpec extends SparkSpec {
     assert(pairs.count() > 0)
     assert(canonical.count() == 20, s"canonical = ${canonical.count()}")
 
+    // doc:begin imagededup
+    // 8 images as binary PPM payloads: ids 0-3 are byte-identical
+    // re-encodes of one frame, ids 4-7 carry unique pixel patterns.
+    // dHash pairs them (Hamming <= 2), components cluster, min id keeps:
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val images = spark.range(8).select(col("id")).as[Long].mapPartitions(_.map { id =>
+      val w = 16; val h = 12
+      val seed = if (id < 4) 7L else id * 13 + 7
+      val pix = Array.tabulate[Byte](w * h * 3)(k =>
+        ((seed + 11L * k + (seed % 5 + 1) * k.toLong * k) % 256).toByte)
+      Multimodal.MediaRow(id, Multimodal.encodePpmP6(w, h, 255, pix))
+    }).toDF()
+    val imgPairs = Multimodal.imageNearDupCandidates(images, "id", "payload",
+      maxHamming = 2)
+    val imgClusters = Dedup.connectedComponents(imgPairs)
+      .select(col("id").as("img_id"), col("component"))
+    val imgCanonical = images.select(col("id").as("img_id"))
+      .join(imgClusters, Seq("img_id"), "left")
+      .filter(col("component").isNull || col("component") === col("img_id"))
+    // doc:end
+    // the four re-encodes collapse to image 0; unique frames keep
+    // themselves — 5 canonical images, cluster representative id 0
+    assert(imgCanonical.count() == 5,
+      s"imgCanonical = ${imgCanonical.count()}")
+    val imgComp = imgClusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 4L).forall(i => imgComp.get(i).contains(0L)),
+      s"re-encode cluster: $imgComp")
+
     // doc:begin quality
     // Heuristic quality verdicts: keep plus auditable reasons per doc —
     // the spam stub dies on length, real articles pass:
