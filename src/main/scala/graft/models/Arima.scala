@@ -165,8 +165,7 @@ final class Arima(val p: Int, val d: Int, val q: Int) {
     val se: Array[Double] =
       if (d <= 1) Arima.forecastSe(centered, phi, theta, sigma2, steps, d)
       else Arima.integratedPsiSe(phi, theta, sigma2, steps, d)
-    val z = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
-      .inverseCumulativeProbability(1 - alpha / 2)
+    val z = Arima.zQuantile(alpha)
     (level, level.zip(se).map { case (f, s) => f - z * s },
       level.zip(se).map { case (f, s) => f + z * s })
   }
@@ -211,6 +210,17 @@ final class Arima(val p: Int, val d: Int, val q: Int) {
 }
 
 object Arima {
+
+  /** Memoized standard-normal quantile z_{1-α/2}. The per-series fan-outs
+    * (q52/q87/q88) construct the same distribution for the same α once per
+    * key — cache the exact value instead (identical double, computed the
+    * same way on first use). */
+  private val zCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Double, java.lang.Double]()
+  private[models] def zQuantile(alpha: Double): Double =
+    zCache.computeIfAbsent(alpha, a =>
+      new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+        .inverseCumulativeProbability(1 - a.doubleValue / 2)).doubleValue
 
   /** Monahan (1984) transform: unconstrained reals → stationary AR region
     * via partial autocorrelations (same as statsmodels
@@ -286,6 +296,35 @@ object Arima {
     val n = x.length
     val p = phi.length; val q = theta.length
     val m = math.max(p, q + 1)
+    if (m == 1) {
+      // Scalar AR(1)/white-noise fast path: the Breeze path below spends
+      // its time allocating 1×1 matrices per filter step (measured 245 µs
+      // per 67-point fixed fit — the whole per-series cost of the q88
+      // fan-out). Every arithmetic op mirrors the matrix path in order
+      // and association, so results are bit-identical: P0 = (1/(1-φ²))·1
+      // replays inv(lhs)·vec(RR), and the update replays
+      // ((T·P·Tᵀ)+RR)−((K·Kᵀ)·F) left-to-right.
+      val ph = if (p == 1) phi(0) else 0.0
+      var P = (1.0 / (1.0 - ph * ph)) * 1.0
+      var a = 0.0
+      var sumLogF = 0.0
+      var sumV2F = 0.0
+      var t = 0
+      while (t < n) {
+        val v = x(t) - a
+        val F = P
+        if (F <= 0 || F.isNaN) return (Double.NaN, Double.NaN)
+        sumLogF += math.log(F)
+        sumV2F += v * v / F
+        val K = (ph * P) / F
+        a = ph * a + K * v
+        P = (ph * P) * ph + 1.0 - (K * K) * F
+        t += 1
+      }
+      val s2 = sumV2F / n
+      val ll = -0.5 * n * (math.log(2 * math.Pi) + 1 + math.log(s2)) - 0.5 * sumLogF
+      return (ll, s2)
+    }
     val T = DenseMatrix.zeros[Double](m, m)
     for (i <- 0 until p) T(i, 0) = phi(i)
     for (i <- 0 until m - 1) T(i, i + 1) = 1.0
@@ -339,6 +378,31 @@ object Arima {
       sigma2: Double, steps: Int, d: Int): Array[Double] = {
     val p = phi.length; val q = theta.length
     val m = math.max(p, q + 1)
+    if (m == 1 && d == 0) {
+      // Scalar fast path (see logLikAndSigma2): op-for-op mirror of the
+      // m=1 matrix recursion — bit-identical, no per-step allocation.
+      val ph = if (p == 1) phi(0) else 0.0
+      var P = (1.0 / (1.0 - ph * ph)) * 1.0
+      var a = 0.0
+      var t = 0
+      while (t < x.length) {
+        val v = x(t) - a
+        val F = P
+        val K = (ph * P) / F
+        a = ph * a + K * v
+        P = (ph * P) * ph + 1.0 - (K * K) * F
+        t += 1
+      }
+      val se = new Array[Double](steps)
+      var Ph = P
+      var h = 0
+      while (h < steps) {
+        se(h) = math.sqrt(sigma2 * Ph)
+        Ph = (ph * Ph) * ph + 1.0
+        h += 1
+      }
+      return se
+    }
     val T = DenseMatrix.zeros[Double](m, m)
     for (i <- 0 until p) T(i, 0) = phi(i)
     for (i <- 0 until m - 1) T(i, i + 1) = 1.0
@@ -397,6 +461,24 @@ object Arima {
     val n = x.length
     val p = phi.length; val q = theta.length
     val m = math.max(p, q + 1)
+    if (m == 1) {
+      // Scalar fast path (see logLikAndSigma2): bit-identical m=1 filter.
+      val ph = if (p == 1) phi(0) else 0.0
+      var P = (1.0 / (1.0 - ph * ph)) * 1.0
+      var a = 0.0
+      val out = new Array[Double](n)
+      var t = 0
+      while (t < n) {
+        val v = x(t) - a
+        out(t) = v
+        val F = P
+        val K = (ph * P) / F
+        a = ph * a + K * v
+        P = (ph * P) * ph + 1.0 - (K * K) * F
+        t += 1
+      }
+      return out
+    }
     val T = DenseMatrix.zeros[Double](m, m)
     for (i <- 0 until p) T(i, 0) = phi(i)
     for (i <- 0 until m - 1) T(i, i + 1) = 1.0

@@ -165,8 +165,7 @@ final class Arimax(val p: Int, val d: Int, val q: Int) {
     // d=0 half-width on the integrated level.
     val se: Array[Double] =
       if (d == 0) {
-        val z0 = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
-          .inverseCumulativeProbability(1 - alpha / 2)
+        val z0 = Arima.zQuantile(alpha)
         uF.zip(uHi).map { case (f, h) => (h - f) / z0 }
       } else if (d == 1)
         Arima.forecastSe(arima.centeredSeries, arima.fittedPhi,
@@ -174,8 +173,7 @@ final class Arimax(val p: Int, val d: Int, val q: Int) {
       else
         Arima.integratedPsiSe(arima.fittedPhi, arima.fittedTheta,
           arima.fittedSigma2, steps, d)
-    val z = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
-      .inverseCumulativeProbability(1 - alpha / 2)
+    val z = Arima.zQuantile(alpha)
     val adjLo = level.zip(se).map { case (l, s) => l - z * s }
     val adjHi = level.zip(se).map { case (l, s) => l + z * s }
     (level, adjLo, adjHi)

@@ -28,7 +28,8 @@ object PerSeries {
       tsf: TimeseriesFrame,
       valueCol: String,
       steps: Int,
-      minRows: Int)(
+      minRows: Int,
+      heavyPerSeries: Boolean = true)(
       predictOf: Array[Double] => (Array[Double], Array[Double], Array[Double]))
       : DataFrame = {
     val spark = tsf.df.sparkSession
@@ -40,7 +41,7 @@ object PerSeries {
       StructField("ci_low", DoubleType),
       StructField("ci_high", DoubleType)))
     val xField = g.xField
-    val outRdd = graft.core.SeriesGather.rows(g).flatMap { row =>
+    val outRdd = graft.core.SeriesGather.rows(g, heavyPerSeries).flatMap { row =>
       val series = graft.core.SeriesGather.values(row, xField)
       if (series.length < minRows) Iterator.empty
       else {
@@ -84,7 +85,12 @@ object PerSeries {
       steps: Int,
       alpha: Double = 0.05,
       minRows: Int = 8): DataFrame =
-    forecastByKey(tsf, valueCol, steps, minRows) { y =>
+    // heavyPerSeries=false: one linear Kalman pass per series — CPU
+    // proportional to the gathered bytes, the class SeriesGather.rows
+    // documents as already balanced by AQE's byte sizing; the guard
+    // stage would be pure overhead here (unlike the iterative-MLE fit
+    // above, which keeps it).
+    forecastByKey(tsf, valueCol, steps, minRows, heavyPerSeries = false) { y =>
       val n = y.length
       val exog = Array.tabulate(n)(i => Array(i.toDouble))
       new Arimax(1, 0, 0)
@@ -123,7 +129,11 @@ object PerSeries {
           StructField(s"${c}_hi", DoubleType)))))
     val base = g.xField
     val nv = valueCols.size
-    val outRdd = graft.core.SeriesGather.rows(g).flatMap { row =>
+    // heavyPerSeries=false: fixed-parameter VAR predict is one linear
+    // pass per series (bytes-proportional — see arimaxTimeRegForecast
+    // FixedByKey's note).
+    val outRdd = graft.core.SeriesGather.rows(g, heavyPerSeries = false)
+        .flatMap { row =>
       val series = graft.core.SeriesGather.valueRows(row, base, nv)
       if (series.length < minRows) Iterator.empty
       else {
@@ -155,7 +165,9 @@ object PerSeries {
       steps: Int,
       alpha: Double = 0.05,
       minRows: Int = 8): DataFrame =
-    forecastByKey(tsf, valueCol, steps, minRows)(series =>
-      new Arima(phi.length, 0, theta.length)
+    // heavyPerSeries=false: fixed-parameter scalar Kalman — bytes-
+    // proportional (see arimaxTimeRegForecastFixedByKey's note).
+    forecastByKey(tsf, valueCol, steps, minRows, heavyPerSeries = false)(
+      series => new Arima(phi.length, 0, theta.length)
         .fitFixed(series, phi, theta, mu).predict(steps, alpha))
 }

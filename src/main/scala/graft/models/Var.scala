@@ -297,8 +297,7 @@ final class Var(
       : (Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]) = {
     val fc = forecast(steps)
     val mse = mseDiag(steps)
-    val z = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
-      .inverseCumulativeProbability(1 - alpha / 2)
+    val z = Arima.zQuantile(alpha)
     val lo = fc.zip(mse).map { case (f, m) =>
       f.zip(m).map { case (v, s) => v - z * math.sqrt(math.abs(s)) } }
     val hi = fc.zip(mse).map { case (f, m) =>
