@@ -1,7 +1,5 @@
 package graft.similarity
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,8 +9,9 @@ import org.apache.spark.sql.functions._
   * centroid cells, store each vector under its cell, and at query time
   * probe only the `nprobe` nearest cells before exact rescoring.
   *
-  * Scale shape: building is one ML k-means job (seeded → deterministic);
-  * the index is just an extra `cell` column on the corpus (pruned joins,
+  * Scale shape: the quantizer trains on the driver over a bounded
+  * deterministic sample (the FAISS recipe — seeded → deterministic); the
+  * index is just an extra `cell` column on the corpus (pruned joins,
   * no data movement); search shuffles only the probed cells' candidates.
   * Compared to the hyperplane-LSH variant ([[Similarity.lshTopK]]), IVF
   * adapts to the data distribution — recall/cost is tuned by
@@ -50,14 +49,14 @@ object IvfIndex {
     * full corpus made build time scale with corpus × iterations — the
     * r10 20M probe measured an 828 s full-corpus fit stage vs a
     * sample-fit + ONE assignment pass. Corpora at or under `trainSample`
-    * rows fit on everything (bit-identical to the pre-sample behavior —
-    * the q58 gate scale).
+    * rows fit on everything (the q58 gate scale trains on the full
+    * corpus as its own sample).
     *
     * Assignment tiers (the r10 20M probe's remaining 336 s was the FLAT
     * argmin scan — O(n·nlist·d), growing with nlist exactly when bigger
     * corpora need bigger nlist):
-    *  - `nlist ≤ hierThreshold`: one ML-KMeans `transform` scan (flat
-    *    argmin) — bit-identical to the pre-tier behavior, the gate scale;
+    *  - `nlist ≤ hierThreshold`: one codegen'd flat-argmin scan
+    *    ([[graft.functions.PqEncodeExpr]] with m = 1) — the gate scale;
     *  - `nlist > hierThreshold`: two-level centroids via
     *    [[graft.dedup.SemDedup.centroidsKMeansHier]] (k1 ≈ √nlist coarse
     *    cells, k2 fine per cell, both Lloyd-trained on the bounded
@@ -77,42 +76,57 @@ object IvfIndex {
     * holds the corpus row count (an unpersisted corpus would otherwise
     * pay one full extra scan of the vector projection).
     *
-    * Param contract deviations on the hier tier (`nlist > hierThreshold`):
-    *  - `nlist` is rounded UP to k1·k2 (k1 = ⌈√nlist⌉-ish, k2 =
-    *    ⌈nlist/k1⌉) — e.g. nlist=1000 yields 1024 cells, and
+    * Param contract notes:
+    *  - hier tier only: `nlist` is rounded UP to k1·k2 (k1 = ⌈√nlist⌉-ish,
+    *    k2 = ⌈nlist/k1⌉) — e.g. nlist=1000 yields 1024 cells, and
     *    `Index.centroids.length == k1·k2`, not nlist. Probe ranking and
     *    recall are unaffected (more, finer cells); callers sizing
     *    nprobe as a fraction of nlist should use `centroids.length`.
-    *  - `seed` varies the bounded TRAINING SAMPLE (folded into the
-    *    id-hash sampler); the default `seed = 42` maps to the legacy
-    *    unseeded sample so existing builds stay bit-identical. Lloyd
-    *    init itself stays deterministic given the sample on both tiers. */
+    *  - both tiers: `seed` varies the bounded TRAINING SAMPLE (folded
+    *    into the id-hash sampler); the default `seed = 42` maps to the
+    *    legacy unseeded sample. Lloyd init itself stays deterministic
+    *    given the sample on both tiers. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, trainSample: Int = 131072,
       hierThreshold: Int = 256, knownCount: Option[Long] = None): Index = {
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     if (nlist <= hierThreshold) {
-      val feats = vecs.withColumn("features", array_to_vector(col("v")))
-      val total = knownCount.getOrElse(feats.count())
-      val train =
-        if (total <= trainSample) feats
-        else {
-          // deterministic id-hash threshold, 2x cushion over the target so
-          // the realized sample is ≥ trainSample with overwhelming margin
-          val denom = 1L << 20
-          val keep = math.min(denom,
-            math.max(1L, (trainSample.toDouble / total * denom).toLong * 2))
-          feats.filter(pmod(xxhash64(col("id")), lit(denom)) < keep)
-        }
-      val model = new KMeans().setK(nlist).setSeed(seed)
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(train)
+      // Driver-side Lloyd on the bounded sample (r15): the previous ML
+      // KMeans fit ran ~20 DISTRIBUTED Lloyd jobs over a frame that is ≤
+      // trainSample rows BY CONSTRUCTION — pure per-iteration scheduling
+      // overhead (q58 at gate scale: 39 driver jobs, the slowest part of
+      // the query), and its `transform` assignment was a non-codegen ML
+      // UDF behind an array_to_vector conversion. The quantizer now
+      // trains exactly like the in-tree production trainers
+      // ([[graft.dedup.SemDedup.centroidsKMeansHier]], the hier tier
+      // below, and [[ProductQuantizer.trainKMeans]]): a deterministic
+      // id-hash sample collected once, [[ProductQuantizer.lloyd]] on the
+      // driver, and assignment as the codegen'd m=1 PQ argmin projection
+      // (strict <, ties to the lowest centroid id) — no ML stage, no
+      // UDF, build itself schedules at most two jobs (sizing count +
+      // sample collect). Centroids differ numerically from the old ML
+      // k-means|| fit (init differs); every exactness contract is
+      // centroid-independent (full probe ≡ brute force — the q58 gate)
+      // and the partial-probe recall floors are spec-pinned.
+      val sample = ProductQuantizer.sampleVectors(vecs, "id", "v",
+        trainSample, knownCount, seed = if (seed == 42L) 0L else seed)
+      require(sample.length >= nlist,
+        s"need ≥ nlist=$nlist sample vectors, got ${sample.length}")
+      val dim = sample.head.length
+      val cents = ProductQuantizer.lloyd(sample, 0, dim, nlist, maxIter = 20)
+      val flat = new Array[Double](nlist * dim)
+      var j = 0
+      while (j < nlist) {
+        System.arraycopy(cents(j), 0, flat, j * dim, dim); j += 1
+      }
+      val cb = ProductQuantizer.Codebooks(m = 1, dsub = dim, ksub = nlist, flat)
       // store the norm alongside the vector (FAISS-style): rescoring then
       // costs one dot product per candidate instead of three
-      val assigned = model.transform(feats).select(col("id"), col("v"),
-        col("cell"), Similarity.norm(col("v")).as("nrm"))
-      Index(assigned, model.clusterCenters.map(_.toArray))
+      val assigned = vecs.select(col("id"), col("v"),
+        graft.dedup.SemDedup.assignCluster(col("v"), cb).as("cell"),
+        Similarity.norm(col("v")).as("nrm"))
+      Index(assigned, cents)
     } else {
       val k1 = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
       val k2 = (nlist + k1 - 1) / k1
