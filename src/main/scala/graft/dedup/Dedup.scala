@@ -556,11 +556,12 @@ object Dedup {
     * the rescore's size-conditional broadcast may engage at slice sizes
     * where the full batch would shuffle — results identical either way.
     *
-    * Slice execution picks one of two modes by ESTIMATED scratch
-    * (r15, VERDICT r14 task 4 — measured at the 100M×2M probe:
-    * ~7.5 KB of shuffle scratch per batch doc, candidate-bound):
+    * Slice execution picks one of two modes by the WHOLE BATCH's
+    * ESTIMATED scratch (r15, VERDICT r14 task 4 — measured at the
+    * 100M×2M probe: ~7.5 KB of shuffle scratch per batch doc,
+    * candidate-bound):
     *
-    *  - BARRIER (estimated slice scratch ≥ `sliceBarrierMinBytes`):
+    *  - BARRIER (estimated batch scratch ≥ `sliceBarrierMinBytes`):
     *    each slice eagerly materializes (`localCheckpoint`) before the
     *    next starts, and the slice's own shuffles — snapshot-diffed via
     *    the map-output tracker, exactly the [[persist]] reclaim recipe —
@@ -575,13 +576,18 @@ object Dedup {
     *    during the slice — chunked screening is the single-writer
     *    probe/backfill shape; a shared interactive session should
     *    screen unchunked or accept per-slice recompute on conflict.
-    *  - LAZY (under the threshold): slices stay lazy DataFrames unioned
-    *    into ONE job — no per-slice checkpoint, no sizing count, no
-    *    reclaim. A gate-scale batch doesn't need the scratch bound, and
-    *    paying ~3 driver jobs per tiny slice dominated the r14 q134
-    *    gate query 4× over its one-shot twin. Results are identical by
-    *    the chunked ≡ unchunked contract (the global flood cap is
-    *    computed whole-batch in both modes).
+    *  - LAZY (under the threshold): the band join runs ONCE over the
+    *    full batch, the candidate set checkpoints (bounded — the
+    *    threshold just certified the whole batch's scratch), and each
+    *    slice carves the CANDIDATES by the same id-hash before its own
+    *    rescore joins, all unioned into ONE job. A doc's candidates are
+    *    keyed by its own id, so carving candidates ≡ carving docs; a
+    *    batch under the scratch threshold doesn't need the per-slice
+    *    barrier, and the r14 per-slice-plan shape re-executed the
+    *    index-side banding subplan twice per slice (55 driver jobs for
+    *    the 5-slice gate screen, 4× its one-shot twin). Results are
+    *    identical by the chunked ≡ unchunked contract (the global flood
+    *    cap is computed whole-batch in both modes).
     *
     * The streaming twin
     * ([[graft.streaming.StreamingOps.streamingMinhashIndexScreen]])
@@ -613,51 +619,100 @@ object Dedup {
       val n = bSigs.count()
       if (n > maxDocsPerScreen) {
         val chunks = ((n + maxDocsPerScreen - 1) / maxDocsPerScreen).toInt
-        // mode pick (see scaladoc): estimated per-slice scratch vs the
+        // mode pick (see scaladoc): estimated WHOLE-BATCH scratch vs the
         // barrier threshold, using the probe-measured ~7.5 KB/doc
         // (rounded up to 8 KB — an over-estimate errs toward the
-        // scratch-bounded barrier, never toward unbounded lazy)
-        val sliceDocs = (n + chunks - 1) / chunks
-        val barrier =
-          sliceDocs * ScreenScratchBytesPerDoc >= sliceBarrierMinBytes
+        // scratch-bounded barrier, never toward unbounded lazy). Whole
+        // batch, not per slice (r15): lazy mode runs every slice inside
+        // ONE job, so the live scratch it must bound is the batch's —
+        // the previous per-slice test let a many-small-slices screen
+        // (100 × 0.8 GB, say) go lazy with 80 GB of one-job scratch.
+        val barrier = n * ScreenScratchBytesPerDoc >= sliceBarrierMinBytes
         // full-batch flood cap (see scaladoc): candidate-bound small list
         val overCap = bandKeysOf(bSigs)
           .groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") > index.maxBucket)
           .select(col("bucket")).localCheckpoint(true)
+        if (!barrier) {
+          // LAZY slicing, restructured (r15): the r14 shape built the
+          // FULL screen plan per slice, and because a lazy slice's
+          // candidate set is consumed twice (ref-id prune + rescore),
+          // the index-side banding subplan (explode + flood-cap groupBy
+          // + anti-join over the whole index) executed 2× PER SLICE —
+          // ~10 AQE stage-jobs each, 55 driver jobs for the 5-slice
+          // gate screen. The band join now runs ONCE over the full
+          // batch; the candidate set (whole-batch scratch, which lazy
+          // mode just bounded above) checkpoints eagerly, and each
+          // slice carves it by the SAME id-hash that used to carve the
+          // batch (a doc's candidates are keyed by its own id, so
+          // carving candidates ≡ carving docs — the chunked ≡ unchunked
+          // contract, flood cap included, is untouched). The rescore
+          // attach sides are shared across slices: the batch sigs and
+          // the pruned ref sigs ride one broadcast each when under
+          // `broadcastRefSigsMaxBytes` (ReuseExchange dedups the
+          // identical broadcast subtree across the slice union), else
+          // one eager candidate-bound checkpoint.
+          val bBanded = bandKeysOf(bSigs)
+            .join(overCap, Seq("bucket"), "left_anti")
+          val pairsAll = bBanded.select(col("bucket"), col("id").as("id_new"))
+            .join(index.banded.select(col("bucket"), col("id").as("id_ref")),
+              Seq("bucket"))
+            .select(col("id_new"), col("id_ref")).distinct()
+            .localCheckpoint(true)
+          val refIds = pairsAll.select(col("id_ref")).distinct()
+            .localCheckpoint(true)
+          val nRefs = refIds.count()
+          val prunedRef = index.sigs.select(col("id").as("id_ref"),
+            col("sig").as("sig_r"))
+            .join(broadcast(refIds), "id_ref")
+          val refSigs =
+            if (nRefs * (24L + 4L * index.numHashes) <= broadcastRefSigsMaxBytes)
+              broadcast(prunedRef)
+            else prunedRef.localCheckpoint(true)
+          val bNew = bSigs.select(col("id").as("id_new"), col("sig").as("sig_n"))
+          val bAttach =
+            if (n * (24L + 4L * index.numHashes) <= broadcastRefSigsMaxBytes)
+              broadcast(bNew)
+            else bNew
+          val parts = (0 until chunks).map { i =>
+            pairsAll.filter(
+              pmod(xxhash64(col("id_new")), lit(chunks.toLong)) === i.toLong)
+              .join(bAttach, "id_new")
+              .join(refSigs, "id_ref")
+              .select(col("id_new"), col("id_ref"),
+                (graft.functions.TextHash.slotMatchCount(
+                  col("sig_n"), col("sig_r"))
+                  .cast("double") / index.numHashes).as("est_jaccard"))
+          }
+          return parts.reduce(_ unionByName _)
+        }
         val parts = (0 until chunks).map { i =>
           val slice = bSigs.filter(
             pmod(xxhash64(col("id")), lit(chunks.toLong)) === i.toLong)
-          if (!barrier)
-            screenSigs(index, slice, bandKeysOf, Some(overCap),
-              broadcastRefSigsMaxBytes, lazyMode = true)
-          else {
-            // eager checkpoint = the sequencing barrier AND the lineage
-            // cut: once a slice's result is block-materialized, nothing
-            // uses its band/rescore shuffles again (checkpoint blocks
-            // never recompute), so the snapshot-diff below deletes
-            // exactly this slice's shuffle files before the next slice
-            // writes its own — the deterministic reclamation that
-            // bounds peak scratch to one slice's worth
-            val before = org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc)
-            val r = screenSigs(index, slice, bandKeysOf, Some(overCap),
-              broadcastRefSigsMaxBytes).localCheckpoint(true)
-            val mine =
-              org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc) -- before
-            org.apache.spark.sql.graftbridge.Bridge.cleanupShuffles(sc, mine)
-            r
-          }
+          // eager checkpoint = the sequencing barrier AND the lineage
+          // cut: once a slice's result is block-materialized, nothing
+          // uses its band/rescore shuffles again (checkpoint blocks
+          // never recompute), so the snapshot-diff below deletes
+          // exactly this slice's shuffle files before the next slice
+          // writes its own — the deterministic reclamation that
+          // bounds peak scratch to one slice's worth
+          val before = org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc)
+          val r = screenSigs(index, slice, bandKeysOf, Some(overCap),
+            broadcastRefSigsMaxBytes).localCheckpoint(true)
+          val mine =
+            org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc) -- before
+          org.apache.spark.sql.graftbridge.Bridge.cleanupShuffles(sc, mine)
+          r
         }
         // barrier mode leaves ZERO registered shuffles behind: once the
         // last slice is checkpointed, the flood-cap aggregate's shuffle
         // (materialized above, insurance-only behind its checkpoint
         // blocks) is reclaimed too — spec-pinned as the mode's disk
-        // invariant. Lazy mode reclaims nothing: it targets shared
-        // gate-scale sessions where the single-writer contract may not
-        // hold, and its scratch is KB-bound by the threshold.
-        if (barrier)
-          org.apache.spark.sql.graftbridge.Bridge.cleanupShuffles(sc,
-            org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc) -- before0)
+        // invariant. Lazy mode reclaims nothing eagerly: its frames are
+        // candidate-bound eager checkpoints whose scratch the threshold
+        // just bounded, and the ContextCleaner frees them with the plan.
+        org.apache.spark.sql.graftbridge.Bridge.cleanupShuffles(sc,
+          org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc) -- before0)
         return parts.reduce(_ unionByName _)
       }
     }
@@ -676,33 +731,23 @@ object Dedup {
     * banding) and the chunked slices (cap precomputed over the FULL
     * batch and passed in).
     *
-    * `lazyMode` (small chunked slices only — see [[minhashSearch]]):
-    * returns a fully LAZY plan — no candidate checkpoint, no ref-count
-    * sizing job — so ⌈n/cap⌉ tiny slices union into one Spark job
-    * instead of paying ~3 driver jobs each. The candidate set is
-    * recomputed for its two consumers (the band join runs twice) and
-    * the rescore's ref side is never size-hinted (AQE converts small
-    * joins at runtime); both are gate-scale-cheap, and the index-side
-    * no-shuffle contract still holds — the ref prune stays a broadcast
-    * semi-join of PLAIN lazy frames (the minhashCandidates deadlock
-    * note bans lazy CHECKPOINTS under a broadcast materialization, not
-    * lazy plans). */
+    * (The chunked LAZY mode no longer goes through this body — it hoists
+    * the band join out of the slice loop in [[minhashSearch]] itself.) */
   private def screenSigs(index: MinhashIndex, bSigs: DataFrame,
       bandKeysOf: DataFrame => DataFrame, overCap: Option[DataFrame],
-      broadcastRefSigsMaxBytes: Long, lazyMode: Boolean = false): DataFrame = {
+      broadcastRefSigsMaxBytes: Long): DataFrame = {
     val bBanded = overCap match {
       case Some(oc) => bandKeysOf(bSigs).join(oc, Seq("bucket"), "left_anti")
       case None => dropOverCapBuckets(bandKeysOf(bSigs),
         Seq("bucket"), index.maxBucket)
     }
     // eager checkpoint: the candidate set is consumed twice (the ref-id
-    // prune below + the scoring join) and is candidate-bound small.
-    // lazyMode recomputes it instead (slice-bound cheap; see scaladoc)
-    val pairs0 = bBanded.select(col("bucket"), col("id").as("id_new"))
+    // prune below + the scoring join) and is candidate-bound small
+    val pairs = bBanded.select(col("bucket"), col("id").as("id_new"))
       .join(index.banded.select(col("bucket"), col("id").as("id_ref")),
         Seq("bucket"))
       .select(col("id_new"), col("id_ref")).distinct()
-    val pairs = if (lazyMode) pairs0 else pairs0.localCheckpoint(true)
+      .localCheckpoint(true)
     // prune the reference sig table to the candidates' refs via a
     // broadcast semi-join BEFORE any exchange: a screen must never
     // shuffle the index (measured without this: the scoring join's
@@ -730,19 +775,16 @@ object Dedup {
     // pair set (the same adjudicated class as remove's newlyUnder
     // check); above the cap the shuffle join stands — a flood of
     // distinct candidate refs must not OOM the driver.
-    val refIds0 = pairs.select(col("id_ref")).distinct()
-    val refIds = if (lazyMode) refIds0 else refIds0.localCheckpoint(true)
+    val refIds = pairs.select(col("id_ref")).distinct().localCheckpoint(true)
     val prunedRef = index.sigs.select(col("id").as("id_ref"),
       col("sig").as("sig_r"))
       .join(broadcast(refIds), "id_ref")
-    val refSigs =
-      if (lazyMode) prunedRef // no sizing job; AQE converts small sides
-      else {
-        val nRefs = refIds.count()
-        val refSigBytes = nRefs * (24L + 4L * index.numHashes)
-        if (refSigBytes <= broadcastRefSigsMaxBytes) broadcast(prunedRef)
-        else prunedRef
-      }
+    val refSigs = {
+      val nRefs = refIds.count()
+      val refSigBytes = nRefs * (24L + 4L * index.numHashes)
+      if (refSigBytes <= broadcastRefSigsMaxBytes) broadcast(prunedRef)
+      else prunedRef
+    }
     pairs
       .join(bSigs.select(col("id").as("id_new"),
         col("sig").as("sig_n")), "id_new")
