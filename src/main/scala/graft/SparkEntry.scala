@@ -424,10 +424,14 @@ object SparkEntry {
       // pairs → CLUSTERS: distributed min-label connected components over
       // the ≥0.5 minhash candidate graph; the oracle replays the closure
       // as a recursive CTE (component = min reachable id)
+      // materialize = false: connectedComponents is the pairs' ONLY
+      // consumer (its micro-tier probe + distinct each run the plan at
+      // most once), so the default eager checkpoint would be a pure
+      // extra materialization pass
       val pairs = Dedup.minhashCandidates(
         tbl(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text",
         shingleHashesOf = TextFunctions.shingleHashes(_, 3),
-        numHashes = 64, bands = 8)
+        numHashes = 64, bands = 8, materialize = false)
         .filter(col("est_jaccard") >= 0.5)
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("component"))
@@ -533,9 +537,10 @@ object SparkEntry {
       // stage is an operator gated on its own elsewhere (q18/q50/q71/
       // q61), composed here end-to-end under one oracle
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      // materialize = false: CC is the pairs' only consumer (see q50)
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
           shingleHashesOf = TextFunctions.shingleHashes(_, 3),
-          numHashes = 64, bands = 8)
+          numHashes = 64, bands = 8, materialize = false)
         .filter(col("est_jaccard") >= 0.5)
       val clusters = Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("component"))
@@ -1657,9 +1662,10 @@ object SparkEntry {
       // id. Oracle = the q50 recursive-CTE closure + the q61 md5 carve on
       // coalesce(component, doc_id).
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      // materialize = false: CC is the pairs' only consumer (see q50)
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
           shingleHashesOf = TextFunctions.shingleHashes(_, 3),
-          numHashes = 64, bands = 8)
+          numHashes = 64, bands = 8, materialize = false)
         .filter(col("est_jaccard") >= 0.5)
       val clusters = Dedup.connectedComponents(pairs)
       graft.pipeline.Sampling.splitByCluster(docs, "doc_id", clusters,

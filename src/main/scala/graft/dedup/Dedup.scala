@@ -1168,27 +1168,31 @@ object Dedup {
     require(ccSalt >= 1, s"ccSalt must be positive: $ccSalt")
     // both edge directions in ONE pass over the (possibly expensive) pair
     // plan — a union of two selects would evaluate it twice pre-persist
-    val edges = pairs
+    val rawEdges = pairs
       .select(explode(array(
         struct(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst")),
         struct(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // adaptive algorithm switch: near-dup pair graphs are usually FAR
     // smaller than the corpus (edges ≈ duplicates, not documents), and
     // the iterative path costs ~4 scheduled jobs per round regardless of
-    // data. When the deduped edge list fits the driver comfortably,
-    // union-find locally — identical output (min id per component; the
-    // spec pins both paths to each other) at one collect instead of
-    // O(log diameter) rounds. The count also materializes the cache the
-    // iterative path needs, so it is never wasted work.
-    val edgeCount = edges.count()
-    if (edgeCount <= driverThreshold) {
+    // data. When the edge list fits the driver comfortably, union-find
+    // locally — identical output (min id per component; the spec pins
+    // both paths to each other). The micro-tier probe is ONE take() of
+    // at most 2·driverThreshold+1 raw directed rows — no distinct
+    // shuffle, no persist, one job (r15: the old shape paid a global
+    // distinct + cache materialization + count + collect — three jobs
+    // and two full passes — before the first union): union-find absorbs
+    // duplicate edges as repeated unions, so deduplication is free on
+    // the driver, and the raw directed row count is exactly 2× the pair
+    // count for the distinct-pair graphs every in-tree caller produces.
+    val cap = 2L * math.min(driverThreshold, (Int.MaxValue - 1) / 2)
+    val head = rawEdges.take(cap.toInt + 1)
+    if (head.length <= cap) {
       val spark = pairs.sparkSession
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = head.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -1204,11 +1208,17 @@ object Dedup {
         }
       }
       val nodes = es.iterator.map(_._1).toSet
-      edges.unpersist()
       import spark.implicits._
       return nodes.toSeq.sorted.map(id => (id, find(id)))
         .toDF("id", "component")
     }
+
+    // distributed tier: dedupe + pin the edge cache the iteration reuses
+    // (the take() probe above computed the upstream shuffles, which the
+    // distinct reuses; only its own exchange is new work)
+    val edges = rawEdges.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
