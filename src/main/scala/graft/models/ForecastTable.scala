@@ -55,10 +55,21 @@ object ForecastTable {
       throw new IllegalArgumentException("continuation needs a time column"))
     val loName = s"$valueCol (${confidence}%CI low)"
     val hiName = s"$valueCol (${confidence}%CI high)"
-    val lastT = history.df.agg(max(col(tCol))).head()
+    // eager checkpoint of the SLIM projection (time axis + series keys +
+    // the one value column, cast once): the history plan is consumed
+    // three ways — the last-time scalar, the step inference (whose
+    // range-window lag machinery alone executes its input several
+    // times), and the history half of the output. An upstream that is
+    // itself an aggregate pipeline (q126's daily means) re-ran 4-5×
+    // under the old shape; the blocks hold only the projected columns,
+    // the same rows the output must carry anyway.
+    val slimCols = (col(tCol) +: history.seriesKeys.map(col)) :+
+      col(valueCol).cast("double").as(valueCol)
+    val slim = history.df.select(slimCols: _*).localCheckpoint(true)
+    val lastT = slim.agg(max(col(tCol))).head()
     require(!lastT.isNullAt(0),
       "continuation needs a non-empty history with at least one non-null time")
-    val delta = history.timeDelta
+    val delta = TimeDelta.infer(slim, tCol, history.seriesKeys)
     val steps = forecast.indices.map(_ + 1)
     val futureTimes: Seq[Column] = delta.deltas.headOption match {
       case Some(Right((k, "month"))) =>
@@ -82,17 +93,23 @@ object ForecastTable {
             steps.map(i => lit(t0 + i * stepSec))
         }
     }
-    val hist = history.df.select(
+    val hist = slim.select(
       lit("history").as("segment"), col(tCol),
-      col(valueCol).cast("double").as(valueCol),
+      col(valueCol),
       lit(null).cast("double").as(loName),
       lit(null).cast("double").as(hiName))
-    val fut = forecast.indices.map { i =>
-      spark.range(1).select(
-        lit("forecast").as("segment"), futureTimes(i).as(tCol),
-        lit(forecast(i)).as(valueCol),
-        lit(lo(i)).as(loName), lit(hi(i)).as(hiName))
-    }.reduce(_ unionByName _)
+    // one explode over an array of per-step structs instead of h chained
+    // single-row unions — same rows, one projection in the plan
+    val fut = spark.range(1).select(explode(array(
+        forecast.indices.map(i => struct(
+          lit("forecast").as("segment"), futureTimes(i).as(tCol),
+          lit(forecast(i)).as(valueCol),
+          lit(lo(i)).as(loName), lit(hi(i)).as(hiName))): _*)).as("__f"))
+      .select(col("__f").getField("segment").as("segment"),
+        col("__f").getField(tCol).as(tCol),
+        col("__f").getField(valueCol).as(valueCol),
+        col("__f").getField(loName).as(loName),
+        col("__f").getField(hiName).as(hiName))
     hist.unionByName(fut)
   }
 }

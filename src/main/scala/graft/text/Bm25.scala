@@ -62,10 +62,19 @@ object Bm25 {
     val lens = docs.select(col(idCol).as("doc_id"),
       size(toks).cast("long").as("len"))
     // postings carry the document length so scoring never joins the
-    // corpus-sized docLens frame (+8 bytes/row for a join saved)
+    // corpus-sized docLens frame (+8 bytes/row for a join saved).
+    // len = Σ tf over the row's own tf array (total token count) rather
+    // than a second size(tokens) pass — the tokenizer runs ONCE per row
+    // in this scan; the sum is a projection-only fold over the already-
+    // materialized array (never a filter input — the HOF-pushdown trap
+    // does not apply)
     val postings = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("len"),
-        explode(graft.functions.TextHash.tokenTf(col(textCol))).as("e"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextHash.tokenTf(col(textCol)).as("tfs"))
+      .select(col("doc_id"),
+        aggregate(col("tfs"), lit(0L), (a, x) => a + x.getField("tf"))
+          .as("len"),
+        explode(col("tfs")).as("e"))
       .select(col("doc_id"), col("len"),
         col("e.term").as("term"), col("e.tf").as("tf"))
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
@@ -146,13 +155,25 @@ object Bm25 {
     val termRows =
       if (maxDfFrac >= 1.0) termRows0
       else {
-        // df pre-lookup for the stopword cut: one scan of the df table,
-        // semi-joined by the (local) term set so the hint survives
+        // df pre-lookup for the stopword cut, source picked by what is
+        // already materialized: the vocabulary rollup when the index is
+        // persisted (hot df table) or disk-backed (its own parquet),
+        // else one map-side-combined aggregate over the term-pruned
+        // postings scan — an ephemeral build+search would otherwise pay
+        // a full extra corpus pass deriving every term's df only to
+        // keep the query's handful. df values are identical either way
+        // (both count postings rows per term).
         val all = spark.createDataFrame(
           java.util.Arrays.asList(termRows0: _*), termSchema)
         val cut = (nDocs * maxDfFrac).toLong
-        index.dfs.join(broadcast(all), Seq("term"))
-          .filter(col("df") <= cut).select("term").collect()
+        val queryDfs =
+          if (index.dfs.storageLevel !=
+                org.apache.spark.storage.StorageLevel.NONE ||
+              index.postings.columns.contains("bkt"))
+            index.dfs.join(broadcast(all), Seq("term"))
+          else index.postings.join(broadcast(all), Seq("term"))
+            .groupBy("term").agg(count(lit(1)).as("df"))
+        queryDfs.filter(col("df") <= cut).select("term").collect()
       }
     val qTerms = spark.createDataFrame(
       java.util.Arrays.asList(termRows: _*), termSchema)

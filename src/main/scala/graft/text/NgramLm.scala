@@ -119,13 +119,24 @@ object NgramLm {
   def trainKneserNey(docs: DataFrame, textCol: String,
       discount: Double = 0.75): KnModel = {
     require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    // eager checkpoint of the grouped bigram table: every model surface
+    // derives from it — follow, prec, the type count, and the scoring
+    // join — and without blocks each SEPARATE action re-tokenizes the
+    // corpus (ReusedExchange only dedupes consumers inside one job; the
+    // type count here and the caller's scoring action are different
+    // jobs). The blocks hold one row per distinct bigram — the model
+    // artifact itself, which persist() would pin anyway — and the
+    // ContextCleaner frees them when the model is dropped.
     val bi = bigramsOf(docs.withColumn("__id", lit(0L)), "__id", textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     val follow = bi.groupBy("w1")
       .agg(count(lit(1)).as("nFollow"), sum("c2").as("cHead"))
     val prec = bi.groupBy("w2").agg(count(lit(1)).as("nPrec"))
     val types = bi.count()
-    val vocab = docs.select(explode(toks(textCol)).as("w")).distinct().count()
+    // countDistinct ≡ distinct().count() value-wise, one aggregate job
+    val vocab = docs.select(explode(toks(textCol)).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
     KnModel(bi, follow, prec, types, vocab, discount)
   }
 
