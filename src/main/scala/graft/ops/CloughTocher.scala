@@ -38,22 +38,97 @@ object CloughTocher {
   def estimateGradients(pts: Array[(Int, Int)], z: Array[Double],
       tris: Array[(Int, Int, Int)]): Array[(Double, Double)] = {
     val n = pts.length
-    val nbr = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
-    tris.foreach { case (a, b, c) =>
-      nbr(a) += b; nbr(a) += c; nbr(b) += a; nbr(b) += c; nbr(c) += a; nbr(c) += b
+    // CSR adjacency with a visit-stamp dedup instead of n boxed Int sets
+    // (r15: the Set machinery was a top executor-profile frame in the
+    // q108 fill). Ring CONTENT is the same set as before; row order
+    // within a ring cannot move results — the design entries are exact
+    // small-integer products in double, so the Gram sums are exact and
+    // order-free, and the elimination below is unchanged.
+    val m3 = tris.length * 3
+    val deg = new Array[Int](n)
+    var ti = 0
+    while (ti < tris.length) {
+      val t = tris(ti)
+      deg(t._1) += 2; deg(t._2) += 2; deg(t._3) += 2
+      ti += 1
     }
-    Array.tabulate(n) { v =>
-      var ring = nbr(v).toSet
-      if (ring.size < 6) ring = ring ++ ring.flatMap(nbr) - v
-      val rows = ring.toArray.map { u =>
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val adj = new Array[Int](2 * m3)
+    val fill = java.util.Arrays.copyOf(off, n)
+    ti = 0
+    while (ti < tris.length) {
+      val t = tris(ti)
+      val (a, b, c) = (t._1, t._2, t._3)
+      adj(fill(a)) = b; adj(fill(a) + 1) = c; fill(a) += 2
+      adj(fill(b)) = a; adj(fill(b) + 1) = c; fill(b) += 2
+      adj(fill(c)) = a; adj(fill(c) + 1) = b; fill(c) += 2
+      ti += 1
+    }
+    // dedupe each vertex's list in place (stamp = current vertex pass)
+    val stamp = new Array[Int](n)
+    var cur = 0
+    val degU = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      cur += 1
+      var w = off(i)
+      var r = off(i)
+      val end = off(i) + deg(i)
+      while (r < end) {
+        val u = adj(r)
+        if (stamp(u) != cur) { stamp(u) = cur; adj(w) = u; w += 1 }
+        r += 1
+      }
+      degU(i) = w - off(i)
+      i += 1
+    }
+    val ringBuf = new Array[Int](math.max(1, n))
+    val out = new Array[(Double, Double)](n)
+    var v = 0
+    while (v < n) {
+      cur += 1
+      stamp(v) = cur // v itself is never a ring member
+      var rs = 0
+      var r = off(v)
+      var end = off(v) + degU(v)
+      while (r < end) {
+        val u = adj(r)
+        if (stamp(u) != cur) { stamp(u) = cur; ringBuf(rs) = u; rs += 1 }
+        r += 1
+      }
+      if (rs < 6) {
+        // widen to the 2-ring: neighbors of the ORIGINAL 1-ring members
+        val base = rs
+        var k = 0
+        while (k < base) {
+          val u = ringBuf(k)
+          r = off(u)
+          end = off(u) + degU(u)
+          while (r < end) {
+            val t2 = adj(r)
+            if (stamp(t2) != cur) { stamp(t2) = cur; ringBuf(rs) = t2; rs += 1 }
+            r += 1
+          }
+          k += 1
+        }
+      }
+      val rows = new Array[(Array[Double], Double)](rs)
+      var k = 0
+      while (k < rs) {
+        val u = ringBuf(k)
         val dx = (pts(u)._1 - pts(v)._1).toDouble
         val dy = (pts(u)._2 - pts(v)._2).toDouble
-        (Array(dx, dy, dx * dx, dx * dy, dy * dy), z(u) - z(v))
+        rows(k) = (Array(dx, dy, dx * dx, dx * dy, dy * dy), z(u) - z(v))
+        k += 1
       }
-      solveLS(rows, 5).orElse(
-          solveLS(rows.map { case (r, b) => (r.take(2), b) }, 2))
+      out(v) = solveLS(rows, 5).orElse(
+          solveLS(rows.map { case (rr, b) => (rr.take(2), b) }, 2))
         .map(s => (s(0), s(1))).getOrElse((0.0, 0.0))
+      v += 1
     }
+    out
   }
 
   /** Least squares via normal equations + Gaussian elimination with
@@ -72,17 +147,45 @@ object CloughTocher {
       }
     }
     // scale-aware pivot floor: the Gram matrix entries grow like coord⁴
-    val floor = 1e-9 * (m.map(row => row.take(k).map(math.abs).max).max max 1e-300)
-    for (c <- 0 until k) {
-      val p = (c until k).maxBy(r => math.abs(m(r)(c)))
-      if (math.abs(m(p)(c)) < floor) return None
-      val t = m(p); m(p) = m(c); m(c) = t
-      for (r <- 0 until k if r != c) {
-        val f = m(r)(c) / m(c)(c)
-        for (j <- c to k) m(r)(j) -= f * m(c)(j)
+    // (while-loop form of the original Range code — same op order, same
+    // first-max pivot choice; the Range closures were a profile hotspot)
+    var gmax = 1e-300
+    var gi = 0
+    while (gi < k) {
+      var gj = 0
+      while (gj < k) {
+        val a = math.abs(m(gi)(gj)); if (a > gmax) gmax = a
+        gj += 1
       }
+      gi += 1
     }
-    Some(Array.tabulate(k)(i => m(i)(k) / m(i)(i)))
+    val floor = 1e-9 * gmax
+    var c = 0
+    while (c < k) {
+      var p = c
+      var best = math.abs(m(c)(c))
+      var r = c + 1
+      while (r < k) {
+        val a = math.abs(m(r)(c)); if (a > best) { best = a; p = r }
+        r += 1
+      }
+      if (best < floor) return None
+      val t = m(p); m(p) = m(c); m(c) = t
+      r = 0
+      while (r < k) {
+        if (r != c) {
+          val f = m(r)(c) / m(c)(c)
+          var j = c
+          while (j <= k) { m(r)(j) -= f * m(c)(j); j += 1 }
+        }
+        r += 1
+      }
+      c += 1
+    }
+    val sol = new Array[Double](k)
+    var si = 0
+    while (si < k) { sol(si) = m(si)(k) / m(si)(si); si += 1 }
+    Some(sol)
   }
 
   /** The 10 Bernstein–Bézier control points of one micro-patch, index

@@ -173,6 +173,25 @@ object Delaunay {
     var cap = math.max(64, 8 * n)
     var ta = new Array[Int](cap); var tb = new Array[Int](cap)
     var tc = new Array[Int](cap); var alive = new Array[Boolean](cap)
+    // Conservative floating circumcircle prefilter (r15): the insert loop
+    // below runs the EXACT incircle predicate against every live triangle
+    // — O(n²) exact tests dominated the per-series griddata fills. For
+    // all-real triangles in the small-span tier (coords < 2¹⁴, so squares
+    // and the orient denominator are exact in double and the circumcenter
+    // division is correct to ~1 ulp of its ≤ 4·span³ magnitude), the
+    // circumcenter/radius² are precomputed once per triangle and a query
+    // point is quick-classified by double distance: certainly-outside and
+    // certainly-inside skip the exact test, anything within the relative
+    // slack band falls THROUGH to it — the pervasively-cocircular exact
+    // ties always land in the band, so the decided sign is identical to
+    // the unfiltered run, triangle for triangle.
+    val filterTier = realLongOk
+    var ccx: Array[Double] = null; var ccy: Array[Double] = null
+    var cr2: Array[Double] = null
+    if (filterTier) {
+      ccx = new Array[Double](cap); ccy = new Array[Double](cap)
+      cr2 = new Array[Double](cap)
+    }
     var nTri = 0; var nDead = 0
     def addTri(u: Int, v: Int, w: Int): Unit = {
       if (nTri == cap) {
@@ -180,10 +199,30 @@ object Delaunay {
         ta = java.util.Arrays.copyOf(ta, cap); tb = java.util.Arrays.copyOf(tb, cap)
         tc = java.util.Arrays.copyOf(tc, cap)
         alive = java.util.Arrays.copyOf(alive, cap)
+        if (filterTier) {
+          ccx = java.util.Arrays.copyOf(ccx, cap)
+          ccy = java.util.Arrays.copyOf(ccy, cap)
+          cr2 = java.util.Arrays.copyOf(cr2, cap)
+        }
       }
       if (orientSign(u, v, w) >= 0) { ta(nTri) = u; tb(nTri) = v; tc(nTri) = w }
       else { ta(nTri) = u; tb(nTri) = w; tc(nTri) = v }
       alive(nTri) = true
+      if (filterTier) {
+        if (ta(nTri) < n && tb(nTri) < n && tc(nTri) < n) {
+          val ax = pts(ta(nTri))._1.toDouble; val ay = pts(ta(nTri))._2.toDouble
+          val bx = pts(tb(nTri))._1.toDouble; val by = pts(tb(nTri))._2.toDouble
+          val cx = pts(tc(nTri))._1.toDouble; val cy = pts(tc(nTri))._2.toDouble
+          val d = 2.0 * ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+          val a2 = ax * ax + ay * ay
+          val b2 = bx * bx + by * by
+          val c2 = cx * cx + cy * cy
+          val ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+          val uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+          ccx(nTri) = ux; ccy(nTri) = uy
+          cr2(nTri) = (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy)
+        } else cr2(nTri) = -1.0 // super-vertex triangle: exact test only
+      }
       nTri += 1
     }
     addTri(n, n + 1, n + 2)
@@ -195,10 +234,29 @@ object Delaunay {
     while (p < n) {
       var nBad = 0
       var t = 0
+      val pxD = if (filterTier) pts(p)._1.toDouble else 0.0
+      val pyD = if (filterTier) pts(p)._2.toDouble else 0.0
       while (t < nTri) {
-        if (alive(t) && inCircleSign(ta(t), tb(t), tc(t), p) > 0) {
-          if (nBad == badIdx.length) badIdx = java.util.Arrays.copyOf(badIdx, nBad * 2)
-          badIdx(nBad) = t; nBad += 1
+        if (alive(t)) {
+          var bad = false
+          var decided = false
+          if (filterTier && cr2(t) >= 0.0) {
+            val dx = pxD - ccx(t); val dy = pyD - ccy(t)
+            val d2 = dx * dx + dy * dy
+            // relative slack 1e-7 of the magnitude scale: the center and
+            // both squared distances are correct to ~1e-13 relative in
+            // this tier, so a gap beyond the band certifies the sign;
+            // inside the band the exact predicate decides (every exact
+            // cocircular tie has gap 0 and lands here)
+            val band = 1e-7 * (d2 + cr2(t))
+            if (d2 > cr2(t) + band) { bad = false; decided = true }
+            else if (d2 < cr2(t) - band) { bad = true; decided = true }
+          }
+          if (!decided) bad = inCircleSign(ta(t), tb(t), tc(t), p) > 0
+          if (bad) {
+            if (nBad == badIdx.length) badIdx = java.util.Arrays.copyOf(badIdx, nBad * 2)
+            badIdx(nBad) = t; nBad += 1
+          }
         }
         t += 1
       }
@@ -248,6 +306,7 @@ object Delaunay {
           while (r < nTri) {
             if (alive(r)) {
               ta(w) = ta(r); tb(w) = tb(r); tc(w) = tc(r); alive(w) = true
+              if (filterTier) { ccx(w) = ccx(r); ccy(w) = ccy(r); cr2(w) = cr2(r) }
               w += 1
             }
             r += 1
@@ -296,19 +355,35 @@ object Delaunay {
     private def iy(y: Long): Int =
       math.min(g - 1L, math.max(0L, (y - minY) * g / spanY)).toInt
     private val buckets: Array[Array[Int]] = {
-      val tmp = Array.fill(g * g)(new scala.collection.mutable.ArrayBuffer[Int])
-      var t = 0
-      while (t < nT) {
+      // two-pass counting build into flat int arrays (one ArrayBuffer per
+      // cell allocated g² buffers per locator — measured GC churn on the
+      // per-series fills, which build one locator per series)
+      val counts = new Array[Int](g * g)
+      def cellsOf(t: Int)(f: Int => Unit): Unit = {
         val (a, b, c) = tris(t)
-        val bx0 = math.min(pts(a)._1, math.min(pts(b)._1, pts(c)._1)).toLong
-        val bx1 = math.max(pts(a)._1, math.max(pts(b)._1, pts(c)._1)).toLong
-        val by0 = math.min(pts(a)._2, math.min(pts(b)._2, pts(c)._2)).toLong
-        val by1 = math.max(pts(a)._2, math.max(pts(b)._2, pts(c)._2)).toLong
-        for (cx <- ix(bx0) to ix(bx1); cy <- iy(by0) to iy(by1))
-          tmp(cy * g + cx) += t
+        val x0 = ix(math.min(pts(a)._1, math.min(pts(b)._1, pts(c)._1)).toLong)
+        val x1 = ix(math.max(pts(a)._1, math.max(pts(b)._1, pts(c)._1)).toLong)
+        val y0 = iy(math.min(pts(a)._2, math.min(pts(b)._2, pts(c)._2)).toLong)
+        val y1 = iy(math.max(pts(a)._2, math.max(pts(b)._2, pts(c)._2)).toLong)
+        var cy = y0
+        while (cy <= y1) {
+          var cx = x0
+          while (cx <= x1) { f(cy * g + cx); cx += 1 }
+          cy += 1
+        }
+      }
+      var t = 0
+      while (t < nT) { cellsOf(t)(counts(_) += 1); t += 1 }
+      val out = new Array[Array[Int]](g * g)
+      var i = 0
+      while (i < g * g) { out(i) = new Array[Int](counts(i)); i += 1 }
+      val fill = new Array[Int](g * g)
+      t = 0
+      while (t < nT) {
+        cellsOf(t) { cell => out(cell)(fill(cell)) = t; fill(cell) += 1 }
         t += 1
       }
-      tmp.map(_.toArray)
+      out
     }
     /** Triangle indices whose bbox cell covers (qx, qy); empty outside
       * the triangulation's bounding box. */

@@ -40,6 +40,36 @@ class DelaunaySpec extends SparkSpec {
     }
   }
 
+  test("floating prefilter: exact property survives pervasively cocircular grids") {
+    // the r15 circumcircle prefilter quick-classifies points by double
+    // distance and must route every exact tie (gap 0) into the exact
+    // predicate: a gappy integer GRID — every unit square cocircular,
+    // the gate's matrix shape — is the adversarial input. The
+    // definitional empty-circumcircle property over the result proves
+    // the filtered insert loop marked exactly the right cavities.
+    val pts = (for {
+      i <- 0 until 18; j <- 0 until 4
+      if (i * 7 + j * 3) % 5 != 2 // deterministic holes
+    } yield (i, j)).toArray
+    val tris = Delaunay.triangulate(pts)
+    assert(tris.nonEmpty)
+    tris.foreach { case (a, b, c) =>
+      pts.indices.filterNot(Set(a, b, c)).foreach { p =>
+        val ic = Delaunay.inCircle(pts(a)._1, pts(a)._2, pts(b)._1, pts(b)._2,
+          pts(c)._1, pts(c)._2, pts(p)._1, pts(p)._2)
+        assert(ic <= 0, s"point $p strictly inside circumcircle of ($a,$b,$c)")
+      }
+    }
+    // and the hull is fully covered: every grid cell (hole or not) inside
+    // the rectangle interpolates a planar field exactly
+    val z = pts.map(p => 2.0 * p._1 - 3.0 * p._2 + 7.0)
+    for (i <- 0 until 18; j <- 0 until 4) {
+      val got = Delaunay.interpolate(pts, z, tris, (i, j))
+      assert(got.isDefined, s"coverage hole at ($i,$j)")
+      assert(math.abs(got.get - (2.0 * i - 3.0 * j + 7.0)) < 1e-9)
+    }
+  }
+
   test("near-collinear triples: full hull coverage despite huge circumradii") {
     // three almost-collinear points whose circumradius (~d²/8h ≈ 2³⁹)
     // dwarfs any small multiple of the data span — the regression case
