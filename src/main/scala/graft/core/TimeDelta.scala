@@ -101,23 +101,87 @@ object TimeDelta {
   def infer(df: DataFrame, timeCol: String, seriesKeys: Seq[String] = Nil,
       maxDistinct: Int = 64): TimeDelta = {
     require(maxDistinct >= 1, s"maxDistinct must be positive: $maxDistinct")
-    val (deltas, release) = deltaFrame(df, timeCol, seriesKeys)
     val cap = maxDistinct + 1
-    val partials = deltas
-      .filter(col("__d").isNotNull && col("__d") =!= 0.0)
-      .rdd.mapPartitions { it =>
-        val seen = scala.collection.mutable.TreeSet.empty[Double]
-        var hasCal = false; var hasNum = false; var g = 0L
-        it.foreach { r =>
-          val d = r.getDouble(0)
-          if (MonthSeconds(d) || YearSeconds(d)) hasCal = true
-          else { hasNum = true; g = gcdLong(g, math.max(1L, math.round(d))) }
-          if (!seen.contains(d)) { seen += d; if (seen.size > cap) seen -= seen.last }
+    def foldDelta(seen: scala.collection.mutable.TreeSet[Double],
+        d: Double, st: Array[Boolean], g0: Long): Long = {
+      var g = g0
+      if (MonthSeconds(d) || YearSeconds(d)) st(0) = true
+      else { st(1) = true; g = gcdLong(g, math.max(1L, math.round(d))) }
+      if (!seen.contains(d)) { seen += d; if (seen.size > cap) seen -= seen.last }
+      g
+    }
+    val partials: Array[(Array[Double], Boolean, Boolean, Long)] =
+      if (seriesKeys.isEmpty) {
+        // keyless fast path (r15): the managed range-window lag machinery
+        // cost a sampling pass, a pinned cache, a boundary-carry collect
+        // and a broadcast just to hand this aggregation consecutive
+        // diffs. One range sort + ONE mapPartitions pass now folds each
+        // partition's WITHIN-partition diffs into the same mergeable
+        // partial and ships the partition's first/last time alongside;
+        // the driver stitches the cross-partition boundary diffs into
+        // the partials with the identical fold. The delta MULTISET is
+        // exactly the old lag column's (global sort order, ties
+        // arbitrary either way), and every merged quantity is
+        // order-free (TreeSet of smallest, or-flags, associative gcd).
+        val np = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+        val ranged = df.select(col(timeCol).cast("double").as("__t"))
+          .filter(col("__t").isNotNull)
+          .repartitionByRange(np, col("__t"))
+          .sortWithinPartitions("__t")
+        val raw = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val seen = scala.collection.mutable.TreeSet.empty[Double]
+          val st = Array(false, false)
+          var g = 0L
+          var first = Double.NaN
+          var last = Double.NaN
+          var any = false
+          it.foreach { r =>
+            val t = r.getDouble(0)
+            if (!any) { first = t; any = true }
+            else {
+              val d = t - last
+              if (d != 0.0) g = foldDelta(seen, d, st, g)
+            }
+            last = t
+          }
+          if (!any) Iterator.empty
+          else Iterator.single((pid, first, last, seen.toArray, st(0), st(1), g))
+        }.collect().sortBy(_._1)
+        // stitch boundary diffs (last of partition i → first of partition
+        // i+1) into the first non-empty partial with the same fold
+        if (raw.isEmpty) Array.empty
+        else {
+          val seen = scala.collection.mutable.TreeSet.empty[Double]
+          val st = Array(false, false)
+          var g = 0L
+          var i = 1
+          while (i < raw.length) {
+            val d = raw(i)._2 - raw(i - 1)._3
+            if (d != 0.0) g = foldDelta(seen, d, st, g)
+            i += 1
+          }
+          val boundary =
+            if (!st(0) && !st(1)) Array.empty[(Array[Double], Boolean, Boolean, Long)]
+            else Array((seen.toArray, st(0), st(1), g))
+          raw.collect { case (_, _, _, s, hc, hn, pg) if hc || hn =>
+            (s, hc, hn, pg)
+          } ++ boundary
         }
-        if (!hasCal && !hasNum) Iterator.empty
-        else Iterator.single((seen.toArray, hasCal, hasNum, g))
-      }.collect()
-    release()
+      } else {
+        val (deltas, release) = deltaFrame(df, timeCol, seriesKeys)
+        val out = deltas
+          .filter(col("__d").isNotNull && col("__d") =!= 0.0)
+          .rdd.mapPartitions { it =>
+            val seen = scala.collection.mutable.TreeSet.empty[Double]
+            val st = Array(false, false)
+            var g = 0L
+            it.foreach { r => g = foldDelta(seen, r.getDouble(0), st, g) }
+            if (!st(0) && !st(1)) Iterator.empty
+            else Iterator.single((seen.toArray, st(0), st(1), g))
+          }.collect()
+        release()
+        out
+      }
     if (partials.isEmpty) return empty
     val merged = scala.collection.mutable.TreeSet.empty[Double]
     var hasCal = false; var hasNum = false; var g = 0L
