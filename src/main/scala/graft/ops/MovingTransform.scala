@@ -186,7 +186,17 @@ object MovingTransform {
   private def globallyIndexed(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val sorted = df.orderBy(orderCols: _*)
+    // lazy localCheckpoint: zipWithIndex's eager sizing count is the
+    // job that materializes the sorted layout; every later pass over the
+    // indexed frame then reads those blocks instead of re-running the
+    // post-shuffle SORT (the exchange's map files are shared across
+    // jobs, the reduce-side sort is not — r15 measured each rangepart
+    // consumer paying the sort once per job). Blocks also pin one tie
+    // order for non-unique orderCols, so the count pass and every data
+    // pass agree by construction. Expensive-to-rebuild state only (a
+    // full shuffle + sort); the ContextCleaner frees the blocks with
+    // the plan.
+    val sorted = df.orderBy(orderCols: _*).localCheckpoint(false)
     val schema = StructType(sorted.schema.fields :+
       StructField("__gidx", LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
@@ -244,13 +254,13 @@ object MovingTransform {
     *    (sum, product) carries, then a partition-parallel fold emitting
     *    only the sampled rows — the [[graft.ops.RangeWindow]] recipe.
     *
-    * With cumulative specs the globally-indexed input backs TWO passes and
-    * is persisted so both read one consistent sort (the lagColumnsManaged
-    * discipline); use [[stridedRangePartManaged]] and call the release
-    * handle after consuming the result. The convenience overload leaves
-    * that cache to LRU eviction — fine for one-shot gate/bench calls, a
-    * leak for long-lived sessions. Without cumulative specs there is no
-    * cache at all and the handle is a no-op. */
+    * With cumulative specs the globally-indexed input backs TWO passes;
+    * both read the ONE sorted block layout [[globallyIndexed]] pins via
+    * its lazy localCheckpoint (consistent sort by construction — the
+    * lagColumnsManaged discipline, enforced one layer down since r15).
+    * The [[stridedRangePartManaged]] release handle is retained for API
+    * stability but is a no-op: the ContextCleaner frees the checkpoint
+    * blocks when the returned plan is dropped. */
   def stridedRangePart(
       tsf: TimeseriesFrame,
       specs: Seq[(String, String)],
@@ -275,13 +285,14 @@ object MovingTransform {
     val (cumSpecs, winSpecs) = specs.partition(s => CumulativeKeys(s._2))
     val orderNames = tsf.timeCol.toSeq ++ tsf.tieBreak
     val kept = (orderNames ++ specs.map(_._1)).distinct
-    val indexed0 = globallyIndexed(tsf.df.select(kept.map(col): _*), tsf.orderCols)
-    val (indexed, release): (DataFrame, () => Unit) =
-      if (cumSpecs.isEmpty) (indexed0, () => ())
-      else {
-        val p = indexed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (p, () => { p.unpersist(); () })
-      }
+    // globallyIndexed checkpoints the sorted input (r15), so every pass —
+    // including the cumulative two-phase prefix scan — reads one pinned
+    // block layout and only re-runs the cheap zip-map; the extra
+    // MEMORY_AND_DISK persist of the zipped rows that used to guarantee
+    // the consistent sort is redundant storage now (the managed handle
+    // stays for API stability and is a no-op)
+    val indexed = globallyIndexed(tsf.df.select(kept.map(col): _*), tsf.orderCols)
+    val release: () => Unit = () => ()
 
     val winAgg: Option[DataFrame] =
       if (winSpecs.isEmpty && cumSpecs.nonEmpty) None

@@ -266,9 +266,20 @@ object RangeWindow {
     require(aggs.forall(SupportedAggs), s"supported: $SupportedAggs")
     val df = tsf.df
     val orderCols = tsf.orderCols
+    // lazy localCheckpoint: the tails pass (pass 1) materializes the
+    // sorted layout as blocks and pass 2 reads them — without it each
+    // pass re-ran the post-shuffle SORT (the exchange's map files are
+    // shared across jobs, the reduce-side sort is not; r15 measured the
+    // second sort as ~40% of q42's executor time). Blocks also pin ONE
+    // tie order for non-unique orderCols, the lagColumnsManaged
+    // stability argument, without that operator's explicit cache handle
+    // — the ContextCleaner frees the blocks when the plan is dropped.
+    // Expensive-to-rebuild state only (a full shuffle + sort), the
+    // checkpoint-what-is-expensive rule.
     val ranged = df
       .repartitionByRange(numPartitions, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+      .localCheckpoint(false)
 
     val spark = df.sparkSession
     val schema = ranged.schema

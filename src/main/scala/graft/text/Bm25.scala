@@ -152,28 +152,34 @@ object Bm25 {
     val spark = index.postings.sparkSession
     val termSchema = q.select("term").schema
     val termRows0 = q.select("term").distinct().collect()
+    val dfCut = (nDocs * maxDfFrac).toLong
+    // Stopword-cut term source, picked by what is already materialized.
+    // An EPHEMERAL index (not persisted, not disk-backed) has no cheap df
+    // table — a pre-lookup would re-tokenize the whole corpus just to
+    // learn the query's handful of dfs (a third full pass; r15 measured
+    // it as q96's extra corpus scan). But the `matched` checkpoint below
+    // already materializes every (query term, posting) row, and a term's
+    // df is exactly its matched-row count — so the ephemeral path defers
+    // the cut: screen ALL query terms, then drop over-cut terms from
+    // SCORING by the dfs computed over `matched`. Same df values, same
+    // surviving terms, same scores; the checkpoint just also holds the
+    // cut terms' postings (linear in their df — the quadratic blowup the
+    // cut exists for lives in the query×doc scoring aggregate, which
+    // still never sees them). Persisted/disk-backed indexes keep the
+    // PRE-lookup: their df table is free to read, and cutting before
+    // the scan means cut terms' postings (and, disk-backed, their whole
+    // buckets) are never fetched at all.
+    val deferredCut = maxDfFrac < 1.0 &&
+      index.dfs.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE &&
+      !index.postings.columns.contains("bkt")
     val termRows =
-      if (maxDfFrac >= 1.0) termRows0
+      if (maxDfFrac >= 1.0 || deferredCut) termRows0
       else {
-        // df pre-lookup for the stopword cut, source picked by what is
-        // already materialized: the vocabulary rollup when the index is
-        // persisted (hot df table) or disk-backed (its own parquet),
-        // else one map-side-combined aggregate over the term-pruned
-        // postings scan — an ephemeral build+search would otherwise pay
-        // a full extra corpus pass deriving every term's df only to
-        // keep the query's handful. df values are identical either way
-        // (both count postings rows per term).
         val all = spark.createDataFrame(
           java.util.Arrays.asList(termRows0: _*), termSchema)
-        val cut = (nDocs * maxDfFrac).toLong
-        val queryDfs =
-          if (index.dfs.storageLevel !=
-                org.apache.spark.storage.StorageLevel.NONE ||
-              index.postings.columns.contains("bkt"))
-            index.dfs.join(broadcast(all), Seq("term"))
-          else index.postings.join(broadcast(all), Seq("term"))
-            .groupBy("term").agg(count(lit(1)).as("df"))
-        queryDfs.filter(col("df") <= cut).select("term").collect()
+        index.dfs.join(broadcast(all), Seq("term"))
+          .filter(col("df") <= dfCut).select("term").collect()
       }
     val qTerms = spark.createDataFrame(
       java.util.Arrays.asList(termRows: _*), termSchema)
@@ -197,13 +203,23 @@ object Bm25 {
       .join(broadcast(qTerms), Seq("term"))
       .localCheckpoint(true)
     val qDfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    // deferred stopword cut (ephemeral index, see above): drop over-cut
+    // terms' postings from scoring by the matched-row dfs — the same df
+    // values the pre-lookup would have read, so the surviving term set
+    // is identical
+    val scored =
+      if (deferredCut)
+        matched.join(
+          broadcast(qDfs.filter(col("df") <= dfCut).select("term")),
+          Seq("term"))
+      else matched
     val idf = log((lit(nDocs) - col("df") + lit(0.5))
       / (col("df") + lit(0.5)) + lit(1.0))
     val tfn = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / lit(avgdl)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    matched
+    scored
       .join(broadcast(q), Seq("term"))
       .join(broadcast(qDfs), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
