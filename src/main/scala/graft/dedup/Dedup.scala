@@ -628,11 +628,16 @@ object Dedup {
         // the previous per-slice test let a many-small-slices screen
         // (100 × 0.8 GB, say) go lazy with 80 GB of one-job scratch.
         val barrier = n * ScreenScratchBytesPerDoc >= sliceBarrierMinBytes
-        // full-batch flood cap (see scaladoc): candidate-bound small list
-        val overCap = bandKeysOf(bSigs)
+        // full-batch flood cap (see scaladoc): candidate-bound small
+        // list. Checkpointed only in BARRIER mode, where every slice
+        // consumes it as a separate job; lazy mode consumes it exactly
+        // once inside the single candidate job, so the over-cap rollup
+        // inlines there (its tiny aggregate exchange runs in-job — two
+        // fewer driver jobs, same whole-batch cap semantics)
+        val overCapRaw = bandKeysOf(bSigs)
           .groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") > index.maxBucket)
-          .select(col("bucket")).localCheckpoint(true)
+          .select(col("bucket"))
         if (!barrier) {
           // LAZY slicing, restructured (r15): the r14 shape built the
           // FULL screen plan per slice, and because a lazy slice's
@@ -653,7 +658,7 @@ object Dedup {
           // identical broadcast subtree across the slice union), else
           // one eager candidate-bound checkpoint.
           val bBanded = bandKeysOf(bSigs)
-            .join(overCap, Seq("bucket"), "left_anti")
+            .join(overCapRaw, Seq("bucket"), "left_anti")
           val pairsAll = bBanded.select(col("bucket"), col("id").as("id_new"))
             .join(index.banded.select(col("bucket"), col("id").as("id_ref")),
               Seq("bucket"))
@@ -686,6 +691,9 @@ object Dedup {
           }
           return parts.reduce(_ unionByName _)
         }
+        // barrier mode: every slice consumes the cap list as its own job
+        // — materialize it once
+        val overCap = overCapRaw.localCheckpoint(true)
         val parts = (0 until chunks).map { i =>
           val slice = bSigs.filter(
             pmod(xxhash64(col("id")), lit(chunks.toLong)) === i.toLong)
