@@ -50,20 +50,23 @@ object NgramLm {
   /** Train on a corpus: unigram counts, bigram counts pruned to
     * `minBigramCount`, and the token total. */
   def train(docs: DataFrame, textCol: String, minBigramCount: Long = 2L): Model = {
-    // eager checkpoints (the trainKneserNey recipe, r15): the two count
-    // frames ARE the model artifact, and without blocks every separate
-    // consumer re-tokenizes the corpus deriving them — the token-total
-    // action below re-ran the unigram rollup, and a scoring pass re-ran
-    // BOTH rollups inside its join (ReusedExchange only dedupes within
-    // one job). Blocks hold one row per distinct token / surviving
-    // bigram; the ContextCleaner frees them when the model is dropped.
+    // Deliberately LAZY count frames (r15 A/B): an eager-checkpoint
+    // variant (the trainKneserNey recipe — blocks for uni/bi, total from
+    // blocks) was measured at gate scale and REVERTED: it trades one
+    // corpus tokenization pass for three extra driver jobs and the block
+    // write, and q90's bench moved 0.67→0.95 s (2.0× its floor). Stupid
+    // backoff has only two model consumers and ReuseExchange already
+    // dedupes the unigram rollup inside the scoring join, so the extra
+    // pass here is ONE tokenize of the corpus — cheaper than the
+    // materialization at every scale the bench can see. Callers with
+    // many scoring batches should `Model.{unigrams,bigrams}.persist()`
+    // (the documented serving lifecycle) rather than pay a checkpoint
+    // per train.
     val uni = docs.select(explode(toks(textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-      .localCheckpoint(true)
     val bi = bigramsOf(docs.withColumn("__id", lit(0L)), "__id", textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .where(col("c2") >= minBigramCount)
-      .localCheckpoint(true)
     val total = uni.agg(sum("c1")).head().getLong(0)
     Model(uni, bi, total)
   }
