@@ -24,17 +24,28 @@ object QueryProf {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // SPARK_GRAFT_STAGES=1: additionally print per-stage task counts and
+    // summed executor run time — attributes a query's exec_s to its
+    // stages (r16: q30's 14 exec-s were invisible in the aggregate)
+    val perStage = sys.env.contains("SPARK_GRAFT_STAGES")
     object L extends SparkListener {
       var jobs, stages, tasks = 0
       var shufRead, shufWrite, runMs, gcMs, spillB = 0L
+      val stageAgg = scala.collection.mutable.LinkedHashMap[Int, (Int, Long, Long)]()
+      val stageNames = scala.collection.mutable.Map[Int, String]()
       def reset(): Unit = synchronized {
         jobs = 0; stages = 0; tasks = 0
         shufRead = 0; shufWrite = 0; runMs = 0; gcMs = 0; spillB = 0
+        stageAgg.clear(); stageNames.clear()
       }
       override def onJobStart(j: SparkListenerJobStart): Unit =
         synchronized { jobs += 1 }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        synchronized { stages += 1 }
+        synchronized {
+          stages += 1
+          if (perStage) stageNames(sc.stageInfo.stageId) =
+            sc.stageInfo.name.takeWhile(_ != '\n').take(70)
+        }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
         tasks += 1
         val m = te.taskMetrics
@@ -44,7 +55,18 @@ object QueryProf {
           runMs += m.executorRunTime
           gcMs += m.jvmGCTime
           spillB += m.diskBytesSpilled
+          if (perStage) {
+            val (c, r, d) = stageAgg.getOrElse(te.stageId, (0, 0L, 0L))
+            stageAgg(te.stageId) =
+              (c + 1, r + m.executorRunTime, d + m.executorDeserializeTime)
+          }
         }
+      }
+      def stageReport(): String = synchronized {
+        stageAgg.toSeq.sortBy(-_._2._2).map { case (sid, (c, r, d)) =>
+          f"    stage $sid%5d tasks=$c%4d run_s=${r / 1e3}%7.2f " +
+            f"deser_s=${d / 1e3}%6.2f  ${stageNames.getOrElse(sid, "")}%s"
+        }.mkString("\n")
       }
     }
     spark.sparkContext.addSparkListener(L)
@@ -71,6 +93,7 @@ object QueryProf {
       println(f"$n%-36s $sec%7.3f ${L.jobs}%5d ${L.stages}%4d ${L.tasks}%6d " +
         f"${L.shufRead / 1e6}%9.1f ${L.shufWrite / 1e6}%9.1f ${L.runMs / 1e3}%7.1f " +
         f"${L.gcMs}%6d ${L.spillB / 1e6}%8.1f")
+      if (perStage) println(L.stageReport())
     }
     spark.stop()
   }

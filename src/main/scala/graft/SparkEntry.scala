@@ -1650,9 +1650,11 @@ object SparkEntry {
             lit("x v"), col("doc_id").cast("string"),
             lit("y w"), col("doc_id").cast("string"), lit("z"))).as("text"))
       val idx = Dedup.minhashIndex(ref, "doc_id", "text")
-      val nBatch = batch.count()
+      // r16: the ⌈n/5⌉ per-slice cap is derived inside the screen from
+      // the batch count its signature checkpoint already measures — the
+      // explicit batch.count() here was a full extra scan+aggregate job
       Dedup.minhashSearch(idx, batch, "doc_id", "text",
-          maxDocsPerScreen = math.max(1L, (nBatch + 4) / 5))
+          targetScreenChunks = 5)
         .filter(col("est_jaccard") >= 0.5)
     }),
     "q117_split_by_cluster" -> ((s, dir) => {

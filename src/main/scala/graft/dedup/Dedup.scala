@@ -598,27 +598,37 @@ object Dedup {
       idCol: String, textCol: String,
       broadcastRefSigsMaxBytes: Long = 64L << 20,
       maxDocsPerScreen: Long = 0L,
-      sliceBarrierMinBytes: Long = 1L << 30): DataFrame = {
+      sliceBarrierMinBytes: Long = 1L << 30,
+      targetScreenChunks: Int = 0): DataFrame = {
     val params = minhashParams(index.numHashes)
     // eager localCheckpoint: consumed twice (banding + the scoring join);
     // see the deadlock note in minhashCandidates for why eager.
     // array<int> end-to-end: the index stores int signatures, and the
     // batch side is narrowed in the same scan-stage projection, so the
     // rescore compares int slots directly (bit-identical est_jaccard)
-    val bSigs = batch.select(col(idCol).as("id"),
-      minhashSignatureInt(index.shingleHashesOf(col(textCol)), params).as("sig"))
-      .localCheckpoint(true)
+    // r16: the batch-sizing count rides the checkpoint's materializing
+    // job (RDD count — no aggregate, no shuffle); the old shape paid a
+    // separate 2-stage count() job per chunked screen
+    val (bSigs, nBatchDocs) = org.apache.spark.sql.graftbridge.Bridge
+      .localCheckpointWithCount(batch.select(col(idCol).as("id"),
+        minhashSignatureInt(index.shingleHashesOf(col(textCol)), params)
+          .as("sig")))
     val bandKeysOf = (sigs: DataFrame) => sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), index.bands,
         index.numHashes / index.bands)).as("bucket"))
-    if (maxDocsPerScreen > 0) {
+    if (maxDocsPerScreen > 0 || targetScreenChunks > 0) {
       val sc = bSigs.sparkSession.sparkContext
-      // snapshot BEFORE the sizing count so its own tiny aggregate
-      // shuffle is inside the barrier-mode reclaim window too
       val before0 = org.apache.spark.sql.graftbridge.Bridge.shuffleIds(sc)
-      val n = bSigs.count()
-      if (n > maxDocsPerScreen) {
-        val chunks = ((n + maxDocsPerScreen - 1) / maxDocsPerScreen).toInt
+      val n = nBatchDocs
+      // `targetScreenChunks` derives the per-slice cap from the batch
+      // count the screen already measures (r16): caller shapes like
+      // "slice into ~5 chunks" used to pay their OWN full count() of the
+      // batch just to compute ⌈n/5⌉ and hand it back as maxDocsPerScreen
+      val cap0 = if (targetScreenChunks > 0)
+        math.max(1L, (n + targetScreenChunks - 1) / targetScreenChunks)
+      else maxDocsPerScreen
+      if (n > cap0) {
+        val chunks = ((n + cap0 - 1) / cap0).toInt
         // mode pick (see scaladoc): estimated WHOLE-BATCH scratch vs the
         // barrier threshold, using the probe-measured ~7.5 KB/doc
         // (rounded up to 8 KB — an over-estimate errs toward the
@@ -659,19 +669,28 @@ object Dedup {
           // one eager candidate-bound checkpoint.
           val bBanded = bandKeysOf(bSigs)
             .join(overCapRaw, Seq("bucket"), "left_anti")
-          val pairsAll = bBanded.select(col("bucket"), col("id").as("id_new"))
-            .join(index.banded.select(col("bucket"), col("id").as("id_ref")),
-              Seq("bucket"))
-            .select(col("id_new"), col("id_ref")).distinct()
-            .localCheckpoint(true)
-          val refIds = pairsAll.select(col("id_ref")).distinct()
-            .localCheckpoint(true)
-          val nRefs = refIds.count()
+          // r16: the candidate count rides the pair checkpoint's own
+          // materializing job, and the ref prune is a LEFT SEMI against
+          // the raw (non-distinct) candidate ref ids — semantically
+          // identical to the old distinct + inner using-join (sigs ids
+          // are unique; a semi join cannot duplicate), but the refIds
+          // distinct exchange, its checkpoint, and its count() are all
+          // gone. The broadcast stays id-only at the documented 8 B per
+          // CANDIDATE budget; the size-conditional attach guard now uses
+          // the pair count (≥ distinct refs), which errs toward the
+          // driver-safe shuffle join.
+          val (pairsAll, nPairs) = org.apache.spark.sql.graftbridge.Bridge
+            .localCheckpointWithCount(
+              bBanded.select(col("bucket"), col("id").as("id_new"))
+                .join(index.banded.select(col("bucket"), col("id").as("id_ref")),
+                  Seq("bucket"))
+                .select(col("id_new"), col("id_ref")).distinct())
           val prunedRef = index.sigs.select(col("id").as("id_ref"),
             col("sig").as("sig_r"))
-            .join(broadcast(refIds), "id_ref")
+            .join(broadcast(pairsAll.select(col("id_ref"))),
+              Seq("id_ref"), "left_semi")
           val refSigs =
-            if (nRefs * (24L + 4L * index.numHashes) <= broadcastRefSigsMaxBytes)
+            if (nPairs * (24L + 4L * index.numHashes) <= broadcastRefSigsMaxBytes)
               broadcast(prunedRef)
             else prunedRef.localCheckpoint(true)
           val bNew = bSigs.select(col("id").as("id_new"), col("sig").as("sig_n"))
@@ -750,12 +769,15 @@ object Dedup {
         Seq("bucket"), index.maxBucket)
     }
     // eager checkpoint: the candidate set is consumed twice (the ref-id
-    // prune below + the scoring join) and is candidate-bound small
-    val pairs = bBanded.select(col("bucket"), col("id").as("id_new"))
-      .join(index.banded.select(col("bucket"), col("id").as("id_ref")),
-        Seq("bucket"))
-      .select(col("id_new"), col("id_ref")).distinct()
-      .localCheckpoint(true)
+    // prune below + the scoring join) and is candidate-bound small.
+    // r16: the candidate count rides the checkpoint's materializing job
+    // (localCheckpointWithCount) for the attach-broadcast guard below
+    val (pairs, nPairs) = org.apache.spark.sql.graftbridge.Bridge
+      .localCheckpointWithCount(
+        bBanded.select(col("bucket"), col("id").as("id_new"))
+          .join(index.banded.select(col("bucket"), col("id").as("id_ref")),
+            Seq("bucket"))
+          .select(col("id_new"), col("id_ref")).distinct())
     // prune the reference sig table to the candidates' refs via a
     // broadcast semi-join BEFORE any exchange: a screen must never
     // shuffle the index (measured without this: the scoring join's
@@ -783,13 +805,18 @@ object Dedup {
     // pair set (the same adjudicated class as remove's newlyUnder
     // check); above the cap the shuffle join stands — a flood of
     // distinct candidate refs must not OOM the driver.
-    val refIds = pairs.select(col("id_ref")).distinct().localCheckpoint(true)
+    // r16: LEFT SEMI against the raw candidate ref ids — identical rows
+    // to the old distinct + inner using-join (sigs ids are unique; a
+    // semi join cannot duplicate), with the refIds distinct exchange,
+    // its checkpoint, and its count() action all removed. The broadcast
+    // stays id-only at the documented 8 B/candidate budget; the attach
+    // guard below keys on the PAIR count (≥ distinct refs), erring
+    // toward the driver-safe shuffle join.
     val prunedRef = index.sigs.select(col("id").as("id_ref"),
       col("sig").as("sig_r"))
-      .join(broadcast(refIds), "id_ref")
+      .join(broadcast(pairs.select(col("id_ref"))), Seq("id_ref"), "left_semi")
     val refSigs = {
-      val nRefs = refIds.count()
-      val refSigBytes = nRefs * (24L + 4L * index.numHashes)
+      val refSigBytes = nPairs * (24L + 4L * index.numHashes)
       if (refSigBytes <= broadcastRefSigsMaxBytes) broadcast(prunedRef)
       else prunedRef
     }
@@ -1165,7 +1192,15 @@ object Dedup {
     * state is `localCheckpoint`ed to truncate the iterative lineage; the
     * only driver-side values are the per-round convergence counts.
     * Near-dup clusters in practice are small and dense — typically 2-3
-    * rounds. */
+    * rounds.
+    *
+    * `driverThreshold` is a PAIR count: the micro-tier probe reads up to
+    * 2·driverThreshold + 1 RAW DIRECTED rows (each pair contributes both
+    * directions), so the driver-side union-find may hold up to
+    * 2·driverThreshold edge tuples — size it for that bound. Callers
+    * producing DUPLICATE pairs get demoted to the distributed tier
+    * earlier than a distinct-pair caller (the probe counts raw rows, not
+    * distinct edges); both tiers are spec-pinned to identical output. */
   def connectedComponents(
       pairs: DataFrame,
       idACol: String = "id_a",

@@ -128,7 +128,18 @@ object ModelEvaluation {
       StructField("mape", DoubleType), StructField("pocid", DoubleType),
       StructField("r2", DoubleType)))
     val xField = g.xField
-    val outRdd = graft.core.SeriesGather.rows(g).flatMap { row =>
+    // heavyPerSeries = false (r16, VERDICT r15 task 4 re-adjudication):
+    // naive/drift pooling is O(folds·steps) = O(1) per series plus one
+    // linear pass — per-series CPU is AT MOST proportional to the
+    // gathered bytes, the exact class SeriesGather's scaladoc assigns to
+    // AQE's byte-based sizing. The rebalance guard exists for
+    // disproportionate-CPU kernels (iterative refits, triangulations);
+    // here it was a pure extra shuffle of the gathered rows (measured
+    // r16 A/B at sf0.1: 37 → 5 tasks, 5 → 4 stages, shuffle 4.2 → 2.0
+    // MB, exec 5.5 → 0.7 s summed; wall flat at gate scale — the win is
+    // the removed exchange). The ARIMA/VAR eval shells keep the guard.
+    val outRdd = graft.core.SeriesGather.rows(g, heavyPerSeries = false)
+      .flatMap { row =>
       val y = graft.core.SeriesGather.values(row, xField)
       val m = y.length
       if (m - nFolds * steps < 2) Iterator.empty

@@ -210,9 +210,20 @@ object Delaunay {
       alive(nTri) = true
       if (filterTier) {
         if (ta(nTri) < n && tb(nTri) < n && tc(nTri) < n) {
-          val ax = pts(ta(nTri))._1.toDouble; val ay = pts(ta(nTri))._2.toDouble
-          val bx = pts(tb(nTri))._1.toDouble; val by = pts(tb(nTri))._2.toDouble
-          val cx = pts(tc(nTri))._1.toDouble; val cy = pts(tc(nTri))._2.toDouble
+          // TRANSLATED to (minX, minY) before any float math (r16,
+          // ADVICE r15): the d2-vs-cr2 comparison is translation-
+          // invariant, and with span-relative coords every magnitude
+          // here is < 2¹⁴ so the squares are exact in double and the
+          // 1e-13-relative-center analysis below actually holds. On the
+          // ABSOLUTE coords (up to ~2³¹) a small-span-but-far-offset
+          // input hit catastrophic cancellation in the circumcenter and
+          // the band could certify a WRONG sign.
+          val ax = (pts(ta(nTri))._1 - minX).toDouble
+          val ay = (pts(ta(nTri))._2 - minY).toDouble
+          val bx = (pts(tb(nTri))._1 - minX).toDouble
+          val by = (pts(tb(nTri))._2 - minY).toDouble
+          val cx = (pts(tc(nTri))._1 - minX).toDouble
+          val cy = (pts(tc(nTri))._2 - minY).toDouble
           val d = 2.0 * ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
           val a2 = ax * ax + ay * ay
           val b2 = bx * bx + by * by
@@ -234,8 +245,9 @@ object Delaunay {
     while (p < n) {
       var nBad = 0
       var t = 0
-      val pxD = if (filterTier) pts(p)._1.toDouble else 0.0
-      val pyD = if (filterTier) pts(p)._2.toDouble else 0.0
+      // same (minX, minY) translation as the per-triangle centers above
+      val pxD = if (filterTier) (pts(p)._1 - minX).toDouble else 0.0
+      val pyD = if (filterTier) (pts(p)._2 - minY).toDouble else 0.0
       while (t < nTri) {
         if (alive(t)) {
           var bad = false

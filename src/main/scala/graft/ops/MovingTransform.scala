@@ -195,7 +195,11 @@ object MovingTransform {
     // order for non-unique orderCols, so the count pass and every data
     // pass agree by construction. Expensive-to-rebuild state only (a
     // full shuffle + sort); the ContextCleaner frees the blocks with
-    // the plan.
+    // the plan. Cluster caveat (ADVICE r15): localCheckpoint truncates
+    // lineage, so on a multi-executor deployment a lost executor fails
+    // later passes with missing-block errors instead of recomputing —
+    // the same non-resilience trade the repo's eager checkpoints
+    // already accept (restart the query; never wrong data).
     val sorted = df.orderBy(orderCols: _*).localCheckpoint(false)
     val schema = StructType(sorted.schema.fields :+
       StructField("__gidx", LongType, nullable = false))

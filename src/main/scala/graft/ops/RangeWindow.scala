@@ -275,7 +275,10 @@ object RangeWindow {
     // stability argument, without that operator's explicit cache handle
     // — the ContextCleaner frees the blocks when the plan is dropped.
     // Expensive-to-rebuild state only (a full shuffle + sort), the
-    // checkpoint-what-is-expensive rule.
+    // checkpoint-what-is-expensive rule. Cluster caveat (ADVICE r15):
+    // lineage is truncated, so an executor loss fails later passes with
+    // missing-block errors instead of recomputing — the repo's accepted
+    // checkpoint trade (restart, never wrong data).
     val ranged = df
       .repartitionByRange(numPartitions, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)

@@ -111,16 +111,22 @@ object IvfIndex {
       // and the partial-probe recall floors are spec-pinned.
       val sample = ProductQuantizer.sampleVectors(vecs, "id", "v",
         trainSample, knownCount, seed = if (seed == 42L) 0L else seed)
-      require(sample.length >= nlist,
-        s"need ≥ nlist=$nlist sample vectors, got ${sample.length}")
+      require(sample.nonEmpty, "IVF build needs a non-empty corpus")
+      // Clamp, don't throw (ADVICE r15): the pre-r15 ML KMeans fit
+      // accepted k > n (it just returned fewer effective clusters), and
+      // the realized id-hash sample is probabilistic, so a tiny corpus
+      // must not fail the build. `centroids.length` may therefore be
+      // < nlist for corpora smaller than nlist — search contracts are
+      // centroid-count-independent (full probe ≡ brute force).
+      val k = math.min(nlist, sample.length)
       val dim = sample.head.length
-      val cents = ProductQuantizer.lloyd(sample, 0, dim, nlist, maxIter = 20)
-      val flat = new Array[Double](nlist * dim)
+      val cents = ProductQuantizer.lloyd(sample, 0, dim, k, maxIter = 20)
+      val flat = new Array[Double](k * dim)
       var j = 0
-      while (j < nlist) {
+      while (j < k) {
         System.arraycopy(cents(j), 0, flat, j * dim, dim); j += 1
       }
-      val cb = ProductQuantizer.Codebooks(m = 1, dsub = dim, ksub = nlist, flat)
+      val cb = ProductQuantizer.Codebooks(m = 1, dsub = dim, ksub = k, flat)
       // store the norm alongside the vector (FAISS-style): rescoring then
       // costs one dot product per candidate instead of three
       val assigned = vecs.select(col("id"), col("v"),

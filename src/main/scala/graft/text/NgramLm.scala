@@ -139,13 +139,16 @@ object NgramLm {
     // jobs). The blocks hold one row per distinct bigram — the model
     // artifact itself, which persist() would pin anyway — and the
     // ContextCleaner frees them when the model is dropped.
-    val bi = bigramsOf(docs.withColumn("__id", lit(0L)), "__id", textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .localCheckpoint(true)
+    // r16: the bigram-type count (`types`) comes out of the checkpoint's
+    // own materializing job — the separate count() on the just-written
+    // blocks was one driver job per train
+    val (bi, types) = org.apache.spark.sql.graftbridge.Bridge
+      .localCheckpointWithCount(
+        bigramsOf(docs.withColumn("__id", lit(0L)), "__id", textCol)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
     val follow = bi.groupBy("w1")
       .agg(count(lit(1)).as("nFollow"), sum("c2").as("cHead"))
     val prec = bi.groupBy("w2").agg(count(lit(1)).as("nPrec"))
-    val types = bi.count()
     // countDistinct ≡ distinct().count() value-wise, one aggregate job
     val vocab = docs.select(explode(toks(textCol)).as("w"))
       .agg(countDistinct(col("w"))).head().getLong(0)

@@ -57,6 +57,32 @@ object Bridge {
       ids: Set[Int]): Unit =
     sc.cleaner.foreach(cl => ids.foreach(cl.doCleanupShuffle(_, blocking = true)))
 
+  /** Eager localCheckpoint that RETURNS the materialized row count from
+    * the materializing job itself. `Dataset.localCheckpoint(eager=true)`
+    * followed by `.count()` costs TWO driver jobs — the count re-reads
+    * the blocks the checkpoint just wrote — and at gate scale every job
+    * is ~25-40 ms of pure scheduling. This mirrors
+    * `classic.Dataset.checkpoint(eager=true, reliableCheckpoint=false,
+    * storageLevel=None)` exactly: same executed-plan RDD, same
+    * `RDD.localCheckpoint()` default storage level, same lineage
+    * truncation (the count() job materializes the marked RDD and
+    * `runJob` fires `doCheckpoint()` at job end, as the in-box eager
+    * path does), same `LogicalRDD.fromDataset` wrapper — but the ONE
+    * materializing job also returns the row count, so driver-OOM guards
+    * keyed on the count (e.g. the minhash screen's size-conditional
+    * broadcast) keep their exact semantics with one fewer job. */
+  def localCheckpointWithCount(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    val ds = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val internalRdd = ds.queryExecution.executedPlan.execute().map(_.copy())
+    internalRdd.localCheckpoint()
+    val n = internalRdd.count()
+    (org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(internalRdd, ds,
+        isStreaming = false)), n)
+  }
+
   /** Drop one cached RDD block out of the block manager — the
     * fault-injection hook for the reclaim specs (a cache-block loss is
     * the failure mode `cleanupShuffles`' lineage-safety claim is about,
