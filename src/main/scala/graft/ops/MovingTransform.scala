@@ -186,21 +186,15 @@ object MovingTransform {
   private def globallyIndexed(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    // lazy localCheckpoint: zipWithIndex's eager sizing count is the
-    // job that materializes the sorted layout; every later pass over the
-    // indexed frame then reads those blocks instead of re-running the
-    // post-shuffle SORT (the exchange's map files are shared across
-    // jobs, the reduce-side sort is not — r15 measured each rangepart
-    // consumer paying the sort once per job). Blocks also pin one tie
-    // order for non-unique orderCols, so the count pass and every data
-    // pass agree by construction. Expensive-to-rebuild state only (a
-    // full shuffle + sort); the ContextCleaner frees the blocks with
-    // the plan. Cluster caveat (ADVICE r15): localCheckpoint truncates
-    // lineage, so on a multi-executor deployment a lost executor fails
-    // later passes with missing-block errors instead of recomputing —
-    // the same non-resilience trade the repo's eager checkpoints
-    // already accept (restart the query; never wrong data).
-    val sorted = df.orderBy(orderCols: _*).localCheckpoint(false)
+    // NO checkpoint on the sorted frame (r16, VERDICT r15 task 7): the
+    // r15 lazy localCheckpoint was reverted after a K=10 bench A/B
+    // measured its block write+read costing more wall than the saved
+    // reduce-side re-sort at every measurable scale (q80 1.50 s without
+    // vs 1.66/1.87 s with, deser/ser; q42 0.87 vs 1.19/1.01 —
+    // artifacts_r16/bench_scale10_ab_*.json). Consumers needing one
+    // consistent tie order across passes pin the ZIPPED frame instead
+    // (stridedRangePartManaged's persist below) — the pre-r15 shape.
+    val sorted = df.orderBy(orderCols: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField("__gidx", LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
@@ -258,13 +252,13 @@ object MovingTransform {
     *    (sum, product) carries, then a partition-parallel fold emitting
     *    only the sampled rows — the [[graft.ops.RangeWindow]] recipe.
     *
-    * With cumulative specs the globally-indexed input backs TWO passes;
-    * both read the ONE sorted block layout [[globallyIndexed]] pins via
-    * its lazy localCheckpoint (consistent sort by construction — the
-    * lagColumnsManaged discipline, enforced one layer down since r15).
-    * The [[stridedRangePartManaged]] release handle is retained for API
-    * stability but is a no-op: the ContextCleaner frees the checkpoint
-    * blocks when the returned plan is dropped. */
+    * With cumulative specs the globally-indexed input backs TWO passes and
+    * is persisted so both read one consistent sort (the lagColumnsManaged
+    * discipline); use [[stridedRangePartManaged]] and call the release
+    * handle after consuming the result. The convenience overload leaves
+    * that cache to LRU eviction — fine for one-shot gate/bench calls, a
+    * leak for long-lived sessions. Without cumulative specs there is no
+    * cache at all and the handle is a no-op. */
   def stridedRangePart(
       tsf: TimeseriesFrame,
       specs: Seq[(String, String)],
@@ -289,14 +283,17 @@ object MovingTransform {
     val (cumSpecs, winSpecs) = specs.partition(s => CumulativeKeys(s._2))
     val orderNames = tsf.timeCol.toSeq ++ tsf.tieBreak
     val kept = (orderNames ++ specs.map(_._1)).distinct
-    // globallyIndexed checkpoints the sorted input (r15), so every pass —
-    // including the cumulative two-phase prefix scan — reads one pinned
-    // block layout and only re-runs the cheap zip-map; the extra
-    // MEMORY_AND_DISK persist of the zipped rows that used to guarantee
-    // the consistent sort is redundant storage now (the managed handle
-    // stays for API stability and is a no-op)
-    val indexed = globallyIndexed(tsf.df.select(kept.map(col): _*), tsf.orderCols)
-    val release: () => Unit = () => ()
+    // restored with the r16 checkpoint revert: cumulative specs read the
+    // indexed frame TWICE (carry pass + fold pass), so the zipped rows
+    // are persisted to pin ONE consistent sort across both (the
+    // lagColumnsManaged discipline); the caller's release handle unpins
+    val indexed0 = globallyIndexed(tsf.df.select(kept.map(col): _*), tsf.orderCols)
+    val (indexed, release): (DataFrame, () => Unit) =
+      if (cumSpecs.isEmpty) (indexed0, () => ())
+      else {
+        val p = indexed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (p, () => { p.unpersist(); () })
+      }
 
     val winAgg: Option[DataFrame] =
       if (winSpecs.isEmpty && cumSpecs.nonEmpty) None

@@ -266,23 +266,21 @@ object RangeWindow {
     require(aggs.forall(SupportedAggs), s"supported: $SupportedAggs")
     val df = tsf.df
     val orderCols = tsf.orderCols
-    // lazy localCheckpoint: the tails pass (pass 1) materializes the
-    // sorted layout as blocks and pass 2 reads them — without it each
-    // pass re-ran the post-shuffle SORT (the exchange's map files are
-    // shared across jobs, the reduce-side sort is not; r15 measured the
-    // second sort as ~40% of q42's executor time). Blocks also pin ONE
-    // tie order for non-unique orderCols, the lagColumnsManaged
-    // stability argument, without that operator's explicit cache handle
-    // — the ContextCleaner frees the blocks when the plan is dropped.
-    // Expensive-to-rebuild state only (a full shuffle + sort), the
-    // checkpoint-what-is-expensive rule. Cluster caveat (ADVICE r15):
-    // lineage is truncated, so an executor loss fails later passes with
-    // missing-block errors instead of recomputing — the repo's accepted
-    // checkpoint trade (restart, never wrong data).
+    // NO checkpoint on the sorted frame (r16, VERDICT r15 task 7): the
+    // r15 lazy localCheckpoint pinned the post-shuffle sort so pass 2
+    // read blocks instead of re-sorting, but a K=10 bench A/B (min-of-3,
+    // clean sentinels, artifacts_r16/bench_scale10_ab_{on,off,ser}.json)
+    // measured the block write+read costing MORE wall than the saved
+    // re-sort at both gate scale and 10×: q42 0.87 s without vs 1.19 s
+    // deserialized / 1.01 s serialized with. The shuffle's map files are
+    // still shared across the two passes — only the reduce-side sort
+    // re-runs — and tie order across passes is deterministic for this
+    // operator's callers (tieBreak is part of orderCols). Reverted per
+    // the measured-A/B discipline; re-visit only with cluster evidence
+    // that a re-sort of a multi-TB exchange dominates the block I/O.
     val ranged = df
       .repartitionByRange(numPartitions, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .localCheckpoint(false)
 
     val spark = df.sparkSession
     val schema = ranged.schema
