@@ -552,6 +552,16 @@ class DedupSpec extends SparkSpec {
       .sorted.toSeq
     assert(viaChunks == viaIndexOriented,
       "chunked screen diverged from the one-shot screen")
+    // r16: targetScreenChunks derives the per-slice cap from the batch
+    // count the screen already measures (⌈20/4⌉ = 5 docs/slice here) —
+    // must equal the explicit maxDocsPerScreen=5 carving exactly, since
+    // both carve by the same id-hash into the same slice count
+    val viaTarget = Dedup.minhashSearch(idx, batch, "doc_id", "text",
+      targetScreenChunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(viaTarget == viaChunks,
+      "targetScreenChunks carving diverged from the explicit cap")
     // persist lifecycle: pinned index returns the identical result
     val pinned = idx.persist()
     // serving-layout contract (r11): the pinned banded store is cached
@@ -673,6 +683,30 @@ class DedupSpec extends SparkSpec {
     assert(run(4L) == oneShot, "chunked screen diverged (flood corner)")
     // chunk boundary no-op: cap >= batch size must take the one-shot path
     assert(run(100L) == oneShot)
+  }
+
+  test("Bridge.localCheckpointWithCount: rows, count and truncated lineage") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    // a frame WITH a shuffle underneath, so lineage truncation is visible
+    val src = (0L until 97L).map(i => (i % 7, i)).toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val expect = src.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val (cp, n) = Bridge.localCheckpointWithCount(src)
+    // the count comes from the materializing job itself
+    assert(n == 7L, s"count $n")
+    assert(cp.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq == expect)
+    // lineage is truncated: the returned plan reads checkpoint blocks,
+    // no exchange (the contract the one-job elision relies on — same as
+    // Dataset.localCheckpoint(eager = true))
+    val nodes = Bridge.allExecutedNodes(
+      cp.queryExecution.executedPlan).map(_.getClass.getSimpleName)
+    assert(!nodes.exists(_.contains("ShuffleExchange")),
+      s"expected no exchange above the checkpoint blocks, got $nodes")
+    // schema preserved exactly
+    assert(cp.schema == src.schema)
   }
 
   test("persist(reclaimBuildShuffles): build shuffles deleted, search unchanged") {

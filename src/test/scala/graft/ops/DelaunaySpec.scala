@@ -70,6 +70,44 @@ class DelaunaySpec extends SparkSpec {
     }
   }
 
+  test("floating prefilter: small span at a ~2^30 coordinate offset stays exact") {
+    // the r16 fix for the r15 ADVICE finding: the prefilter's circumcenter
+    // math must run on SPAN-RELATIVE coordinates. On absolute coords a
+    // small-span-but-far-offset cloud (offset ~2^30, span < 2^14 so the
+    // filterTier is ACTIVE) hits catastrophic cancellation in ax²+ay²
+    // (~2^60 magnitudes) and the certification band can report a WRONG
+    // incircle sign on thin triangles. Same definitional check as above,
+    // on offset copies of the pseudorandom clouds plus a thin strip.
+    val off = 1 << 30
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val pts = lcgPts(seed, 40, 30).map { case (x, y) => (x + off, y + off) }
+      val tris = Delaunay.triangulate(pts)
+      assert(tris.nonEmpty)
+      tris.foreach { case (a, b, c) =>
+        pts.indices.filterNot(Set(a, b, c)).foreach { p =>
+          val ic = Delaunay.inCircle(pts(a)._1, pts(a)._2, pts(b)._1, pts(b)._2,
+            pts(c)._1, pts(c)._2, pts(p)._1, pts(p)._2)
+          assert(ic <= 0, s"offset cloud seed=$seed: point $p strictly inside " +
+            s"circumcircle of ($a,$b,$c)")
+        }
+      }
+    }
+    // thin triangles (the worst case for circumcenter cancellation):
+    // a near-collinear strip with one apex, offset to 2^30
+    val strip = ((0 to 8).map(i => (i * 1000 + off, (i % 2) + off)) :+
+      (4000 + off, 500 + off)).toArray
+    val tris = Delaunay.triangulate(strip)
+    assert(tris.nonEmpty)
+    tris.foreach { case (a, b, c) =>
+      strip.indices.filterNot(Set(a, b, c)).foreach { p =>
+        val ic = Delaunay.inCircle(strip(a)._1, strip(a)._2, strip(b)._1,
+          strip(b)._2, strip(c)._1, strip(c)._2, strip(p)._1, strip(p)._2)
+        assert(ic <= 0, s"offset strip: point $p strictly inside " +
+          s"circumcircle of ($a,$b,$c)")
+      }
+    }
+  }
+
   test("near-collinear triples: full hull coverage despite huge circumradii") {
     // three almost-collinear points whose circumradius (~d²/8h ≈ 2³⁹)
     // dwarfs any small multiple of the data span — the regression case

@@ -33,6 +33,28 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IVF build clamps nlist to a tiny corpus instead of throwing (r16)") {
+    import spark.implicits._
+    // ADVICE r15: the r15 driver-Lloyd flat tier threw
+    // require(sample >= nlist); the pre-r15 ML KMeans accepted k > n.
+    // A 5-vector corpus built at nlist=40 must build (clamped centroids)
+    // and a full probe must still equal brute force exactly.
+    val corpus = (0L until 5L).map { id =>
+      (id, Array.tabulate(8)(d => math.sin(id * 3.0 + d).abs + 0.1))
+    }.toDF("vec_id", "embedding")
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nlist = 40)
+    assert(idx.centroids.length <= 5 && idx.centroids.nonEmpty)
+    val queries = corpus.filter(col("vec_id") < 2)
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3))
+    val full = topk(IvfIndex.search(idx, queries, "vec_id", "embedding",
+      k = 3, nprobe = 40))
+    assert(full == exact, s"full probe $full != brute force $exact")
+  }
+
   test("IVF partial probe: recall@10 >= 0.9 floor on a pinned clustered corpus") {
     import spark.implicits._
     // deterministic synthetic corpus: 40 compact topics x 50 vectors in
