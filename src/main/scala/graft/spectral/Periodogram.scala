@@ -508,6 +508,19 @@ object Periodogram {
       (col("t") - lag(col("t"), 1).over(wOrd)).as("dt"))
       .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(false)
+    // The Δt percentiles stay in-box `percentile(dt, p)` aggregates —
+    // KEPT after a measured r16 A/B rejection of a histogram
+    // radix-selection replacement. The in-box Percentile is a
+    // TypedImperativeAggregate (interpreted boxed updates + a one-task
+    // merge holding every distinct Δt — ~0.4 s of this job's 0.54 s at
+    // sf0.1 and a genuine serial ceiling at much larger SFs), and a
+    // bit-identical codegen selection (65536→n/4096-bucket histogram +
+    // target-bucket collect) was built and measured: back-to-back
+    // QueryProf min-of-3 read 1.15 s / 6.6 exec-s for this shape vs
+    // 1.57 s / 12.1 exec-s for the selection — the two extra
+    // checkpoint passes and jobs cost more than the interpreted
+    // aggregate saves at gate scale. Revisit only when a single series'
+    // Δt count approaches the one-task merge's memory ceiling.
     val pctCols = Seq(percentile(col("dt"), lit(0.05)).as("p5"),
       percentile(col("dt"), lit(0.80)).as("p80"))
     def aggRow(cols: Seq[Column]) = {
@@ -603,7 +616,7 @@ object Periodogram {
       while (i < m * 5) { tot(i) += p(i); i += 1 }
     }
     // tau-shifted power per ω — 200 values, computed on the driver
-    val spec = spark.createDataFrame((0 until m).map { j =>
+    val specRows: IndexedSeq[(Double, Double)] = (0 until m).map { j =>
       val o = j * 5
       val (xc, xs, cc, ss, cs) = (tot(o), tot(o + 1), tot(o + 2), tot(o + 3), tot(o + 4))
       val tau2 = math.atan2(2.0 * cs, cc - ss)
@@ -614,7 +627,31 @@ object Periodogram {
       val ssTau = sT * sT * cc - 2.0 * cT * sT * cs + cT * cT * ss
       val power = (xcTau * xcTau / ccTau + xsTau * xsTau / ssTau) / 2.0
       Tuple2(2.0 * math.Pi / omegas(j), power * (2.0 / (n * variance)))
-    }).toDF("period", "power")
-    scaleAndPeaks(spec, order = 5)
+    }
+    // r16: scale + 5-neighborhood peak-pick on the driver. The spectrum
+    // is a FIXED nPeriods-row frame that was already driver-resident
+    // (the fold's collect above), yet [[scaleAndPeaks]] re-shipped it
+    // through a LocalTableScan + SinglePartition exchange + two window
+    // passes — ~3 driver jobs per action at ~30 ms each, the dominant
+    // q30 cost class at gate scale. This loop evaluates the IDENTICAL
+    // expressions on the identical doubles: same (p−min)/(max−min)
+    // scaling per row, same strict > against the ≤5 lag/lead neighbors
+    // with out-of-range neighbors admitted (the window twin's isNull
+    // disjunct), same ascending-period order (stable sort ≡ the window
+    // sort's tie behavior). Degenerate all-NaN pgram (max == min) yields
+    // no peaks on both paths. Bounded driver work: nPeriods rows always.
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    specRows.foreach { case (_, p) => if (p < mn) mn = p; if (p > mx) mx = p }
+    val asc = specRows.sortBy(_._1)
+    val g = asc.map { case (_, p) => (p - mn) / (mx - mn) }.toArray
+    val nR = g.length
+    val picked = (0 until nR).filter { i =>
+      (1 to 5).forall { k =>
+        (i - k < 0 || g(i) > g(i - k)) && (i + k >= nR || g(i) > g(i + k))
+      } && i - 1 >= 0 && i + 1 < nR
+    }
+    spark.createDataFrame(picked.map(i => Tuple2(asc(i)._1, g(i))))
+      .toDF("period", "pgram")
   }
+
 }
